@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Column-function library — every helper is a pure composition of
+  * built-in (codegen'd) Catalyst expressions; no UDFs on hot paths.
+  *
+  * Mirrors the reference's custom-logic surface (SURVEY.md §2.8/§2.10):
+  * surrogate keys (dbt macro generate_surrogate_key, reference
+  * dbt_project/macros/generate_surrogate_key.sql:8-14), haversine
+  * (streaming/flink_jobs/fraud_detection.py:64-71), PII masking
+  * (dbt_project/models/gold/dimensions/dim_customers.sql:35-38), and
+  * the Trino↔Spark dialect shims (SURVEY.md F11-F13).
+  */
+object Funcs {
+
+  /** Exact, order-independent money aggregation.
+    *
+    * Double summation is order-dependent under Spark's partial/final
+    * hash aggregation (partition order varies run to run), which breaks
+    * hash-parity with any oracle. Summing as DECIMAL is exact and
+    * deterministic; the final cast to double is a single deterministic
+    * conversion. Use for every monetary / fractional measure.
+    */
+  def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** Deterministic average: exact decimal sum / count, as double. */
+  def davg(c: Column, scale: Int = 6): Column =
+    (sum(c.cast(DecimalType(18, scale))).cast("double") / count(c)).cast("double")
+
+  /** dbt generate_surrogate_key parity: md5 of '|'-joined columns with
+    * NULL → 'UNKNOWN' (reference generate_surrogate_key.sql:8-14).
+    * Byte-for-byte compatible with the Trino/DuckDB expression
+    * md5(concat_ws('|', coalesce(cast(c as varchar),'UNKNOWN'), ...)).
+    */
+  def surrogateKey(cols: Column*): Column =
+    md5(concat_ws("|", cols.map(c => coalesce(c.cast("string"), lit("UNKNOWN"))): _*))
+
+  /** Great-circle distance in km (reference fraud_detection.py:64-71).
+    * Pure built-ins → whole-stage-codegen'd, no UDF.
+    */
+  def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val dLat = radians(lat2 - lat1)
+    val dLon = radians(lon2 - lon1)
+    val a = pow(sin(dLat / 2), 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon / 2), 2)
+    lit(2 * 6371.0) * asin(sqrt(a))
+  }
+
+  /** PII masks (reference dim_customers.sql:35-38). */
+  def maskName(c: Column): Column = concat(substring(c, 1, 2), lit("***"))
+  def maskEmail(c: Column): Column =
+    regexp_replace(c, "(.{2}).+(@.+)", "$1***$2")
+
+  /** Conditional counter: SUM(CASE WHEN p THEN 1 ELSE 0 END)
+    * (reference agg_tower_hourly_utilization.sql:77 et al.)
+    */
+  def countIf(p: Column): Column = sum(when(p, 1L).otherwise(0L))
+
+  /** Null-rate of a column as a double in [0,1]
+    * (reference pipeline_observability.py:150-173).
+    */
+  def nullRate(c: Column): Column =
+    (sum(when(c.isNull, 1L).otherwise(0L)).cast("double") / count(lit(1))).cast("double")
+
+  /** Fraction of rows matching a predicate, with `mostly`-style gates
+    * (reference great_expectations_suite.py:70-75).
+    */
+  def matchRate(p: Column): Column =
+    (sum(when(p, 1L).otherwise(0L)).cast("double") / count(lit(1))).cast("double")
+}
