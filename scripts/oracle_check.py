@@ -37,6 +37,9 @@ def compare(name, spark_df, duck_df):
         return f"ROWCOUNT mismatch: spark={len(a)} duck={len(b)}"
     problems = []
     for c in a.columns:
+        if str(a[c].dtype) != str(b[c].dtype):
+            problems.append(f"DTYPE {c}: spark={a[c].dtype} duck={b[c].dtype}")
+    for c in a.columns:
         av, bv = a[c], b[c]
         if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
             av = av.astype(float); bv = bv.astype(float)

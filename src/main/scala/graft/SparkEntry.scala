@@ -13,9 +13,15 @@ object SparkEntry {
 
   private def queryModules: Seq[Map[String, (SparkSession, String) => DataFrame]] = Seq(
     q.Relational.queries,
+    q.Temporal.queries,
+    q.Scalar.queries,
+    q.Quality.queries,
   )
   private def oracleModules: Seq[Map[String, String]] = Seq(
     q.Relational.oracles,
+    q.Temporal.oracles,
+    q.Scalar.oracles,
+    q.Quality.oracles,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,265 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Funcs._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-quality / observability surface (SURVEY.md §2.4 A6-A12, §2.8
+  * F23-F26; reference pipeline_observability.py + dbt tests + GX
+  * suites). Every monitor is a distributed aggregation — only the
+  * final gate scalar is driver-sized.
+  */
+object Quality {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** A3: conditional-aggregation pivot counters (reference
+    * fact_calls.sql:79-82 / agg_tower_hourly_utilization.sql:37-38).
+    */
+  def q17ConditionalAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(
+        count(lit(1)).as("order_count"),
+        countIf(col("o_orderstatus") === "F").as("fulfilled_count"),
+        countIf(col("o_orderstatus") === "O").as("open_count"),
+        countIf(col("o_orderstatus") === "P").as("pending_count"),
+        dsum(col("o_totalprice")).as("total_revenue"),
+        matchRate(col("o_orderstatus") === "F").as("fulfilled_rate"))
+      .orderBy("priority")
+
+  /** A4: MIN/MAX-of-ordinal "worst status" trick — encode enum→rank,
+    * MAX(rank), decode back (reference
+    * agg_tower_hourly_utilization.sql:70-75,106-111).
+    */
+  def q18WorstStatus(s: SparkSession, dir: String): DataFrame = {
+    val rank = when(col("o_orderstatus") === "F", 1)
+      .when(col("o_orderstatus") === "O", 2)
+      .when(col("o_orderstatus") === "P", 3)
+      .otherwise(0)
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("customer_id"))
+      .agg(max(rank).as("worst_rank"), count(lit(1)).as("order_count"))
+      .withColumn("worst_status",
+        when(col("worst_rank") === 3, "PENDING")
+          .when(col("worst_rank") === 2, "OPEN")
+          .when(col("worst_rank") === 1, "FULFILLED")
+          .otherwise("UNKNOWN"))
+      .orderBy("customer_id")
+  }
+
+  /** A7: volume z-score anomaly monitor (reference
+    * pipeline_observability.py:99-139). stddev is computed from exact
+    * integer sums (Σx, Σx²) so the whole statistic is
+    * order-independent — the built-in stddev_samp's merge order
+    * nondeterminism would break oracle parity.
+    */
+  def q20ZscoreAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("ts").cast("date").as("event_date"))
+      .agg(count(lit(1)).as("daily_rows"))
+    val stats = daily.agg(
+      count(lit(1)).as("n"),
+      sum("daily_rows").as("sx"),
+      sum(col("daily_rows") * col("daily_rows")).as("sx2"))
+    daily.crossJoin(broadcast(stats))
+      .select(
+        col("event_date"),
+        col("daily_rows"),
+        ((col("n") * col("sx2") - col("sx") * col("sx")) /
+          (col("n") * (col("n") - lit(1)))).as("variance"),
+        (col("sx") / col("n")).cast("double").as("mean_rows"))
+      .withColumn("z_score",
+        ((col("daily_rows") - col("mean_rows")) / sqrt(col("variance"))).cast("double"))
+      .withColumn("is_anomaly", abs(col("z_score")) > 3.0)
+      .select("event_date", "daily_rows", "mean_rows", "z_score", "is_anomaly")
+      .orderBy("event_date")
+  }
+
+  /** A9: null-rate monitor (reference pipeline_observability.py:150-173)
+    * over synthesized nullables (NULLIF) — one pass, one row out.
+    */
+  def q21NullRates(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(
+        nullif(col("o_orderstatus"), lit("P")).as("status_nullable"),
+        nullif(col("o_orderpriority"), lit("5-LOW")).as("priority_nullable"),
+        when(col("o_totalprice") > 300000, col("o_totalprice")).as("high_price_only"))
+      .agg(
+        nullRate(col("status_nullable")).as("null_rate_status"),
+        nullRate(col("priority_nullable")).as("null_rate_priority"),
+        nullRate(col("high_price_only")).as("null_rate_high_price"),
+        count(lit(1)).as("row_count"))
+
+  /** A8: cardinality monitor — exact COUNT DISTINCT (reference
+    * pipeline_observability.py:175-205; at 100 TB swap in
+    * approx_count_distinct, see graft.operators.Observability).
+    */
+  def q22Cardinality(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .agg(
+        countDistinct(col("user_id")).as("distinct_users"),
+        countDistinct(col("event_type")).as("distinct_event_types"),
+        countDistinct(col("ts").cast("date")).as("distinct_days"),
+        count(lit(1)).as("total_rows"))
+
+  /** A10: median / quantile distribution gates (reference
+    * great_expectations_suite.py:127-138). Quartile fractions on
+    * integer-valued data interpolate exactly in both engines.
+    */
+  def q23Percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("qty_p25"),
+        expr("percentile(l_quantity, 0.5)").as("qty_median"),
+        expr("percentile(l_quantity, 0.75)").as("qty_p75"),
+        davg(col("l_quantity")).as("qty_mean"))
+      .withColumn("gate_median_in_range",
+        col("qty_median").between(1.0, 50.0))
+
+  /** A11: uniqueness gates (dbt `unique` / GX; reference
+    * models/silver/schema.yml:12-13) — duplicate-key survivors from
+    * two tables, UNION ALL'd.
+    */
+  def q24Uniqueness(s: SparkSession, dir: String): DataFrame = {
+    val dupEvents = Tables.events(s, dir)
+      .groupBy(col("event_id").as("key_value")).agg(count(lit(1)).as("occurrences"))
+      .filter(col("occurrences") > 1)
+      .withColumn("check_name", lit("events_event_id_unique"))
+    val dupUsers = Tables.events(s, dir)
+      .groupBy(col("user_id").as("key_value")).agg(count(lit(1)).as("occurrences"))
+      .filter(col("occurrences") > 1)
+      .withColumn("check_name", lit("events_user_id_unique"))
+    dupEvents.unionAll(dupUsers)
+      .select("check_name", "key_value", "occurrences")
+      .orderBy("check_name", "key_value")
+  }
+
+  /** F26: between-range gates in one pass (reference
+    * great_expectations_suite.py:55-60,119-124).
+    */
+  def q28RangeGates(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .agg(
+        countIf(!col("l_quantity").between(0, 100)).as("qty_violations"),
+        countIf(!col("l_discount").between(0.0, 0.1)).as("discount_violations"),
+        countIf(!col("l_tax").between(0.0, 0.1)).as("tax_violations"),
+        countIf(col("l_extendedprice") < 0).as("negative_price_violations"),
+        count(lit(1)).as("rows_checked"))
+      .withColumn("all_gates_pass",
+        col("qty_violations") + col("discount_violations") +
+          col("tax_violations") + col("negative_price_violations") === 0)
+
+  /** O1-ish top-k: deterministic total order with key tie-break, then
+    * LIMIT — Spark plans TakeOrderedAndProject (no global sort
+    * shuffle), which is the scale-safe top-k.
+    */
+  def q31TopRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("customer_id"))
+      .agg(dsum(col("o_totalprice")).as("total_revenue"),
+        count(lit(1)).as("order_count"))
+      .orderBy(col("total_revenue").desc, col("customer_id"))
+      .limit(10)
+
+  val queries: Map[String, Q] = Map(
+    "q17_conditional_agg" -> q17ConditionalAgg _,
+    "q18_worst_status" -> q18WorstStatus _,
+    "q20_zscore_anomaly" -> q20ZscoreAnomaly _,
+    "q21_null_rates" -> q21NullRates _,
+    "q22_cardinality" -> q22Cardinality _,
+    "q23_percentiles" -> q23Percentiles _,
+    "q24_uniqueness" -> q24Uniqueness _,
+    "q28_range_gates" -> q28RangeGates _,
+    "q31_top_revenue" -> q31TopRevenue _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q17_conditional_agg" ->
+      """SELECT o_orderpriority AS priority, COUNT(*) AS order_count,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS fulfilled_count,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS open_count,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS pending_count,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*) AS fulfilled_rate
+        |FROM orders GROUP BY o_orderpriority ORDER BY priority""".stripMargin,
+    "q18_worst_status" ->
+      """SELECT o_custkey AS customer_id,
+        |  MAX(CASE o_orderstatus WHEN 'F' THEN 1 WHEN 'O' THEN 2
+        |      WHEN 'P' THEN 3 ELSE 0 END) AS worst_rank,
+        |  COUNT(*) AS order_count,
+        |  CASE MAX(CASE o_orderstatus WHEN 'F' THEN 1 WHEN 'O' THEN 2
+        |       WHEN 'P' THEN 3 ELSE 0 END)
+        |    WHEN 3 THEN 'PENDING' WHEN 2 THEN 'OPEN'
+        |    WHEN 1 THEN 'FULFILLED' ELSE 'UNKNOWN' END AS worst_status
+        |FROM orders GROUP BY o_custkey ORDER BY customer_id""".stripMargin,
+    "q20_zscore_anomaly" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS daily_rows
+        |  FROM events GROUP BY 1),
+        |stats AS (
+        |  SELECT COUNT(*) AS n, SUM(daily_rows) AS sx,
+        |    SUM(daily_rows * daily_rows) AS sx2 FROM daily)
+        |SELECT event_date, daily_rows,
+        |  CAST(sx / n AS DOUBLE) AS mean_rows,
+        |  CAST((daily_rows - CAST(sx / n AS DOUBLE)) /
+        |    sqrt((n * sx2 - sx * sx) / (n * (n - 1))) AS DOUBLE) AS z_score,
+        |  abs(CAST((daily_rows - CAST(sx / n AS DOUBLE)) /
+        |    sqrt((n * sx2 - sx * sx) / (n * (n - 1))) AS DOUBLE)) > 3.0 AS is_anomaly
+        |FROM daily, stats ORDER BY event_date""".stripMargin,
+    "q21_null_rates" ->
+      """SELECT
+        |  CAST(SUM(CASE WHEN NULLIF(o_orderstatus, 'P') IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*) AS null_rate_status,
+        |  CAST(SUM(CASE WHEN NULLIF(o_orderpriority, '5-LOW') IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*) AS null_rate_priority,
+        |  CAST(SUM(CASE WHEN (CASE WHEN o_totalprice > 300000 THEN o_totalprice END) IS NULL
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS null_rate_high_price,
+        |  COUNT(*) AS row_count
+        |FROM orders""".stripMargin,
+    "q22_cardinality" ->
+      """SELECT COUNT(DISTINCT user_id) AS distinct_users,
+        |  COUNT(DISTINCT event_type) AS distinct_event_types,
+        |  COUNT(DISTINCT CAST(ts AS DATE)) AS distinct_days,
+        |  COUNT(*) AS total_rows
+        |FROM events""".stripMargin,
+    "q23_percentiles" ->
+      """SELECT quantile_cont(l_quantity, 0.25) AS qty_p25,
+        |  quantile_cont(l_quantity, 0.5) AS qty_median,
+        |  quantile_cont(l_quantity, 0.75) AS qty_p75,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+        |    / COUNT(l_quantity) AS DOUBLE) AS qty_mean,
+        |  quantile_cont(l_quantity, 0.5) BETWEEN 1.0 AND 50.0 AS gate_median_in_range
+        |FROM lineitem""".stripMargin,
+    "q24_uniqueness" ->
+      """SELECT * FROM (
+        |  SELECT 'events_event_id_unique' AS check_name, event_id AS key_value,
+        |    COUNT(*) AS occurrences
+        |  FROM events GROUP BY event_id HAVING COUNT(*) > 1
+        |  UNION ALL
+        |  SELECT 'events_user_id_unique' AS check_name, user_id AS key_value,
+        |    COUNT(*) AS occurrences
+        |  FROM events GROUP BY user_id HAVING COUNT(*) > 1)
+        |ORDER BY check_name, key_value""".stripMargin,
+    "q28_range_gates" ->
+      """SELECT
+        |  CAST(SUM(CASE WHEN NOT (l_quantity BETWEEN 0 AND 100) THEN 1 ELSE 0 END) AS BIGINT) AS qty_violations,
+        |  CAST(SUM(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.1) THEN 1 ELSE 0 END) AS BIGINT) AS discount_violations,
+        |  CAST(SUM(CASE WHEN NOT (l_tax BETWEEN 0.0 AND 0.1) THEN 1 ELSE 0 END) AS BIGINT) AS tax_violations,
+        |  CAST(SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_price_violations,
+        |  COUNT(*) AS rows_checked,
+        |  SUM(CASE WHEN NOT (l_quantity BETWEEN 0 AND 100) THEN 1 ELSE 0 END)
+        |   + SUM(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.1) THEN 1 ELSE 0 END)
+        |   + SUM(CASE WHEN NOT (l_tax BETWEEN 0.0 AND 0.1) THEN 1 ELSE 0 END)
+        |   + SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) = 0 AS all_gates_pass
+        |FROM lineitem""".stripMargin,
+    "q31_top_revenue" ->
+      """SELECT o_custkey AS customer_id,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+        |  COUNT(*) AS order_count
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY total_revenue DESC, customer_id LIMIT 10""".stripMargin,
+  )
+}

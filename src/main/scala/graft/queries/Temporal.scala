@@ -1,0 +1,183 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Funcs._
+import graft.operators.AsofJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal operators: date spine (F16), as-of join (J7), calendar
+  * functions (F10-F14), monthly rollups (A5), trailing averages (A6).
+  */
+object Temporal {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** F16: date-spine generator (reference dim_date.sql:11-17,
+    * dbt_utils.date_spine) — `sequence` + `explode`, the one
+    * generator-shaped op. Derives the dim_date attribute set
+    * (reference dim_date.sql:20-66). Generated on executors, no data
+    * read at all.
+    */
+  def q12DateSpine(s: SparkSession, dir: String): DataFrame = {
+    val spine = s.sql(
+      """SELECT explode(sequence(to_date('2024-01-01'), to_date('2024-12-31'),
+        |        interval 1 day)) AS date_day""".stripMargin)
+    spine.select(
+      col("date_day"),
+      date_format(col("date_day"), "yyyyMMdd").cast("int").as("date_key"),
+      year(col("date_day")).as("year"),
+      quarter(col("date_day")).as("quarter"),
+      month(col("date_day")).as("month"),
+      dayofmonth(col("date_day")).as("day_of_month"),
+      dayofweek(col("date_day")).as("day_of_week"),
+      dayofyear(col("date_day")).as("day_of_year"),
+      date_format(col("date_day"), "EEEE").as("day_name"),
+      date_format(col("date_day"), "MMMM").as("month_name"),
+      concat(lit("Q"), quarter(col("date_day"))).as("quarter_label"),
+      dayofweek(col("date_day")).isin(1, 7).as("is_weekend"))
+      .orderBy("date_day")
+  }
+
+  /** J7: as-of join — each event picks up the user's most recent
+    * signup at-or-before it (see [[graft.operators.AsofJoin]] for the
+    * single-shuffle design). Oracle uses DuckDB's native ASOF JOIN.
+    */
+  def q13AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val left = ev.select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val right = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("signup_event_id"),
+        col("value").as("signup_value"))
+    AsofJoin.asofJoin(left, right, key = "user_id", ts = "ts",
+        valueCols = Seq("signup_event_id", "signup_value"))
+      .select(
+        col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("asof_signup_event_id"), col("asof_signup_value"))
+      .orderBy("event_id")
+  }
+
+  /** F10-F14: calendar-part kitchen sink over distinct order dates
+    * (reference dim_date.sql:20-49 derivations applied to data).
+    */
+  def q16DatetimeParts(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderdate").cast("date").as("order_date")).distinct()
+      .select(
+        col("order_date"),
+        date_trunc("month", col("order_date")).cast("date").as("month_start"),
+        year(col("order_date")).as("year"),
+        quarter(col("order_date")).as("quarter"),
+        month(col("order_date")).as("month"),
+        dayofmonth(col("order_date")).as("day_of_month"),
+        dayofweek(col("order_date")).as("day_of_week"),
+        dayofyear(col("order_date")).as("day_of_year"),
+        weekofyear(col("order_date")).as("week_of_year"),
+        date_format(col("order_date"), "yyyy-MM").as("year_month"))
+      .orderBy("order_date")
+
+  /** A5: monthly per-customer rollup (reference
+    * agg_customer_monthly_summary.sql:18-34). Shuffles once on the
+    * composite grouping key with map-side partial aggregation.
+    */
+  def q19MonthlyRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(
+        col("o_custkey").as("customer_id"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("year_month"),
+        year(col("o_orderdate")).as("year"),
+        month(col("o_orderdate")).as("month"))
+      .agg(
+        count(lit(1)).as("order_count"),
+        dsum(col("o_totalprice")).as("total_revenue"),
+        countIf(col("o_orderstatus") === "F").as("fulfilled_count"))
+      .orderBy("customer_id", "year_month")
+
+  /** A6: daily profile + trailing-7-day average baseline (reference
+    * tests/assert_row_count_anomaly.sql:4-16) as a rows-frame window.
+    */
+  def q25TrailingAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("event_date").rowsBetween(-7, -1)
+    Tables.events(s, dir)
+      .groupBy(col("ts").cast("date").as("event_date"))
+      .agg(count(lit(1)).as("daily_rows"))
+      .withColumn("trailing_7d_avg", avg("daily_rows").over(w))
+      .withColumn("pct_of_baseline",
+        (col("daily_rows") / col("trailing_7d_avg")).cast("double"))
+      .orderBy("event_date")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q12_date_spine" -> q12DateSpine _,
+    "q13_asof_join" -> q13AsofJoin _,
+    "q16_datetime_parts" -> q16DatetimeParts _,
+    "q19_monthly_rollup" -> q19MonthlyRollup _,
+    "q25_trailing_avg" -> q25TrailingAvg _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q12_date_spine" ->
+      """SELECT d AS date_day,
+        |  CAST(strftime(d, '%Y%m%d') AS INTEGER) AS date_key,
+        |  CAST(year(d) AS INTEGER) AS "year",
+        |  CAST(quarter(d) AS INTEGER) AS quarter,
+        |  CAST(month(d) AS INTEGER) AS "month",
+        |  CAST(dayofmonth(d) AS INTEGER) AS day_of_month,
+        |  CAST(dayofweek(d) + 1 AS INTEGER) AS day_of_week,
+        |  CAST(dayofyear(d) AS INTEGER) AS day_of_year,
+        |  dayname(d) AS day_name, monthname(d) AS month_name,
+        |  'Q' || quarter(d) AS quarter_label,
+        |  dayofweek(d) IN (0, 6) AS is_weekend
+        |FROM (SELECT CAST(unnest(generate_series(DATE '2024-01-01',
+        |       DATE '2024-12-31', INTERVAL 1 DAY)) AS DATE) AS d)
+        |ORDER BY date_day""".stripMargin,
+    "q13_asof_join" ->
+      """SELECT e.event_id, e.user_id, e.event_type,
+        |  epoch_us(e.ts) AS ts_us,
+        |  s.signup_event_id AS asof_signup_event_id,
+        |  s.signup_value AS asof_signup_value
+        |FROM events e
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, ts, event_id AS signup_event_id,
+        |    value AS signup_value
+        |  FROM events WHERE event_type = 'signup') s
+        |ON e.user_id = s.user_id AND e.ts >= s.ts
+        |ORDER BY event_id""".stripMargin,
+    "q16_datetime_parts" ->
+      """SELECT order_date,
+        |  CAST(date_trunc('month', order_date) AS DATE) AS month_start,
+        |  CAST(year(order_date) AS INTEGER) AS "year",
+        |  CAST(quarter(order_date) AS INTEGER) AS quarter,
+        |  CAST(month(order_date) AS INTEGER) AS "month",
+        |  CAST(dayofmonth(order_date) AS INTEGER) AS day_of_month,
+        |  CAST(dayofweek(order_date) + 1 AS INTEGER) AS day_of_week,
+        |  CAST(dayofyear(order_date) AS INTEGER) AS day_of_year,
+        |  CAST(weekofyear(order_date) AS INTEGER) AS week_of_year,
+        |  strftime(order_date, '%Y-%m') AS year_month
+        |FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS order_date FROM orders)
+        |ORDER BY order_date""".stripMargin,
+    "q19_monthly_rollup" ->
+      """SELECT o_custkey AS customer_id,
+        |  strftime(o_orderdate, '%Y-%m') AS year_month,
+        |  CAST(year(o_orderdate) AS INTEGER) AS "year",
+        |  CAST(month(o_orderdate) AS INTEGER) AS "month",
+        |  COUNT(*) AS order_count,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS fulfilled_count
+        |FROM orders GROUP BY 1, 2, 3, 4
+        |ORDER BY customer_id, year_month""".stripMargin,
+    "q25_trailing_avg" ->
+      """SELECT event_date, daily_rows,
+        |  AVG(daily_rows) OVER (ORDER BY event_date
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS trailing_7d_avg,
+        |  CAST(daily_rows / AVG(daily_rows) OVER (ORDER BY event_date
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS DOUBLE) AS pct_of_baseline
+        |FROM (
+        |  SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS daily_rows
+        |  FROM events GROUP BY 1)
+        |ORDER BY event_date""".stripMargin,
+  )
+}
