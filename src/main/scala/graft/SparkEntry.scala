@@ -16,12 +16,18 @@ object SparkEntry {
     q.Temporal.queries,
     q.Scalar.queries,
     q.Quality.queries,
+    q.TextOps.queries,
+    q.DedupOps.queries,
+    q.SimilarityOps.queries,
   )
   private def oracleModules: Seq[Map[String, String]] = Seq(
     q.Relational.oracles,
     q.Temporal.oracles,
     q.Scalar.oracles,
     q.Quality.oracles,
+    q.TextOps.oracles,
+    q.DedupOps.oracles,
+    q.SimilarityOps.oracles,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines: token
+  * counting, language-ID, quality scoring, fingerprinting. All pure
+  * built-in column expressions (codegen'd, no UDFs) so they run at
+  * full scan speed over 100 TB of documents.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization of lowercased text. The shared token
+    * definition for every text op (dedup, jaccard, quality). */
+  def tokens(text: Column): Column = split(lower(trim(text)), " +")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count estimate: word-chunks plus digit runs and
+    * punctuation each count — a cheap, deterministic proxy for
+    * tokenizer cost used for budget accounting at corpus scale. */
+  def subwordCountEstimate(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]"))
+
+  /** Language-ID marker words per language — tiny n-gram/stopword
+    * heuristic. Counts are regex word-boundary matches on lowered
+    * text; argmax with alphabetical tie-break picks the language. */
+  val langMarkers: Seq[(String, String)] = Seq(
+    "de" -> "(der|die|das|und|ist)",
+    "en" -> "(the|and|is|of|to)",
+    "es" -> "(el|la|los|y|es)",
+    "fr" -> "(le|la|les|et|est)",
+    "zh" -> "(de|shi|le|he|zai)")
+
+  def langScore(text: Column, markerRe: String): Column =
+    regexp_count(lower(text), lit("\\b" + markerRe + "\\b"))
+
+  /** Detected language = argmax marker count, ties broken by
+    * alphabetical language code (deterministic). Implemented as a
+    * greatest-of-structs trick so it stays one codegen'd expression. */
+  def detectLang(text: Column): Column = {
+    // struct(score, negRank, lang): greatest() picks max score, then
+    // LOWEST lang code on ties via negated rank ordering.
+    val scored = langMarkers.zipWithIndex.map { case ((lang, re), i) =>
+      struct(langScore(text, re).as("s"), lit(-i).as("r"), lit(lang).as("l"))
+    }
+    greatest(scored: _*).getField("l")
+  }
+
+  /** Quality-score features (length, punctuation ratio, stopword
+    * ratio, digit ratio) and a weighted 0..1 score — the
+    * reference-style DQ gate generalized to document quality. */
+  def punctCount(text: Column): Column = regexp_count(text, lit("[^A-Za-z0-9\\s]"))
+  def digitCount(text: Column): Column = regexp_count(text, lit("[0-9]"))
+  def stopwordCount(text: Column): Column =
+    regexp_count(lower(text), lit("\\b(the|and|is|of|to|a|in|it)\\b"))
+
+  def qualityScore(text: Column): Column = {
+    val len = length(text).cast("double")
+    val toks = tokenCount(text).cast("double")
+    val lengthScore = least(len / 500.0, lit(1.0))
+    val punctRatio = punctCount(text).cast("double") / greatest(len, lit(1.0))
+    val stopRatio = stopwordCount(text).cast("double") / greatest(toks, lit(1.0))
+    ((lengthScore * 0.4) + ((lit(1.0) - least(punctRatio * 10.0, lit(1.0))) * 0.3) +
+      (least(stopRatio * 5.0, lit(1.0)) * 0.3)).cast("double")
+  }
+
+  /** Canonical-form fingerprint: md5 over lowercased,
+    * whitespace-collapsed, trimmed text — the exact-dedup key that
+    * survives formatting noise. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** 64-bit content fingerprint via xxhash64 of the canonical form —
+    * cheaper join key than md5 strings at 100 TB (8 bytes vs 32). */
+  def fingerprint64(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+}

@@ -1,0 +1,190 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.TextAnalysis._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis queries over the documents table: token counting,
+  * language-ID, quality scoring, fingerprinting, n-gram Jaccard —
+  * the LLM-training-data operator surface, all codegen'd expressions.
+  */
+object TextOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Token / char / punctuation statistics per document. Pure
+    * scan+project — runs at parquet read speed at any scale. */
+  def q40TokenStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("char_count"),
+        tokenCount(col("text")).as("token_count"),
+        subwordCountEstimate(col("text")).as("subword_estimate"),
+        punctCount(col("text")).as("punct_count"),
+        digitCount(col("text")).as("digit_count"),
+        stopwordCount(col("text")).as("stopword_count"),
+        (length(col("text")) === col("n_chars")).as("n_chars_consistent"))
+      .orderBy("doc_id")
+
+  /** Language-ID: marker-word scores per language + argmax with
+    * alphabetical tie-break, compared against the labeled lang. */
+  def q41LangId(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val scoreCols = langMarkers.map { case (lang, re) =>
+      langScore(col("text"), re).as(s"score_$lang")
+    }
+    d.select(Seq(col("doc_id"), col("lang").as("labeled_lang")) ++ scoreCols
+        :+ detectLang(col("text")).as("detected_lang"): _*)
+      .withColumn("agrees_with_label", col("detected_lang") === col("labeled_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: length/punct/stopword features → weighted 0..1
+    * score (document-quality generalization of the reference's DQ
+    * gates). Expression shape mirrored exactly in the oracle so the
+    * double arithmetic is bit-identical. */
+  def q42QualityScore(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).as("char_count"),
+        tokenCount(col("text")).as("token_count"),
+        qualityScore(col("text")).as("quality_score"))
+      .withColumn("quality_tier",
+        when(col("quality_score") >= 0.8, "high")
+          .when(col("quality_score") >= 0.5, "medium")
+          .otherwise("low"))
+      .orderBy("doc_id")
+
+  /** Canonical-form md5 fingerprint + exact-dedup rollup: documents
+    * collapsed by fingerprint, min doc_id as survivor (deterministic,
+    * unlike dropDuplicates). One shuffle on the fingerprint. */
+  def q45ExactDedup(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(fingerprint(col("text")).as("fingerprint"))
+      .agg(
+        min(col("doc_id")).as("canonical_doc_id"),
+        count(lit(1)).as("dup_count"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy("canonical_doc_id")
+
+  /** Unigram-set Jaccard similarity between neighboring documents
+    * (the verify kernel of near-dup detection; candidate generation
+    * at scale is MinHash-LSH, see graft.operators.Dedup). */
+  def q44NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val a = d.select(col("doc_id").as("doc_a"),
+      array_distinct(tokens(col("text"))).as("ta"))
+    val b = d.select(col("doc_id").as("doc_b"),
+      array_distinct(tokens(col("text"))).as("tb"))
+    a.join(b, col("doc_b") === col("doc_a") + 1)
+      .select(
+        col("doc_a"), col("doc_b"),
+        size(col("ta")).as("tokens_a"),
+        size(col("tb")).as("tokens_b"),
+        size(array_intersect(col("ta"), col("tb"))).as("intersection_size"))
+      .withColumn("union_size",
+        col("tokens_a") + col("tokens_b") - col("intersection_size"))
+      .withColumn("jaccard",
+        (col("intersection_size").cast("double") / col("union_size")).cast("double"))
+      .withColumn("is_near_dup", col("jaccard") >= 0.7)
+      .orderBy("doc_a")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q40_token_stats" -> q40TokenStats _,
+    "q41_lang_id" -> q41LangId _,
+    "q42_quality_score" -> q42QualityScore _,
+    "q44_ngram_jaccard" -> q44NgramJaccard _,
+    "q45_exact_dedup" -> q45ExactDedup _,
+  )
+
+  private val tokensSql =
+    "regexp_split_to_array(lower(trim(text)), ' +')"
+  private def reCount(expr: String, re: String) =
+    s"len(regexp_extract_all($expr, '$re'))"
+
+  val oracles: Map[String, String] = Map(
+    "q40_token_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS INTEGER) AS char_count,
+         |  CAST(len($tokensSql) AS INTEGER) AS token_count,
+         |  CAST(${reCount("text", "[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]")} AS INTEGER) AS subword_estimate,
+         |  CAST(${reCount("text", "[^A-Za-z0-9\\s]")} AS INTEGER) AS punct_count,
+         |  CAST(${reCount("text", "[0-9]")} AS INTEGER) AS digit_count,
+         |  CAST(${reCount("lower(text)", "\\b(the|and|is|of|to|a|in|it)\\b")} AS INTEGER) AS stopword_count,
+         |  length(text) = n_chars AS n_chars_consistent
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q41_lang_id" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang AS labeled_lang,
+         |    CAST(${reCount("lower(text)", "\\b(der|die|das|und|ist)\\b")} AS INTEGER) AS score_de,
+         |    CAST(${reCount("lower(text)", "\\b(the|and|is|of|to)\\b")} AS INTEGER) AS score_en,
+         |    CAST(${reCount("lower(text)", "\\b(el|la|los|y|es)\\b")} AS INTEGER) AS score_es,
+         |    CAST(${reCount("lower(text)", "\\b(le|la|les|et|est)\\b")} AS INTEGER) AS score_fr,
+         |    CAST(${reCount("lower(text)", "\\b(de|shi|le|he|zai)\\b")} AS INTEGER) AS score_zh
+         |  FROM documents)
+         |SELECT *,
+         |  CASE WHEN score_de >= score_en AND score_de >= score_es
+         |         AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+         |       WHEN score_en >= score_es AND score_en >= score_fr
+         |         AND score_en >= score_zh THEN 'en'
+         |       WHEN score_es >= score_fr AND score_es >= score_zh THEN 'es'
+         |       WHEN score_fr >= score_zh THEN 'fr'
+         |       ELSE 'zh' END AS detected_lang,
+         |  CASE WHEN score_de >= score_en AND score_de >= score_es
+         |         AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+         |       WHEN score_en >= score_es AND score_en >= score_fr
+         |         AND score_en >= score_zh THEN 'en'
+         |       WHEN score_es >= score_fr AND score_es >= score_zh THEN 'es'
+         |       WHEN score_fr >= score_zh THEN 'fr'
+         |       ELSE 'zh' END = labeled_lang AS agrees_with_label
+         |FROM scored ORDER BY doc_id""".stripMargin,
+    "q42_quality_score" ->
+      s"""WITH feat AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS INTEGER) AS char_count,
+         |    CAST(len($tokensSql) AS INTEGER) AS token_count,
+         |    CAST(length(text) AS DOUBLE) AS len_d,
+         |    CAST(len($tokensSql) AS DOUBLE) AS toks_d,
+         |    CAST(${reCount("text", "[^A-Za-z0-9\\s]")} AS DOUBLE) AS punct_d,
+         |    CAST(${reCount("lower(text)", "\\b(the|and|is|of|to|a|in|it)\\b")} AS DOUBLE) AS stop_d
+         |  FROM documents),
+         |score AS (
+         |  SELECT doc_id, char_count, token_count,
+         |    CAST((least(len_d / 500.0, 1.0) * 0.4)
+         |      + ((1.0 - least(punct_d / greatest(len_d, 1.0) * 10.0, 1.0)) * 0.3)
+         |      + (least(stop_d / greatest(toks_d, 1.0) * 5.0, 1.0) * 0.3) AS DOUBLE) AS quality_score
+         |  FROM feat)
+         |SELECT *,
+         |  CASE WHEN quality_score >= 0.8 THEN 'high'
+         |       WHEN quality_score >= 0.5 THEN 'medium'
+         |       ELSE 'low' END AS quality_tier
+         |FROM score ORDER BY doc_id""".stripMargin,
+    "q45_exact_dedup" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+        |  MIN(doc_id) AS canonical_doc_id,
+        |  COUNT(*) AS dup_count,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1 ORDER BY canonical_doc_id""".stripMargin,
+    "q44_ngram_jaccard" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, list_distinct($tokensSql) AS t FROM documents)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(len(a.t) AS INTEGER) AS tokens_a,
+         |  CAST(len(b.t) AS INTEGER) AS tokens_b,
+         |  CAST(len(list_filter(a.t, x -> list_contains(b.t, x))) AS INTEGER) AS intersection_size,
+         |  CAST(len(a.t) + len(b.t)
+         |    - len(list_filter(a.t, x -> list_contains(b.t, x))) AS INTEGER) AS union_size,
+         |  CAST(CAST(len(list_filter(a.t, x -> list_contains(b.t, x))) AS DOUBLE)
+         |    / (len(a.t) + len(b.t) - len(list_filter(a.t, x -> list_contains(b.t, x))))
+         |    AS DOUBLE) AS jaccard,
+         |  CAST(CAST(len(list_filter(a.t, x -> list_contains(b.t, x))) AS DOUBLE)
+         |    / (len(a.t) + len(b.t) - len(list_filter(a.t, x -> list_contains(b.t, x))))
+         |    AS DOUBLE) >= 0.7 AS is_near_dup
+         |FROM tok a JOIN tok b ON b.doc_id = a.doc_id + 1
+         |ORDER BY doc_a""".stripMargin,
+  )
+}

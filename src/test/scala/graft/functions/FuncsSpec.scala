@@ -1,0 +1,57 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class FuncsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("surrogateKey: null maps to UNKNOWN, matches md5 of joined string") {
+    val df = Seq((Some(1), Some("a")), (Some(2), None))
+      .toDF("id", "name")
+      .select(Funcs.surrogateKey(col("id"), col("name")).as("k"))
+    val keys = df.as[String].collect()
+    assert(keys(0) == org.apache.commons.codec.digest.DigestUtils.md5Hex("1|a"))
+    assert(keys(1) == org.apache.commons.codec.digest.DigestUtils.md5Hex("2|UNKNOWN"))
+  }
+
+  test("haversineKm: zero distance for identical points, bounded by half circumference") {
+    val df = Seq((52.5, 13.4, 52.5, 13.4), (0.0, 0.0, 0.0, 180.0), (90.0, 0.0, -90.0, 0.0))
+      .toDF("a", "b", "c", "d")
+      .select(Funcs.haversineKm(col("a"), col("b"), col("c"), col("d")).as("km"))
+    val km = df.as[Double].collect()
+    assert(math.abs(km(0)) < 1e-9)
+    assert(math.abs(km(1) - math.Pi * 6371.0) < 1.0) // antipodal ≈ half circumference
+    assert(km.forall(d => d >= 0 && d <= math.Pi * 6371.0 + 1e-6))
+  }
+
+  test("maskEmail keeps 2-char prefix and domain only") {
+    val out = Seq("johannes@example.com").toDF("e")
+      .select(Funcs.maskEmail(col("e"))).as[String].collect().head
+    assert(out == "jo***@example.com")
+  }
+
+  test("dsum is exact and order-independent for money values") {
+    val vals = (1 to 10000).map(i => (i % 7) + 0.01 * (i % 100))
+    val total = BigDecimal(vals.map(BigDecimal(_).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble)
+    val df1 = vals.toDF("v").repartition(13).agg(Funcs.dsum(col("v")).as("s"))
+    assert(math.abs(df1.as[Double].collect().head - total.toDouble) < 1e-6)
+  }
+
+  test("detectLang prefers the language with most marker hits") {
+    val df = Seq(
+      "der hund und die katze ist da",
+      "the cat and the dog is here",
+      "el perro y la casa es grande"
+    ).toDF("text").select(TextAnalysis.detectLang(col("text")).as("l"))
+    assert(df.as[String].collect().sameElements(Array("de", "en", "es")))
+  }
+
+  test("fingerprint is whitespace/case insensitive") {
+    val df = Seq("Hello   World", "hello world", "different").toDF("t")
+      .select(TextAnalysis.fingerprint(col("t")).as("f"))
+    val f = df.as[String].collect()
+    assert(f(0) == f(1) && f(0) != f(2))
+  }
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
+  private val nearDup = base.replace("lazy", "sleepy") // one token differs
+  private val unrelated = "completely different content about spark catalyst optimizer " +
+    "plans and shuffles with nothing shared at all in any shingle window here"
+
+  private def docs = Seq(
+    (0L, base), (1L, nearDup), (2L, unrelated)
+  ).toDF("doc_id", "text")
+
+  test("minhash LSH surfaces the planted near-duplicate pair") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+    val pairs = Dedup.lshCandidatePairs(sigs, "doc_id")
+    val verified = Dedup.verifyJaccard(pairs, docs, "doc_id", "text")
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(verified.contains((0L, 1L)))
+    assert(!verified.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("minhash signature is deterministic across evaluations") {
+    val a = Dedup.minhashSignatures(docs, "doc_id", "text").collect().map(_.toString).sorted
+    val b = Dedup.minhashSignatures(docs, "doc_id", "text").collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("simhash: near-dup pair is close in Hamming distance, unrelated is far") {
+    val sigs = Dedup.simhash64(docs, "doc_id", "text")
+    val m = sigs.as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(m(0L), m(1L)) < hamming(m(0L), m(2L)))
+    assert(hamming(m(0L), m(1L)) <= 16)
+  }
+
+  test("simhashNearDups: pigeonhole guarantee — any pair with hamming <= 7 is found") {
+    // fabricated fingerprints: 1 differs from 0 in 7 bits (found),
+    // 2 differs from 0 in ~32 bits (must not pass the hamming filter)
+    val sigs = Seq(
+      (0L, 0x0123456789ABCDEFL),
+      (1L, 0x0123456789ABCDEFL ^ 0x7FL),        // 7 low bits flipped
+      (2L, 0x0123456789ABCDEFL ^ 0x5555555555555555L)
+    ).toDF("doc_id", "simhash")
+    val pairs = Dedup.simhashNearDups(sigs, "doc_id", maxHamming = 7)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.map(p => (p._1, p._2)).contains((0L, 1L)))
+    assert(pairs.forall(_._3 <= 7))
+    assert(!pairs.map(p => (p._1, p._2)).contains((0L, 2L)))
+  }
+
+  test("simhashNearDups reports exact hamming distances on real docs") {
+    val sigs = Dedup.simhash64(docs, "doc_id", "text")
+    val m = sigs.as[(Long, Long)].collect().toMap
+    val pairs = Dedup.simhashNearDups(sigs, "doc_id", maxHamming = 63)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    pairs.foreach { case (a, b, h) =>
+      assert(h === java.lang.Long.bitCount(m(a) ^ m(b)))
+    }
+  }
+
+  test("identical documents have jaccard 1.0 and identical simhash") {
+    val dup = Seq((0L, base), (1L, base)).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(dup, "doc_id", "text")
+    val verified = Dedup.verifyJaccard(
+      Dedup.lshCandidatePairs(sigs, "doc_id"), dup, "doc_id", "text")
+      .select("jaccard").as[Double].collect()
+    assert(verified.sameElements(Array(1.0)))
+    val sh = Dedup.simhash64(dup, "doc_id", "text").as[(Long, Long)].collect().toMap
+    assert(sh(0L) === sh(1L))
+  }
+}

@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def quantized = Tables.embeddings(spark, sfDir)
+    .select(col("vec_id"), col("label"),
+      Similarity.quantize(col("embedding")).as("query_vec"))
+
+  private def queries = quantized.filter(col("vec_id") % 25 === 0)
+    .select(col("vec_id").as("query_id"), col("query_vec").as("qvec"))
+
+  test("brute-force top-k: k results per query, cosine within [-1,1], self excluded") {
+    val res = Similarity.bruteForceTopK(quantized, queries, k = 5)
+      .select("query_id", "vec_id", "cosine").as[(Long, Long, Double)].collect()
+    val perQuery = res.groupBy(_._1)
+    assert(perQuery.values.forall(_.length == 5))
+    assert(res.forall { case (q, v, c) => q != v && c >= -1.0001 && c <= 1.0001 })
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val c = quantized.limit(3)
+      .withColumn("self_cos", Similarity.cosineQ(col("query_vec"), col("query_vec")))
+      .select("self_cos").as[Double].collect()
+    assert(c.forall(v => math.abs(v - 1.0) < 1e-12))
+  }
+
+  test("ANN recall vs brute force is reasonable (SRP-LSH 8 bands × 4 bits)") {
+    val ps = Similarity.planes(32, 64)
+    val bf = Similarity.bruteForceTopK(quantized, queries, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.annTopK(quantized, queries, k = 5, ps, bands = 8, bitsPerBand = 4)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (bf & ann).size.toDouble / bf.size
+    info(f"ANN recall@5 = $recall%.3f (candidates only from shared LSH buckets)")
+    assert(recall >= 0.3)
+  }
+
+  test("planes are deterministic for a fixed seed") {
+    assert(Similarity.planes(4, 8).map(_.toSeq).toSeq ==
+      Similarity.planes(4, 8).map(_.toSeq).toSeq)
+  }
+}
