@@ -19,6 +19,7 @@ object SparkEntry {
     q.TextOps.queries,
     q.DedupOps.queries,
     q.SimilarityOps.queries,
+    q.TelecomOps.queries,
   )
   private def oracleModules: Seq[Map[String, String]] = Seq(
     q.Relational.oracles,
@@ -28,6 +29,7 @@ object SparkEntry {
     q.TextOps.oracles,
     q.DedupOps.oracles,
     q.SimilarityOps.oracles,
+    q.TelecomOps.oracles,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

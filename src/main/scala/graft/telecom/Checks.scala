@@ -1,0 +1,135 @@
+package graft.telecom
+
+import graft.functions.Funcs._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality checks — the dbt generic/singular tests,
+  * Great-Expectations-style gates, and observability monitors
+  * (reference model schema.yml files, singular tests,
+  * great_expectations_suite.py, pipeline_observability.py).
+  *
+  * Every check compiles to ONE distributed aggregation returning a
+  * single CheckResult; no row data ever reaches the driver. Suites
+  * fold into a health verdict (HEALTHY/DEGRADED/BLOCKED) exactly like
+  * the reference's report gating (pipeline_observability.py:338-351).
+  */
+object Checks {
+
+  case class CheckResult(
+      checkName: String,
+      table: String,
+      passed: Boolean,
+      observed: Double,
+      threshold: Double,
+      severity: String) // "error" blocks, "warn" degrades
+
+  private def gate(df: DataFrame, name: String, table: String, agg: Column,
+                   pass: Double => Boolean, threshold: Double,
+                   severity: String): CheckResult = {
+    val v = df.agg(agg.cast("double")).head().getDouble(0)
+    CheckResult(name, table, pass(v), v, threshold, severity)
+  }
+
+  /** dbt not_null. */
+  def notNull(df: DataFrame, table: String, column: String,
+              severity: String = "error"): CheckResult =
+    gate(df, s"not_null_$column", table,
+      sum(when(col(column).isNull, 1L).otherwise(0L)), _ == 0, 0, severity)
+
+  /** dbt unique. */
+  def unique(df: DataFrame, table: String, column: String,
+             severity: String = "error"): CheckResult =
+    gate(df.groupBy(col(column)).count().filter(col("count") > 1),
+      s"unique_$column", table, coalesce(count(lit(1)), lit(0L)), _ == 0, 0, severity)
+
+  /** dbt accepted_values with optional `mostly` tolerance (GX). */
+  def acceptedValues(df: DataFrame, table: String, column: String,
+                     values: Seq[String], mostly: Double = 1.0,
+                     severity: String = "error"): CheckResult =
+    gate(df, s"accepted_values_$column", table,
+      matchRate(col(column).isin(values: _*)), _ >= mostly, mostly, severity)
+
+  /** dbt relationships: every fact FK exists in the dim (anti-join). */
+  def relationship(fact: DataFrame, dim: DataFrame, table: String,
+                   factKey: String, dimKey: String,
+                   severity: String = "warn"): CheckResult = {
+    val orphans = fact.select(col(factKey).as("_fact_key"))
+      .join(dim.select(col(dimKey).as("_dim_key")),
+        col("_fact_key") === col("_dim_key"), "left_anti")
+    gate(orphans, s"relationships_$factKey", table,
+      coalesce(count(lit(1)), lit(0L)), _ == 0, 0, severity)
+  }
+
+  /** Range violation count (dbt expression_is_true / GX between). */
+  def inRange(df: DataFrame, table: String, column: String,
+              lo: Double, hi: Double, mostly: Double = 1.0,
+              severity: String = "error"): CheckResult =
+    gate(df, s"range_${column}", table,
+      matchRate(col(column).between(lo, hi)), _ >= mostly, mostly, severity)
+
+  /** GX regex match with `mostly`. */
+  def matchesRegex(df: DataFrame, table: String, column: String,
+                   regex: String, mostly: Double,
+                   severity: String = "warn"): CheckResult =
+    gate(df, s"regex_$column", table,
+      matchRate(col(column).rlike(regex)), _ >= mostly, mostly, severity)
+
+  /** GX min row count (reference great_expectations_suite.py:85-88). */
+  def minRowCount(df: DataFrame, table: String, minRows: Long,
+                  severity: String = "error"): CheckResult =
+    gate(df, "min_row_count", table, count(lit(1)), _ >= minRows,
+      minRows.toDouble, severity)
+
+  /** Volume z-score anomaly over a daily-count history (reference
+    * pipeline_observability.py:99-139) — exact integer moments. */
+  def volumeZscore(daily: DataFrame, table: String, dateCol: String,
+                   cntCol: String, zLimit: Double = 3.0,
+                   severity: String = "warn"): CheckResult = {
+    val latest = daily.orderBy(col(dateCol).desc).select(col(cntCol)).head()
+      .getLong(0)
+    val hist = daily.filter(col(dateCol) < daily.agg(max(col(dateCol))).head().getDate(0))
+    val r = hist.agg(count(lit(1)), sum(col(cntCol)),
+      sum(col(cntCol) * col(cntCol))).head()
+    val (n, sx, sx2) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    if (n < 2) CheckResult(s"volume_zscore", table, passed = true, 0, zLimit, severity)
+    else {
+      val mean = sx.toDouble / n
+      val variance = (n * sx2 - sx.toDouble * sx) / (n.toDouble * (n - 1))
+      val z = if (variance <= 0) 0.0 else (latest - mean) / math.sqrt(variance)
+      CheckResult("volume_zscore", table, math.abs(z) <= zLimit, z, zLimit, severity)
+    }
+  }
+
+  /** Null-rate drift vs a baseline rate ±tolerance (reference
+    * pipeline_observability.py:150-173). */
+  def nullRateDrift(df: DataFrame, table: String, column: String,
+                    baseline: Double, tolerance: Double = 0.05,
+                    severity: String = "warn"): CheckResult =
+    gate(df, s"null_rate_$column", table, nullRate(col(column)),
+      v => math.abs(v - baseline) <= tolerance, baseline, severity)
+
+  /** Cardinality drift vs baseline ±pct (reference
+    * pipeline_observability.py:175-205). approx_count_distinct — the
+    * 100 TB-safe monitor (HLL, no exact-distinct shuffle). */
+  def cardinalityDrift(df: DataFrame, table: String, column: String,
+                       baseline: Long, tolerancePct: Double = 0.2,
+                       severity: String = "warn"): CheckResult =
+    gate(df, s"cardinality_$column", table, approx_count_distinct(col(column)),
+      v => baseline == 0 || math.abs(v - baseline) / baseline.toDouble <= tolerancePct,
+      baseline.toDouble, severity)
+
+  /** Schema diff vs an expected column set (reference
+    * pipeline_observability.py:210-277) — driver-side, no scan. */
+  def schemaDiff(df: DataFrame, expected: Set[String]): (Set[String], Set[String]) = {
+    val actual = df.columns.toSet
+    (expected -- actual, actual -- expected) // (removed, added)
+  }
+
+  /** Fold check results into the pipeline health verdict (reference
+    * pipeline_observability.py:338-351). */
+  def verdict(results: Seq[CheckResult]): String =
+    if (results.exists(r => !r.passed && r.severity == "error")) "BLOCKED"
+    else if (results.exists(r => !r.passed)) "DEGRADED"
+    else "HEALTHY"
+}

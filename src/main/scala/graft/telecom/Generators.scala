@@ -1,0 +1,146 @@
+package graft.telecom
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{Dataset, SparkSession}
+import Schemas._
+
+/** Deterministic seeded generators mirroring the reference's producers
+  * (SURVEY.md S1-S3; reference cdr_producer.py:168-235,
+  * network_probe_producer.py:38-107, crm_batch_ingestor.py:65-108).
+  *
+  * Same distributions (30% calls weighting via event mix collapsed to
+  * the call topic here, 5% failed calls with null end-ts, random-walk
+  * probe load with spike injection) but fully deterministic: one
+  * fixed-seed RNG stream per entity, generated on the DRIVER only for
+  * test-fixture sizes; the parallelized variant distributes
+  * per-partition seeds for scale testing.
+  */
+object Generators {
+
+  private val baseTs = 1704067200000L // 2024-01-01T00:00:00Z
+
+  def towers(n: Int = 10): Seq[Tower] =
+    (0 until n).map { i =>
+      Tower(f"TWR$i%03d", s"Tower $i", Seq("north", "south", "east", "west")(i % 4),
+        40.0 + i * 0.5, -74.0 + i * 0.7, 10.0 + (i % 4) * 10.0,
+        Seq("4G", "5G")(i % 2))
+    }
+
+  /** Call events with controlled anomalies: dupRate exact duplicates
+    * (at-least-once replay), failRate failed calls (null end-ts),
+    * plus two planted fraud patterns — an impossible-travel pair and
+    * a velocity burst — for the fraud-detection specs. */
+  def callEvents(spark: SparkSession, n: Int = 2000, seed: Long = 42L,
+                 dupRate: Double = 0.02, failRate: Double = 0.05): Dataset[CallEvent] = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val tw = towers()
+    val rows = (0 until n).flatMap { i =>
+      val custId = f"CUST${rnd.nextInt(200)}%04d"
+      val tower = tw(rnd.nextInt(tw.length))
+      val startMs = baseTs + rnd.nextInt(72 * 3600) * 1000L
+      val failed = rnd.nextDouble() < failRate
+      val dur = if (failed) 0L else 10L + rnd.nextInt(3600)
+      val ev = CallEvent(
+        event_id = f"EVT$i%08d",
+        event_type = "call",
+        caller_msisdn = f"+1555${rnd.nextInt(10000000)}%07d",
+        callee_msisdn = f"+1555${rnd.nextInt(10000000)}%07d",
+        caller_customer_id = custId,
+        tower_id = tower.tower_id,
+        cell_lat = tower.latitude + (rnd.nextDouble() - 0.5) * 0.01,
+        cell_lon = tower.longitude + (rnd.nextDouble() - 0.5) * 0.01,
+        call_start_timestamp = new Timestamp(startMs).toInstant.toString,
+        call_end_timestamp =
+          if (failed) None else Some(new Timestamp(startMs + dur * 1000).toInstant.toString),
+        duration_seconds = dur,
+        call_result_code = if (failed) "FAILED" else if (rnd.nextDouble() < 0.02) "DROPPED" else "COMPLETED",
+        roaming = rnd.nextDouble() < 0.1,
+        revenue_usd = math.round(dur * 0.0015 * 100.0) / 100.0,
+        _kafka_topic = "call_events",
+        _kafka_partition = i % 4,
+        _kafka_offset = i.toLong,
+        _bronze_ingested_at = new Timestamp(startMs + 60000 + rnd.nextInt(600000)))
+      // at-least-once duplicate with later ingest time (W1 dedup prey)
+      if (rnd.nextDouble() < dupRate)
+        Seq(ev, ev.copy(_bronze_ingested_at =
+          new Timestamp(ev._bronze_ingested_at.getTime + 120000), _kafka_offset = n + i.toLong))
+      else Seq(ev)
+    }
+    // planted impossible travel: same customer, 2 towers ~9000km apart, 10 min gap
+    val fraudTravel = Seq(
+      rows.head.copy(event_id = "EVTFRAUD01", caller_customer_id = "CUSTFRAUD",
+        tower_id = "TWRNYC", cell_lat = 40.7, cell_lon = -74.0,
+        call_start_timestamp = new Timestamp(baseTs + 1000000L).toInstant.toString),
+      rows.head.copy(event_id = "EVTFRAUD02", caller_customer_id = "CUSTFRAUD",
+        tower_id = "TWRTYO", cell_lat = 35.7, cell_lon = 139.7,
+        call_start_timestamp = new Timestamp(baseTs + 1600000L).toInstant.toString))
+    // planted velocity burst: 30 calls in 10 minutes
+    val burst = (0 until 30).map(j =>
+      rows.head.copy(event_id = f"EVTBURST$j%02d", caller_customer_id = "CUSTBURST",
+        call_start_timestamp = new Timestamp(baseTs + 2000000L + j * 20000L).toInstant.toString))
+    (rows ++ fraudTravel ++ burst).toDS()
+  }
+
+  /** Probe events: random-walk load with 0.1%-style spike injection
+    * (reference network_probe_producer.py:38-47). */
+  def probeEvents(spark: SparkSession, hours: Int = 24, seed: Long = 43L): Dataset[ProbeEvent] = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val tw = towers()
+    val rows = for {
+      h <- 0 until hours
+      m <- 0 until 60 by 5
+      t <- tw
+    } yield {
+      val drift = rnd.nextGaussian() * 5
+      val spike = if (rnd.nextDouble() < 0.005) 40.0 else 0.0
+      val load = math.min(100.0, math.max(0.0, 45.0 + drift + spike + (h % 12) * 2))
+      val ts = baseTs + (h * 3600L + m * 60L) * 1000L
+      ProbeEvent(
+        probe_id = f"PRB${t.tower_id}%s$h%02d$m%02d",
+        tower_id = t.tower_id, region = t.region,
+        event_timestamp = new Timestamp(ts).toInstant.toString,
+        load_pct = math.round(load * 100.0) / 100.0,
+        avg_latency_ms = math.round((8 + rnd.nextDouble() * 40) * 10.0) / 10.0,
+        packet_loss_pct = math.round(rnd.nextDouble() * 2 * 1000.0) / 1000.0,
+        temperature_c = math.round((25 + rnd.nextGaussian() * 8) * 10.0) / 10.0,
+        connected_users = 50 + rnd.nextInt(500),
+        status = if (load > 90) "CRITICAL" else if (load > 75) "DEGRADED" else "HEALTHY",
+        _bronze_ingested_at = new Timestamp(ts + 30000))
+    }
+    rows.toDS()
+  }
+
+  /** CRM customers with updated_at watermark field for incremental
+    * pulls (reference crm_batch_ingestor.py:52-108). */
+  def crmCustomers(spark: SparkSession, n: Int = 200, seed: Long = 44L): Dataset[CrmCustomer] = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val plans = Seq("PREPAID_BASIC", "PREPAID_PLUS", "POSTPAID_STD", "POSTPAID_PREMIUM")
+    (0 until n).map { i =>
+      val plan = plans(rnd.nextInt(plans.length))
+      val updMs = baseTs - rnd.nextInt(90 * 24 * 3600) * 1000L
+      CrmCustomer(
+        customer_id = f"CUST$i%04d",
+        full_name = s"Customer Name$i",
+        email = s"customer$i@example.com",
+        msisdn = f"+1555${rnd.nextInt(10000000)}%07d",
+        plan_code = plan,
+        plan_monthly_fee = Seq(9.99, 19.99, 39.99, 79.99)(plans.indexOf(plan)),
+        activation_date = new Timestamp(baseTs - (300 + rnd.nextInt(1000)).toLong * 86400000L)
+          .toInstant.toString.take(10),
+        contract_end_date =
+          if (plan.startsWith("POSTPAID") && rnd.nextBoolean())
+            Some(new Timestamp(baseTs + rnd.nextInt(700).toLong * 86400000L)
+              .toInstant.toString.take(10))
+          else None,
+        is_active = rnd.nextDouble() < 0.92,
+        credit_score = 300 + rnd.nextInt(550),
+        nps_score = rnd.nextInt(11),
+        updated_at = new Timestamp(updMs).toInstant.toString,
+        _source_system = "crm_core",
+        _ingested_at = new Timestamp(baseTs))
+    }.toDS()
+  }
+}

@@ -1,0 +1,112 @@
+package graft.telecom
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pipeline engine: lineage DAG + topological runner, incremental
+  * MERGE emulation over plain Parquet, and a watermark store for
+  * incremental batch pulls (reference cdr_pipeline_dag.py:226-228,
+  * pipeline_observability.py:282-321, crm_batch_ingestor.py:52-62,
+  * dbt incremental materialization).
+  */
+object Pipeline {
+
+  /** Static table-dependency DAG (reference
+    * pipeline_observability.py:289-299). */
+  val lineage: Map[String, Seq[String]] = Map(
+    "bronze_call_events" -> Seq(),
+    "bronze_network_probes" -> Seq(),
+    "bronze_crm_customers" -> Seq(),
+    "silver_calls" -> Seq("bronze_call_events"),
+    "silver_network_probes" -> Seq("bronze_network_probes"),
+    "silver_customers" -> Seq("bronze_crm_customers"),
+    "dim_customers" -> Seq("silver_customers"),
+    "dim_towers" -> Seq(),
+    "dim_date" -> Seq(),
+    "fact_calls" -> Seq("silver_calls", "dim_customers", "dim_towers", "dim_date"),
+    "agg_tower_hourly_utilization" -> Seq("silver_network_probes", "silver_calls"),
+    "agg_customer_monthly_summary" -> Seq("fact_calls", "dim_customers"))
+
+  /** Deterministic topological order of the lineage DAG. */
+  def topoOrder(graph: Map[String, Seq[String]] = lineage): Seq[String] = {
+    val visited = scala.collection.mutable.LinkedHashSet[String]()
+    def visit(n: String, path: Set[String]): Unit = {
+      require(!path.contains(n), s"lineage cycle at $n")
+      if (!visited.contains(n)) {
+        graph.getOrElse(n, Seq()).foreach(visit(_, path + n))
+        visited += n
+      }
+    }
+    graph.keys.toSeq.sorted.foreach(visit(_, Set()))
+    visited.toSeq
+  }
+
+  /** All downstream tables impacted by a change to `table` (impact
+    * analysis, reference pipeline_observability.py:301-321). */
+  def downstreamOf(table: String,
+                   graph: Map[String, Seq[String]] = lineage): Set[String] = {
+    val direct = graph.collect { case (t, deps) if deps.contains(table) => t }.toSet
+    direct ++ direct.flatMap(downstreamOf(_, graph))
+  }
+
+  /** Incremental MERGE emulation on plain Parquet (SURVEY.md §7.4 #4):
+    * read existing target (if any), union the increment, keep the
+    * newest version per key via an ordered dedup window, write back.
+    * Idempotent: re-merging the same increment is a no-op, which is
+    * what lets at-least-once upstreams and 3-day lookback reprocessing
+    * coexist (reference ST5). At scale the window shuffle is bounded
+    * by (existing ∩ affected partitions) + increment when targets are
+    * date-partitioned and callers pre-filter — same contract as the
+    * reference's incremental models.
+    */
+  def mergeParquet(spark: SparkSession, increment: DataFrame, path: String,
+                   keyCols: Seq[String], versionCol: String): Unit = {
+    val target = Paths.get(path)
+    val merged =
+      if (Files.exists(target)) {
+        val existing = spark.read.parquet(path)
+        val w = Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col(versionCol).desc)
+        existing.unionByName(increment)
+          .withColumn("_merge_rn", row_number().over(w))
+          .filter(col("_merge_rn") === 1)
+          .drop("_merge_rn")
+      } else increment
+    // write to a sibling tmp dir then atomically swap (plain-Parquet
+    // stand-in for Iceberg's commit; crash before swap leaves the old
+    // snapshot intact)
+    val tmp = path + "_tmp_merge"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val bak = Paths.get(path + "_bak")
+    if (Files.exists(target)) Files.move(target, bak, StandardCopyOption.REPLACE_EXISTING)
+    Files.move(Paths.get(tmp), target, StandardCopyOption.REPLACE_EXISTING)
+    org.apache.commons.io.FileUtils.deleteQuietly(bak.toFile)
+  }
+
+  /** Watermark store for incremental pulls (reference
+    * crm_batch_ingestor.py:52-62): tiny JSON file, committed only
+    * after a successful downstream write. */
+  class WatermarkStore(dir: String) {
+    private def fileFor(key: String) = Paths.get(dir, s"$key.watermark.json")
+    def load(key: String, default: String): String = {
+      val f = fileFor(key)
+      if (Files.exists(f)) {
+        val s = new String(Files.readAllBytes(f), "UTF-8")
+        val m = "\"watermark\"\\s*:\\s*\"([^\"]*)\"".r
+        m.findFirstMatchIn(s).map(_.group(1)).getOrElse(default)
+      } else default
+    }
+    def commit(key: String, watermark: String): Unit = {
+      Files.createDirectories(Paths.get(dir))
+      Files.write(fileFor(key),
+        s"""{"key": "$key", "watermark": "$watermark"}""".getBytes("UTF-8"))
+    }
+  }
+
+  /** Freshness gate (reference cdr_pipeline_dag.py:57-90): does the
+    * partition/table have data at-or-after the SLA horizon? */
+  def isFresh(df: DataFrame, tsCol: String, slaHorizon: java.sql.Timestamp): Boolean =
+    !df.filter(col(tsCol) >= lit(slaHorizon)).isEmpty
+}

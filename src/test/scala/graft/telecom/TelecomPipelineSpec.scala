@@ -1,0 +1,145 @@
+package graft.telecom
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** End-to-end medallion pipeline over seeded generators: bronze →
+  * silver → gold → quality gates, with the invariants the reference
+  * enforces via dbt tests + GX suites (SURVEY.md §5).
+  */
+class TelecomPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val bronzeCalls = Generators.callEvents(spark, n = 2000).toDF()
+  private lazy val bronzeProbes = Generators.probeEvents(spark, hours = 12).toDF()
+  private lazy val bronzeCrm = Generators.crmCustomers(spark, n = 200).toDF()
+  private lazy val silverCalls = Silver.silverCalls(bronzeCalls)
+  private lazy val silverProbes = Silver.silverProbes(bronzeProbes)
+  private lazy val silverCustomers = Silver.silverCustomers(bronzeCrm)
+  private lazy val dimC = Gold.dimCustomers(silverCustomers)
+  private lazy val dimT = Gold.dimTowers(Generators.towers().toDF())
+  private lazy val dimD = Gold.dimDate(spark)
+  private lazy val fact = Gold.factCalls(silverCalls, dimC, dimT, dimD)
+
+  test("silver dedup removes at-least-once duplicates, keeps latest ingest") {
+    val rawIds = bronzeCalls.count()
+    val distinctIds = bronzeCalls.select("event_id").distinct().count()
+    assert(rawIds > distinctIds) // generator planted duplicates
+    assert(silverCalls.count() === distinctIds)
+    assert(silverCalls.select("call_id").distinct().count() === distinctIds)
+  }
+
+  test("silver dedup is idempotent (running twice == running once)") {
+    val once = silverCalls
+    val twice = Silver.silverCalls(once.select(
+      col("call_id").as("event_id"), col("caller_msisdn"),
+      col("customer_id").as("caller_customer_id"), col("tower_id"),
+      date_format(col("call_start_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("call_start_timestamp"),
+      date_format(col("call_end_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("call_end_timestamp"),
+      col("duration_seconds"),
+      when(col("call_status") === "Completed", "COMPLETED")
+        .when(col("call_status") === "Failed", "FAILED")
+        .when(col("call_status") === "Dropped", "DROPPED")
+        .otherwise("UNKNOWN").as("call_result_code"),
+      col("roaming"), col("revenue_usd").cast("double").as("revenue_usd"),
+      col("_bronze_ingested_at"), lit(0L).as("_kafka_offset")))
+    assert(twice.count() === once.count())
+  }
+
+  test("fact preserves silver row count (left joins never fan out on unique dims)") {
+    assert(fact.count() === silverCalls.count())
+  }
+
+  test("fact FK integrity: every customer_key resolves or is UNKNOWN") {
+    val orphan = Checks.relationship(
+      fact.filter(col("customer_key") =!= "UNKNOWN"), dimC,
+      "fact_calls", "customer_key", "customer_key")
+    assert(orphan.passed)
+    // planted fraud customers are not in CRM → mapped to UNKNOWN
+    assert(fact.filter(col("customer_key") === "UNKNOWN").count() > 0)
+  }
+
+  test("hourly agg reconciles with fact totals") {
+    val agg = Gold.aggTowerHourly(silverProbes, silverCalls)
+    val aggCalls = agg.agg(sum("call_count")).head().getLong(0)
+    val knownTowers = Generators.towers().map(_.tower_id).toSet
+    val factCallsOnKnown = silverCalls
+      .filter(col("tower_id").isin(knownTowers.toSeq: _*))
+      // probe hours cover 12h; calls span 72h — only co-occurring hours join
+      .filter(date_trunc("hour", col("call_start_ts"))
+        .isin(silverProbes.select("probe_hour").distinct().as[java.sql.Timestamp]
+          .collect().toSeq: _*))
+      .count()
+    assert(aggCalls === factCallsOnKnown)
+  }
+
+  test("monthly agg: revenue reconciles with fact revenue for matched customers") {
+    val monthly = Gold.aggCustomerMonthly(fact, dimC)
+    val aggRev = monthly.agg(sum("total_revenue_usd")).head().getDouble(0)
+    val factRev = fact.filter(col("customer_key") =!= "UNKNOWN")
+      .agg(sum(col("revenue_usd").cast("double"))).head().getDouble(0)
+    assert(math.abs(aggRev - factRev) < 0.01)
+  }
+
+  test("quality suite over silver+gold yields HEALTHY verdict") {
+    val results = Seq(
+      Checks.notNull(silverCalls, "silver_calls", "call_id"),
+      Checks.unique(silverCalls, "silver_calls", "call_id"),
+      Checks.acceptedValues(silverCalls, "silver_calls", "call_status",
+        Seq("Completed", "Failed", "Dropped"), mostly = 0.99),
+      Checks.inRange(silverProbes.withColumn("load_pct", col("load_pct").cast("double")),
+        "silver_network_probes", "load_pct", 0, 100),
+      Checks.minRowCount(fact, "fact_calls", 1000),
+      Checks.matchesRegex(silverCalls, "silver_calls", "caller_msisdn",
+        "^\\+1\\d{10}$", mostly = 0.95))
+    assert(Checks.verdict(results) === "HEALTHY")
+    results.foreach(r => assert(r.passed, r.toString))
+  }
+
+  test("lineage topo order runs parents before children; impact analysis works") {
+    val order = Pipeline.topoOrder()
+    val idx = order.zipWithIndex.toMap
+    Pipeline.lineage.foreach { case (t, deps) =>
+      deps.foreach(d => assert(idx(d) < idx(t), s"$d must precede $t"))
+    }
+    assert(Pipeline.downstreamOf("silver_calls") ===
+      Set("fact_calls", "agg_tower_hourly_utilization", "agg_customer_monthly_summary"))
+  }
+
+  test("incremental merge: idempotent and keeps latest version per key") {
+    val dir = java.nio.file.Files.createTempDirectory("merge").toString + "/t"
+    val v1 = Seq(("k1", 1L, "a"), ("k2", 1L, "b")).toDF("id", "v", "payload")
+    val v2 = Seq(("k1", 2L, "a2"), ("k3", 1L, "c")).toDF("id", "v", "payload")
+    Pipeline.mergeParquet(spark, v1, dir, Seq("id"), "v")
+    Pipeline.mergeParquet(spark, v2, dir, Seq("id"), "v")
+    Pipeline.mergeParquet(spark, v2, dir, Seq("id"), "v") // replay — must be no-op
+    val out = spark.read.parquet(dir).as[(String, Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq(("k1", 2L, "a2"), ("k2", 1L, "b"), ("k3", 1L, "c")))
+  }
+
+  test("watermark store: incremental pull only sees rows past the watermark") {
+    val dir = java.nio.file.Files.createTempDirectory("wm").toString
+    val store = new Pipeline.WatermarkStore(dir)
+    val wm0 = store.load("crm", "1970-01-01T00:00:00Z")
+    assert(wm0 === "1970-01-01T00:00:00Z")
+    val all = Generators.crmCustomers(spark, 100)
+    val cut = "2023-12-01T00:00:00Z"
+    val incr = all.filter(col("updated_at") > cut)
+    store.commit("crm", cut)
+    assert(store.load("crm", "x") === cut)
+    assert(incr.count() < all.count())
+    assert(incr.filter(col("updated_at") <= cut).count() === 0)
+  }
+
+  test("bronze compaction dedups and clusters") {
+    val tmp = java.nio.file.Files.createTempDirectory("bronze").toString
+    Bronze.writeLanding(
+      bronzeCalls.withColumn("evt_ts", to_timestamp(col("call_start_timestamp"))),
+      s"$tmp/landing", "evt_ts")
+    Bronze.compact(spark, s"$tmp/landing", s"$tmp/compacted",
+      pk = Seq("event_id"), versionCol = "_bronze_ingested_at",
+      sortCols = Seq("call_start_timestamp", "tower_id"))
+    val compacted = spark.read.parquet(s"$tmp/compacted")
+    assert(compacted.count() === bronzeCalls.select("event_id").distinct().count())
+  }
+}
