@@ -20,6 +20,7 @@ object SparkEntry {
     q.DedupOps.queries,
     q.SimilarityOps.queries,
     q.TelecomOps.queries,
+    q.MultimodalOps.queries,
   )
   private def oracleModules: Seq[Map[String, String]] = Seq(
     q.Relational.oracles,
@@ -30,6 +31,7 @@ object SparkEntry {
     q.DedupOps.oracles,
     q.SimilarityOps.oracles,
     q.TelecomOps.oracles,
+    q.MultimodalOps.oracles,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
