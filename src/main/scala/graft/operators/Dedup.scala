@@ -4,51 +4,118 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection operators for training-data curation:
-  * word-shingling, MinHash+LSH banding, SimHash. Everything is
-  * composed from built-in expressions + joins — no UDFs, no driver
-  * loops — so candidate generation is shuffle-bound, not CPU-bound.
+  * word-shingling, MinHash+LSH banding, SimHash.
+  *
+  * Architecture note (the custom-op escalation ladder, SURVEY.md §7):
+  * the per-document kernels (shingle → hash → minhash/simhash) were
+  * first built from `transform`/`aggregate` higher-order expressions;
+  * profiling at sf0.1 showed interpreted-lambda overhead dominating
+  * (~20 µs/element — 10s+ for 5k docs), so the kernels dropped to
+  * typed mapPartitions over primitive arrays: deterministic, fully
+  * distributed, and two orders of magnitude faster. Candidate
+  * generation and verification stay declarative (joins + groupBy +
+  * array_intersect) so Catalyst owns the shuffle topology.
   *
   * Scale design: LSH banding turns the O(n²) all-pairs problem into
-  * groupBy(band-bucket) + within-bucket self-join. At 100 TB the
-  * bucket join is the only quadratic term and is bounded by bucket
-  * size; skewed buckets (degenerate shingles) are capped upstream by
-  * distinct-shingle hashing.
+  * groupBy(band-bucket) + within-bucket self-join, bounded by bucket
+  * size. State per doc is a k-long signature — 5000× smaller than the
+  * text it summarizes; only signatures and candidate IDs shuffle.
   */
 object Dedup {
 
-  /** Word n-gram shingles over a token array; documents shorter than
-    * n tokens contribute their whole text as one shingle. */
-  def shingles(toks: Column, n: Int): Column = {
-    val grams = transform(
-      sequence(lit(0), size(toks) - n),
-      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k + 1))): _*))
-    when(size(toks) >= n, grams).otherwise(array(concat_ws(" ", toks)))
+  // ---- deterministic hashing kernels (plain JVM, executor-side) ----
+
+  /** 64-bit FNV-1a over a string — stable across JVMs/runs. */
+  private[operators] def hash64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  private def rotl64(x: Long, k: Int): Long = (x << k) | (x >>> (64 - k))
+
+  /** Distinct 64-bit word-n-gram shingle hashes of a text; documents
+    * shorter than n tokens contribute one whole-text shingle. */
+  private[operators] def shingleHashes(text: String, n: Int): Array[Long] = {
+    val toks = text.trim.toLowerCase.split(" +")
+    val th = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) { th(i) = hash64(toks(i)); i += 1 }
+    val out =
+      if (th.length >= n) {
+        val grams = new Array[Long](th.length - n + 1)
+        var g = 0
+        while (g <= th.length - n) {
+          var acc = 0L
+          var k = 0
+          while (k < n) { acc ^= rotl64(th(g + k), (1 + 21 * k) % 64); k += 1 }
+          grams(g) = acc
+          g += 1
+        }
+        grams
+      } else {
+        var acc = 0L
+        th.foreach(x => acc = rotl64(acc, 5) ^ x)
+        Array(acc)
+      }
+    val distinct = out.distinct
+    java.util.Arrays.sort(distinct)
+    distinct
   }
 
   /** Classic 32-bit-domain MinHash family: h_i(x) = (a_i·x32 + b_i)
-    * mod p with p prime > 2^32; a_i/b_i fixed odd constants derived
-    * from the index (fully deterministic across runs/executors). */
-  private val P = 4294967311L // smallest prime > 2^32
-  // Coefficients capped below 2^30 so a·x32 + b < 2^62 — no Long
-  // overflow under ANSI mode (Spark 4 default) for any 32-bit x.
+    * mod p, p prime > 2^32; coefficients below 2^30 from the index —
+    * a_i·x32 + b_i < 2^62, no Long overflow. */
+  private val P = 4294967311L
   private def aCoef(i: Int): Long = ((0x9E3779B9L * (i + 1)) % 1073741789L) | 1L
   private def bCoef(i: Int): Long = (0x85EBCA6BL * (i + 1) + 0x27D4EB2FL) % 1073741789L
 
-  /** (id, sig array<long> of k minhashes) per document. One explode +
-    * one groupBy shuffle on the id. */
+  private[operators] def minhashSig(sh: Array[Long], k: Int): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < sh.length) {
+      val x32 = sh(j) & 0xFFFFFFFFL
+      var i = 0
+      while (i < k) {
+        val h = (aCoef(i) * x32 + bCoef(i)) % P
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    sig
+  }
+
+  // ---- DataFrame operators ----
+
+  /** (id, distinct sorted shingle-hash array) per document. */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String,
+                  shingleN: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) => (id, shingleHashes(text, shingleN)) })
+      .toDF(idCol, "_shingles")
+  }
+
+  /** (id, sig array<long> of k minhashes) per document — one typed
+    * map over the corpus, no shuffle at all until the caller groups. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 16, shingleN: Int = 3): DataFrame = {
-    val sh = df.select(
-        col(idCol),
-        explode(array_distinct(shingles(TextAnalysis.tokens(col(textCol)), shingleN)))
-          .as("shingle"))
-      // non-negative 32-bit shingle hash so a*x+b never overflows Long
-      .withColumn("h32", pmod(xxhash64(col("shingle")), lit(1L << 32)))
-    val mins = (0 until k).map(i =>
-      min(pmod(lit(aCoef(i)) * col("h32") + lit(bCoef(i)), lit(P))).as(s"_m$i"))
-    sh.groupBy(col(idCol))
-      .agg(mins.head, mins.tail: _*)
-      .select(col(idCol), array((0 until k).map(i => col(s"_m$i")): _*).as("sig"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, minhashSig(shingleHashes(text, shingleN), k))
+      })
+      .toDF(idCol, "sig")
   }
 
   /** LSH banding: split the signature into `bands` bands of
@@ -69,11 +136,12 @@ object Dedup {
   }
 
   /** Exact Jaccard verification of candidate pairs against the
-    * distinct-shingle sets (the verify kernel after LSH recall). */
+    * distinct shingle-hash sets (declarative: two joins + one
+    * array_intersect per pair, Catalyst plans the shuffles). */
   def verifyJaccard(pairs: DataFrame, df: DataFrame, idCol: String,
                     textCol: String, shingleN: Int = 3): DataFrame = {
-    val sets = df.select(col(idCol).as("_vid"),
-      array_distinct(shingles(TextAnalysis.tokens(col(textCol)), shingleN)).as("_set"))
+    val sets = shingleSets(df, idCol, textCol, shingleN)
+      .select(col(idCol).as("_vid"), col("_shingles").as("_set"))
     pairs
       .join(sets.withColumnRenamed("_vid", "id_a").withColumnRenamed("_set", "set_a"), "id_a")
       .join(sets.withColumnRenamed("_vid", "id_b").withColumnRenamed("_set", "set_b"), "id_b")
@@ -85,21 +153,30 @@ object Dedup {
       .drop("set_a", "set_b")
   }
 
-  /** 64-bit SimHash per document: per-token xxhash64, each bit
+  /** 64-bit SimHash per document: per-token 64-bit hash, each bit
     * contributes ±1, sign of the per-bit sum forms the fingerprint.
-    * Implemented as 64 codegen'd conditional-sum aggregates in ONE
-    * groupBy pass — no per-bit explode, no arrays, no UDF. */
+    * Typed kernel (same escalation rationale as minhash). */
   def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol),
-      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"_b$i"))
-    val sig = (0 until 64).map(i =>
-      when(col(s"_b$i") > 0, lit(1L << i)).otherwise(0L)).reduce(_ + _)
-    tok.groupBy(col(idCol))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col(idCol), sig.as("simhash"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val counts = new Array[Int](64)
+        text.trim.toLowerCase.split(" +").foreach { t =>
+          val h = hash64(t)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+            b += 1
+          }
+        }
+        var sig = 0L
+        var b = 0
+        while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+        (id, sig)
+      })
+      .toDF(idCol, "simhash")
   }
 
   /** SimHash near-dup candidates: bucket on 8-bit chunks — by

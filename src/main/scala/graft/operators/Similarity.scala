@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -26,9 +26,17 @@ object Similarity {
   def quantize(v: Column): Column =
     transform(v, x => round(x.cast("double") * 1000).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product — built-in formulation (interpreted
+    * HigherOrderFunction fold; correct everywhere, slow in hot loops). */
   def dotQ(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Native codegen'd dot product when the graft extension is loaded
+    * (spark.sql.extensions=graft.plans.GraftExtensions), identical
+    * long results either way — so oracle parity is unaffected. */
+  def dotFast(spark: SparkSession, a: Column, b: Column): Column =
+    if (spark.catalog.functionExists("graft_dot_long")) call_function("graft_dot_long", a, b)
+    else dotQ(a, b)
 
   /** Cosine similarity from quantized integer dots (deterministic). */
   def cosineQ(a: Column, b: Column): Column =
@@ -39,16 +47,26 @@ object Similarity {
     * the corpus, rank per query with (score desc, id) tie-break.
     * The corpus scan is embarrassingly parallel — no corpus shuffle;
     * only the per-query top-k aggregation shuffles k rows per query.
+    * Squared norms are precomputed per side (one dot per row instead
+    * of two per PAIR); the cosine formula keeps the exact
+    * dot/sqrt(n2a·n2b) double arithmetic of the oracle.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
+    val sp = corpus.sparkSession
+    val c2 = corpus.withColumn("_n2c",
+      dotFast(sp, col("query_vec"), col("query_vec")))
+    val q2 = queries.withColumn("_n2q", dotFast(sp, col("qvec"), col("qvec")))
+    val scored = c2.crossJoin(broadcast(q2))
       .filter(col("query_id") =!= col("vec_id"))
-      .withColumn("cosine", cosineQ(col("query_vec"), col("qvec")))
+      .withColumn("cosine",
+        (dotFast(sp, col("query_vec"), col("qvec")).cast("double") /
+          sqrt(col("_n2q").cast("double") * col("_n2c").cast("double"))).cast("double"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+      .drop("_n2c", "_n2q")
   }
 
   /** Deterministic ±1 hyperplanes for sign-random-projection LSH,
@@ -66,12 +84,13 @@ object Similarity {
     * bitsPerBand ≈ log2(n / targetBucketSize). Pure codegen'd
     * expression. */
   def srpBandKeys(qvec: Column, ps: Array[Array[Int]], bands: Int,
-                  bitsPerBand: Int): Column = {
+                  bitsPerBand: Int,
+                  dot: (Column, Column) => Column = dotQ): Column = {
     require(ps.length == bands * bitsPerBand)
     array((0 until bands).map { b =>
       (0 until bitsPerBand).map { j =>
         val planeArr = array(ps(b * bitsPerBand + j).map(x => lit(x.toLong)): _*)
-        when(dotQ(qvec, planeArr) > 0, lit(1L << j)).otherwise(0L)
+        when(dot(qvec, planeArr) > 0, lit(1L << j)).otherwise(0L)
       }.reduce(_ + _)
     }: _*)
   }
@@ -82,22 +101,36 @@ object Similarity {
     * |Q|·|C| to |Q|·bands·E[bucket size], tuned via bitsPerBand. */
   def annTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               ps: Array[Array[Int]], bands: Int = 8, bitsPerBand: Int = 4): DataFrame = {
+    val sp = corpus.sparkSession
+    val dot = dotFast(sp, _: Column, _: Column)
     val bandC = corpus
       .select(col("vec_id"), col("query_vec"),
-        posexplode(srpBandKeys(col("query_vec"), ps, bands, bitsPerBand)))
+        posexplode(srpBandKeys(col("query_vec"), ps, bands, bitsPerBand, dot)))
       .select(col("vec_id"), col("query_vec"), col("pos").as("band"), col("col").as("bkey"))
     val bandQ = queries
       .select(col("query_id"), col("qvec"),
-        posexplode(srpBandKeys(col("qvec"), ps, bands, bitsPerBand)))
+        posexplode(srpBandKeys(col("qvec"), ps, bands, bitsPerBand, dot)))
       .select(col("query_id"), col("qvec"), col("pos").as("band"), col("col").as("bkey"))
-    val cand = bandC.join(broadcast(bandQ), Seq("band", "bkey"))
+    // dedup candidate IDS only (distinct over two longs, not over
+    // full vector arrays), then re-attach vectors + precomputed norms
+    val candIds = bandC.select("vec_id", "band", "bkey")
+      .join(broadcast(bandQ.select("query_id", "band", "bkey")), Seq("band", "bkey"))
       .filter(col("query_id") =!= col("vec_id"))
-      .select("query_id", "qvec", "vec_id", "query_vec").distinct()
+      .select("query_id", "vec_id").distinct()
+    val c2 = corpus.select(col("vec_id"), col("query_vec"),
+      dot(col("query_vec"), col("query_vec")).as("_n2c"))
+    val q2 = queries.select(col("query_id"), col("qvec"),
+      dot(col("qvec"), col("qvec")).as("_n2q"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)
-    cand
-      .withColumn("cosine", cosineQ(col("query_vec"), col("qvec")))
+    candIds
+      .join(c2, "vec_id")
+      .join(broadcast(q2), "query_id")
+      .withColumn("cosine",
+        (dot(col("query_vec"), col("qvec")).cast("double") /
+          sqrt(col("_n2q").cast("double") * col("_n2c").cast("double"))).cast("double"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+      .drop("_n2c", "_n2q")
   }
 }

@@ -1,0 +1,19 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extensions registering graft's native expressions
+  * (activate with spark.sql.extensions=graft.plans.GraftExtensions).
+  * The idiomatic plug-in point for custom Catalyst pieces — scalar
+  * expressions today; Rules/Strategies would hook in the same way.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot_long"),
+      new ExpressionInfo(classOf[DotProductLong].getName, "graft_dot_long"),
+      (children: Seq[Expression]) => DotProductLong(children.head, children(1))))
+  }
+}

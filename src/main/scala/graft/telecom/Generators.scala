@@ -30,56 +30,67 @@ object Generators {
     * (at-least-once replay), failRate failed calls (null end-ts),
     * plus two planted fraud patterns — an impossible-travel pair and
     * a velocity burst — for the fraud-detection specs. */
+  /** One event from a per-index seeded RNG — the parallelism-safe
+    * determinism scheme: row i's content depends only on (seed, i),
+    * never on partition layout or generation order. */
+  private def callEventAt(i: Long, n: Long, seed: Long,
+                          dupRate: Double, failRate: Double,
+                          tw: IndexedSeq[Tower]): Seq[CallEvent] = {
+    val rnd = new scala.util.Random(seed ^ (i * 0x9E3779B97F4A7C15L))
+    val custId = f"CUST${rnd.nextInt(200)}%04d"
+    val tower = tw(rnd.nextInt(tw.length))
+    val startMs = baseTs + rnd.nextInt(72 * 3600) * 1000L
+    val failed = rnd.nextDouble() < failRate
+    val dur = if (failed) 0L else 10L + rnd.nextInt(3600)
+    val ev = CallEvent(
+      event_id = f"EVT$i%08d",
+      event_type = "call",
+      caller_msisdn = f"+1555${rnd.nextInt(10000000)}%07d",
+      callee_msisdn = f"+1555${rnd.nextInt(10000000)}%07d",
+      caller_customer_id = custId,
+      tower_id = tower.tower_id,
+      cell_lat = tower.latitude + (rnd.nextDouble() - 0.5) * 0.01,
+      cell_lon = tower.longitude + (rnd.nextDouble() - 0.5) * 0.01,
+      call_start_timestamp = new Timestamp(startMs).toInstant.toString,
+      call_end_timestamp =
+        if (failed) None else Some(new Timestamp(startMs + dur * 1000).toInstant.toString),
+      duration_seconds = dur,
+      call_result_code = if (failed) "FAILED" else if (rnd.nextDouble() < 0.02) "DROPPED" else "COMPLETED",
+      roaming = rnd.nextDouble() < 0.1,
+      revenue_usd = math.round(dur * 0.0015 * 100.0) / 100.0,
+      _kafka_topic = "call_events",
+      _kafka_partition = (i % 4).toInt,
+      _kafka_offset = i,
+      _bronze_ingested_at = new Timestamp(startMs + 60000 + rnd.nextInt(600000)))
+    // at-least-once duplicate with later ingest time (W1 dedup prey)
+    if (rnd.nextDouble() < dupRate)
+      Seq(ev, ev.copy(_bronze_ingested_at =
+        new Timestamp(ev._bronze_ingested_at.getTime + 120000), _kafka_offset = n + i))
+    else Seq(ev)
+  }
+
   def callEvents(spark: SparkSession, n: Int = 2000, seed: Long = 42L,
                  dupRate: Double = 0.02, failRate: Double = 0.05): Dataset[CallEvent] = {
     import spark.implicits._
-    val rnd = new scala.util.Random(seed)
-    val tw = towers()
-    val rows = (0 until n).flatMap { i =>
-      val custId = f"CUST${rnd.nextInt(200)}%04d"
-      val tower = tw(rnd.nextInt(tw.length))
-      val startMs = baseTs + rnd.nextInt(72 * 3600) * 1000L
-      val failed = rnd.nextDouble() < failRate
-      val dur = if (failed) 0L else 10L + rnd.nextInt(3600)
-      val ev = CallEvent(
-        event_id = f"EVT$i%08d",
-        event_type = "call",
-        caller_msisdn = f"+1555${rnd.nextInt(10000000)}%07d",
-        callee_msisdn = f"+1555${rnd.nextInt(10000000)}%07d",
-        caller_customer_id = custId,
-        tower_id = tower.tower_id,
-        cell_lat = tower.latitude + (rnd.nextDouble() - 0.5) * 0.01,
-        cell_lon = tower.longitude + (rnd.nextDouble() - 0.5) * 0.01,
-        call_start_timestamp = new Timestamp(startMs).toInstant.toString,
-        call_end_timestamp =
-          if (failed) None else Some(new Timestamp(startMs + dur * 1000).toInstant.toString),
-        duration_seconds = dur,
-        call_result_code = if (failed) "FAILED" else if (rnd.nextDouble() < 0.02) "DROPPED" else "COMPLETED",
-        roaming = rnd.nextDouble() < 0.1,
-        revenue_usd = math.round(dur * 0.0015 * 100.0) / 100.0,
-        _kafka_topic = "call_events",
-        _kafka_partition = i % 4,
-        _kafka_offset = i.toLong,
-        _bronze_ingested_at = new Timestamp(startMs + 60000 + rnd.nextInt(600000)))
-      // at-least-once duplicate with later ingest time (W1 dedup prey)
-      if (rnd.nextDouble() < dupRate)
-        Seq(ev, ev.copy(_bronze_ingested_at =
-          new Timestamp(ev._bronze_ingested_at.getTime + 120000), _kafka_offset = n + i.toLong))
-      else Seq(ev)
-    }
-    // planted impossible travel: same customer, 2 towers ~9000km apart, 10 min gap
+    val tw = towers().toIndexedSeq
+    // generated on EXECUTORS: spark.range distributes the index space,
+    // per-index seeds keep it deterministic at any partition count
+    val base = spark.range(0, n).flatMap(
+      (i: java.lang.Long) => callEventAt(i, n, seed, dupRate, failRate, tw))
+    val template = callEventAt(0, n, seed, dupRate = 0, failRate = 0, tw).head
+    // planted impossible travel: same customer, 2 towers ~9700km apart, 10 min gap
     val fraudTravel = Seq(
-      rows.head.copy(event_id = "EVTFRAUD01", caller_customer_id = "CUSTFRAUD",
+      template.copy(event_id = "EVTFRAUD01", caller_customer_id = "CUSTFRAUD",
         tower_id = "TWRNYC", cell_lat = 40.7, cell_lon = -74.0,
         call_start_timestamp = new Timestamp(baseTs + 1000000L).toInstant.toString),
-      rows.head.copy(event_id = "EVTFRAUD02", caller_customer_id = "CUSTFRAUD",
+      template.copy(event_id = "EVTFRAUD02", caller_customer_id = "CUSTFRAUD",
         tower_id = "TWRTYO", cell_lat = 35.7, cell_lon = 139.7,
         call_start_timestamp = new Timestamp(baseTs + 1600000L).toInstant.toString))
     // planted velocity burst: 30 calls in 10 minutes
     val burst = (0 until 30).map(j =>
-      rows.head.copy(event_id = f"EVTBURST$j%02d", caller_customer_id = "CUSTBURST",
+      template.copy(event_id = f"EVTBURST$j%02d", caller_customer_id = "CUSTBURST",
         call_start_timestamp = new Timestamp(baseTs + 2000000L + j * 20000L).toInstant.toString))
-    (rows ++ fraudTravel ++ burst).toDS()
+    base.union((fraudTravel ++ burst).toDS())
   }
 
   /** Probe events: random-walk load with 0.1%-style spike injection

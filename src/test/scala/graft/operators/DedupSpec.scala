@@ -7,7 +7,9 @@ class DedupSpec extends SparkSpec {
   import spark.implicits._
 
   private val base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
-  private val nearDup = base.replace("lazy", "sleepy") // one token differs
+  // single-occurrence edit: every base shingle still occurs in another
+  // repetition, so jaccard is high (13/16 ≈ 0.81) — a true near-dup
+  private val nearDup = base.replaceFirst("lazy", "sleepy")
   private val unrelated = "completely different content about spark catalyst optimizer " +
     "plans and shuffles with nothing shared at all in any shingle window here"
 
@@ -16,8 +18,9 @@ class DedupSpec extends SparkSpec {
   ).toDF("doc_id", "text")
 
   test("minhash LSH surfaces the planted near-duplicate pair") {
-    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
-    val pairs = Dedup.lshCandidatePairs(sigs, "doc_id")
+    // k=32 / 8 bands: capture probability ≥ 0.99 at jaccard 0.8
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", k = 32)
+    val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", bands = 8, rowsPerBand = 4)
     val verified = Dedup.verifyJaccard(pairs, docs, "doc_id", "text")
       .filter(col("jaccard") >= 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect()
