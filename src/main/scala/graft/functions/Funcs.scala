@@ -71,4 +71,50 @@ object Funcs {
     */
   def matchRate(p: Column): Column =
     (sum(when(p, 1L).otherwise(0L)).cast("double") / count(lit(1))).cast("double")
+
+  // ---- Trino/MySQL dialect shims (SURVEY.md F11-F13) ----
+  // The reference's SQL is Trino: unit-first DATE_ADD/DATE_DIFF and
+  // MySQL-style DATE_FORMAT patterns. These shims centralize the
+  // dialect translation so ported model logic reads 1:1.
+
+  /** Trino DATE_ADD('unit', n, ts) (reference silver_calls.sql:34,
+    * agg_tower_hourly_utilization.sql:26). Negative n subtracts. */
+  def dateAddUnit(unit: String, n: Int, c: Column): Column = unit.toLowerCase match {
+    case "second" => c + expr(s"INTERVAL $n SECOND")
+    case "minute" => c + expr(s"INTERVAL $n MINUTE")
+    case "hour"   => c + expr(s"INTERVAL $n HOUR")
+    case "day"    => c + expr(s"INTERVAL $n DAY")
+    case "week"   => c + expr(s"INTERVAL ${7 * n} DAY")
+    case "month"  => add_months(c, n)
+    case "year"   => add_months(c, 12 * n)
+    case u => throw new IllegalArgumentException(s"unsupported unit $u")
+  }
+
+  /** Trino DATE_DIFF('unit', a, b) = elapsed units from a to b
+    * (reference silver_customers.sql:61-64, dim_date.sql:58-60).
+    * NOTE the arg order: Trino is (unit, start, end) while Spark's
+    * datediff is (end, start) — this shim takes (start, end). */
+  def dateDiffUnit(unit: String, a: Column, b: Column): Column = unit.toLowerCase match {
+    case "second" => unix_timestamp(b) - unix_timestamp(a)
+    case "minute" => ((unix_timestamp(b) - unix_timestamp(a)) / 60L).cast("bigint")
+    case "hour"   => ((unix_timestamp(b) - unix_timestamp(a)) / 3600L).cast("bigint")
+    case "day"    => datediff(b, a).cast("bigint")
+    case "week"   => floor(datediff(b, a) / 7).cast("bigint")
+    case "month"  => floor(months_between(b, a)).cast("bigint")
+    case "year"   => (year(b) - year(a)).cast("bigint")
+    case u => throw new IllegalArgumentException(s"unsupported unit $u")
+  }
+
+  /** MySQL/Trino strftime-style patterns → Spark/Java patterns
+    * (reference dim_date.sql:22-37: %Y%m%d, %A, %B, %b, %Y-%m). */
+  private val mysqlPatterns = Seq(
+    "%Y" -> "yyyy", "%m" -> "MM", "%d" -> "dd", "%H" -> "HH",
+    "%i" -> "mm", "%s" -> "ss", "%A" -> "EEEE", "%W" -> "EEEE",
+    "%a" -> "EEE", "%B" -> "MMMM", "%b" -> "MMM", "%j" -> "DDD")
+  def translateDateFormat(mysqlFmt: String): String =
+    mysqlPatterns.foldLeft(mysqlFmt) { case (s, (from, to)) => s.replace(from, to) }
+
+  /** Trino DATE_FORMAT(ts, '%Y-%m-%d') with MySQL-style patterns. */
+  def dateFormatMysql(c: Column, mysqlFmt: String): Column =
+    date_format(c, translateDateFormat(mysqlFmt))
 }

@@ -110,12 +110,59 @@ object Temporal {
       .orderBy("event_date")
   }
 
+  /** F11-F13: the Trino/MySQL dialect shims applied to data —
+    * unit-first DATE_ADD/DATE_DIFF and %-style DATE_FORMAT
+    * (reference silver_calls.sql:34, silver_customers.sql:61-64,
+    * dim_date.sql:22-37). */
+  def q32DialectShims(s: SparkSession, dir: String): DataFrame = {
+    val ref = lit("2024-06-15").cast("date")
+    Tables.orders(s, dir)
+      .select(col("o_orderkey").as("order_id"),
+        col("o_orderdate").cast("date").as("order_date"))
+      .select(
+        col("order_id"), col("order_date"),
+        dateAddUnit("day", -3, col("order_date")).cast("date").as("minus_3_days"),
+        dateAddUnit("month", 2, col("order_date")).cast("date").as("plus_2_months"),
+        dateDiffUnit("day", col("order_date"), ref).as("days_to_ref"),
+        dateDiffUnit("week", col("order_date"), ref).as("weeks_to_ref"),
+        dateDiffUnit("year", col("order_date"), ref).as("years_to_ref"),
+        dateFormatMysql(col("order_date"), "%Y%m%d").as("fmt_ymd"),
+        dateFormatMysql(col("order_date"), "%Y-%m").as("fmt_ym"),
+        dateFormatMysql(col("order_date"), "%b").as("fmt_mon"))
+      .orderBy("order_id")
+  }
+
+  /** J7 (general form): date-range (BETWEEN) join of events onto a
+    * generated month dimension, then rollup. The month side is tiny →
+    * Spark plans a broadcast nested-loop for the theta join; the
+    * events side streams through without a shuffle until the final
+    * small aggregation — the right shape when the range side is a
+    * bounded dimension. (The keyed as-of variant is q13.) */
+  def q33RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val months = s.sql(
+      """SELECT explode(sequence(to_date('2024-01-01'), to_date('2024-12-01'),
+        |        interval 1 month)) AS month_start""".stripMargin)
+      .withColumn("month_end", last_day(col("month_start")))
+    val ev = Tables.events(s, dir)
+      .withColumn("event_date", col("ts").cast("date"))
+    ev.join(broadcast(months),
+        col("event_date").between(col("month_start"), col("month_end")))
+      .groupBy(col("month_start"))
+      .agg(
+        count(lit(1)).as("event_count"),
+        countDistinct(col("user_id")).as("active_users"),
+        dsum(col("value")).as("total_value"))
+      .orderBy("month_start")
+  }
+
   val queries: Map[String, Q] = Map(
     "q12_date_spine" -> q12DateSpine _,
     "q13_asof_join" -> q13AsofJoin _,
     "q16_datetime_parts" -> q16DatetimeParts _,
     "q19_monthly_rollup" -> q19MonthlyRollup _,
     "q25_trailing_avg" -> q25TrailingAvg _,
+    "q32_dialect_shims" -> q32DialectShims _,
+    "q33_range_join" -> q33RangeJoin _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -169,6 +216,30 @@ object Temporal {
         |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS fulfilled_count
         |FROM orders GROUP BY 1, 2, 3, 4
         |ORDER BY customer_id, year_month""".stripMargin,
+    "q32_dialect_shims" ->
+      """SELECT o_orderkey AS order_id,
+        |  CAST(o_orderdate AS DATE) AS order_date,
+        |  CAST(CAST(o_orderdate AS DATE) - INTERVAL 3 DAY AS DATE) AS minus_3_days,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus_2_months,
+        |  date_diff('day', CAST(o_orderdate AS DATE), DATE '2024-06-15') AS days_to_ref,
+        |  CAST(floor(date_diff('day', CAST(o_orderdate AS DATE), DATE '2024-06-15') / 7)
+        |    AS BIGINT) AS weeks_to_ref,
+        |  CAST(2024 - year(o_orderdate) AS BIGINT) AS years_to_ref,
+        |  strftime(o_orderdate, '%Y%m%d') AS fmt_ymd,
+        |  strftime(o_orderdate, '%Y-%m') AS fmt_ym,
+        |  strftime(o_orderdate, '%b') AS fmt_mon
+        |FROM orders ORDER BY order_id""".stripMargin,
+    "q33_range_join" ->
+      """WITH months AS (
+        |  SELECT CAST(unnest(generate_series(DATE '2024-01-01', DATE '2024-12-01',
+        |         INTERVAL 1 MONTH)) AS DATE) AS month_start),
+        |m2 AS (SELECT month_start, last_day(month_start) AS month_end FROM months)
+        |SELECT month_start, COUNT(*) AS event_count,
+        |  COUNT(DISTINCT user_id) AS active_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events JOIN m2
+        |  ON CAST(ts AS DATE) BETWEEN month_start AND month_end
+        |GROUP BY month_start ORDER BY month_start""".stripMargin,
     "q25_trailing_avg" ->
       """SELECT event_date, daily_rows,
         |  AVG(daily_rows) OVER (ORDER BY event_date

@@ -27,7 +27,9 @@ object MicroBatchIngest {
       from_json(col("value").cast("string"), schema).as("r"),
       (if (hasKafkaCols) col("topic") else lit(topic)).as("_kafka_topic"),
       (if (hasKafkaCols) col("partition") else lit(0)).cast("int").as("_kafka_partition"),
-      (if (hasKafkaCols) col("offset") else monotonically_increasing_id()).cast("long")
+      // xxhash64(value) stands in for the offset on non-Kafka sources —
+      // monotonically_increasing_id() is not allowed on streams
+      (if (hasKafkaCols) col("offset").cast("long") else xxhash64(col("value")))
         .as("_kafka_offset"))
     base.select(col("r.*"), col("_kafka_topic"), col("_kafka_partition"),
         col("_kafka_offset"))

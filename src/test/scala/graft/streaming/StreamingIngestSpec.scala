@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Specs for micro-batch bronze ingest (ST4/S4-S5) and streaming
+  * windowed aggregation (ST7). */
+class StreamingIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val callSchema = StructType(Seq(
+    StructField("event_id", StringType),
+    StructField("caller_msisdn", StringType),
+    StructField("event_ts", StringType),
+    StructField("duration_seconds", LongType)))
+
+  test("micro-batch ingest: JSON stream lands as partitioned parquet with provenance") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("bronze-ingest").toString
+    val mem = MemoryStream[String]
+    val parsed = MicroBatchIngest.parse(
+      mem.toDF().withColumnRenamed("value", "value"), callSchema, "call_events")
+      .withColumn("event_ts_t", to_timestamp(col("event_ts")))
+    val q = MicroBatchIngest.startBronzeSink(
+      parsed, s"$dir/data", s"$dir/ckpt", "event_ts_t", triggerSecs = 1)
+    try {
+      mem.addData(
+        """{"event_id":"e1","caller_msisdn":"+15551234567","event_ts":"2024-01-01T10:00:00Z","duration_seconds":60}""",
+        """{"event_id":"e2","caller_msisdn":"+15559876543","event_ts":"2024-02-15T11:30:00Z","duration_seconds":120}""")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.read.parquet(s"$dir/data")
+    assert(out.count() === 2)
+    assert(out.columns.contains("_kafka_topic") && out.columns.contains("_bronze_ingested_at"))
+    // Hive partition layout year=/month=/day= drives partition pruning
+    val parts = out.select("year", "month", "day").distinct()
+      .as[(Int, Int, Int)].collect().toSet
+    assert(parts === Set((2024, 1, 1), (2024, 2, 15)))
+    assert(new java.io.File(s"$dir/data/year=2024/month=1/day=1").exists())
+  }
+
+  test("streaming windowed agg: append mode emits finalized windows past the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val probes = mem.toDF().toDF("probe_ts", "tower_id", "load_pct")
+    val q = WindowedAggs.towerLoadWindows(probes, "1 hour", "10 seconds")
+      .writeStream.format("memory").queryName("winagg").outputMode("append").start()
+    val t0 = 1704067200000L // 2024-01-01T00:00Z
+    def ts(offSec: Long) = new Timestamp(t0 + offSec * 1000)
+    try {
+      mem.addData((ts(60), "T1", 50.0), (ts(120), "T1", 94.0), (ts(180), "T2", 70.0))
+      q.processAllAvailable()
+      // windows still open — nothing finalized yet
+      assert(spark.table("winagg").count() === 0)
+      // event 2h later closes the first hour's windows
+      mem.addData((ts(7200), "T1", 10.0))
+      q.processAllAvailable()
+      val rows = spark.table("winagg")
+        .select("tower_id", "avg_load_pct", "max_load_pct", "critical_count", "probe_count")
+        .as[(String, Double, Double, Long, Long)].collect().sortBy(_._1)
+      assert(rows.length === 2)
+      assert(rows(0) === (("T1", 72.0, 94.0, 1L, 2L)))
+      assert(rows(1) === (("T2", 70.0, 70.0, 0L, 1L)))
+    } finally q.stop()
+  }
+
+  test("windowed agg code path also runs in batch mode (unified semantics)") {
+    val t0 = 1704067200000L
+    val batch = Seq(
+      (new Timestamp(t0 + 60000), "T1", 50.0),
+      (new Timestamp(t0 + 120000), "T1", 94.0)
+    ).toDF("probe_ts", "tower_id", "load_pct")
+    val out = WindowedAggs.towerLoadWindows(batch)
+      .select("tower_id", "probe_count").as[(String, Long)].collect()
+    assert(out.toSeq === Seq(("T1", 2L)))
+  }
+}
