@@ -21,6 +21,7 @@ object SparkEntry {
     q.SimilarityOps.queries,
     q.TelecomOps.queries,
     q.MultimodalOps.queries,
+    q.Extended.queries,
   )
   private def oracleModules: Seq[Map[String, String]] = Seq(
     q.Relational.oracles,
@@ -32,6 +33,7 @@ object SparkEntry {
     q.SimilarityOps.oracles,
     q.TelecomOps.oracles,
     q.MultimodalOps.oracles,
+    q.Extended.oracles,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
