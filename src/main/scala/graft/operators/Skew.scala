@@ -1,0 +1,31 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling primitives (SURVEY.md §7.4 #6, BASELINE scale
+  * notes). Joins lean on AQE's runtime skew-join splitting; for
+  * aggregations over pathologically hot keys this provides the
+  * classic two-phase salted form.
+  */
+object Skew {
+
+  /** Two-phase salted aggregation: partial sums/counts on
+    * (key, salt) — spreading a hot key over `salts` reducers — then
+    * final combine on the key. The salt is derived from row content
+    * (deterministic, partition-independent), not from randomness.
+    *
+    * Equivalent to groupBy(key).agg(sum, count) for any input; worth
+    * the second (tiny) shuffle only when one key dominates.
+    */
+  def saltedSumCount(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                     salts: Int = 16): DataFrame = {
+    val saltExpr = pmod(xxhash64(df.columns.map(col): _*), lit(salts))
+    df.withColumn("_salt", saltExpr)
+      .groupBy((keyCols.map(col) :+ col("_salt")): _*)
+      .agg(sum(col(valueCol)).as("_psum"), count(lit(1)).as("_pcnt"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("_psum")).as(s"sum_$valueCol"),
+        sum(col("_pcnt")).as("row_count"))
+  }
+}

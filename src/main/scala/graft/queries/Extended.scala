@@ -178,7 +178,43 @@ object Extended {
       .orderBy("doc_id", "rank")
   }
 
+  /** J7 full form: build SCD2 effective ranges from a change history
+    * (each user's signup events = version changes). */
+  def q57Scd2Build(s: SparkSession, dir: String): DataFrame = {
+    val history = Tables.events(s, dir)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id"), unix_micros(col("ts")).as("version_ts_us"),
+        col("event_id").as("version_event_id"), col("value").as("plan_value"))
+    graft.operators.Scd2.fromHistory(history, "user_id", "version_ts_us")
+      .select("user_id", "version_seq", "version_event_id", "plan_value",
+        "effective_start", "effective_end", "is_current")
+      .orderBy("user_id", "version_seq")
+  }
+
+  /** J7 lookup: purchases as-of joined to the SCD2 version covering
+    * their timestamp — equi-join + range conjuncts (hash join, not
+    * nested loop; see operators.Scd2 scaladoc). */
+  def q58Scd2Lookup(s: SparkSession, dir: String): DataFrame = {
+    val history = Tables.events(s, dir)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id"), unix_micros(col("ts")).as("version_ts_us"),
+        col("event_id").as("version_event_id"))
+    val dim = graft.operators.Scd2.fromHistory(history, "user_id", "version_ts_us")
+      .select("user_id", "version_seq", "version_event_id",
+        "effective_start", "effective_end")
+    val purchases = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value"))
+    graft.operators.Scd2.lookupJoin(purchases, dim, "user_id", col("ts_us"))
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("value"),
+        col("version_seq"), col("version_event_id"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q57_scd2_build" -> q57Scd2Build _,
+    "q58_scd2_lookup" -> q58Scd2Lookup _,
     "q34_sessionize" -> q34Sessionize _,
     "q35_rollup" -> q35Rollup _,
     "q36_pivot" -> q36Pivot _,
@@ -200,6 +236,43 @@ object Extended {
       |      * 5.0, 1.0) * 0.3) AS DOUBLE)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q57_scd2_build" ->
+      """WITH hist AS (
+        |  SELECT user_id, epoch_us(ts) AS version_ts_us,
+        |    event_id AS version_event_id, value AS plan_value
+        |  FROM events WHERE event_type = 'signup')
+        |SELECT user_id,
+        |  CAST(ROW_NUMBER() OVER w AS INTEGER) AS version_seq,
+        |  version_event_id, plan_value,
+        |  version_ts_us AS effective_start,
+        |  LEAD(version_ts_us, 1) OVER w AS effective_end,
+        |  LEAD(version_ts_us, 1) OVER w IS NULL AS is_current
+        |FROM hist
+        |WINDOW w AS (PARTITION BY user_id ORDER BY version_ts_us ASC)
+        |ORDER BY user_id, version_seq""".stripMargin,
+    "q58_scd2_lookup" ->
+      """WITH hist AS (
+        |  SELECT user_id, epoch_us(ts) AS version_ts_us,
+        |    event_id AS version_event_id
+        |  FROM events WHERE event_type = 'signup'),
+        |dim AS (
+        |  SELECT user_id,
+        |    CAST(ROW_NUMBER() OVER w AS INTEGER) AS version_seq,
+        |    version_event_id,
+        |    version_ts_us AS effective_start,
+        |    LEAD(version_ts_us, 1) OVER w AS effective_end
+        |  FROM hist
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY version_ts_us ASC)),
+        |p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts_us, p.value,
+        |  d.version_seq, d.version_event_id
+        |FROM p LEFT JOIN dim d
+        |  ON p.user_id = d.user_id
+        |  AND p.ts_us >= d.effective_start
+        |  AND (d.effective_end IS NULL OR p.ts_us < d.effective_end)
+        |ORDER BY event_id""".stripMargin,
     "q34_sessionize" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events),
