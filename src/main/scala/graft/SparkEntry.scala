@@ -22,6 +22,7 @@ object SparkEntry {
     q.TelecomOps.queries,
     q.MultimodalOps.queries,
     q.Extended.queries,
+    q.CurationOps.queries,
   )
   private def oracleModules: Seq[Map[String, String]] = Seq(
     q.Relational.oracles,
@@ -34,6 +35,7 @@ object SparkEntry {
     q.TelecomOps.oracles,
     q.MultimodalOps.oracles,
     q.Extended.oracles,
+    q.CurationOps.oracles,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -36,6 +36,18 @@ object MicroBatchIngest {
       .withColumn("_bronze_ingested_at", current_timestamp())
   }
 
+  /** Streaming exact dedup within the watermark horizon (SURVEY.md
+    * ST5's stream-side half): at-least-once replays of the same key
+    * inside the lateness bound collapse to one row; later silver
+    * dedup windows remain the backstop beyond the horizon. State is
+    * bounded by keys-per-watermark-window (unlike dropDuplicates,
+    * whose state grows forever on a stream). */
+  def dedupStream(parsed: DataFrame, keyCols: Seq[String], eventTsCol: String,
+                  watermarkDelay: String = "30 seconds"): DataFrame =
+    parsed
+      .withWatermark(eventTsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Start the Bronze landing sink: micro-batch trigger, foreachBatch
     * Parquet append partitioned year=/month=/day= (reference
     * kafka_to_bronze.py:57-87), checkpointed for exactly-once. */

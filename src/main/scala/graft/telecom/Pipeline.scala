@@ -109,4 +109,54 @@ object Pipeline {
     * partition/table have data at-or-after the SLA horizon? */
   def isFresh(df: DataFrame, tsCol: String, slaHorizon: java.sql.Timestamp): Boolean =
     !df.filter(col(tsCol) >= lit(slaHorizon)).isEmpty
+
+  case class TableRun(table: String, rows: Long, seconds: Double)
+
+  /** Full-DAG orchestration (the Airflow cdr_pipeline_dag equivalent,
+    * reference cdr_pipeline_dag.py:226-228): generate bronze, execute
+    * every model in lineage topological order, persist each table as
+    * parquet under outDir, run the DQ gate, return (manifest,
+    * verdict). The gate mirrors the reference's "tests block the
+    * dashboard refresh" contract: callers stop on BLOCKED. */
+  def runAll(spark: SparkSession, outDir: String,
+             callEvents: Int = 2000): (Seq[TableRun], String) = {
+    val tables = scala.collection.mutable.Map[String, DataFrame]()
+    def build(name: String): DataFrame = name match {
+      case "bronze_call_events" => Generators.callEvents(spark, callEvents).toDF()
+      case "bronze_network_probes" => Generators.probeEvents(spark, hours = 24).toDF()
+      case "bronze_crm_customers" => Generators.crmCustomers(spark, 200).toDF()
+      case "silver_calls" => Silver.silverCalls(tables("bronze_call_events"))
+      case "silver_network_probes" => Silver.silverProbes(tables("bronze_network_probes"))
+      case "silver_customers" => Silver.silverCustomers(tables("bronze_crm_customers"))
+      case "dim_customers" => Gold.dimCustomers(tables("silver_customers"))
+      case "dim_towers" => Gold.dimTowers(spark.createDataFrame(Generators.towers()))
+      case "dim_date" => Gold.dimDate(spark)
+      case "fact_calls" => Gold.factCalls(tables("silver_calls"),
+        tables("dim_customers"), tables("dim_towers"), tables("dim_date"))
+      case "agg_tower_hourly_utilization" =>
+        Gold.aggTowerHourly(tables("silver_network_probes"), tables("silver_calls"))
+      case "agg_customer_monthly_summary" =>
+        Gold.aggCustomerMonthly(tables("fact_calls"), tables("dim_customers"))
+    }
+    val manifest = topoOrder().map { name =>
+      val t0 = System.nanoTime()
+      val df = build(name)
+      df.write.mode("overwrite").parquet(s"$outDir/$name")
+      val persisted = spark.read.parquet(s"$outDir/$name")
+      tables(name) = persisted
+      TableRun(name, persisted.count(), (System.nanoTime() - t0) / 1e9)
+    }
+    val checks = Seq(
+      Checks.notNull(tables("silver_calls"), "silver_calls", "call_id"),
+      Checks.unique(tables("silver_calls"), "silver_calls", "call_id"),
+      Checks.unique(tables("dim_customers"), "dim_customers", "customer_key"),
+      Checks.relationship(
+        tables("fact_calls").filter(col("customer_key") =!= "UNKNOWN"),
+        tables("dim_customers"), "fact_calls", "customer_key", "customer_key"),
+      Checks.minRowCount(tables("fact_calls"), "fact_calls", 1),
+      Checks.inRange(
+        tables("silver_network_probes").withColumn("load_pct", col("load_pct").cast("double")),
+        "silver_network_probes", "load_pct", 0, 100))
+    (manifest, Checks.verdict(checks))
+  }
 }

@@ -78,4 +78,23 @@ class StreamingIngestSpec extends SparkSpec {
       .select("tower_id", "probe_count").as[(String, Long)].collect()
     assert(out.toSeq === Seq(("T1", 2L)))
   }
+
+  test("streaming dedup within watermark collapses at-least-once replays") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp, Double)]
+    val df = mem.toDF().toDF("event_id", "event_ts", "value")
+    val q = MicroBatchIngest.dedupStream(df, Seq("event_id"), "event_ts", "1 minute")
+      .writeStream.format("memory").queryName("dedupstream")
+      .outputMode("append").start()
+    val t0 = 1704067200000L
+    try {
+      mem.addData(("e1", new Timestamp(t0), 1.0), ("e1", new Timestamp(t0 + 1000), 1.0))
+      q.processAllAvailable()
+      mem.addData(("e1", new Timestamp(t0 + 5000), 1.0), ("e2", new Timestamp(t0 + 6000), 2.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedupstream").select("event_id")
+        .as[String].collect().sorted
+      assert(ids.toSeq === Seq("e1", "e2")) // replays within watermark collapsed
+    } finally q.stop()
+  }
 }

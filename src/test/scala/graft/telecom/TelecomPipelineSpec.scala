@@ -142,4 +142,16 @@ class TelecomPipelineSpec extends SparkSpec {
     val compacted = spark.read.parquet(s"$tmp/compacted")
     assert(compacted.count() === bronzeCalls.select("event_id").distinct().count())
   }
+
+  test("runAll executes the full DAG in topo order and gates HEALTHY") {
+    val out = java.nio.file.Files.createTempDirectory("dagrun").toString
+    val (manifest, verdict) = Pipeline.runAll(spark, out, callEvents = 1000)
+    assert(verdict === "HEALTHY")
+    assert(manifest.map(_.table) === Pipeline.topoOrder())
+    manifest.foreach(r => assert(r.rows > 0, s"${r.table} is empty"))
+    // every table persisted and readable
+    Pipeline.lineage.keys.foreach { t =>
+      assert(spark.read.parquet(s"$out/$t").columns.nonEmpty)
+    }
+  }
 }
