@@ -18,9 +18,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * benchmark. This expression compiles to a tight primitive loop
   * inside whole-stage codegen: no allocation, no virtual calls.
   *
-  * Semantics: sum over the common prefix length of a(i)*b(i); null
-  * input → null. Overflow is the caller's contract (quantized
-  * embeddings are bounded: |x| <= ~10^3·scale, 64 dims << 2^63).
+  * Semantics are EXACTLY those of the HOF formulation, so the
+  * [[RewriteDotProduct]] optimizer rule may substitute it anywhere:
+  * null input array → null; arrays of different lengths → null (the
+  * HOF zips the shorter with nulls, poisoning the sum); any null
+  * element → null. Overflow is the caller's contract (quantized
+  * embeddings are bounded: 64 dims × (10^3·scale)² << 2^63).
   */
 case class DotProductLong(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -37,15 +40,21 @@ case class DotProductLong(left: Expression, right: Expression)
         s"got ${left.dataType.sql} and ${right.dataType.sql}")
   }
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_dot_long"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var s = 0L
     var i = 0
-    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
     s
   }
 
@@ -55,12 +64,17 @@ case class DotProductLong(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $s = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getLong($i) * $b.getLong($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -15,5 +15,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot_long"),
       new ExpressionInfo(classOf[DotProductLong].getName, "graft_dot_long"),
       (children: Seq[Expression]) => DotProductLong(children.head, children(1))))
+    ext.injectOptimizerRule(_ => RewriteDotProduct)
   }
 }
