@@ -50,10 +50,18 @@ object Funcs {
     lit(2 * 6371.0) * asin(sqrt(a))
   }
 
-  /** PII masks (reference dim_customers.sql:35-38). */
+  /** PII masks (reference dim_customers.sql:35-38). maskEmail is
+    * byte-exact reference parity — including its flaw: a local part
+    * of <= 2 chars doesn't match and passes through UNMASKED. */
   def maskName(c: Column): Column = concat(substring(c, 1, 2), lit("***"))
   def maskEmail(c: Column): Column =
     regexp_replace(c, "(.{2}).+(@.+)", "$1***$2")
+
+  /** Strict email mask with no pass-through: 1-2 char prefixes still
+    * mask ('a@x.com' → 'a***@x.com'). Used by the gold dimension,
+    * where an unmasked email is a PII leak, not a parity feature. */
+  def maskEmailStrict(c: Column): Column =
+    regexp_replace(c, "^(.{1,2})[^@]*(@.+)$", "$1***$2")
 
   /** Conditional counter: SUM(CASE WHEN p THEN 1 ELSE 0 END)
     * (reference agg_tower_hourly_utilization.sql:77 et al.)
@@ -101,7 +109,14 @@ object Funcs {
     case "day"    => datediff(b, a).cast("bigint")
     case "week"   => floor(datediff(b, a) / 7).cast("bigint")
     case "month"  => floor(months_between(b, a)).cast("bigint")
-    case "year"   => (year(b) - year(a)).cast("bigint")
+    case "year"   =>
+      // elapsed FULL years (Trino-like): calendar-year difference
+      // minus one if b's anniversary hasn't been reached — NOT the
+      // naive year(b)-year(a), which is off by one near boundaries
+      (year(b) - year(a) -
+        when(month(b) < month(a) ||
+          (month(b) === month(a) && dayofmonth(b) < dayofmonth(a)), 1)
+          .otherwise(0)).cast("bigint")
     case u => throw new IllegalArgumentException(s"unsupported unit $u")
   }
 

@@ -35,18 +35,26 @@ object AsofJoin {
                valueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
     val tagged = "_asof_is_right"
-    val carried = valueCols.map(c => s"_asof_$c")
+    // All value columns travel in ONE struct so the carried values are
+    // row-atomic: last(_, ignoreNulls) picks the latest right ROW, and
+    // a null value INSIDE that row stays null (carrying each column
+    // independently would mix columns from different right rows when
+    // the latest row holds nulls).
+    val payload = "_asof_payload"
 
     val l2 = left
       .withColumn(tagged, lit(0))
-      .withColumns(valueCols.map(c =>
-        s"_asof_$c" -> lit(null).cast(right.schema(c).dataType)).toMap)
+      .withColumn(payload,
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          valueCols.map(c => org.apache.spark.sql.types.StructField(
+            c, right.schema(c).dataType)))))
 
     val r2Cols =
       leftCols.map { c =>
         if (c == key || c == ts) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)
-      } ++ Seq(lit(1).as(tagged)) ++ valueCols.map(c => col(c).as(s"_asof_$c"))
+      } ++ Seq(lit(1).as(tagged),
+        struct(valueCols.map(col): _*).as(payload))
     val r2 = right.select(r2Cols: _*)
 
     val w = Window.partitionBy(key)
@@ -54,9 +62,11 @@ object AsofJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val filled = l2.unionByName(r2)
-      .withColumns(valueCols.map(c =>
-        s"asof_$c" -> last(col(s"_asof_$c"), ignoreNulls = true).over(w)).toMap)
-    filled.filter(col(tagged) === 0)
-      .drop(tagged +: carried: _*)
+      .withColumn("_asof_hit", last(col(payload), ignoreNulls = true).over(w))
+    val expanded = valueCols.foldLeft(filled) { (df, c) =>
+      df.withColumn(s"asof_$c", col(s"_asof_hit.$c"))
+    }
+    expanded.filter(col(tagged) === 0)
+      .drop(tagged, payload, "_asof_hit")
   }
 }

@@ -123,7 +123,16 @@ object Dedup {
     * within buckets → distinct candidate pairs (idA < idB). */
   def lshCandidatePairs(sigs: DataFrame, idCol: String,
                         bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
-    val banded = sigs.select(
+    // guard: a signature shorter than bands*rowsPerBand would slice to
+    // EMPTY band arrays, hashing every doc into one shared bucket and
+    // silently degrading the self-join to O(n^2). The assert is woven
+    // into the sig column (a free-standing check column would be
+    // pruned away unevaluated).
+    val guarded = sigs.withColumn("sig",
+      when(assert_true(size(col("sig")) >= lit(bands * rowsPerBand),
+          lit(s"minhash signature shorter than bands*rowsPerBand = ${bands * rowsPerBand}"))
+        .isNull, col("sig")))
+    val banded = guarded.select(
         col(idCol), posexplode(
           array((0 until bands).map(bi =>
             slice(col("sig"), bi * rowsPerBand + 1, rowsPerBand)): _*)))

@@ -20,7 +20,12 @@ object Skew {
     */
   def saltedSumCount(df: DataFrame, keyCols: Seq[String], valueCol: String,
                      salts: Int = 16): DataFrame = {
-    val saltExpr = pmod(xxhash64(df.columns.map(col): _*), lit(salts))
+    // content hash + partition id: identical duplicate rows (or a
+    // low-cardinality value set) still spread across reducers instead
+    // of collapsing into one salt bucket; the salt never affects the
+    // final result, so partition-dependence is harmless here
+    val saltExpr = pmod(
+      xxhash64(df.columns.map(col): _*) + spark_partition_id().cast("long"), lit(salts))
     df.withColumn("_salt", saltExpr)
       .groupBy((keyCols.map(col) :+ col("_salt")): _*)
       .agg(sum(col(valueCol)).as("_psum"), count(lit(1)).as("_pcnt"))

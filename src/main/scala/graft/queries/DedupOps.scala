@@ -35,10 +35,12 @@ object DedupOps {
       .select(col("doc_id"), col("simhash"))
       .orderBy("doc_id")
 
-  /** SimHash near-dup pairs: 16-bit chunk bucketing + Hamming verify. */
+  /** SimHash near-dup pairs: 8-bit chunk bucketing + Hamming verify.
+    * maxHamming stays at 7 — the pigeonhole recall guarantee of the
+    * 8-chunk bucketing (see Dedup.simhashNearDups). */
   def q48SimhashNearDup(s: SparkSession, dir: String): DataFrame = {
     val sigs = Dedup.simhash64(Tables.documents(s, dir), "doc_id", "text")
-    Dedup.simhashNearDups(sigs, "doc_id", maxHamming = 8)
+    Dedup.simhashNearDups(sigs, "doc_id", maxHamming = 7)
       .select("id_a", "id_b", "hamming")
       .orderBy("id_a", "id_b")
   }

@@ -224,7 +224,10 @@ object Temporal {
         |  date_diff('day', CAST(o_orderdate AS DATE), DATE '2024-06-15') AS days_to_ref,
         |  CAST(floor(date_diff('day', CAST(o_orderdate AS DATE), DATE '2024-06-15') / 7)
         |    AS BIGINT) AS weeks_to_ref,
-        |  CAST(2024 - year(o_orderdate) AS BIGINT) AS years_to_ref,
+        |  CAST(2024 - year(o_orderdate)
+        |    - CASE WHEN 6 < month(o_orderdate)
+        |            OR (6 = month(o_orderdate) AND 15 < dayofmonth(o_orderdate))
+        |           THEN 1 ELSE 0 END AS BIGINT) AS years_to_ref,
         |  strftime(o_orderdate, '%Y%m%d') AS fmt_ymd,
         |  strftime(o_orderdate, '%Y-%m') AS fmt_ym,
         |  strftime(o_orderdate, '%b') AS fmt_mon

@@ -116,11 +116,20 @@ object FraudDetection {
     val velocity = Window.partitionBy("customer_id")
       .orderBy(col("ts").cast("long"))
       .rangeBetween(-VelocityWindowSec, 0)
+    // RANGE frames include ALL rows tied on the frame timestamp, but
+    // the stream counts only events already processed in (ts,
+    // event_id) order — subtract same-ts events that sort AFTER this
+    // one so batch ≡ stream even when timestamps collide
+    val tieWin = Window.partitionBy(col("customer_id"), col("ts").cast("long"))
+    val tieOrd = Window.partitionBy(col("customer_id"), col("ts").cast("long"))
+      .orderBy(col("ts"), col("event_id")) // stream processing order within the tied second
     val enriched = calls
       .withColumn("prev_ts", lag(col("ts"), 1).over(byCust))
       .withColumn("prev_lat", lag(col("lat"), 1).over(byCust))
       .withColumn("prev_lon", lag(col("lon"), 1).over(byCust))
-      .withColumn("calls_30min", count(lit(1)).over(velocity))
+      .withColumn("calls_30min",
+        count(lit(1)).over(velocity) -
+          (count(lit(1)).over(tieWin) - row_number().over(tieOrd)))
       .withColumn("dt_sec", col("ts").cast("long") - col("prev_ts").cast("long"))
       .withColumn("dist_km", graft.functions.Funcs.haversineKm(
         col("prev_lat"), col("prev_lon"), col("lat"), col("lon")))

@@ -86,16 +86,26 @@ object Checks {
   def volumeZscore(daily: DataFrame, table: String, dateCol: String,
                    cntCol: String, zLimit: Double = 3.0,
                    severity: String = "warn"): CheckResult = {
-    val latest = daily.orderBy(col(dateCol).desc).select(col(cntCol)).head()
-      .getLong(0)
+    val latestRows = daily.orderBy(col(dateCol).desc).select(col(cntCol)).limit(1)
+      .collect()
+    if (latestRows.isEmpty) // no history at all → neutral pass
+      return CheckResult("volume_zscore", table, passed = true, 0, zLimit, severity)
+    val latest = latestRows.head.getLong(0)
     val hist = daily.filter(col(dateCol) < daily.agg(max(col(dateCol))).head().getDate(0))
-    val r = hist.agg(count(lit(1)), sum(col(cntCol)),
-      sum(col(cntCol) * col(cntCol))).head()
-    val (n, sx, sx2) = (r.getLong(0), r.getLong(1), r.getLong(2))
-    if (n < 2) CheckResult(s"volume_zscore", table, passed = true, 0, zLimit, severity)
+    // Σx and Σx² accumulate as DECIMAL(38,0): day counts at the 1e9
+    // scale this monitor advertises would silently wrap a Long Σx²
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val r = hist.agg(count(lit(1)),
+      sum(col(cntCol).cast(dec)),
+      sum(col(cntCol).cast(dec) * col(cntCol).cast(dec))).head()
+    if (r.getLong(0) < 2 || r.isNullAt(1))
+      CheckResult("volume_zscore", table, passed = true, 0, zLimit, severity)
     else {
-      val mean = sx.toDouble / n
-      val variance = (n * sx2 - sx.toDouble * sx) / (n.toDouble * (n - 1))
+      val n = BigDecimal(r.getLong(0))
+      val sx = BigDecimal(r.getDecimal(1))
+      val sx2 = BigDecimal(r.getDecimal(2))
+      val mean = (sx / n).toDouble
+      val variance = ((n * sx2 - sx * sx) / (n * (n - 1))).toDouble
       val z = if (variance <= 0) 0.0 else (latest - mean) / math.sqrt(variance)
       CheckResult("volume_zscore", table, math.abs(z) <= zLimit, z, zLimit, severity)
     }

@@ -55,7 +55,7 @@ object Gold {
       surrogateKey(col("customer_id")).as("customer_key"),
       col("customer_id"),
       maskName(col("full_name")).as("masked_name"),
-      maskEmail(col("email")).as("masked_email"),
+      maskEmailStrict(col("email")).as("masked_email"),
       concat(substring(col("msisdn"), 1, 5), lit("****")).as("masked_msisdn"),
       col("plan_code"), col("plan_family"), col("plan_monthly_fee"),
       col("activation_date"), col("is_active"),

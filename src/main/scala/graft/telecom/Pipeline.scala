@@ -64,6 +64,12 @@ object Pipeline {
   def mergeParquet(spark: SparkSession, increment: DataFrame, path: String,
                    keyCols: Seq[String], versionCol: String): Unit = {
     val target = Paths.get(path)
+    // crash recovery: a previous run that died between its two moves
+    // leaves the old snapshot in _bak and no target — restore it
+    // before merging, so no committed history is ever lost
+    val bakPath = Paths.get(path + "_bak")
+    if (!Files.exists(target) && Files.exists(bakPath))
+      Files.move(bakPath, target, StandardCopyOption.REPLACE_EXISTING)
     val merged =
       if (Files.exists(target)) {
         val existing = spark.read.parquet(path)

@@ -32,6 +32,23 @@ class FuncsSpec extends SparkSpec {
     assert(out == "jo***@example.com")
   }
 
+  test("maskEmailStrict masks even 1-2 char local parts (no PII pass-through)") {
+    val out = Seq("johannes@example.com", "ab@x.com", "a@x.com").toDF("e")
+      .select(Funcs.maskEmailStrict(col("e"))).as[String].collect()
+    assert(out.toSeq === Seq("jo***@example.com", "ab***@x.com", "a***@x.com"))
+    // reference-parity variant leaves the short ones unmasked (documented flaw)
+    val ref = Seq("ab@x.com").toDF("e")
+      .select(Funcs.maskEmail(col("e"))).as[String].collect().head
+    assert(ref == "ab@x.com")
+  }
+
+  test("dateDiffUnit year counts elapsed full years, not calendar-year difference") {
+    val df = Seq(("2023-12-31", "2024-01-01"), ("2023-01-01", "2024-01-01"),
+      ("2023-06-15", "2024-06-14")).toDF("a", "b")
+      .select(Funcs.dateDiffUnit("year", col("a").cast("date"), col("b").cast("date")))
+    assert(df.as[Long].collect().toSeq === Seq(0L, 1L, 0L))
+  }
+
   test("dsum is exact and order-independent for money values") {
     val vals = (1 to 10000).map(i => (i % 7) + 0.01 * (i % 100))
     val total = BigDecimal(vals.map(BigDecimal(_).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble)

@@ -25,6 +25,18 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(5L).isEmpty)       // no right rows for k3
   }
 
+  test("asofJoin carries values row-atomically: null in the latest right row stays null") {
+    val left = Seq((1L, "k", 30L)).toDF("id", "key", "t")
+    val right = Seq(
+      ("k", 10L, Option("v1a"), Option("v2a")),
+      ("k", 20L, Option.empty[String], Option("v2b")) // latest row: v1 is NULL
+    ).toDF("key", "t", "v1", "v2")
+    val out = AsofJoin.asofJoin(left, right, "key", "t", Seq("v1", "v2"))
+      .select("asof_v1", "asof_v2")
+      .as[(Option[String], Option[String])].collect().head
+    assert(out === ((None, Some("v2b")))) // NOT (v1a, v2b) from mixed rows
+  }
+
   test("asofJoin keeps every left row exactly once") {
     val left = Seq((1L, "k", 1L), (2L, "k", 2L), (3L, "k", 3L)).toDF("id", "key", "t")
     val right = Seq(("k", 1L, "x"), ("k", 2L, "y")).toDF("key", "t", "v")

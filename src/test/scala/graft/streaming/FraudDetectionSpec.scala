@@ -26,7 +26,12 @@ class FraudDetectionSpec extends SparkSpec {
     ping("C3", "n1", 0, 40.7, -74.0),
     ping("C3", "n2", 3600, 40.8, -74.1))
 
-  private val allPings = (travelCase ++ burstCase ++ normalCase)
+  // 27 calls in the SAME second: RANGE-frame ties are where naive
+  // batch formulations diverge from per-event stream counting
+  private val tieCase = (0 until 27).map(i =>
+    ping("C5", f"t$i%02d", 3000, 20.0, 20.0))
+
+  private val allPings = (travelCase ++ burstCase ++ normalCase ++ tieCase)
 
   private def runStream(pings: Seq[CallPing]): Seq[(String, String, String)] = {
     implicit val sqlCtx = spark.sqlContext
@@ -46,7 +51,8 @@ class FraudDetectionSpec extends SparkSpec {
   test("stream: impossible travel fires HIGH, velocity fires past threshold, normal silent") {
     val alerts = runStream(allPings)
     assert(alerts.contains(("IMPOSSIBLE_TRAVEL", "C1", "HIGH")))
-    assert(alerts.count(_._1 == "VELOCITY") === 5) // calls 26..30 of the burst (>25)
+    assert(alerts.count(a => a._1 == "VELOCITY" && a._2 == "C2") === 5) // calls 26..30 (>25)
+    assert(alerts.count(a => a._1 == "VELOCITY" && a._2 == "C5") === 2) // tied-ts calls 26,27
     assert(alerts.forall(_._2 != "C3"))
   }
 
