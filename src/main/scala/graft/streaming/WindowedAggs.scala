@@ -34,4 +34,23 @@ object WindowedAggs {
         col("window.end").as("window_end"),
         col("tower_id"), col("avg_load_pct"), col("max_load_pct"),
         col("critical_count"), col("probe_count"))
+
+  /** Event-time SESSION windows per user: dynamic-gap sessionization
+    * as a native streaming aggregate (`session_window`) — the
+    * streaming twin of the batch lag+cumsum formulation (q34).
+    * Sessions merge as late events arrive and finalize once the
+    * watermark passes gap after the last event. */
+  def userSessions(events: DataFrame,
+                   gap: String = "30 minutes",
+                   watermarkDelay: String = "10 seconds"): DataFrame =
+    events
+      .withWatermark("event_ts", watermarkDelay)
+      .groupBy(session_window(col("event_ts"), gap), col("user_id"))
+      .agg(
+        count(lit(1)).as("event_count"),
+        sum(col("value")).as("session_value"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("event_count"), col("session_value"))
 }

@@ -97,4 +97,31 @@ class StreamingIngestSpec extends SparkSpec {
       assert(ids.toSeq === Seq("e1", "e2")) // replays within watermark collapsed
     } finally q.stop()
   }
+
+  test("session_window streaming sessionization: gap splits, finalized by watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val events = mem.toDF().toDF("event_ts", "user_id", "value")
+    val q = WindowedAggs.userSessions(events, gap = "10 minutes", watermarkDelay = "5 seconds")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    val t0 = 1704067200000L
+    def ts(sec: Long) = new Timestamp(t0 + sec * 1000)
+    try {
+      // session 1: three events within 10-min gaps; session 2: 30 min later
+      mem.addData((ts(0), 7L, 1.0), (ts(300), 7L, 2.0), (ts(600), 7L, 3.0))
+      q.processAllAvailable()
+      mem.addData((ts(2400), 7L, 4.0))
+      q.processAllAvailable()
+      // the ts(2400) batch advanced the watermark past session 1's
+      // close (600s + 10min gap) → exactly that session finalized
+      assert(spark.table("sessions").count() === 1)
+      mem.addData((ts(7200), 7L, 5.0)) // watermark sails past both sessions
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .select("user_id", "event_count", "session_value")
+        .as[(Long, Long, Double)].collect().sortBy(_._3)
+      assert(rows.toSeq === Seq((7L, 3L, 6.0), (7L, 1L, 4.0)).sortBy(_._3))
+    } finally q.stop()
+  }
 }
