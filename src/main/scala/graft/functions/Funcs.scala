@@ -110,13 +110,17 @@ object Funcs {
     case "week"   => floor(datediff(b, a) / 7).cast("bigint")
     case "month"  => floor(months_between(b, a)).cast("bigint")
     case "year"   =>
-      // elapsed FULL years (Trino-like): calendar-year difference
-      // minus one if b's anniversary hasn't been reached — NOT the
-      // naive year(b)-year(a), which is off by one near boundaries
-      (year(b) - year(a) -
+      // elapsed FULL years (Trino-like, truncated toward zero): the
+      // calendar-year difference minus one if the anniversary in the
+      // travel direction hasn't been reached — NOT the naive
+      // year(b)-year(a), which is off by one near boundaries
+      val fwd = year(b) - year(a) -
         when(month(b) < month(a) ||
-          (month(b) === month(a) && dayofmonth(b) < dayofmonth(a)), 1)
-          .otherwise(0)).cast("bigint")
+          (month(b) === month(a) && dayofmonth(b) < dayofmonth(a)), 1).otherwise(0)
+      val bwd = -(year(a) - year(b) -
+        when(month(a) < month(b) ||
+          (month(a) === month(b) && dayofmonth(a) < dayofmonth(b)), 1).otherwise(0))
+      when(b >= a, fwd).otherwise(bwd).cast("bigint")
     case u => throw new IllegalArgumentException(s"unsupported unit $u")
   }
 

@@ -12,8 +12,12 @@ object Skew {
 
   /** Two-phase salted aggregation: partial sums/counts on
     * (key, salt) — spreading a hot key over `salts` reducers — then
-    * final combine on the key. The salt is derived from row content
-    * (deterministic, partition-independent), not from randomness.
+    * final combine on the key. The salt mixes row content with the
+    * input partition id — so identical duplicate rows still spread —
+    * which makes salt ASSIGNMENT partition-layout dependent; the
+    * aggregated RESULT is identical regardless (the final combine
+    * collapses all salts), so only the result is part of the
+    * contract.
     *
     * Equivalent to groupBy(key).agg(sum, count) for any input; worth
     * the second (tiny) shuffle only when one key dominates.

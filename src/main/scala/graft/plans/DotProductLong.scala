@@ -22,10 +22,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * [[RewriteDotProduct]] optimizer rule may substitute it anywhere:
   * null input array → null; arrays of different lengths → null (the
   * HOF zips the shorter with nulls, poisoning the sum); any null
-  * element → null. Overflow is the caller's contract (quantized
-  * embeddings are bounded: 64 dims × (10^3·scale)² << 2^63).
+  * element → null; and with failOnOverflow=true (set by the rule
+  * when it replaces ANSI-mode arithmetic) overflow raises instead of
+  * wrapping, matching ANSI Multiply/Add.
   */
-case class DotProductLong(left: Expression, right: Expression)
+case class DotProductLong(left: Expression, right: Expression,
+                          failOnOverflow: Boolean = false)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
@@ -52,7 +54,9 @@ case class DotProductLong(left: Expression, right: Expression)
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      s += x.getLong(i) * y.getLong(i)
+      if (failOnOverflow)
+        s = java.lang.Math.addExact(s, java.lang.Math.multiplyExact(x.getLong(i), y.getLong(i)))
+      else s += x.getLong(i) * y.getLong(i)
       i += 1
     }
     s
@@ -63,6 +67,10 @@ case class DotProductLong(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      val acc =
+        if (failOnOverflow)
+          s"$s = java.lang.Math.addExact($s, java.lang.Math.multiplyExact($a.getLong($i), $b.getLong($i)));"
+        else s"$s += $a.getLong($i) * $b.getLong($i);"
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
@@ -71,7 +79,7 @@ case class DotProductLong(left: Expression, right: Expression)
          |  long $s = 0L;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    $s += $a.getLong($i) * $b.getLong($i);
+         |    $acc
          |  }
          |  if (!${ev.isNull}) ${ev.value} = $s;
          |}
@@ -81,4 +89,6 @@ case class DotProductLong(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProductLong =
     copy(left = newLeft, right = newRight)
+
+  override def flatArguments: Iterator[Any] = Iterator(left, right)
 }

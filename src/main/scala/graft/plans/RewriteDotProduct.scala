@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.EvalMode
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, LongType}
@@ -63,6 +64,11 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
     case ArrayAggregate(ZipWith(a, b, zipF), zero, mergeF, finishF)
         if isLongArray(a) && isLongArray(b) && isZeroLong(zero) &&
           isPairwiseMultiply(zipF) && isSumMerge(mergeF) && isIdentityFinish(finishF) =>
-      DotProductLong(a, b)
+      // preserve overflow semantics: ANSI Multiply/Add raise on Long
+      // overflow, so the native kernel must too when replacing them
+      val ansi = (zipF.collectFirst { case m: Multiply => m.evalMode } ++
+        mergeF.collectFirst { case ad: Add => ad.evalMode })
+        .exists(_ == EvalMode.ANSI)
+      DotProductLong(a, b, failOnOverflow = ansi)
   }
 }

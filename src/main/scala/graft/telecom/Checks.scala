@@ -88,7 +88,7 @@ object Checks {
                    severity: String = "warn"): CheckResult = {
     val latestRows = daily.orderBy(col(dateCol).desc).select(col(cntCol)).limit(1)
       .collect()
-    if (latestRows.isEmpty) // no history at all → neutral pass
+    if (latestRows.isEmpty || latestRows.head.isNullAt(0)) // no/null latest → neutral pass
       return CheckResult("volume_zscore", table, passed = true, 0, zLimit, severity)
     val latest = latestRows.head.getLong(0)
     val hist = daily.filter(col(dateCol) < daily.agg(max(col(dateCol))).head().getDate(0))

@@ -86,6 +86,10 @@ object Pipeline {
     val tmp = path + "_tmp_merge"
     merged.write.mode(SaveMode.Overwrite).parquet(tmp)
     val bak = Paths.get(path + "_bak")
+    // a STALE non-empty _bak (crash after target landed but before its
+    // cleanup) would make Files.move throw DirectoryNotEmptyException
+    // and wedge every future merge — clear it before swapping
+    org.apache.commons.io.FileUtils.deleteQuietly(bak.toFile)
     if (Files.exists(target)) Files.move(target, bak, StandardCopyOption.REPLACE_EXISTING)
     Files.move(Paths.get(tmp), target, StandardCopyOption.REPLACE_EXISTING)
     org.apache.commons.io.FileUtils.deleteQuietly(bak.toFile)
@@ -127,6 +131,17 @@ object Pipeline {
   def runAll(spark: SparkSession, outDir: String,
              callEvents: Int = 2000): (Seq[TableRun], String) = {
     val tables = scala.collection.mutable.Map[String, DataFrame]()
+    // the builder names are validated against the lineage map BEFORE
+    // any table is written, so the two encodings cannot drift into a
+    // mid-DAG MatchError after partial output
+    val builderNames = Set(
+      "bronze_call_events", "bronze_network_probes", "bronze_crm_customers",
+      "silver_calls", "silver_network_probes", "silver_customers",
+      "dim_customers", "dim_towers", "dim_date", "fact_calls",
+      "agg_tower_hourly_utilization", "agg_customer_monthly_summary")
+    require(builderNames == lineage.keySet,
+      s"runAll builders out of sync with lineage: " +
+        s"missing=${lineage.keySet -- builderNames} extra=${builderNames -- lineage.keySet}")
     def build(name: String): DataFrame = name match {
       case "bronze_call_events" => Generators.callEvents(spark, callEvents).toDF()
       case "bronze_network_probes" => Generators.probeEvents(spark, hours = 24).toDF()

@@ -47,6 +47,11 @@ class FuncsSpec extends SparkSpec {
       ("2023-06-15", "2024-06-14")).toDF("a", "b")
       .select(Funcs.dateDiffUnit("year", col("a").cast("date"), col("b").cast("date")))
     assert(df.as[Long].collect().toSeq === Seq(0L, 1L, 0L))
+    // negative direction truncates toward zero (Trino parity)
+    val neg = Seq(("2024-06-15", "2023-06-14"), ("2024-06-15", "2024-01-01"))
+      .toDF("a", "b")
+      .select(Funcs.dateDiffUnit("year", col("a").cast("date"), col("b").cast("date")))
+    assert(neg.as[Long].collect().toSeq === Seq(-1L, 0L))
   }
 
   test("dsum is exact and order-independent for money values") {

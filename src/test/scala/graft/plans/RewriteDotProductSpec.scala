@@ -45,6 +45,18 @@ class RewriteDotProductSpec extends SparkSpec {
       native(3L).isEmpty && native(4L).isEmpty)
   }
 
+  test("rewritten ANSI arithmetic still raises on Long overflow") {
+    val big = Seq((Seq(Long.MaxValue / 2), Seq(3L))).toDF("a", "b")
+      .select(Similarity.dotQ(col("a"), col("b")).as("d"))
+    // under ANSI mode (session default) the rule sets failOnOverflow,
+    // so the native loop must raise like Multiply would have
+    val e = intercept[Exception] { big.collect() }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq() else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.isInstanceOf[ArithmeticException] ||
+      Option(c.getMessage).exists(_.toLowerCase.contains("overflow"))))
+  }
+
   test("rewrite does not fire for non-long arrays or different folds") {
     val d = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
     val doublePlan = d.select(
