@@ -23,6 +23,7 @@ object SparkEntry {
     q.MultimodalOps.queries,
     q.Extended.queries,
     q.CurationOps.queries,
+    q.Breadth.queries,
   )
   private def oracleModules: Seq[Map[String, String]] = Seq(
     q.Relational.oracles,
@@ -36,6 +37,7 @@ object SparkEntry {
     q.MultimodalOps.oracles,
     q.Extended.oracles,
     q.CurationOps.oracles,
+    q.Breadth.oracles,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,187 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Funcs._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Breadth completion beyond the reference's own function usage:
+  * navigation windows (RANK/LEAD/FIRST_VALUE/NTILE), the string
+  * kitchen, array-column operators, correlated-comparison via window
+  * (the scalable rewrite of a correlated scalar subquery), and null
+  * semantics. All oracle-checked.
+  */
+object Breadth {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Navigation window functions over each customer's order history:
+    * rank, dense_rank, ntile quartile, lead, first/last value. */
+  def q66WindowNav(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("customer_id")
+      .orderBy(col("order_date"), col("order_id"))
+    val wFrame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, dir)
+      .select(
+        col("o_orderkey").as("order_id"),
+        col("o_custkey").as("customer_id"),
+        col("o_orderdate").cast("date").as("order_date"),
+        col("o_totalprice"))
+      .withColumn("order_rank", rank().over(w))
+      .withColumn("order_dense_rank", dense_rank().over(w))
+      .withColumn("spend_quartile",
+        ntile(4).over(Window.partitionBy("customer_id").orderBy(col("o_totalprice"), col("order_id"))))
+      .withColumn("next_order_date",
+        date_format(lead(col("order_date"), 1).over(w), "yyyy-MM-dd"))
+      .withColumn("first_order_date", first(col("order_date")).over(wFrame))
+      .withColumn("last_order_date", last(col("order_date")).over(wFrame))
+      .orderBy("order_id")
+  }
+
+  /** String kitchen: pad/trim/reverse/translate/repeat/case/position. */
+  def q67StringKitchen(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(
+        col("p_partkey").as("part_id"),
+        lpad(col("p_brand"), 12, "_").as("brand_padded"),
+        rpad(col("p_type"), 10, ".").as("type_padded"),
+        reverse(col("p_name")).as("name_reversed"),
+        translate(col("p_name"), "aeiou", "AEIOU").as("name_vowels_upper"),
+        repeat(col("p_brand"), 2).as("brand_doubled"),
+        upper(col("p_name")).as("name_upper"),
+        instr(col("p_name"), " ").cast("int").as("space_pos"),
+        substring_index(col("p_type"), "E", 1).as("type_before_e"),
+        ltrim(rtrim(concat(lit("  "), col("p_brand"), lit("  ")))).as("trimmed"))
+      .orderBy("part_id")
+
+  /** Array-column operators on token arrays: sort, distinct, slice,
+    * contains, position, union/except semantics via set fns. */
+  def q68ArrayOps(s: SparkSession, dir: String): DataFrame = {
+    val toks = graft.operators.TextAnalysis.tokens(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("t"))
+      .select(
+        col("doc_id"),
+        size(col("t")).as("n_tokens"),
+        sort_array(array_distinct(col("t"))).as("vocab_sorted"),
+        slice(col("t"), 1, 3).as("first_three"),
+        array_contains(col("t"), "spark").as("has_spark"),
+        array_position(col("t"), "the").cast("bigint").as("first_the_pos"),
+        element_at(col("t"), -1).as("last_token"),
+        size(array_remove(col("t"), "the")).as("tokens_without_the"))
+      .orderBy("doc_id")
+  }
+
+  /** Correlated-comparison: customers above their market segment's
+    * average balance. Written as the scalable window rewrite (one
+    * shuffle on segment) — exactly what Catalyst would decorrelate a
+    * scalar subquery into; the oracle keeps the correlated form. */
+  def q69AboveSegmentAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+    Tables.customer(s, dir)
+      .withColumn("segment_avg",
+        (sum(col("c_acctbal").cast("decimal(18,2)")).over(w).cast("double") /
+          count(lit(1)).over(w)).cast("double"))
+      .filter(col("c_acctbal") > col("segment_avg"))
+      .select(
+        col("c_custkey").as("customer_id"),
+        col("c_mktsegment").as("segment"),
+        col("c_acctbal").as("balance"),
+        round(col("segment_avg"), 6).as("segment_avg"))
+      .orderBy("customer_id")
+  }
+
+  /** Null semantics: null-safe equality (<=>), NULLIF/NVL/COALESCE
+    * chains, null-aware counts. */
+  def q72NullSemantics(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey").as("order_id"),
+        nullif(col("o_orderstatus"), lit("P")).as("status_n"),
+        nullif(col("o_orderpriority"), lit("5-LOW")).as("prio_n"))
+      .select(
+        col("order_id"),
+        col("status_n").eqNullSafe(col("prio_n")).as("both_null_or_equal"),
+        coalesce(col("status_n"), col("prio_n"), lit("ALL_NULL")).as("first_non_null"),
+        col("status_n").isNull.as("status_is_null"),
+        when(col("status_n").isNotNull && col("prio_n").isNotNull, "both")
+          .when(col("status_n").isNotNull || col("prio_n").isNotNull, "one")
+          .otherwise("neither").as("presence"))
+      .orderBy("order_id")
+
+  val queries: Map[String, Q] = Map(
+    "q66_window_nav" -> q66WindowNav _,
+    "q67_string_kitchen" -> q67StringKitchen _,
+    "q68_array_ops" -> q68ArrayOps _,
+    "q69_above_segment_avg" -> q69AboveSegmentAvg _,
+    "q72_null_semantics" -> q72NullSemantics _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q66_window_nav" ->
+      """SELECT o_orderkey AS order_id, o_custkey AS customer_id,
+        |  CAST(o_orderdate AS DATE) AS order_date, o_totalprice,
+        |  CAST(RANK() OVER w AS INTEGER) AS order_rank,
+        |  CAST(DENSE_RANK() OVER w AS INTEGER) AS order_dense_rank,
+        |  CAST(NTILE(4) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS spend_quartile,
+        |  strftime(LEAD(CAST(o_orderdate AS DATE), 1) OVER w, '%Y-%m-%d') AS next_order_date,
+        |  FIRST_VALUE(CAST(o_orderdate AS DATE)) OVER wf AS first_order_date,
+        |  LAST_VALUE(CAST(o_orderdate AS DATE)) OVER wf AS last_order_date
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY order_id""".stripMargin,
+    "q67_string_kitchen" ->
+      """SELECT p_partkey AS part_id,
+        |  lpad(p_brand, 12, '_') AS brand_padded,
+        |  rpad(p_type, 10, '.') AS type_padded,
+        |  reverse(p_name) AS name_reversed,
+        |  translate(p_name, 'aeiou', 'AEIOU') AS name_vowels_upper,
+        |  repeat(p_brand, 2) AS brand_doubled,
+        |  upper(p_name) AS name_upper,
+        |  CAST(strpos(p_name, ' ') AS INTEGER) AS space_pos,
+        |  split_part(p_type, 'E', 1) AS type_before_e,
+        |  ltrim(rtrim('  ' || p_brand || '  ')) AS trimmed
+        |FROM part ORDER BY part_id""".stripMargin,
+    "q68_array_ops" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), ' +') AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(t) AS INTEGER) AS n_tokens,
+        |  list_sort(list_distinct(t)) AS vocab_sorted,
+        |  t[1:3] AS first_three,
+        |  list_contains(t, 'spark') AS has_spark,
+        |  CAST(COALESCE(list_position(t, 'the'), 0) AS BIGINT) AS first_the_pos,
+        |  t[-1] AS last_token,
+        |  CAST(len(list_filter(t, x -> x != 'the')) AS INTEGER) AS tokens_without_the
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q69_above_segment_avg" ->
+      """SELECT c_custkey AS customer_id, c_mktsegment AS segment,
+        |  c_acctbal AS balance,
+        |  round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+        |      OVER (PARTITION BY c_mktsegment) AS DOUBLE)
+        |    / COUNT(*) OVER (PARTITION BY c_mktsegment), 6) AS segment_avg
+        |FROM customer
+        |QUALIFY c_acctbal > CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY c_mktsegment) AS DOUBLE)
+        |  / COUNT(*) OVER (PARTITION BY c_mktsegment)
+        |ORDER BY customer_id""".stripMargin,
+    "q72_null_semantics" ->
+      """WITH n AS (
+        |  SELECT o_orderkey AS order_id,
+        |    NULLIF(o_orderstatus, 'P') AS status_n,
+        |    NULLIF(o_orderpriority, '5-LOW') AS prio_n
+        |  FROM orders)
+        |SELECT order_id,
+        |  status_n IS NOT DISTINCT FROM prio_n AS both_null_or_equal,
+        |  COALESCE(status_n, prio_n, 'ALL_NULL') AS first_non_null,
+        |  status_n IS NULL AS status_is_null,
+        |  CASE WHEN status_n IS NOT NULL AND prio_n IS NOT NULL THEN 'both'
+        |       WHEN status_n IS NOT NULL OR prio_n IS NOT NULL THEN 'one'
+        |       ELSE 'neither' END AS presence
+        |FROM n ORDER BY order_id""".stripMargin,
+  )
+}
