@@ -16,5 +16,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProductLong].getName, "graft_dot_long"),
       (children: Seq[Expression]) => DotProductLong(children.head, children(1))))
     ext.injectOptimizerRule(_ => RewriteDotProduct)
+    ext.injectPlannerStrategy(_ => SessionizeStrategy)
   }
 }
