@@ -212,7 +212,20 @@ object Extended {
       .orderBy("event_id")
   }
 
+  /** The CUSTOM Sessionize operator (LogicalPlan + Strategy +
+    * SparkPlan, graft.plans.Sessionize) under the oracle gate: per-
+    * event session assignment must match the declarative window
+    * formulation the oracle computes. */
+  def q73SessionizeNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.plans.SessionizeOp.sessionize(ev, "user_id", "ts", gapSeconds = 1800)
+      .select(col("event_id"), col("user_id"), col("session_seq"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q73_sessionize_native" -> q73SessionizeNative _,
     "q57_scd2_build" -> q57Scd2Build _,
     "q58_scd2_lookup" -> q58Scd2Lookup _,
     "q34_sessionize" -> q34Sessionize _,
@@ -236,6 +249,18 @@ object Extended {
       |      * 5.0, 1.0) * 0.3) AS DOUBLE)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q73_sessionize_native" ->
+      """WITH g AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w IS NULL
+        |         OR epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+        |SELECT event_id, user_id,
+        |  CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |FROM g ORDER BY event_id""".stripMargin,
     "q57_scd2_build" ->
       """WITH hist AS (
         |  SELECT user_id, epoch_us(ts) AS version_ts_us,
