@@ -69,21 +69,30 @@ case class SessionizeExec(child: SparkPlan, key: Attribute, ts: Attribute,
       val sessRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
       var curKey: Any = null
       var haveKey = false
-      var lastTs = Long.MinValue
+      var lastTs = 0L
+      var lastTsNull = true
       var seq = 0L
       it.map { row =>
-        // values read from UnsafeRow buffers are reused — copy what we
-        // retain across rows
-        val k = row.get(keyIdx, keyType) match {
-          case s: UTF8String => s.clone()
-          case other => other
+        val kView = row.get(keyIdx, keyType)
+        val sameKey = haveKey && ((curKey == null && kView == null) ||
+          (curKey != null && curKey.equals(kView)))
+        if (!sameKey) {
+          // values read from UnsafeRow buffers are reused as the
+          // iterator advances — copy ONLY on key change (atomic types
+          // enforced at the API; UTF8String is the one buffer-backed
+          // atomic)
+          curKey = kView match {
+            case s: UTF8String => s.clone()
+            case other => other
+          }
         }
-        val t = if (row.isNullAt(tsIdx)) Long.MinValue else row.getLong(tsIdx)
-        val sameKey = haveKey && ((curKey == null && k == null) ||
-          (curKey != null && curKey.equals(k)))
-        if (!sameKey) { seq = 1L }
-        else if (t - lastTs > gapMicros) { seq += 1L }
-        curKey = k; haveKey = true; lastTs = t
+        val tNull = row.isNullAt(tsIdx)
+        val t = if (tNull) 0L else row.getLong(tsIdx)
+        // window-formulation parity: a null gap (either endpoint null)
+        // starts a new session, exactly like `gap IS NULL OR gap > g`
+        if (!sameKey) seq = 1L
+        else if (tNull || lastTsNull || t - lastTs > gapMicros) seq += 1L
+        haveKey = true; lastTs = t; lastTsNull = tNull
         sessRow.update(0, seq)
         proj(joined(row, sessRow))
       }
@@ -113,7 +122,21 @@ object SessionizeOp {
       .find(_.name == n)
       .getOrElse(throw new IllegalArgumentException(
         s"column $n not found in ${analyzed.output.map(_.name)}"))
-    GraftSqlBridge.ofRows(df.sparkSession,
-      Sessionize(analyzed, attr(keyCol), attr(tsCol), gapSeconds * 1000000L))
+    val k = attr(keyCol)
+    // nested key types would hand back reused UnsafeRow buffer views
+    // in the exec's cross-row comparison — refuse them up front
+    require(!k.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] &&
+      !k.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+      !k.dataType.isInstanceOf[org.apache.spark.sql.types.MapType],
+      s"sessionize key must be an atomic type, got ${k.dataType.sql}")
+    // keep working on sessions built WITHOUT the graft extensions
+    // (e.g. the driver's bare session): extraStrategies is the public
+    // per-session registration point
+    val ss = df.sparkSession
+    if (!ss.experimental.extraStrategies.contains(SessionizeStrategy))
+      ss.experimental.extraStrategies =
+        ss.experimental.extraStrategies :+ SessionizeStrategy
+    GraftSqlBridge.ofRows(ss,
+      Sessionize(analyzed, k, attr(tsCol), gapSeconds * 1000000L))
   }
 }

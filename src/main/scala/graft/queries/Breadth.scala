@@ -1,7 +1,6 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.Funcs._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._

@@ -10,6 +10,7 @@ class PartitionPruningSpec extends SparkSpec {
 
   test("bronze landing layout prunes partitions for date filters") {
     val tmp = java.nio.file.Files.createTempDirectory("prune").toString
+    try {
     import spark.implicits._
     Bronze.writeLanding(
       Generators.callEvents(spark, n = 500).toDF()
@@ -25,6 +26,7 @@ class PartitionPruningSpec extends SparkSpec {
     val all = spark.read.parquet(s"$tmp/landing")
     assert(filtered.count() ===
       all.filter(col("evt_ts").cast("date") === "2024-01-01").count())
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
   }
 
   test("SQL serving surface (S13): registered views answer spark.sql queries") {
