@@ -55,7 +55,10 @@ object Breadth {
       .orderBy("part_id")
 
   /** Array-column operators on token arrays: sort, distinct, slice,
-    * contains, position, union/except semantics via set fns. */
+    * contains, position, union/except semantics via set fns. Array
+    * results are emitted as joined strings — the driver's pandas
+    * canonicalizer can't sort raw array cells, and a deterministic
+    * string carries the same information for the compare. */
   def q68ArrayOps(s: SparkSession, dir: String): DataFrame = {
     val toks = graft.operators.TextAnalysis.tokens(col("text"))
     Tables.documents(s, dir)
@@ -63,8 +66,8 @@ object Breadth {
       .select(
         col("doc_id"),
         size(col("t")).as("n_tokens"),
-        sort_array(array_distinct(col("t"))).as("vocab_sorted"),
-        slice(col("t"), 1, 3).as("first_three"),
+        array_join(sort_array(array_distinct(col("t"))), " ").as("vocab_sorted"),
+        array_join(slice(col("t"), 1, 3), " ").as("first_three"),
         array_contains(col("t"), "spark").as("has_spark"),
         array_position(col("t"), "the").cast("bigint").as("first_the_pos"),
         element_at(col("t"), -1).as("last_token"),
@@ -150,8 +153,8 @@ object Breadth {
         |  FROM documents)
         |SELECT doc_id,
         |  CAST(len(t) AS INTEGER) AS n_tokens,
-        |  list_sort(list_distinct(t)) AS vocab_sorted,
-        |  t[1:3] AS first_three,
+        |  array_to_string(list_sort(list_distinct(t)), ' ') AS vocab_sorted,
+        |  array_to_string(t[1:3], ' ') AS first_three,
         |  list_contains(t, 'spark') AS has_spark,
         |  CAST(COALESCE(list_position(t, 'the'), 0) AS BIGINT) AS first_the_pos,
         |  t[-1] AS last_token,

@@ -5,11 +5,11 @@ import graft.operators.{Dedup, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Near-duplicate detection queries over the documents table.
-  * MinHash/SimHash internals hash with xxhash64/murmur3, which no SQL
-  * oracle reproduces — those run as rows-only checks; their verify
-  * kernels (exact Jaccard, fingerprints) are oracle-checked via
-  * q44/q45 in TextOps.
+/** Near-duplicate detection queries over the documents table, each
+  * hash-exact against a DuckDB oracle: the FNV-1a/minhash/simhash
+  * kernels are replicated in portable SQL (HUGEINT mod-2^64
+  * arithmetic), so the full LSH pipelines — not just the verify
+  * kernels — sit under the driver's correctness gate.
   */
 object DedupOps {
 
@@ -51,8 +51,127 @@ object DedupOps {
     "q48_simhash_neardup" -> q48SimhashNearDup _,
   )
 
-  /** Hash-internal ops — no SQL-expressible oracle; driver records
-    * rows-only checks (their verify kernels are oracle-checked in
-    * TextOps q44/q45). */
-  val oracles: Map[String, String] = Map.empty
+  // ---- DuckDB oracle SQL for the hash-internal kernels ----
+  // The FNV-1a / rotate / minhash arithmetic is replicated exactly in
+  // DuckDB by working in the unsigned-64 domain as HUGEINT mod 2^64
+  // (DuckDB BIGINT/UBIGINT arithmetic raises on overflow; HUGEINT
+  // holds every intermediate: h < 2^64, prime ~ 2^40 → product < 2^104).
+  // Validated end-to-end against the Scala kernels at sf0.01
+  // (scripts/proto/q46_sql.py): 500/500 shingle sets, 500/500 simhash
+  // fingerprints, and both candidate-pair sets identical.
+
+  /** FNV-1a 64-bit over a token, as HUGEINT mod 2^64. Mirrors
+    * Dedup.hash64 (offset 0xcbf29ce484222325, prime 0x100000001b3). */
+  private def fnvSql(tok: String): String =
+    s"""list_reduce(
+       |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+       |      list_transform(string_split($tok, ''), c -> CAST(unicode(c) AS HUGEINT))),
+       |    (a, b) -> CAST(xor(CAST(a AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT)
+       |      * 1099511628211 % 18446744073709551616)""".stripMargin
+
+  /** rotl64 in the unsigned-HUGEINT domain: low bits shift up mod
+    * 2^64, high bits wrap down; the two parts are disjoint so + = |. */
+  private def rotlSql(x: String, k: Int): String =
+    s"(($x) * ${1L << k} % 18446744073709551616 + ($x) // ${1L << (64 - k)})"
+
+  /** Per-document token FNV hashes (th) — the shared first stage. */
+  private val tokHashCte =
+    s"""tok AS (
+       |  SELECT doc_id,
+       |    list_transform(regexp_split_to_array(lower(trim(text)), ' +'),
+       |      t -> ${fnvSql("t")}) AS th
+       |  FROM documents)""".stripMargin
+
+  /** Distinct sorted 3-gram shingle hashes — mirrors
+    * Dedup.shingleHashes incl. the short-text whole-text fallback. */
+  private val shinglesCte =
+    s"""sh AS (
+       |  SELECT doc_id,
+       |    list_sort(list_distinct(CASE WHEN len(th) >= 3 THEN
+       |      list_transform(generate_series(1, len(th)-2), g ->
+       |        xor(xor(CAST(${rotlSql("th[g]", 1)} AS UBIGINT),
+       |                CAST(${rotlSql("th[g+1]", 22)} AS UBIGINT)),
+       |            CAST(${rotlSql("th[g+2]", 43)} AS UBIGINT)))
+       |    ELSE
+       |      [CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), th),
+       |        (a, x) -> CAST(xor(CAST(${rotlSql("a", 5)} AS UBIGINT),
+       |          CAST(x AS UBIGINT)) AS HUGEINT)) AS UBIGINT)]
+       |    END)) AS sh
+       |  FROM tok)""".stripMargin
+
+  /** 64-bit SimHash from token hashes — mirrors Dedup.simhash64
+    * (per-bit ±1 vote, strict majority sets the bit), emitted as the
+    * signed BIGINT Spark produces. */
+  private val simhashCte =
+    s"""sig AS (
+       |  SELECT doc_id,
+       |    list_aggregate(list_transform(generate_series(0, 63), b ->
+       |      CASE WHEN 2 * len(list_filter(th,
+       |          x -> x // (CAST(1 AS HUGEINT) << b) % 2 = 1)) - len(th) > 0
+       |        THEN (CAST(1 AS HUGEINT) << b) ELSE CAST(0 AS HUGEINT) END),
+       |      'sum') AS u
+       |  FROM tok)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    // MinHash(16) h_i(x) = (a_i·x32 + b_i) mod p with the exact Scala
+    // coefficients; LSH bands are compared by CONTENT (band-slice
+    // equality) — Spark buckets on murmur3 of the slice, which is
+    // injective on these fixtures (equal hashes ⇔ equal slices).
+    "q46_minhash_neardup" ->
+      s"""WITH $tokHashCte,
+         |$shinglesCte,
+         |sig AS (
+         |  SELECT doc_id, sh,
+         |    list_transform(generate_series(1, 16), i ->
+         |      list_aggregate(list_transform(sh, x ->
+         |        ((((2654435769 * i) % 1073741789) | 1) * CAST(x % 4294967296 AS BIGINT)
+         |          + (2245893631 * i + 668197679) % 1073741789) % 4294967311),
+         |        'min')) AS sig
+         |  FROM sh),
+         |banded AS (
+         |  SELECT doc_id, b.band_idx, sig[b.band_idx*4+1 : b.band_idx*4+4] AS band
+         |  FROM sig, (SELECT unnest(generate_series(0,3)) AS band_idx) b),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id),
+         |verified AS (
+         |  SELECT p.id_a, p.id_b,
+         |    len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS isz,
+         |    len(sa.sh) + len(sb.sh)
+         |      - len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS usz
+         |  FROM pairs p
+         |  JOIN sh sa ON sa.doc_id = p.id_a
+         |  JOIN sh sb ON sb.doc_id = p.id_b)
+         |SELECT id_a, id_b,
+         |  CAST(isz AS INTEGER) AS intersection_size,
+         |  CAST(usz AS INTEGER) AS union_size,
+         |  CAST(CAST(isz AS DOUBLE) / usz AS DOUBLE) AS jaccard
+         |FROM verified
+         |WHERE CAST(isz AS DOUBLE) / usz >= 0.2
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q47_simhash_fingerprint" ->
+      s"""WITH $tokHashCte,
+         |$simhashCte
+         |SELECT doc_id,
+         |  CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616
+         |       ELSE u END AS BIGINT) AS simhash
+         |FROM sig ORDER BY doc_id""".stripMargin,
+    "q48_simhash_neardup" ->
+      s"""WITH $tokHashCte,
+         |$simhashCte,
+         |chunked AS (
+         |  SELECT doc_id, u, j.chunk_idx,
+         |    u // (CAST(1 AS HUGEINT) << (j.chunk_idx * 8)) % 256 AS chunk
+         |  FROM sig, (SELECT unnest(generate_series(0, 7)) AS chunk_idx) j),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.u AS u_a, b.u AS u_b
+         |  FROM chunked a JOIN chunked b
+         |    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         |  CAST(bit_count(xor(CAST(u_a AS UBIGINT), CAST(u_b AS UBIGINT))) AS INTEGER) AS hamming
+         |FROM pairs
+         |WHERE bit_count(xor(CAST(u_a AS UBIGINT), CAST(u_b AS UBIGINT))) <= 7
+         |ORDER BY id_a, id_b""".stripMargin,
+  )
 }
