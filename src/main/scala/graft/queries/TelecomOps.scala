@@ -8,29 +8,51 @@ import org.apache.spark.sql.functions._
 
 /** Telecom medallion-pipeline queries over the deterministic seeded
   * generators (the reference's own domain: SURVEY.md S1-S3 producers
-  * → silver → gold). No SQL oracle — the inputs are generated, not
-  * driver tables — so these run as rows-only checks; their component
-  * operators (windows, joins, aggs, scalar fns) are oracle-checked
-  * via q01-q31. Deterministic end to end: fixed seeds, fixed dates.
+  * → silver → gold). The generated bronze inputs are materialized to
+  * a fixed parquet fixture path and read back, so the pipeline and
+  * the DuckDB oracle consume byte-identical input — the full
+  * silver→gold SQL (dedup windows, star joins, rollups, fraud
+  * windows) is then hash-checked end to end, not just component-wise.
+  * Output timestamps are emitted as formatted strings (the driver's
+  * canonicalizer compares tz-aware vs naive timestamps unreliably).
   */
 object TelecomOps {
 
   type Q = (SparkSession, String) => DataFrame
+
+  /** Fixed absolute fixture path — it must appear verbatim inside the
+    * oracle SQL text, which the driver's DuckDB executes from an
+    * unknown working directory. */
+  private[graft] val FixtureDir = "/root/repo/target/telecom_fixture"
 
   /** Scale the generated fixture with the requested sf directory so
     * Bench exercises a larger pipeline at sf0.1. */
   private def genSize(dir: String): Int =
     if (dir.contains("sf0.1")) 200000 else if (dir.contains("sf0.01")) 20000 else 2000
 
+  /** Materialize a generated bronze input and read it back, so the
+    * Spark pipeline and the DuckDB oracle see the same bytes. Content
+    * is deterministic in n, so overwrites across queries are no-ops. */
+  private def fixture(s: SparkSession, df: DataFrame, name: String): DataFrame = {
+    val path = s"$FixtureDir/$name"
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
+  private def bronzeCalls(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    fixture(s, Generators.callEvents(s, n = genSize(dir)).toDF(), "calls")
+  }
+
   /** Full bronze→silver→gold run: generated CDRs + probes → dedup →
     * conformed silver → tower-hourly utilization rollup (A1-A4, J4). */
   def q60TowerHourly(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val silverCalls = Silver.silverCalls(
-      Generators.callEvents(s, n = genSize(dir)).toDF())
+    val silverCalls = Silver.silverCalls(bronzeCalls(s, dir))
     val silverProbes = Silver.silverProbes(
-      Generators.probeEvents(s, hours = 24).toDF())
+      fixture(s, Generators.probeEvents(s, hours = 24).toDF(), "probes"))
     Gold.aggTowerHourly(silverProbes, silverCalls)
+      .withColumn("hour", date_format(col("hour"), "yyyy-MM-dd HH:mm:ss"))
       .orderBy("tower_id", "hour")
   }
 
@@ -38,10 +60,9 @@ object TelecomOps {
     * (A5, J5), returning the monthly summary. */
   def q61CustomerMonthly(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val silverCalls = Silver.silverCalls(
-      Generators.callEvents(s, n = genSize(dir)).toDF())
+    val silverCalls = Silver.silverCalls(bronzeCalls(s, dir))
     val silverCustomers = Silver.silverCustomers(
-      Generators.crmCustomers(s, n = 200).toDF())
+      fixture(s, Generators.crmCustomers(s, n = 200).toDF(), "customers"))
     val dimC = Gold.dimCustomers(silverCustomers)
     val fact = Gold.factCalls(silverCalls, dimC,
       Gold.dimTowers(s.createDataFrame(Generators.towers())), Gold.dimDate(s))
@@ -52,7 +73,7 @@ object TelecomOps {
   /** Batch fraud detection (W4+W5 formulation of the streaming rules)
     * over generated calls with planted fraud patterns. */
   def q62FraudAlerts(s: SparkSession, dir: String): DataFrame = {
-    val calls = Generators.callEvents(s, n = genSize(dir)).toDF()
+    val calls = bronzeCalls(s, dir)
       .select(
         col("caller_customer_id").as("customer_id"),
         col("event_id"),
@@ -60,6 +81,7 @@ object TelecomOps {
         col("cell_lat").as("lat"), col("cell_lon").as("lon"),
         col("tower_id"))
     FraudDetection.detectBatch(calls)
+      .withColumn("event_ts", date_format(col("event_ts"), "yyyy-MM-dd HH:mm:ss"))
       .orderBy("alert_id")
   }
 
@@ -68,5 +90,191 @@ object TelecomOps {
     "q61_customer_monthly" -> q61CustomerMonthly _,
     "q62_fraud_alerts" -> q62FraudAlerts _,
   )
-  val oracles: Map[String, String] = Map.empty
+
+  // ---- DuckDB oracle SQL over the materialized bronze fixtures ----
+  // Each SQL re-implements the full silver→gold path (reference
+  // agg_tower_hourly_utilization.sql / agg_customer_monthly_summary
+  // .sql / fraud_detection.py semantics) from the same parquet bytes
+  // the Spark pipeline consumed. Validated hash-exact at sf0.01
+  // (scripts/proto/q6{0,1,2}_sql.py). dsum/davg parity: decimal-sum
+  // then cast double, mirroring graft.functions.Funcs.
+
+  /** Shared silver_calls SQL: corrupt filter + keep-latest dedup +
+    * conforming casts (mirrors Silver.silverCalls). */
+  private def silverCallsSql(cols: String): String =
+    s"""sc AS (
+       |  SELECT $cols
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY event_id
+       |          ORDER BY _bronze_ingested_at DESC, _kafka_offset DESC) AS _rn
+       |        FROM bc
+       |        WHERE event_id IS NOT NULL AND caller_msisdn IS NOT NULL
+       |          AND tower_id IS NOT NULL AND duration_seconds >= 0)
+       |  WHERE _rn = 1)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q60_tower_hourly" ->
+      s"""WITH bc AS (SELECT * FROM read_parquet('$FixtureDir/calls/*.parquet')),
+         |bp AS (SELECT * FROM read_parquet('$FixtureDir/probes/*.parquet')),
+         |${silverCallsSql(
+             """event_id AS call_id, tower_id,
+               |    CAST(call_start_timestamp AS TIMESTAMP) AS call_start_ts,
+               |    round(duration_seconds / 60.0, 2) AS duration_minutes,
+               |    call_result_code = 'COMPLETED' AS is_successful,
+               |    CAST(revenue_usd AS DECIMAL(12,4)) AS revenue_usd""".stripMargin)},
+         |sp AS (
+         |  SELECT probe_id, tower_id, region,
+         |    date_trunc('hour', CAST(event_timestamp AS TIMESTAMP)) AS probe_hour,
+         |    CAST(load_pct AS DECIMAL(6,2)) AS load_pct,
+         |    CAST(avg_latency_ms AS DECIMAL(8,1)) AS avg_latency_ms,
+         |    CAST(packet_loss_pct AS DECIMAL(6,3)) AS packet_loss_pct,
+         |    CAST(connected_users AS INTEGER) AS connected_users,
+         |    CAST(load_pct AS DECIMAL(6,2)) >= 90 AS alert_threshold_breached,
+         |    CASE WHEN CAST(load_pct AS DECIMAL(6,2)) >= 90 THEN 'CRITICAL'
+         |         WHEN CAST(load_pct AS DECIMAL(6,2)) >= 75 THEN 'DEGRADED'
+         |         ELSE 'HEALTHY' END AS load_status
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |          ORDER BY _bronze_ingested_at DESC) AS _rn
+         |        FROM bp WHERE probe_id IS NOT NULL AND tower_id IS NOT NULL)
+         |  WHERE _rn = 1),
+         |pa AS (
+         |  SELECT tower_id, probe_hour AS hour, region,
+         |    CAST(CAST(SUM(CAST(load_pct AS DECIMAL(18,2))) AS DOUBLE)
+         |      / COUNT(load_pct) AS DOUBLE) AS avg_load_pct,
+         |    CAST(MAX(load_pct) AS DOUBLE) AS max_load_pct,
+         |    CAST(CAST(SUM(CAST(avg_latency_ms AS DECIMAL(18,1))) AS DOUBLE)
+         |      / COUNT(avg_latency_ms) AS DOUBLE) AS avg_latency_ms,
+         |    CAST(CAST(SUM(CAST(packet_loss_pct AS DECIMAL(18,3))) AS DOUBLE)
+         |      / COUNT(packet_loss_pct) AS DOUBLE) AS avg_packet_loss_pct,
+         |    CAST(CAST(SUM(CAST(connected_users AS DECIMAL(18,0))) AS DOUBLE)
+         |      / COUNT(connected_users) AS DOUBLE) AS avg_connected_users,
+         |    CAST(SUM(CASE WHEN alert_threshold_breached THEN 1 ELSE 0 END) AS BIGINT) AS alert_count,
+         |    MAX(CASE WHEN load_status = 'CRITICAL' THEN 3
+         |             WHEN load_status = 'DEGRADED' THEN 2 ELSE 1 END) AS worst_status_rank,
+         |    CAST(COUNT(*) AS BIGINT) AS probe_count
+         |  FROM sp GROUP BY 1, 2, 3),
+         |ca AS (
+         |  SELECT tower_id, date_trunc('hour', call_start_ts) AS hour,
+         |    CAST(COUNT(*) AS BIGINT) AS call_count,
+         |    CAST(SUM(CASE WHEN is_successful THEN 1 ELSE 0 END) AS BIGINT) AS successful_calls,
+         |    CAST(SUM(CAST(duration_minutes AS DECIMAL(18,2))) AS DOUBLE) AS total_call_minutes,
+         |    CAST(SUM(CAST(revenue_usd AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue_usd
+         |  FROM sc GROUP BY 1, 2)
+         |SELECT pa.tower_id AS tower_id, strftime(pa.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+         |  pa.region, pa.avg_load_pct, pa.max_load_pct, pa.avg_latency_ms,
+         |  pa.avg_packet_loss_pct, pa.avg_connected_users, pa.alert_count,
+         |  CASE WHEN worst_status_rank = 3 THEN 'CRITICAL'
+         |       WHEN worst_status_rank = 2 THEN 'DEGRADED' ELSE 'HEALTHY' END AS worst_status,
+         |  pa.probe_count,
+         |  COALESCE(ca.call_count, 0) AS call_count,
+         |  COALESCE(ca.successful_calls, 0) AS successful_calls,
+         |  COALESCE(ca.total_call_minutes, 0.0) AS total_call_minutes,
+         |  COALESCE(ca.total_revenue_usd, 0.0) AS total_revenue_usd,
+         |  CASE WHEN COALESCE(ca.call_count, 0) > 0
+         |    THEN round(CAST(ca.successful_calls AS DOUBLE) / ca.call_count * 100.0, 2)
+         |    ELSE NULL END AS success_rate_pct
+         |FROM pa LEFT JOIN ca ON pa.tower_id = ca.tower_id AND pa.hour = ca.hour
+         |ORDER BY tower_id, hour""".stripMargin,
+    "q61_customer_monthly" ->
+      s"""WITH bc AS (SELECT * FROM read_parquet('$FixtureDir/calls/*.parquet')),
+         |bcu AS (SELECT * FROM read_parquet('$FixtureDir/customers/*.parquet')),
+         |${silverCallsSql(
+             """event_id AS call_id, caller_customer_id AS customer_id, tower_id,
+               |    CAST(CAST(call_start_timestamp AS TIMESTAMP) AS DATE) AS call_date,
+               |    round(duration_seconds / 60.0, 2) AS duration_minutes,
+               |    call_result_code = 'COMPLETED' AS is_successful,
+               |    roaming,
+               |    CAST(revenue_usd AS DECIMAL(12,4)) AS revenue_usd""".stripMargin)},
+         |scu AS (
+         |  SELECT customer_id,
+         |    CAST(plan_monthly_fee AS DECIMAL(10,2)) AS plan_monthly_fee,
+         |    CAST(activation_date AS DATE) AS activation_date
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY customer_id
+         |          ORDER BY CAST(updated_at AS TIMESTAMP) DESC) AS _rn
+         |        FROM bcu WHERE customer_id IS NOT NULL)
+         |  WHERE _rn = 1),
+         |dimc AS (
+         |  SELECT md5(customer_id) AS customer_key, customer_id,
+         |    CASE WHEN plan_monthly_fee >= 60 THEN 'HIGH_VALUE'
+         |         WHEN plan_monthly_fee >= 25 THEN 'MID_VALUE'
+         |         ELSE 'LOW_VALUE' END AS value_segment,
+         |    CASE WHEN (2024 - year(activation_date))*12 + (1 - month(activation_date))
+         |            + CASE WHEN day(activation_date) = 1 THEN 0
+         |                   ELSE (1 - day(activation_date))/31.0 END >= 36 THEN 'VETERAN'
+         |         WHEN (2024 - year(activation_date))*12 + (1 - month(activation_date))
+         |            + CASE WHEN day(activation_date) = 1 THEN 0
+         |                   ELSE (1 - day(activation_date))/31.0 END >= 12 THEN 'ESTABLISHED'
+         |         ELSE 'NEW' END AS tenure_segment
+         |  FROM scu),
+         |fact AS (
+         |  SELECT COALESCE(d.customer_key, 'UNKNOWN') AS customer_key,
+         |    sc.call_date, sc.duration_minutes, sc.revenue_usd,
+         |    CASE WHEN sc.is_successful THEN 1 ELSE 0 END AS successful_call_count,
+         |    CASE WHEN sc.roaming THEN 1 ELSE 0 END AS roaming_call_count
+         |  FROM sc LEFT JOIN dimc d ON sc.customer_id = d.customer_id),
+         |monthly AS (
+         |  SELECT customer_key, strftime(call_date, '%Y-%m') AS year_month,
+         |    CAST(COUNT(*) AS BIGINT) AS call_count,
+         |    CAST(SUM(CAST(duration_minutes AS DECIMAL(18,2))) AS DOUBLE) AS total_minutes,
+         |    CAST(SUM(CAST(revenue_usd AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue_usd,
+         |    CAST(SUM(CASE WHEN successful_call_count = 1 THEN 1 ELSE 0 END) AS BIGINT) AS successful_calls,
+         |    CAST(SUM(CASE WHEN roaming_call_count = 1 THEN 1 ELSE 0 END) AS BIGINT) AS roaming_calls
+         |  FROM fact GROUP BY 1, 2)
+         |SELECT d.customer_key, d.customer_id, d.value_segment, d.tenure_segment,
+         |  m.year_month, m.call_count, m.total_minutes, m.total_revenue_usd,
+         |  m.successful_calls, m.roaming_calls,
+         |  CASE WHEN m.total_minutes >= 300 THEN 'HEAVY'
+         |       WHEN m.total_minutes >= 60 THEN 'REGULAR'
+         |       ELSE 'LIGHT' END AS usage_segment
+         |FROM dimc d LEFT JOIN monthly m ON d.customer_key = m.customer_key
+         |WHERE m.year_month IS NOT NULL
+         |ORDER BY d.customer_id, m.year_month""".stripMargin,
+    "q62_fraud_alerts" ->
+      s"""WITH bc AS (SELECT * FROM read_parquet('$FixtureDir/calls/*.parquet')),
+         |calls AS (
+         |  SELECT caller_customer_id AS customer_id, event_id,
+         |    CAST(call_start_timestamp AS TIMESTAMP) AS ts,
+         |    cell_lat AS lat, cell_lon AS lon, tower_id
+         |  FROM bc),
+         |enr AS (
+         |  SELECT *,
+         |    lag(ts) OVER w AS prev_ts,
+         |    lag(lat) OVER w AS prev_lat,
+         |    lag(lon) OVER w AS prev_lon,
+         |    COUNT(*) OVER (PARTITION BY customer_id ORDER BY CAST(epoch(ts) AS BIGINT)
+         |        RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW)
+         |      - (COUNT(*) OVER (PARTITION BY customer_id, CAST(epoch(ts) AS BIGINT))
+         |         - row_number() OVER (PARTITION BY customer_id, CAST(epoch(ts) AS BIGINT)
+         |             ORDER BY ts, event_id)) AS calls_30min
+         |  FROM calls
+         |  WINDOW w AS (PARTITION BY customer_id ORDER BY ts, event_id)),
+         |sp AS (
+         |  SELECT *,
+         |    CAST(epoch(ts) AS BIGINT) - CAST(epoch(prev_ts) AS BIGINT) AS dt_sec,
+         |    (12742.0 * asin(sqrt(
+         |      pow(sin(radians(lat - prev_lat) / 2), 2)
+         |      + cos(radians(prev_lat)) * cos(radians(lat))
+         |        * pow(sin(radians(lon - prev_lon) / 2), 2)))) AS dist_km
+         |  FROM enr),
+         |sp2 AS (
+         |  SELECT *, CASE WHEN dt_sec > 0 THEN dist_km / (dt_sec / 3600.0) END AS speed_kmh
+         |  FROM sp)
+         |SELECT * FROM (
+         |  SELECT 'travel_' || event_id AS alert_id,
+         |    'IMPOSSIBLE_TRAVEL' AS alert_type,
+         |    CASE WHEN speed_kmh > 2000.0 THEN 'HIGH' ELSE 'MEDIUM' END AS severity,
+         |    customer_id, event_id,
+         |    strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+         |    round(dist_km, 2) AS distance_km,
+         |    round(speed_kmh, 2) AS implied_speed_kmh,
+         |    CAST(0 AS INTEGER) AS window_call_count
+         |  FROM sp2
+         |  WHERE dt_sec > 0 AND dist_km >= 500.0 AND speed_kmh >= 600.0
+         |  UNION ALL
+         |  SELECT 'velocity_' || event_id, 'VELOCITY',
+         |    CASE WHEN calls_30min > 50 THEN 'HIGH' ELSE 'MEDIUM' END,
+         |    customer_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S'),
+         |    0.0, 0.0, CAST(calls_30min AS INTEGER)
+         |  FROM sp2 WHERE calls_30min > 25)
+         |ORDER BY alert_id""".stripMargin,
+  )
 }
