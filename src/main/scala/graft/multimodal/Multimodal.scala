@@ -35,17 +35,20 @@ object Multimodal {
 
   /** STUB — deterministic fake codec. Replace with a real decoder
     * (e.g. javacv / libvips via JNI); the call sites only depend on
-    * this signature. Features are derived from content bytes with a
-    * fixed mixing function, so specs can assert exact values. */
+    * this signature. Features are dyadic-exact: integer byte-sums per
+    * slot divided by 256 (a power of two), so the float32 division is
+    * exact, any IEEE engine reproduces the value bit-for-bit, and
+    * sums/averages of features downstream are order-independent
+    * (each value is k/256 with k < 2^20 — no rounding anywhere). */
   object FakeCodec {
     def decodeFeature(bytes: Array[Byte], dim: Int = 8): Array[Float] = {
-      val acc = new Array[Float](dim)
+      val acc = new Array[Long](dim)
       var i = 0
       while (i < bytes.length) {
-        acc(i % dim) += (bytes(i) & 0xFF) / 255.0f
+        acc(i % dim) += (bytes(i) & 0xFF)
         i += 1
       }
-      acc.map(v => v / math.max(1, bytes.length / dim))
+      acc.map(_ / 256.0f)
     }
     def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
       // fake: truncate/pad to w*h "pixels"

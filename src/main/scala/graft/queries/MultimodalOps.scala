@@ -4,33 +4,56 @@ import graft.multimodal.Multimodal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column queries over synthetic binary media (rows-only:
-  * inputs are generated binaries, decode is the documented FakeCodec
-  * stub — see graft.multimodal.Multimodal).
+/** Multimodal-column queries over synthetic binary media. The
+  * generated media table (binary content + typed metadata struct) is
+  * materialized to a fixed parquet fixture and read back, so the
+  * DuckDB oracle consumes the same bytes; FakeCodec features are
+  * dyadic-exact (see graft.multimodal.Multimodal.FakeCodec), which
+  * makes the decode math replicable in portable SQL — the binary
+  * plumbing sits under the driver's hash gate, with the codec itself
+  * the one declared stub.
   */
 object MultimodalOps {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Fixed absolute fixture path — appears verbatim in the oracle
+    * SQL, which the driver's DuckDB runs from an unknown cwd. */
+  private val FixtureDir = "/root/repo/target/media_fixture"
+
   private def mediaCount(dir: String): Int =
     if (dir.contains("sf0.1")) 3000 else if (dir.contains("sf0.01")) 300 else 100
 
-  /** Binary decode → per-media feature rows, aggregated per type. */
+  /** Materialize the generated media and read it back — pipeline and
+    * oracle see identical bytes (content deterministic in n). */
+  private def media(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = s"$FixtureDir/media"
+    Multimodal.syntheticMedia(s, mediaCount(dir)).toDF()
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
+  /** Binary decode → per-media feature rows, aggregated per type.
+    * avg_feature_0 needs no rounding: every feature is k/256, so the
+    * double sum is exact and order-independent. */
   def q70MediaFeatures(s: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.syntheticMedia(s, mediaCount(dir))
-    Multimodal.extractFeatures(media).toDF()
+    import s.implicits._
+    val m = media(s, dir).as[Multimodal.MediaRow]
+    Multimodal.extractFeatures(m).toDF()
       .groupBy("media_type")
       .agg(
         count(lit(1)).as("media_count"),
         sum("byte_count").as("total_bytes"),
-        round(avg(element_at(col("feature"), 1)), 6).as("avg_feature_0"))
+        avg(element_at(col("feature"), 1)).as("avg_feature_0"))
       .orderBy("media_type")
   }
 
   /** Video frame sampling: frames exploded per media at 500 ms. */
   def q71FrameSample(s: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.syntheticMedia(s, mediaCount(dir))
-    Multimodal.sampleFrames(media, intervalMs = 500).toDF()
+    import s.implicits._
+    val m = media(s, dir).as[Multimodal.MediaRow]
+    Multimodal.sampleFrames(m, intervalMs = 500).toDF()
       .groupBy("media_id")
       .agg(count(lit(1)).as("frame_count"), max("ts_ms").as("last_frame_ts_ms"))
       .orderBy("media_id")
@@ -40,5 +63,38 @@ object MultimodalOps {
     "q70_media_features" -> q70MediaFeatures _,
     "q71_frame_sample" -> q71FrameSample _,
   )
-  val oracles: Map[String, String] = Map.empty
+
+  // Byte k (0-based) of a BLOB via its hex dump: chars 2k+1, 2k+2.
+  private def hexByte(pos: String): String =
+    s"((strpos('0123456789ABCDEF', substr(hx, 2*($pos)+1, 1))-1)*16" +
+      s" + strpos('0123456789ABCDEF', substr(hx, 2*($pos)+2, 1))-1)"
+
+  val oracles: Map[String, String] = Map(
+    // Replicates FakeCodec.decodeFeature slot 0 exactly: sum of bytes
+    // at positions ≡ 0 (mod 8), divided by 256 — dyadic, so AVG of
+    // doubles is exact in both engines.
+    "q70_media_features" ->
+      s"""WITH m AS (SELECT *, hex(content) AS hx
+         |  FROM read_parquet('$FixtureDir/media/*.parquet')),
+         |f AS (
+         |  SELECT media_id, meta.media_type AS media_type,
+         |    octet_length(content) AS byte_count,
+         |    list_aggregate(list_transform(
+         |      generate_series(0, CAST((octet_length(content)-1)//8 AS INTEGER)),
+         |      k -> ${hexByte("8*k")}), 'sum') AS slot0
+         |  FROM m)
+         |SELECT media_type, CAST(COUNT(*) AS BIGINT) AS media_count,
+         |  CAST(SUM(byte_count) AS BIGINT) AS total_bytes,
+         |  AVG(CAST(slot0 AS DOUBLE) / 256.0) AS avg_feature_0
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    // sampleFrames emits duration_ms/500 frames at k*500 ms — the
+    // rollup is a pure function of the metadata struct.
+    "q71_frame_sample" ->
+      s"""SELECT media_id,
+         |  CAST(meta.duration_ms // 500 AS BIGINT) AS frame_count,
+         |  CAST((meta.duration_ms // 500 - 1) * 500 AS BIGINT) AS last_frame_ts_ms
+         |FROM read_parquet('$FixtureDir/media/*.parquet')
+         |WHERE meta.media_type = 'video' AND meta.duration_ms // 500 >= 1
+         |ORDER BY media_id""".stripMargin,
+  )
 }

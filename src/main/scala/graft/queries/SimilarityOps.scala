@@ -81,7 +81,44 @@ object SimilarityOps {
   private val qv =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS DOUBLE))"
 
+  /** The 32×64 ±1 SRP hyperplane matrix is generated from a fixed
+    * seed, so it is a compile-time-known constant — embed it verbatim
+    * as a VALUES literal and the oracle replays the exact bucketing:
+    * plane p belongs to band p/4 with bit weight 2^(p%4), a key bit
+    * is set iff dot(v, plane) > 0 (integer dots — exact as doubles). */
+  private val planesValues: String =
+    Similarity.planes(32, 64).zipWithIndex
+      .map { case (row, p) => s"($p, [${row.mkString(",")}])" }
+      .mkString(",\n  ")
+
   val oracles: Map[String, String] = Map(
+    "q50_ann_topk" ->
+      s"""WITH planes(p, s) AS (VALUES
+         |  $planesValues),
+         |e AS (SELECT vec_id, $qv AS v FROM embeddings),
+         |sigs AS (
+         |  SELECT e.vec_id, pl.p // 4 AS band,
+         |    CAST(SUM(CASE WHEN list_dot_product(e.v,
+         |        list_transform(pl.s, x -> CAST(x AS DOUBLE))) > 0
+         |      THEN 1 << (pl.p % 4) ELSE 0 END) AS BIGINT) AS bkey
+         |  FROM e, planes pl GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+         |  FROM sigs c JOIN sigs q ON c.band = q.band AND c.bkey = q.bkey
+         |  WHERE q.vec_id % 10 = 0 AND c.vec_id != q.vec_id),
+         |scored AS (
+         |  SELECT cand.query_id, cand.vec_id,
+         |    CAST(list_dot_product(cv.v, qv.v) /
+         |      sqrt(list_dot_product(qv.v, qv.v) * list_dot_product(cv.v, cv.v))
+         |      AS DOUBLE) AS cosine
+         |  FROM cand
+         |  JOIN e cv ON cv.vec_id = cand.vec_id
+         |  JOIN e qv ON qv.vec_id = cand.query_id)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, cosine FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q49_cosine_topk" ->
       s"""WITH q AS (
          |  SELECT vec_id AS query_id, $qv AS qvec FROM embeddings WHERE vec_id % 10 = 0),
