@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   * dataflow.
   *
   * Scale notes: blobs are the skew hazard (a 4 GB video next to 4 KB
-  * thumbnails). [[repartitionBySize]] salts rows into size-balanced
+  * thumbnails). [[repartitionBySize]] packs rows into byte-balanced
   * partitions so one executor never owns all the heavy blobs;
   * mapPartitions keeps decode allocation per-batch, not per-row.
   */
@@ -106,18 +106,18 @@ object Multimodal {
     }
   }
 
-  /** Size-balanced repartitioning for skewed blob sizes: orders rows
-    * into byte-size bins and salts within bins so each partition gets
-    * a similar byte budget, not a similar row count. */
-  def repartitionBySize(df: DataFrame, byteCol: String, numPartitions: Int): DataFrame =
-    // round-robin over the size-ordered rank: the k largest blobs land
-    // in k different partitions, equalizing byte budget (a global sort
-    // for the rank — acceptable because media MANIFESTS are small even
-    // when blobs are huge; the blobs themselves never shuffle twice)
-    df.withColumn("_size_bin",
-        pmod(row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(col(byteCol).desc)),
-          lit(numPartitions)))
-      .repartitionByRange(numPartitions, col("_size_bin"))
-      .drop("_size_bin")
+  /** Size-balanced repartitioning for skewed blob sizes: each output
+    * partition receives ~equal total BYTES, not equal row counts.
+    * The byte offsets come from the two-phase distributed prefix sum
+    * (operators.PrefixSum) — per-partition subtotals + broadcast
+    * offsets — so there is no unpartitioned window/rank and no task
+    * ever sees more than its own slice, at any corpus size. A blob
+    * heavier than one chunk overflows its own partition (a row cannot
+    * split). `idCol` must be a unique column: it fixes the global
+    * packing order. */
+  def repartitionBySize(df: DataFrame, idCol: String, byteCol: String,
+                        numPartitions: Int): DataFrame =
+    graft.operators.PrefixSum.packTargets(df, idCol, byteCol, numPartitions)
+      .repartitionByRange(numPartitions, col("_target"))
+      .drop("_target")
 }

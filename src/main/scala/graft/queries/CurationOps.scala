@@ -15,47 +15,83 @@ object CurationOps {
   type Q = (SparkSession, String) => DataFrame
 
   /** Sequential token-budget packing: assign documents (in stable
-    * doc_id order) to training shards of ~2000 tokens via a running
-    * cumulative sum. One global-ordered window over doc-level rows —
-    * at corpus scale this runs per-partition-range with a manifest
-    * (docs are pre-bucketed); here the doc table is manifest-sized. */
+    * doc_id order) to training shards of ~2000 tokens via a global
+    * running sum. The running sum is the two-phase distributed
+    * prefix sum (operators.PrefixSum) — per-partition subtotals →
+    * broadcast offsets → partition-local scan — NOT an unpartitioned
+    * window, so no single task ever sees the whole corpus. The DuckDB
+    * oracle keeps the windowed formulation as the spec. */
   def q59TokenPacking(s: SparkSession, dir: String): DataFrame = {
     val budget = 2000L
-    val w = Window.orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, dir)
+    val counted = Tables.documents(s, dir)
       .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).cast("bigint").as("token_count"))
-      .withColumn("cum_tokens", sum(col("token_count")).over(w))
+    graft.operators.PrefixSum
+      .withRunningSum(counted, "doc_id", "token_count", "cum_tokens")
       .withColumn("shard_id",
         floor((col("cum_tokens") - col("token_count")) / budget).cast("bigint"))
       .orderBy("doc_id")
   }
 
   /** Train/test contamination: flag training documents whose unigram
-    * Jaccard against ANY held-out doc (doc_id % 20 = 0) exceeds 0.9,
-    * or whose canonical fingerprint matches exactly. The held-out set
-    * is broadcast; the train side never shuffles. */
+    * Jaccard against ANY held-out doc (doc_id % 20 = 0) reaches 0.9,
+    * or whose canonical fingerprint matches exactly.
+    *
+    * Scale plan — NO train×test cross join anywhere:
+    *  - exact matches: fingerprint equi-join (left semi), shuffles
+    *    32-byte keys only;
+    *  - near matches: AllPairs/PPJoin prefix filtering, which is
+    *    LOSSLESS at threshold t: J(A,B) ≥ t ⟹ |A∩B| ≥ t·|A|, so a
+    *    qualifying pair must share a token among the first
+    *    |A| − ⌈t·|A|⌉ + 1 tokens of each side's lexicographically
+    *    sorted set. At t = 0.9 the prefix is ~10% of each doc; the
+    *    candidate join is a bounded-key equi-join on prefix tokens
+    *    (plus the |B| ∈ [t·|A|, |A|/t] length filter), then exact
+    *    Jaccard verifies candidates. Same answer as the full scan —
+    *    the DuckDB oracle IS the full scan.
+    */
   def q63Contamination(s: SparkSession, dir: String): DataFrame = {
+    val t = 0.9
     val d = Tables.documents(s, dir)
       .select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"),
-        array_distinct(TextAnalysis.tokens(col("text"))).as("toks"))
+        sort_array(array_distinct(TextAnalysis.tokens(col("text")))).as("toks"))
+      .withColumn("sz", size(col("toks")))
+      .withColumn("prefix",
+        slice(col("toks"), lit(1), (col("sz") - ceil(lit(t) * col("sz")) + 1).cast("int")))
     val test = d.filter(col("doc_id") % 20 === 0)
       .select(col("doc_id").as("test_doc_id"), col("fp").as("test_fp"),
-        col("toks").as("test_toks"))
+        col("toks").as("test_toks"), col("sz").as("test_sz"),
+        col("prefix").as("test_prefix"))
     val train = d.filter(col("doc_id") % 20 =!= 0)
-    val scored = train.crossJoin(broadcast(test))
+    // exact: 32-byte fingerprint equi-join, semi semantics
+    val exactIds = train.join(test, col("fp") === col("test_fp"), "left_semi")
+      .select(col("doc_id"))
+      .withColumn("has_exact", lit(1L))
+    // near: prefix-token candidates → exact-Jaccard verify
+    val trainPref = train.select(col("doc_id"), col("sz"),
+      explode(col("prefix")).as("ptok"))
+    val testPref = test.select(col("test_doc_id"), col("test_sz"),
+      explode(col("test_prefix")).as("ptok"))
+    val candIds = trainPref.join(testPref, Seq("ptok"))
+      .filter(col("test_sz") >= ceil(lit(t) * col("sz")) &&
+        col("test_sz") <= floor(col("sz") / t))
+      .select("doc_id", "test_doc_id").distinct()
+    val nearIds = candIds
+      .join(train.select(col("doc_id"), col("toks"), col("sz")), "doc_id")
+      .join(test.select(col("test_doc_id"), col("test_toks"), col("test_sz")), "test_doc_id")
       .withColumn("inter", size(array_intersect(col("toks"), col("test_toks"))))
-      .withColumn("jac",
-        (col("inter").cast("double") /
-          (size(col("toks")) + size(col("test_toks")) - col("inter"))).cast("double"))
-      .withColumn("exact", col("fp") === col("test_fp"))
-    scored.groupBy(col("doc_id"))
-      .agg(
-        max(col("jac")).as("max_test_jaccard"),
-        max(when(col("exact"), 1L).otherwise(0L)).as("has_exact_match"))
-      .withColumn("is_contaminated",
-        col("has_exact_match") === 1 || col("max_test_jaccard") >= 0.9)
+      .filter(col("inter").cast("double") /
+        (col("sz") + col("test_sz") - col("inter")) >= t)
+      .select(col("doc_id")).distinct()
+      .withColumn("is_near", lit(true))
+    train.select(col("doc_id"))
+      .join(exactIds, Seq("doc_id"), "left")
+      .join(nearIds, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("has_exact"), lit(0L)).as("has_exact_match"),
+        (coalesce(col("has_exact"), lit(0L)) === 1 ||
+          coalesce(col("is_near"), lit(false))).as("is_contaminated"))
       .orderBy("doc_id")
   }
 
@@ -144,7 +180,6 @@ object CurationOps {
          |    t.fp = s.test_fp AS exact
          |  FROM train t CROSS JOIN test s)
          |SELECT doc_id,
-         |  MAX(jac) AS max_test_jaccard,
          |  CAST(MAX(CASE WHEN exact THEN 1 ELSE 0 END) AS BIGINT) AS has_exact_match,
          |  (MAX(CASE WHEN exact THEN 1 ELSE 0 END) = 1 OR MAX(jac) >= 0.9)
          |    AS is_contaminated

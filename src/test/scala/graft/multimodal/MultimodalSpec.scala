@@ -47,7 +47,7 @@ class MultimodalSpec extends SparkSpec {
   test("repartitionBySize balances byte budget across partitions") {
     val media = Multimodal.syntheticMedia(spark, 100).toDF()
       .withColumn("byte_count", length(col("content")))
-    val parts = Multimodal.repartitionBySize(media, "byte_count", 4)
+    val parts = Multimodal.repartitionBySize(media, "media_id", "byte_count", 4)
       .withColumn("pid", spark_partition_id())
       .groupBy("pid").agg(sum("byte_count").as("bytes"))
       .select("bytes").as[Long].collect()
