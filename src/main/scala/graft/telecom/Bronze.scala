@@ -9,9 +9,10 @@ import org.apache.spark.sql.functions._
   * Compaction = dedup by primary key, cluster-sort within partitions
   * for compression/locality, and size-targeted repartitioning using
   * the reference's rows = count / (targetBytes / avgRowBytes) formula
-  * (py:115-122). Z-order (py:141-151) is approximated with
-  * repartitionByRange on the sort columns — linear clustering, the
-  * documented gap on plain Parquet (SURVEY.md O4).
+  * (py:115-122). With two or more sort columns the layout is TRUE
+  * Z-order (py:141-151) via operators.Zorder — interleaved-bit
+  * clustering, so file min/max envelopes prune on every sort column,
+  * not just the leading one (closes SURVEY.md O4).
   */
 object Bronze {
 
@@ -43,9 +44,14 @@ object Bronze {
     val rows = deduped.count()
     val rowsPerFile = targetFileBytes / avgRowBytes
     val numFiles = math.max(1, math.ceil(rows.toDouble / rowsPerFile).toInt)
-    deduped
-      .repartitionByRange(numFiles, sortCols.map(col): _*)
-      .sortWithinPartitions(sortCols.map(col): _*)
+    val clustered =
+      if (rows > 0 && sortCols.size >= 2)
+        graft.operators.Zorder.cluster(deduped, sortCols, numFiles)
+      else
+        deduped
+          .repartitionByRange(numFiles, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+    clustered
       .write.mode(SaveMode.Overwrite)
       .option("compression", "snappy")
       .parquet(outPath)
