@@ -91,6 +91,65 @@ object Dedup {
     sig
   }
 
+  /** Winnowing fingerprints (the MOSS scheme): polynomial rolling
+    * hash over char k-grams, minimum per sliding window of w hashes
+    * (unsigned comparison), distinct survivors in unsigned order.
+    * Guarantee: documents sharing any substring of length ≥ k+w-1
+    * share a fingerprint. Texts shorter than k degenerate to one
+    * whole-text FNV fingerprint. Pure JVM kernel — Long wraps mod
+    * 2^64 exactly like the DuckDB oracle's HUGEINT arithmetic. */
+  private[operators] val WinnowBase = 0x100000001b3L
+  private[operators] def winnowFingerprints(text: String, k: Int = 8,
+                                            w: Int = 4): Array[Long] = {
+    val s = text.trim.toLowerCase
+    if (s.length < k) return Array(hash64(s))
+    val m = s.length - k + 1
+    val hs = new Array[Long](m)
+    var h = 0L
+    var j = 0
+    while (j < k) { h = h * WinnowBase + s.charAt(j); j += 1 }
+    hs(0) = h
+    var bk = 1L
+    j = 0
+    while (j < k - 1) { bk *= WinnowBase; j += 1 } // B^(k-1), wrapping
+    var g = 1
+    while (g < m) {
+      h = (h - s.charAt(g - 1) * bk) * WinnowBase + s.charAt(g + k - 1)
+      hs(g) = h
+      g += 1
+    }
+    val nw = math.max(1, m - w + 1)
+    val out = new Array[Long](nw)
+    var i = 0
+    while (i < nw) {
+      var mn = hs(i)
+      var t = i + 1
+      val end = math.min(i + w, m)
+      while (t < end) {
+        if (java.lang.Long.compareUnsigned(hs(t), mn) < 0) mn = hs(t)
+        t += 1
+      }
+      out(i) = mn
+      i += 1
+    }
+    out.distinct.sortBy(_ + Long.MinValue) // unsigned ascending
+  }
+
+  /** (id, n_fingerprints, min fingerprint, wrapping checksum of the
+    * distinct set) per document — the compact winnowing digest. */
+  def winnowDigest(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 8, w: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val fps = winnowFingerprints(text, k, w)
+        (id, fps.length, fps.head, fps.sum) // sum wraps mod 2^64
+      })
+      .toDF(idCol, "n_fingerprints", "fp_min", "fp_checksum")
+  }
+
   // ---- DataFrame operators ----
 
   /** (id, distinct sorted shingle-hash array) per document. */

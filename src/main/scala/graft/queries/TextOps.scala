@@ -58,6 +58,16 @@ object TextOps {
           .otherwise("low"))
       .orderBy("doc_id")
 
+  /** Winnowing digest (MOSS rolling-hash fingerprinting, the
+    * substring-robust complement to canonical-form exact dedup):
+    * char-8-gram polynomial rolling hash, window-of-4 minima,
+    * distinct survivors summarized as (count, min, checksum). Typed
+    * kernel, one scan, no shuffle (see Dedup.winnowFingerprints). */
+  def q43WinnowFingerprint(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.winnowDigest(
+        Tables.documents(s, dir), "doc_id", "text", k = 8, w = 4)
+      .orderBy("doc_id")
+
   /** Canonical-form md5 fingerprint + exact-dedup rollup: documents
     * collapsed by fingerprint, min doc_id as survivor (deterministic,
     * unlike dropDuplicates). One shuffle on the fingerprint. */
@@ -97,6 +107,7 @@ object TextOps {
     "q40_token_stats" -> q40TokenStats _,
     "q41_lang_id" -> q41LangId _,
     "q42_quality_score" -> q42QualityScore _,
+    "q43_winnow_fingerprint" -> q43WinnowFingerprint _,
     "q44_ngram_jaccard" -> q44NgramJaccard _,
     "q45_exact_dedup" -> q45ExactDedup _,
   )
@@ -169,6 +180,46 @@ object TextOps {
         |  COUNT(*) AS dup_count,
         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1 ORDER BY canonical_doc_id""".stripMargin,
+    "q43_winnow_fingerprint" -> {
+      // B^(k-1-j) mod 2^64 literals for the direct (non-rolling)
+      // k-gram hash — same values the JVM kernel's wrapping rolling
+      // recurrence produces.
+      val terms = (0 until 8).map { j =>
+        val p = BigInt(1099511628211L).modPow(BigInt(8 - 1 - j), BigInt(2).pow(64))
+        s"CAST(unicode(s[g+$j]) AS HUGEINT) * $p"
+      }.mkString(" + ")
+      val fnvWhole =
+        """list_reduce(
+          |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+          |        list_transform(string_split(s, ''), c -> CAST(unicode(c) AS HUGEINT))),
+          |      (a, b) -> CAST(xor(CAST(a AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT)
+          |        * 1099511628211 % 18446744073709551616)""".stripMargin
+      val sum64 = "list_aggregate(fps, 'sum') % 18446744073709551616"
+      s"""WITH t AS (
+         |  SELECT doc_id, lower(trim(text)) AS s, length(lower(trim(text))) AS n
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id, n,
+         |    CASE WHEN n < 8 THEN [$fnvWhole]
+         |    ELSE list_transform(generate_series(1, n-7),
+         |      g -> ($terms) % 18446744073709551616)
+         |    END AS hs
+         |  FROM t),
+         |wm AS (
+         |  SELECT doc_id,
+         |    list_sort(list_distinct(list_transform(
+         |      generate_series(1, greatest(1, len(hs) - 3)),
+         |      i -> list_aggregate(hs[i : least(i+3, len(hs))], 'min')))) AS fps
+         |  FROM h)
+         |SELECT doc_id,
+         |  CAST(len(fps) AS INTEGER) AS n_fingerprints,
+         |  CAST(CASE WHEN fps[1] >= 9223372036854775808
+         |       THEN fps[1] - 18446744073709551616 ELSE fps[1] END AS BIGINT) AS fp_min,
+         |  CAST(CASE WHEN $sum64 >= 9223372036854775808
+         |       THEN $sum64 - 18446744073709551616
+         |       ELSE $sum64 END AS BIGINT) AS fp_checksum
+         |FROM wm ORDER BY doc_id""".stripMargin
+    },
     "q44_ngram_jaccard" ->
       s"""WITH tok AS (
          |  SELECT doc_id, list_distinct($tokensSql) AS t FROM documents)

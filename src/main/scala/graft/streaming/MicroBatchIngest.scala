@@ -17,6 +17,38 @@ import org.apache.spark.sql.types.StructType
   */
 object MicroBatchIngest {
 
+  /** Production Kafka source with the reference's consumer options
+    * (reference processing/bronze/kafka_to_bronze.py:90-122):
+    * subscription list, startingOffsets, bounded micro-batches via
+    * maxOffsetsPerTrigger. The zero-egress test container ships no
+    * Kafka connector, so specs drive the MemoryStream/file path; this
+    * builder keeps compile-checked option parity for the production
+    * face — its output feeds [[parse]] unchanged (topic/partition/
+    * offset provenance columns come from the source itself). */
+  def kafkaSource(spark: SparkSession, bootstrapServers: String,
+                  topics: Seq[String], startingOffsets: String = "latest",
+                  maxOffsetsPerTrigger: Long = 10000L): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topics.mkString(","))
+      .option("startingOffsets", startingOffsets)
+      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
+      .option("failOnDataLoss", "false")
+      .load()
+
+  /** Source selector: `graft.ingest.source=kafka` (with
+    * `graft.ingest.brokers`) flips ingest to the production Kafka
+    * face; anything else expects the caller to supply a raw stream
+    * (MemoryStream/file in tests). */
+  def source(spark: SparkSession, topics: Seq[String],
+             fallback: => DataFrame): DataFrame =
+    if (spark.conf.getOption("graft.ingest.source").contains("kafka"))
+      kafkaSource(spark,
+        spark.conf.get("graft.ingest.brokers", "localhost:9092"), topics,
+        spark.conf.get("graft.ingest.startingOffsets", "latest"),
+        spark.conf.get("graft.ingest.maxOffsetsPerTrigger", "10000").toLong)
+    else fallback
+
   /** Parse a raw (value JSON + source metadata) stream into typed rows
     * with provenance columns (reference kafka_to_bronze.py:124-129).
     * `raw` must have columns: value (string), plus optional

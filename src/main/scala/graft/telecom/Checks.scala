@@ -82,33 +82,33 @@ object Checks {
       minRows.toDouble, severity)
 
   /** Volume z-score anomaly over a daily-count history (reference
-    * pipeline_observability.py:99-139) — exact integer moments. */
+    * pipeline_observability.py:99-139) — exact integer moments, ONE
+    * aggregation job: the latest day's count rides along as
+    * max_by(cnt, date) and its contribution is subtracted from the
+    * all-rows moments, instead of a separate latest-lookup job plus
+    * a nested max-date action. `dateCol` must be unique per row (a
+    * daily rollup is). */
   def volumeZscore(daily: DataFrame, table: String, dateCol: String,
                    cntCol: String, zLimit: Double = 3.0,
                    severity: String = "warn"): CheckResult = {
-    val latestRows = daily.orderBy(col(dateCol).desc).select(col(cntCol)).limit(1)
-      .collect()
-    if (latestRows.isEmpty || latestRows.head.isNullAt(0)) // no/null latest → neutral pass
-      return CheckResult("volume_zscore", table, passed = true, 0, zLimit, severity)
-    val latest = latestRows.head.getLong(0)
-    val hist = daily.filter(col(dateCol) < daily.agg(max(col(dateCol))).head().getDate(0))
     // Σx and Σx² accumulate as DECIMAL(38,0): day counts at the 1e9
     // scale this monitor advertises would silently wrap a Long Σx²
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val r = hist.agg(count(lit(1)),
+    val r = daily.agg(
+      count(col(cntCol)),
+      max_by(col(cntCol), col(dateCol)),
       sum(col(cntCol).cast(dec)),
       sum(col(cntCol).cast(dec) * col(cntCol).cast(dec))).head()
-    if (r.getLong(0) < 2 || r.isNullAt(1))
-      CheckResult("volume_zscore", table, passed = true, 0, zLimit, severity)
-    else {
-      val n = BigDecimal(r.getLong(0))
-      val sx = BigDecimal(r.getDecimal(1))
-      val sx2 = BigDecimal(r.getDecimal(2))
-      val mean = (sx / n).toDouble
-      val variance = ((n * sx2 - sx * sx) / (n * (n - 1))).toDouble
-      val z = if (variance <= 0) 0.0 else (latest - mean) / math.sqrt(variance)
-      CheckResult("volume_zscore", table, math.abs(z) <= zLimit, z, zLimit, severity)
-    }
+    if (r.getLong(0) < 3 || r.isNullAt(1)) // <2 history rows or null latest → neutral pass
+      return CheckResult("volume_zscore", table, passed = true, 0, zLimit, severity)
+    val latest = BigDecimal(r.getLong(1))
+    val n = BigDecimal(r.getLong(0) - 1)
+    val sx = BigDecimal(r.getDecimal(2)) - latest
+    val sx2 = BigDecimal(r.getDecimal(3)) - latest * latest
+    val mean = (sx / n).toDouble
+    val variance = ((n * sx2 - sx * sx) / (n * (n - 1))).toDouble
+    val z = if (variance <= 0) 0.0 else (latest.toDouble - mean) / math.sqrt(variance)
+    CheckResult("volume_zscore", table, math.abs(z) <= zLimit, z, zLimit, severity)
   }
 
   /** Null-rate drift vs a baseline rate ±tolerance (reference

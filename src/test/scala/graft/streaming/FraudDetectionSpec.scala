@@ -85,4 +85,24 @@ class FraudDetectionSpec extends SparkSpec {
     val spaced = (0 until 30).map(i => ping("C4", f"s$i%02d", i * 120, 0, 0))
     assert(runStream(spaced).isEmpty)
   }
+
+  test("kafka record shape: severity routes HIGH alerts to the priority topic") {
+    import graft.telecom.Schemas.{AlertDetails, FraudAlert}
+    val alerts = Seq(
+      FraudAlert("travel_e2", "IMPOSSIBLE_TRAVEL", "HIGH", "C1", "e2",
+        new Timestamp(t0), AlertDetails(10800.0, 65000.0, 0)),
+      FraudAlert("velocity_b26", "VELOCITY", "MEDIUM", "C2", "b26",
+        new Timestamp(t0), AlertDetails(0.0, 0.0, 26))).toDS()
+    val recs = FraudDetection.alertKafkaRecords(alerts)
+    assert(recs.columns.toSeq === Seq("key", "value", "topic"))
+    val byTopic = recs.select("topic", "key").as[(String, String)].collect().toMap
+    assert(byTopic === Map("fraud_alerts_priority" -> "C1", "fraud_alerts" -> "C2"))
+    val sample = recs.select("value").as[String].head()
+    assert(sample.contains("\"alert_type\"") && sample.contains("\"customer_id\""))
+  }
+
+  test("source selector: default config keeps the supplied fallback stream") {
+    val fallback = spark.range(1).toDF()
+    assert(MicroBatchIngest.source(spark, Seq("t"), fallback) eq fallback)
+  }
 }

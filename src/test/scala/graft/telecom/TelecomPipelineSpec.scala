@@ -96,6 +96,20 @@ class TelecomPipelineSpec extends SparkSpec {
     results.foreach(r => assert(r.passed, r.toString))
   }
 
+  test("volumeZscore flags a spiked latest day against exact history moments") {
+    import java.sql.Date
+    val steady = (1 to 20).map(d => (Date.valueOf(f"2024-01-$d%02d"), 1000L + (d % 3)))
+    val spiked = steady :+ (Date.valueOf("2024-01-21"), 9000L)
+    val steadyDf = (steady :+ (Date.valueOf("2024-01-21"), 1001L))
+      .toDF("d", "cnt")
+    val spikedDf = spiked.toDF("d", "cnt")
+    assert(Checks.volumeZscore(steadyDf, "t", "d", "cnt").passed)
+    val r = Checks.volumeZscore(spikedDf, "t", "d", "cnt")
+    assert(!r.passed && r.observed > 3.0, r.toString)
+    // degenerate history → neutral pass, no crash
+    assert(Checks.volumeZscore(spikedDf.limit(2), "t", "d", "cnt").passed)
+  }
+
   test("lineage topo order runs parents before children; impact analysis works") {
     val order = Pipeline.topoOrder()
     val idx = order.zipWithIndex.toMap
