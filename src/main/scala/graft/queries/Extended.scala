@@ -155,6 +155,39 @@ object Extended {
       .orderBy("user_id")
   }
 
+  /** Snapshot-table time travel under the oracle gate: three
+    * incremental merges commit as snapshot versions (sources.
+    * SnapshotTable — the Iceberg-semantics layer), then the output
+    * joins the CURRENT state against the v2 state read via
+    * `readAsOf` time travel. The oracle recomputes both states from
+    * the events table, so commit isolation, manifest swaps, and
+    * as-of resolution are all hash-checked. */
+  def q74SnapshotTimetravel(s: SparkSession, dir: String): DataFrame = {
+    val path = "/root/repo/target/snapshot_fixture/events_tbl"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val ev = Tables.events(s, dir)
+    val base = ev.select(col("event_id"), col("user_id"), col("value"),
+      lit(1L).as("version"))
+    val upd1 = ev.filter(col("event_id") % 7 === 0)
+      .select(col("event_id"), col("user_id"), (col("value") * 2).as("value"),
+        lit(2L).as("version"))
+    val upd2 = ev.filter(col("event_id") % 11 === 0)
+      .select(col("event_id"), col("user_id"), (col("value") * 3).as("value"),
+        lit(3L).as("version"))
+    graft.telecom.Pipeline.mergeSnapshot(s, base, path, Seq("event_id"), "version", nowMs = 1000)
+    graft.telecom.Pipeline.mergeSnapshot(s, upd1, path, Seq("event_id"), "version", nowMs = 2000)
+    graft.telecom.Pipeline.mergeSnapshot(s, upd2, path, Seq("event_id"), "version", nowMs = 3000)
+    val current = graft.sources.SnapshotTable.read(s, path)
+      .groupBy(col("user_id"))
+      .agg(dsum(col("value")).as("current_value"),
+        countIf(col("version") === 3).as("v3_rows"))
+    val asOfV2 = graft.sources.SnapshotTable.readAsOf(s, path, 2000)
+      .groupBy(col("user_id"))
+      .agg(dsum(col("value")).as("asof_v2_value"))
+    current.join(asOfV2, Seq("user_id"))
+      .orderBy("user_id")
+  }
+
   /** TF-IDF top-3 terms per document: explode → term counts → doc
     * frequency → idf → rank. Two shuffles (doc terms, term df) —
     * both on bounded keys. Scores rounded to 6dp BEFORE ranking so
@@ -238,6 +271,7 @@ object Extended {
     "q54_quality_filter" -> q54QualityFilter _,
     "q55_merge_emulation" -> q55MergeEmulation _,
     "q56_tfidf" -> q56TfIdf _,
+    "q74_snapshot_timetravel" -> q74SnapshotTimetravel _,
   )
 
   private val qualitySql =
@@ -373,6 +407,28 @@ object Extended {
          |SELECT doc_id, quality_score, median_score
          |FROM scored, cut WHERE quality_score >= median_score
          |ORDER BY doc_id""".stripMargin,
+    "q74_snapshot_timetravel" ->
+      """WITH cur AS (
+        |  SELECT event_id, user_id,
+        |    CASE WHEN event_id % 11 = 0 THEN value * 3
+        |         WHEN event_id % 7 = 0 THEN value * 2
+        |         ELSE value END AS value,
+        |    CASE WHEN event_id % 11 = 0 THEN 3
+        |         WHEN event_id % 7 = 0 THEN 2 ELSE 1 END AS version
+        |  FROM events),
+        |v2 AS (
+        |  SELECT event_id, user_id,
+        |    CASE WHEN event_id % 7 = 0 THEN value * 2 ELSE value END AS value
+        |  FROM events)
+        |SELECT c.user_id,
+        |  CAST(SUM(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE) AS current_value,
+        |  CAST(SUM(CASE WHEN c.version = 3 THEN 1 ELSE 0 END) AS BIGINT) AS v3_rows,
+        |  a.asof_v2_value
+        |FROM cur c
+        |JOIN (SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |        AS asof_v2_value FROM v2 GROUP BY user_id) a
+        |  ON a.user_id = c.user_id
+        |GROUP BY c.user_id, a.asof_v2_value ORDER BY c.user_id""".stripMargin,
     "q55_merge_emulation" ->
       """WITH unioned AS (
         |  SELECT event_id, user_id, value, 1 AS version FROM events

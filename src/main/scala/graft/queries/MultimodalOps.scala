@@ -24,13 +24,22 @@ object MultimodalOps {
   private def mediaCount(dir: String): Int =
     if (dir.contains("sf0.1")) 3000 else if (dir.contains("sf0.01")) 300 else 100
 
+  /** Bump when the generator or FakeCodec schema changes. */
+  private val FixtureVersion = "v2"
+
   /** Materialize the generated media and read it back — pipeline and
-    * oracle see identical bytes (content deterministic in n). */
+    * oracle see identical bytes. Content is deterministic in
+    * (version, n); a marker file lets q70/q71 share one write. */
   private def media(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val n = mediaCount(dir)
     val path = s"$FixtureDir/media"
-    Multimodal.syntheticMedia(s, mediaCount(dir)).toDF()
-      .coalesce(1).write.mode("overwrite").parquet(path)
+    val marker = new java.io.File(s"$path/_graft_${FixtureVersion}_n$n")
+    if (!marker.exists()) {
+      Multimodal.syntheticMedia(s, n).toDF()
+        .coalesce(1).write.mode("overwrite").parquet(path)
+      marker.createNewFile()
+    }
     s.read.parquet(path)
   }
 

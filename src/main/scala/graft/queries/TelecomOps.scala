@@ -30,18 +30,30 @@ object TelecomOps {
   private def genSize(dir: String): Int =
     if (dir.contains("sf0.1")) 200000 else if (dir.contains("sf0.01")) 20000 else 2000
 
+  /** Bump when a generator or its schema changes — stale fixtures
+    * must never satisfy the marker check. */
+  private val FixtureVersion = "v2"
+
   /** Materialize a generated bronze input and read it back, so the
     * Spark pipeline and the DuckDB oracle see the same bytes. Content
-    * is deterministic in n, so overwrites across queries are no-ops. */
-  private def fixture(s: SparkSession, df: DataFrame, name: String): DataFrame = {
+    * is deterministic in (version, size), so a marker file lets
+    * repeat runs (q60/q61/q62 share the calls fixture) skip the
+    * rewrite; overwrite mode deletes the marker with the directory. */
+  private def fixture(s: SparkSession, df: => DataFrame, name: String,
+                      size: Int): DataFrame = {
     val path = s"$FixtureDir/$name"
-    df.coalesce(1).write.mode("overwrite").parquet(path)
+    val marker = new java.io.File(s"$path/_graft_${FixtureVersion}_n$size")
+    if (!marker.exists()) {
+      df.coalesce(1).write.mode("overwrite").parquet(path)
+      marker.createNewFile()
+    }
     s.read.parquet(path)
   }
 
   private def bronzeCalls(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    fixture(s, Generators.callEvents(s, n = genSize(dir)).toDF(), "calls")
+    val n = genSize(dir)
+    fixture(s, Generators.callEvents(s, n = n).toDF(), "calls", n)
   }
 
   /** Full bronze→silver→gold run: generated CDRs + probes → dedup →
@@ -50,7 +62,7 @@ object TelecomOps {
     import s.implicits._
     val silverCalls = Silver.silverCalls(bronzeCalls(s, dir))
     val silverProbes = Silver.silverProbes(
-      fixture(s, Generators.probeEvents(s, hours = 24).toDF(), "probes"))
+      fixture(s, Generators.probeEvents(s, hours = 24).toDF(), "probes", 24))
     Gold.aggTowerHourly(silverProbes, silverCalls)
       .withColumn("hour", date_format(col("hour"), "yyyy-MM-dd HH:mm:ss"))
       .orderBy("tower_id", "hour")
@@ -62,7 +74,7 @@ object TelecomOps {
     import s.implicits._
     val silverCalls = Silver.silverCalls(bronzeCalls(s, dir))
     val silverCustomers = Silver.silverCustomers(
-      fixture(s, Generators.crmCustomers(s, n = 200).toDF(), "customers"))
+      fixture(s, Generators.crmCustomers(s, n = 200).toDF(), "customers", 200))
     val dimC = Gold.dimCustomers(silverCustomers)
     val fact = Gold.factCalls(silverCalls, dimC,
       Gold.dimTowers(s.createDataFrame(Generators.towers())), Gold.dimDate(s))

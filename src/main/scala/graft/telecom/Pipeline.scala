@@ -95,6 +95,27 @@ object Pipeline {
     org.apache.commons.io.FileUtils.deleteQuietly(bak.toFile)
   }
 
+  /** Incremental merge with SNAPSHOT history: the same keep-latest
+    * merge as [[mergeParquet]], but committed as a new
+    * sources.SnapshotTable version — every merge becomes
+    * time-travelable, and expire/rollback apply (the Iceberg
+    * snapshot semantics the single-version `_bak` swap lacks). */
+  def mergeSnapshot(spark: SparkSession, increment: DataFrame, path: String,
+                    keyCols: Seq[String], versionCol: String,
+                    nowMs: Long = System.currentTimeMillis()): Long = {
+    import graft.sources.SnapshotTable
+    val merged =
+      if (SnapshotTable.snapshots(path).nonEmpty) {
+        val w = Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col(versionCol).desc)
+        SnapshotTable.read(spark, path).unionByName(increment)
+          .withColumn("_merge_rn", row_number().over(w))
+          .filter(col("_merge_rn") === 1)
+          .drop("_merge_rn")
+      } else increment
+    SnapshotTable.commit(spark, merged, path, nowMs)
+  }
+
   /** Watermark store for incremental pulls (reference
     * crm_batch_ingestor.py:52-62): tiny JSON file, committed only
     * after a successful downstream write. */

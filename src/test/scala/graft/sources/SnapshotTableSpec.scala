@@ -1,0 +1,68 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import graft.SparkSpec
+import graft.telecom.Pipeline
+import org.apache.spark.sql.functions._
+
+class SnapshotTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp() = Files.createTempDirectory("snap").toString + "/t"
+
+  test("commit/read/time-travel by version and timestamp") {
+    val path = tmp()
+    val v1 = SnapshotTable.commit(spark, Seq((1, "a")).toDF("id", "x"), path, nowMs = 1000)
+    val v2 = SnapshotTable.commit(spark, Seq((1, "a"), (2, "b")).toDF("id", "x"), path, nowMs = 2000)
+    assert((v1, v2) === (1L, 2L))
+    assert(SnapshotTable.read(spark, path).count() === 2)
+    assert(SnapshotTable.readVersion(spark, path, 1).count() === 1)
+    assert(SnapshotTable.readAsOf(spark, path, 1500).count() === 1)
+    assert(SnapshotTable.readAsOf(spark, path, 2000).count() === 2)
+    intercept[NoSuchElementException](SnapshotTable.readAsOf(spark, path, 500))
+  }
+
+  test("rollback points a new version at old data without rewriting") {
+    val path = tmp()
+    SnapshotTable.commit(spark, Seq(1).toDF("id"), path, nowMs = 1000)
+    SnapshotTable.commit(spark, Seq(1, 2, 3).toDF("id"), path, nowMs = 2000)
+    val v3 = SnapshotTable.rollback(spark, path, 1, nowMs = 3000)
+    assert(v3 === 3L)
+    assert(SnapshotTable.read(spark, path).count() === 1)
+    // bad rollbacks are themselves time-travelable mistakes
+    assert(SnapshotTable.readVersion(spark, path, 2).count() === 3)
+    // rollback reuses v1's directory — only two data dirs on disk
+    assert(SnapshotTable.snapshots(path).map(_.dir).distinct.size === 2)
+  }
+
+  test("expire keeps the protected tail and shared data dirs, reaps the rest") {
+    val path = tmp()
+    SnapshotTable.commit(spark, Seq(1).toDF("id"), path, nowMs = 1000)
+    SnapshotTable.commit(spark, Seq(1, 2).toDF("id"), path, nowMs = 2000)
+    SnapshotTable.rollback(spark, path, 1, nowMs = 3000) // v3 -> v1's dir
+    // orphan dir from a simulated crash (data written, manifest never swapped)
+    Files.createDirectories(Paths.get(path, "v00099"))
+    val expired = SnapshotTable.expire(path, olderThanMs = 2500, keepLast = 1)
+    assert(expired === Seq(1L, 2L))
+    // v1's DIRECTORY survives: current snapshot v3 references it
+    assert(SnapshotTable.read(spark, path).count() === 1)
+    assert(!Files.exists(Paths.get(path, "v00002"))) // v2's data reaped
+    assert(!Files.exists(Paths.get(path, "v00099"))) // orphan reaped
+    intercept[NoSuchElementException](SnapshotTable.readVersion(spark, path, 2))
+  }
+
+  test("mergeSnapshot: keep-latest merge with time-travelable history, idempotent replay") {
+    val path = tmp()
+    val day1 = Seq(("k1", 1L, "a"), ("k2", 1L, "b")).toDF("id", "v", "p")
+    val day2 = Seq(("k1", 2L, "a2"), ("k3", 1L, "c")).toDF("id", "v", "p")
+    Pipeline.mergeSnapshot(spark, day1, path, Seq("id"), "v", nowMs = 1000)
+    Pipeline.mergeSnapshot(spark, day2, path, Seq("id"), "v", nowMs = 2000)
+    Pipeline.mergeSnapshot(spark, day2, path, Seq("id"), "v", nowMs = 3000) // replay
+    val cur = SnapshotTable.read(spark, path).as[(String, Long, String)].collect().sortBy(_._1)
+    assert(cur.toSeq === Seq(("k1", 2L, "a2"), ("k2", 1L, "b"), ("k3", 1L, "c")))
+    // pre-merge state is still queryable
+    val before = SnapshotTable.readAsOf(spark, path, 1000)
+      .as[(String, Long, String)].collect().sortBy(_._1)
+    assert(before.toSeq === Seq(("k1", 1L, "a"), ("k2", 1L, "b")))
+  }
+}
