@@ -37,7 +37,7 @@ object MultimodalOps {
     val marker = new java.io.File(s"$path/_graft_${FixtureVersion}_n$n")
     if (!marker.exists()) {
       Multimodal.syntheticMedia(s, n).toDF()
-        .coalesce(1).write.mode("overwrite").parquet(path)
+        .write.mode("overwrite").parquet(path) // oracle globs *.parquet
       marker.createNewFile()
     }
     s.read.parquet(path)

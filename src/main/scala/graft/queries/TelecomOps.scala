@@ -44,7 +44,7 @@ object TelecomOps {
     val path = s"$FixtureDir/$name"
     val marker = new java.io.File(s"$path/_graft_${FixtureVersion}_n$size")
     if (!marker.exists()) {
-      df.coalesce(1).write.mode("overwrite").parquet(path)
+      df.write.mode("overwrite").parquet(path) // oracle globs *.parquet
       marker.createNewFile()
     }
     s.read.parquet(path)
