@@ -95,6 +95,91 @@ object Similarity {
     }: _*)
   }
 
+  // ------------------------------------------------------------- IVF
+
+  /** Deterministic IVF coarse-quantizer "training": the numCentroids
+    * corpus rows with the smallest md5(vec_id) are the centroids — a
+    * uniform stateless pseudo-random draw (the same engine-portable
+    * trick as the md5 hash sampler), so any engine rebuilds the
+    * identical codebook. The k (id, vector) pairs ARE the model:
+    * tiny, collected once via TakeOrdered, then shipped to executors
+    * as literals — exactly how a real IVF index ships its codebook.
+    * At scale pick numCentroids ≈ sqrt(n), nprobe ≈ k/8..k/4. */
+  def ivfCentroids(corpus: DataFrame, numCentroids: Int): Array[(Long, Array[Long])] =
+    corpus
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(numCentroids)
+      .select("vec_id", "query_vec")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+
+  /** |c| from an exact integer norm² (quantized values keep every
+    * partial sum below 2^53, so the double is exact cross-engine). */
+  private def centNorm(cv: Array[Long]): Double =
+    math.sqrt(cv.map(x => x * x).sum.toDouble)
+
+  /** Nearest-centroid id as ONE codegen'd expression: greatest over k
+    * struct(score, -cid) literals — the inverted-list build is a pure
+    * projection, no join, no shuffle; the corpus keeps its scan
+    * partitioning. Score = dot(v,c)/|c| (the |v| factor is constant
+    * per row and cannot change the argmax). Ties → smallest cid. */
+  def ivfAssignExpr(spark: SparkSession, vec: Column,
+                    cents: Array[(Long, Array[Long])]): Column = {
+    val scored = cents.map { case (cid, cv) =>
+      val score = dotFast(spark, vec, array(cv.map(lit(_)): _*)).cast("double") /
+        lit(centNorm(cv))
+      struct(score.as("s"), lit(-cid).as("n"))
+    }
+    -greatest(scored: _*).getField("n")
+  }
+
+  /** Top-nprobe centroid lists per query (queries are the small,
+    * broadcast-bounded side; |Q|·k probe scoring is negligible). */
+  def ivfProbes(queries: DataFrame, cents: Array[(Long, Array[Long])],
+                nprobe: Int): DataFrame = {
+    val sp = queries.sparkSession
+    import sp.implicits._
+    val centDf = cents.toSeq
+      .map { case (cid, cv) => (cid, cv.toSeq, centNorm(cv)) }
+      .toDF("cid", "cvec", "cnorm")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("_pscore").desc, col("cid").asc)
+    queries.crossJoin(broadcast(centDf))
+      .withColumn("_pscore",
+        dotFast(sp, col("qvec"), col("cvec")).cast("double") / col("cnorm"))
+      .withColumn("_prank", row_number().over(w))
+      .filter(col("_prank") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("cid"))
+  }
+
+  /** IVF-flat probed search: assign corpus rows to inverted lists
+    * (scan-speed projection), broadcast-join the queries' probed list
+    * ids, exact-cosine only within probed lists, per-query top-k.
+    * The scale path alternative to SRP-LSH: scoring cost drops from
+    * |Q|·|C| to |Q|·nprobe·E[list size]; corpus never shuffles before
+    * the final top-k (which ships only candidates). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              numCentroids: Int, nprobe: Int): DataFrame = {
+    val sp = corpus.sparkSession
+    val dot = dotFast(sp, _: Column, _: Column)
+    val cents = ivfCentroids(corpus, numCentroids)
+    val assigned = corpus
+      .withColumn("cid", ivfAssignExpr(sp, col("query_vec"), cents))
+      .withColumn("_n2c", dot(col("query_vec"), col("query_vec")))
+    val probes = ivfProbes(queries, cents, nprobe)
+      .withColumn("_n2q", dot(col("qvec"), col("qvec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    assigned.join(broadcast(probes), "cid")
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cosine",
+        (dot(col("query_vec"), col("qvec")).cast("double") /
+          sqrt(col("_n2q").cast("double") * col("_n2c").cast("double"))).cast("double"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
+  }
+
   /** LSH-bucketed ANN: multi-table sign-random-projection — bucket
     * corpus + queries per band, score only within shared buckets,
     * take per-query top-k. The scale path: scoring cost drops from

@@ -71,11 +71,21 @@ object SimilarityOps {
       .orderBy("id_a")
   }
 
+  /** IVF-flat ANN with a deterministic md5-picked codebook (16 lists,
+    * 4 probes) — the second scale path next to q50's SRP-LSH; the
+    * oracle rebuilds the identical index from the same md5 draw. */
+  def q75IvfAnn(s: SparkSession, dir: String): DataFrame = {
+    val c = quantized(s, dir)
+    Similarity.ivfTopK(c, querySet(c), k = 5, numCentroids = 16, nprobe = 4)
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "q49_cosine_topk" -> q49CosineTopK _,
     "q50_ann_topk" -> q50AnnTopK _,
     "q51_embedding_stats" -> q51EmbeddingStats _,
     "q52_embedding_neardup" -> q52EmbeddingNearDup _,
+    "q75_ivf_ann" -> q75IvfAnn _,
   )
 
   private val qv =
@@ -143,6 +153,40 @@ object SimilarityOps {
          |  MIN(norm2) AS min_norm2, MAX(norm2) AS max_norm2,
          |  CAST(CAST(SUM(norm2) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_norm2
          |FROM n GROUP BY label ORDER BY label""".stripMargin,
+    "q75_ivf_ann" ->
+      s"""WITH e AS (SELECT vec_id, $qv AS v FROM embeddings),
+         |cent AS (
+         |  SELECT vec_id AS cid, v FROM e
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_dot_product(e.v, c.v) /
+         |               sqrt(list_dot_product(c.v, c.v)) DESC, c.cid) AS rn
+         |    FROM e, cent c) WHERE rn = 1),
+         |probe AS (
+         |  SELECT query_id, cid FROM (
+         |    SELECT q.vec_id AS query_id, c.cid, ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_dot_product(q.v, c.v) /
+         |               sqrt(list_dot_product(c.v, c.v)) DESC, c.cid) AS rn
+         |    FROM e q, cent c WHERE q.vec_id % 10 = 0) WHERE rn <= 4),
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id
+         |  FROM probe p JOIN assign a ON a.cid = p.cid
+         |  WHERE a.vec_id != p.query_id),
+         |scored AS (
+         |  SELECT cand.query_id, cand.vec_id,
+         |    CAST(list_dot_product(cv.v, qv.v) /
+         |      sqrt(list_dot_product(qv.v, qv.v) * list_dot_product(cv.v, cv.v))
+         |      AS DOUBLE) AS cosine
+         |  FROM cand
+         |  JOIN e cv ON cv.vec_id = cand.vec_id
+         |  JOIN e qv ON qv.vec_id = cand.query_id)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, cosine FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q52_embedding_neardup" ->
       s"""WITH c AS (SELECT vec_id, $qv AS v FROM embeddings)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -39,6 +39,30 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3)
   }
 
+  test("IVF: every corpus row lands in a real centroid list; probes per query = nprobe") {
+    val cents = Similarity.ivfCentroids(quantized, 8)
+    assert(cents.length == 8)
+    val cidSet = cents.map(_._1).toSet
+    val assigned = quantized
+      .withColumn("cid", Similarity.ivfAssignExpr(spark, col("query_vec"), cents))
+      .select("cid").as[Long].collect()
+    assert(assigned.length == quantized.count())
+    assert(assigned.forall(cidSet.contains))
+    val probes = Similarity.ivfProbes(queries, cents, nprobe = 3)
+      .groupBy("query_id").count().select("count").as[Long].collect()
+    assert(probes.forall(_ == 3))
+  }
+
+  test("IVF recall vs brute force is reasonable (16 lists, 4 probes)") {
+    val bf = Similarity.bruteForceTopK(quantized, queries, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(quantized, queries, k = 5, numCentroids = 16, nprobe = 4)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    info(f"IVF recall@5 = $recall%.3f (4 of 16 lists probed = 25%% of corpus scored)")
+    assert(recall >= 0.3)
+  }
+
   test("planes are deterministic for a fixed seed") {
     assert(Similarity.planes(4, 8).map(_.toSeq).toSeq ==
       Similarity.planes(4, 8).map(_.toSeq).toSeq)
