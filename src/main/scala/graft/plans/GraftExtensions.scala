@@ -15,6 +15,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot_long"),
       new ExpressionInfo(classOf[DotProductLong].getName, "graft_dot_long"),
       (children: Seq[Expression]) => DotProductLong(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_kmv"),
+      new ExpressionInfo(classOf[KmvSketchAgg].getName, "graft_kmv"),
+      (children: Seq[Expression]) => {
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_kmv k must be an integer literal, got $other")
+        }
+        KmvSketchAgg(children.head, k)
+      }))
     ext.injectOptimizerRule(_ => RewriteDotProduct)
     ext.injectPlannerStrategy(_ => SessionizeStrategy)
   }

@@ -163,8 +163,36 @@ object Quality {
       .orderBy(col("total_revenue").desc, col("customer_id"))
       .limit(10)
 
+  /** A8 at 100 TB: mergeable KMV distinct-count sketch (native
+    * TypedImperativeAggregate `graft_kmv`) next to the exact count.
+    * The shuffle carries at most k=256 hashes per group per task —
+    * never the row stream — and merged sketches re-aggregate to
+    * rollup-level estimates. Estimate = (k-1)/frac(kth smallest
+    * md5), frac from the first 12 hex digits (exact in doubles in
+    * both engines); groups with fewer than k distinct values return
+    * the exact count (the sketch IS the distinct set there). */
+  def q76KmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val frac = conv(substring(col("kth"), 1, 12), 16, 10).cast("double") /
+      lit(math.pow(16.0, 12.0))
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_exact"),
+        call_function("graft_kmv",
+          md5(col("o_custkey").cast("string")), lit(k)).as("sketch"))
+      .withColumn("sketch_size", size(col("sketch")).cast("long"))
+      .withColumn("kth", try_element_at(col("sketch"), lit(k)))
+      .withColumn("kmv_est",
+        when(col("sketch_size") < k, col("sketch_size").cast("double"))
+          .otherwise(lit((k - 1).toDouble) / frac))
+      .select(col("status"), col("n_exact"), col("sketch_size"), col("kmv_est"))
+      .orderBy("status")
+  }
+
   val queries: Map[String, Q] = Map(
     "q17_conditional_agg" -> q17ConditionalAgg _,
+    "q76_kmv_distinct" -> q76KmvDistinct _,
     "q18_worst_status" -> q18WorstStatus _,
     "q20_zscore_anomaly" -> q20ZscoreAnomaly _,
     "q21_null_rates" -> q21NullRates _,
@@ -176,6 +204,26 @@ object Quality {
   )
 
   val oracles: Map[String, String] = Map(
+    "q76_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT o_orderstatus AS status,
+        |         md5(CAST(o_custkey AS VARCHAR)) AS hv
+        |  FROM orders),
+        |ranked AS (
+        |  SELECT status, hv,
+        |         ROW_NUMBER() OVER (PARTITION BY status ORDER BY hv) AS rn
+        |  FROM h),
+        |agg AS (
+        |  SELECT status, COUNT(*) AS n_exact,
+        |         MAX(CASE WHEN rn = 256 THEN hv END) AS kth,
+        |         LEAST(COUNT(*), 256) AS sketch_size
+        |  FROM ranked GROUP BY status)
+        |SELECT status, n_exact, CAST(sketch_size AS BIGINT) AS sketch_size,
+        |  CAST(CASE WHEN sketch_size < 256 THEN sketch_size
+        |       ELSE 255.0 / (CAST(CAST('0x' || substr(kth, 1, 12) AS BIGINT) AS DOUBLE)
+        |                     / 281474976710656.0)
+        |       END AS DOUBLE) AS kmv_est
+        |FROM agg ORDER BY status""".stripMargin,
     "q17_conditional_agg" ->
       """SELECT o_orderpriority AS priority, COUNT(*) AS order_count,
         |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS fulfilled_count,
