@@ -251,6 +251,49 @@ object Dedup {
     * pigeonhole, two fingerprints within Hamming distance d <= 7
     * share at least one of the 8 chunks unchanged, so recall is
     * GUARANTEED for maxHamming <= 7; verify with bit_count(xor). */
+  /** Connected components over near-dup pairs — the clustering step
+    * between pair detection and canonical-survivor selection: every
+    * vertex converges to the minimum doc id reachable from it, so
+    * cluster ids are deterministic and the survivor (id == cluster
+    * id) falls out with no extra pass.
+    *
+    * Algorithm: iterative min-label propagation. Each round is one
+    * keyed shuffle (union + groupBy min); `localCheckpoint` truncates
+    * the lineage so plans stay flat across iterations. Rounds needed
+    * = component diameter — near-dup clusters are shallow chains by
+    * construction, so this converges in a handful of rounds; a corpus
+    * with genuinely deep components would swap this loop for
+    * star-contraction (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC 2014) with the same contract.
+    * Convergence is detected by an exact old-vs-new anti-check, and
+    * maxIter bounds the worst case.
+    */
+  def connectedComponents(edges: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(edges.select(col(idB).as("src"), col(idA).as("dst")))
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val msgs = sym.join(labels, sym("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.select("id", "label").union(msgs)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old"))
+        .isEmpty
+      labels = next
+      i += 1
+    }
+    labels.withColumnRenamed("label", "cluster_id")
+  }
+
   def simhashNearDups(sigs: DataFrame, idCol: String, maxHamming: Int = 7): DataFrame = {
     val chunked = sigs.select(col(idCol), col("simhash"),
         posexplode(array((0 until 8).map(j =>

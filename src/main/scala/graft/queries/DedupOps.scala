@@ -45,10 +45,30 @@ object DedupOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** Near-dup CLUSTERS: connected components over the verified q46
+    * pair set (min-reachable-id labels), one row per clustered doc
+    * with its canonical survivor flag — the keep-one-per-cluster step
+    * a curation pipeline runs after pair detection. */
+  def q77DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val sigs = Dedup.minhashSignatures(d, "doc_id", "text", k = 16, shingleN = 3)
+    val cand = Dedup.lshCandidatePairs(sigs, "doc_id", bands = 4, rowsPerBand = 4)
+    val pairs = Dedup.verifyJaccard(cand, d, "doc_id", "text", shingleN = 3)
+      .filter(col("jaccard") >= 0.2)
+      .select("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+    val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "cluster_id")
+      .select(col("id").as("doc_id"), col("cluster_id"),
+        col("cluster_size"), (col("id") === col("cluster_id")).as("is_survivor"))
+      .orderBy("cluster_id", "doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q46_minhash_neardup" -> q46MinhashNearDup _,
     "q47_simhash_fingerprint" -> q47SimhashFingerprint _,
     "q48_simhash_neardup" -> q48SimhashNearDup _,
+    "q77_dedup_clusters" -> q77DedupClusters _,
   )
 
   // ---- DuckDB oracle SQL for the hash-internal kernels ----
@@ -150,6 +170,50 @@ object DedupOps {
          |FROM verified
          |WHERE CAST(isz AS DOUBLE) / usz >= 0.2
          |ORDER BY id_a, id_b""".stripMargin,
+    // Connected components as a recursive transitive closure: every
+    // vertex reaches itself; reachability propagates along symmetric
+    // edges; MIN over reached ids = the cluster label (UNION dedups,
+    // so the recursion terminates). Near-dup components are tiny, so
+    // the closure stays small even though it is quadratic per
+    // component in the worst case.
+    "q77_dedup_clusters" ->
+      s"""WITH RECURSIVE $tokHashCte,
+         |$shinglesCte,
+         |sig AS (
+         |  SELECT doc_id, sh,
+         |    list_transform(generate_series(1, 16), i ->
+         |      list_aggregate(list_transform(sh, x ->
+         |        ((((2654435769 * i) % 1073741789) | 1) * CAST(x % 4294967296 AS BIGINT)
+         |          + (2245893631 * i + 668197679) % 1073741789) % 4294967311),
+         |        'min')) AS sig
+         |  FROM sh),
+         |banded AS (
+         |  SELECT doc_id, b.band_idx, sig[b.band_idx*4+1 : b.band_idx*4+4] AS band
+         |  FROM sig, (SELECT unnest(generate_series(0,3)) AS band_idx) b),
+         |cpairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id),
+         |verified AS (
+         |  SELECT p.id_a, p.id_b
+         |  FROM cpairs p
+         |  JOIN sh sa ON sa.doc_id = p.id_a
+         |  JOIN sh sb ON sb.doc_id = p.id_b
+         |  WHERE CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+         |      / (len(sa.sh) + len(sb.sh)
+         |         - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) >= 0.2),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM verified
+         |  UNION ALL SELECT id_b, id_a FROM verified),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src),
+         |lab AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT id AS doc_id, cluster_id,
+         |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+         |  id = cluster_id AS is_survivor
+         |FROM lab ORDER BY cluster_id, doc_id""".stripMargin,
     "q47_simhash_fingerprint" ->
       s"""WITH $tokHashCte,
          |$simhashCte

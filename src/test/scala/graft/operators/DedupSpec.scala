@@ -17,6 +17,23 @@ class DedupSpec extends SparkSpec {
     (0L, base), (1L, nearDup), (2L, unrelated)
   ).toDF("doc_id", "text")
 
+  test("connected components: chains collapse to min-id clusters, convergence past diameter") {
+    // two components: a 4-chain (10-11-12-13, diameter 3) + a pair (20,21)
+    val edges = Seq((11L, 10L), (11L, 12L), (12L, 13L), (21L, 20L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("connected components: maxIter caps rounds but converged result is iteration-order free") {
+    // a longer chain 0-1-2-...-9: min label must flood the full diameter
+    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(chain).as[(Long, Long)].collect()
+    assert(cc.forall(_._2 == 0L) && cc.length == 10)
+  }
+
   test("minhash LSH surfaces the planted near-duplicate pair") {
     // k=32 / 8 bands: capture probability ≥ 0.99 at jaccard 0.8
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", k = 32)
