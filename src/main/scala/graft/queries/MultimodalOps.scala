@@ -33,8 +33,8 @@ object MultimodalOps {
   private def media(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val n = mediaCount(dir)
-    val path = s"$FixtureDir/media"
-    val marker = new java.io.File(s"$path/_graft_${FixtureVersion}_n$n")
+    val path = s"$FixtureDir/media_n$n"
+    val marker = new java.io.File(s"$path/_graft_$FixtureVersion")
     if (!marker.exists()) {
       Multimodal.syntheticMedia(s, n).toDF()
         .write.mode("overwrite").parquet(path) // oracle globs *.parquet
@@ -42,6 +42,11 @@ object MultimodalOps {
     }
     s.read.parquet(path)
   }
+
+  /** Pre-materialize the media fixture (see TelecomOps.warmFixtures —
+    * input materialization is excluded from Bench per-query timers). */
+  private[graft] def warmFixtures(s: SparkSession, dir: String): Unit =
+    media(s, dir)
 
   /** Binary decode → per-media feature rows, aggregated per type.
     * avg_feature_0 needs no rounding: every feature is k/256, so the
@@ -84,7 +89,7 @@ object MultimodalOps {
     // doubles is exact in both engines.
     "q70_media_features" ->
       s"""WITH m AS (SELECT *, hex(content) AS hx
-         |  FROM read_parquet('$FixtureDir/media/*.parquet')),
+         |  FROM read_parquet('$FixtureDir/media_n300/*.parquet')),
          |f AS (
          |  SELECT media_id, meta.media_type AS media_type,
          |    octet_length(content) AS byte_count,
@@ -102,7 +107,7 @@ object MultimodalOps {
       s"""SELECT media_id,
          |  CAST(meta.duration_ms // 500 AS BIGINT) AS frame_count,
          |  CAST((meta.duration_ms // 500 - 1) * 500 AS BIGINT) AS last_frame_ts_ms
-         |FROM read_parquet('$FixtureDir/media/*.parquet')
+         |FROM read_parquet('$FixtureDir/media_n300/*.parquet')
          |WHERE meta.media_type = 'video' AND meta.duration_ms // 500 >= 1
          |ORDER BY media_id""".stripMargin,
   )

@@ -36,18 +36,33 @@ object TelecomOps {
 
   /** Materialize a generated bronze input and read it back, so the
     * Spark pipeline and the DuckDB oracle see the same bytes. Content
-    * is deterministic in (version, size), so a marker file lets
-    * repeat runs (q60/q61/q62 share the calls fixture) skip the
-    * rewrite; overwrite mode deletes the marker with the directory. */
+    * is deterministic in (version, size); each size gets its own
+    * directory so runs at different scale factors never clobber each
+    * other — in particular, a sf0.1 Bench run can never rewrite the
+    * sf0.01 fixture the correctness oracle reads (the driver's gate
+    * runs at sf0.01 per contract, so oracle SQL hardcodes those
+    * paths). A marker file lets repeat runs (q60/q61/q62 share the
+    * calls fixture) skip the rewrite. */
   private def fixture(s: SparkSession, df: => DataFrame, name: String,
                       size: Int): DataFrame = {
-    val path = s"$FixtureDir/$name"
-    val marker = new java.io.File(s"$path/_graft_${FixtureVersion}_n$size")
+    val path = s"$FixtureDir/${name}_n$size"
+    val marker = new java.io.File(s"$path/_graft_$FixtureVersion")
     if (!marker.exists()) {
       df.write.mode("overwrite").parquet(path) // oracle globs *.parquet
       marker.createNewFile()
     }
     s.read.parquet(path)
+  }
+
+  /** Pre-materialize every fixture this module's queries read, so
+    * Bench can exclude input materialization from per-query timers —
+    * fixtures are the stand-in for the driver's parquet tables, not
+    * pipeline work (the timed queries still scan them from disk). */
+  private[graft] def warmFixtures(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    bronzeCalls(s, dir)
+    fixture(s, Generators.probeEvents(s, hours = 24).toDF(), "probes", 24)
+    fixture(s, Generators.crmCustomers(s, n = 200).toDF(), "customers", 200)
   }
 
   private def bronzeCalls(s: SparkSession, dir: String): DataFrame = {
@@ -125,8 +140,8 @@ object TelecomOps {
 
   val oracles: Map[String, String] = Map(
     "q60_tower_hourly" ->
-      s"""WITH bc AS (SELECT * FROM read_parquet('$FixtureDir/calls/*.parquet')),
-         |bp AS (SELECT * FROM read_parquet('$FixtureDir/probes/*.parquet')),
+      s"""WITH bc AS (SELECT * FROM read_parquet('$FixtureDir/calls_n20000/*.parquet')),
+         |bp AS (SELECT * FROM read_parquet('$FixtureDir/probes_n24/*.parquet')),
          |${silverCallsSql(
              """event_id AS call_id, tower_id,
                |    CAST(call_start_timestamp AS TIMESTAMP) AS call_start_ts,
@@ -187,8 +202,8 @@ object TelecomOps {
          |FROM pa LEFT JOIN ca ON pa.tower_id = ca.tower_id AND pa.hour = ca.hour
          |ORDER BY tower_id, hour""".stripMargin,
     "q61_customer_monthly" ->
-      s"""WITH bc AS (SELECT * FROM read_parquet('$FixtureDir/calls/*.parquet')),
-         |bcu AS (SELECT * FROM read_parquet('$FixtureDir/customers/*.parquet')),
+      s"""WITH bc AS (SELECT * FROM read_parquet('$FixtureDir/calls_n20000/*.parquet')),
+         |bcu AS (SELECT * FROM read_parquet('$FixtureDir/customers_n200/*.parquet')),
          |${silverCallsSql(
              """event_id AS call_id, caller_customer_id AS customer_id, tower_id,
                |    CAST(CAST(call_start_timestamp AS TIMESTAMP) AS DATE) AS call_date,
@@ -241,7 +256,7 @@ object TelecomOps {
          |WHERE m.year_month IS NOT NULL
          |ORDER BY d.customer_id, m.year_month""".stripMargin,
     "q62_fraud_alerts" ->
-      s"""WITH bc AS (SELECT * FROM read_parquet('$FixtureDir/calls/*.parquet')),
+      s"""WITH bc AS (SELECT * FROM read_parquet('$FixtureDir/calls_n20000/*.parquet')),
          |calls AS (
          |  SELECT caller_customer_id AS customer_id, event_id,
          |    CAST(call_start_timestamp AS TIMESTAMP) AS ts,
