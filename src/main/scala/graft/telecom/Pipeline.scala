@@ -188,6 +188,14 @@ object Pipeline {
       tables(name) = persisted
       TableRun(name, persisted.count(), (System.nanoTime() - t0) / 1e9)
     }
+    // S12 run metadata: the manifest lands next to the tables as JSON
+    // (the pipeline-observability run record a warehouse job would PUT
+    // with its outputs — reference pipeline_observability.py:282-321)
+    val manifestJson = manifest.map(r =>
+      s"""{"table": "${r.table}", "rows": ${r.rows}, "seconds": ${r.seconds}}""")
+      .mkString("[", ",", "]")
+    Files.write(Paths.get(outDir, "run_manifest.json"),
+      manifestJson.getBytes("UTF-8"))
     val checks = Seq(
       Checks.notNull(tables("silver_calls"), "silver_calls", "call_id"),
       Checks.unique(tables("silver_calls"), "silver_calls", "call_id"),
