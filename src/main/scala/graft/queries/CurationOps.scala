@@ -142,7 +142,43 @@ object CurationOps {
       .orderBy("doc_id")
   }
 
+  /** Stratified deterministic sampling: cap each language stratum at
+    * the N docs with the smallest md5(doc_id) — the balanced-mixture
+    * primitive (equal per-language quotas regardless of corpus skew).
+    * Per-stratum rank plans as WindowGroupLimit: each task pre-trims
+    * to N before the stratum shuffle, so the exchange carries
+    * O(strata × N) rows, not the corpus. */
+  def q78StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val cap = 30
+    val w = Window.partitionBy("lang").orderBy(col("sample_key"), col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("sample_key", md5(col("doc_id").cast("string")))
+      .withColumn("stratum_rank", row_number().over(w))
+      .filter(col("stratum_rank") <= cap)
+      .select(col("doc_id"), col("lang"), col("sample_key"), col("stratum_rank"))
+      .orderBy("lang", "stratum_rank")
+  }
+
+  /** Quality-weighted deterministic sampling: keep a document iff
+    * frac(md5(doc_id)) < its quality score, so inclusion probability
+    * equals quality — the importance-sampling curation step
+    * (upsample clean text) with no RNG state: any engine reproduces
+    * the exact sample. frac uses the first 12 hex digits (exact in
+    * doubles cross-engine, same trick as the KMV estimator). */
+  def q79WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val frac = conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+      .cast("double") / lit(math.pow(16.0, 12.0))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality_score"),
+        frac.as("sample_frac"))
+      .filter(col("sample_frac") < col("quality_score"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q78_stratified_sample" -> q78StratifiedSample _,
+    "q79_weighted_sample" -> q79WeightedSample _,
     "q59_token_packing" -> q59TokenPacking _,
     "q63_contamination" -> q63Contamination _,
     "q64_pii_scrub" -> q64PiiScrub _,
@@ -152,6 +188,36 @@ object CurationOps {
   private val tokensSql = "regexp_split_to_array(lower(trim(text)), ' +')"
 
   val oracles: Map[String, String] = Map(
+    "q78_stratified_sample" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS sample_key
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (
+        |      PARTITION BY lang ORDER BY sample_key, doc_id) AS INTEGER) AS stratum_rank
+        |  FROM keyed)
+        |SELECT doc_id, lang, sample_key, stratum_rank
+        |FROM ranked WHERE stratum_rank <= 30
+        |ORDER BY lang, stratum_rank""".stripMargin,
+    "q79_weighted_sample" ->
+      """WITH feat AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS DOUBLE) AS len_d,
+        |    CAST(len(regexp_split_to_array(lower(trim(text)), ' +')) AS DOUBLE) AS toks_d,
+        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) AS punct_d,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|is|of|to|a|in|it)\b')) AS DOUBLE) AS stop_d,
+        |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) AS DOUBLE)
+        |      / 281474976710656.0 AS sample_frac
+        |  FROM documents),
+        |score AS (
+        |  SELECT doc_id, sample_frac,
+        |    CAST((least(len_d / 500.0, 1.0) * 0.4)
+        |      + ((1.0 - least(punct_d / greatest(len_d, 1.0) * 10.0, 1.0)) * 0.3)
+        |      + (least(stop_d / greatest(toks_d, 1.0) * 5.0, 1.0) * 0.3) AS DOUBLE) AS quality_score
+        |  FROM feat)
+        |SELECT doc_id, quality_score, sample_frac FROM score
+        |WHERE sample_frac < quality_score
+        |ORDER BY doc_id""".stripMargin,
     "q59_token_packing" ->
       s"""WITH t AS (
          |  SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS token_count
