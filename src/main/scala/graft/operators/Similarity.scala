@@ -183,19 +183,33 @@ object Similarity {
   /** LSH-bucketed ANN: multi-table sign-random-projection — bucket
     * corpus + queries per band, score only within shared buckets,
     * take per-query top-k. The scale path: scoring cost drops from
-    * |Q|·|C| to |Q|·bands·E[bucket size], tuned via bitsPerBand. */
+    * |Q|·|C| to |Q|·bands·E[bucket size], tuned via bitsPerBand.
+    *
+    * multiProbe > 0 additionally probes, per band, the buckets whose
+    * keys differ from the query's in one of the first `multiProbe`
+    * bits (Lv et al., "Multi-Probe LSH", VLDB 2007): a near neighbor
+    * that barely missed the bucket on one hyperplane sign is still
+    * found. Recall rises without more tables or memory — only the
+    * QUERY side fans out (×(1+multiProbe) broadcast rows); the corpus
+    * index is untouched. */
   def annTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              ps: Array[Array[Int]], bands: Int = 8, bitsPerBand: Int = 4): DataFrame = {
+              ps: Array[Array[Int]], bands: Int = 8, bitsPerBand: Int = 4,
+              multiProbe: Int = 0): DataFrame = {
+    require(multiProbe >= 0 && multiProbe <= bitsPerBand)
     val sp = corpus.sparkSession
     val dot = dotFast(sp, _: Column, _: Column)
     val bandC = corpus
       .select(col("vec_id"), col("query_vec"),
         posexplode(srpBandKeys(col("query_vec"), ps, bands, bitsPerBand, dot)))
       .select(col("vec_id"), col("query_vec"), col("pos").as("band"), col("col").as("bkey"))
+    // flip mask 0 keeps the exact bucket; masks 2^j probe 1-bit
+    // neighbors — applied to the query side only
+    val flips = array((0L +: (0 until multiProbe).map(1L << _).map(_.toLong)).map(lit(_)): _*)
     val bandQ = queries
       .select(col("query_id"), col("qvec"),
         posexplode(srpBandKeys(col("qvec"), ps, bands, bitsPerBand, dot)))
-      .select(col("query_id"), col("qvec"), col("pos").as("band"), col("col").as("bkey"))
+      .select(col("query_id"), col("qvec"), col("pos").as("band"),
+        explode(transform(flips, f => col("col").bitwiseXOR(f))).as("bkey"))
     // dedup candidate IDS only (distinct over two longs, not over
     // full vector arrays), then re-attach vectors + precomputed norms
     val candIds = bandC.select("vec_id", "band", "bkey")

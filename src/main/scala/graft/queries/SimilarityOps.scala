@@ -80,8 +80,21 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  /** Multi-probe SRP-LSH ANN: q50's index, but each query also probes
+    * the 1-bit-neighbor buckets per band — recall rises with zero
+    * extra index memory (see Similarity.annTopK multiProbe). */
+  def q80MultiprobeAnn(s: SparkSession, dir: String): DataFrame = {
+    val c = quantized(s, dir)
+    val ps = Similarity.planes(32, 64)
+    Similarity.annTopK(c, querySet(c), k = 5, ps, bands = 8, bitsPerBand = 4,
+      multiProbe = 4)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "q49_cosine_topk" -> q49CosineTopK _,
+    "q80_multiprobe_ann" -> q80MultiprobeAnn _,
     "q50_ann_topk" -> q50AnnTopK _,
     "q51_embedding_stats" -> q51EmbeddingStats _,
     "q52_embedding_neardup" -> q52EmbeddingNearDup _,
@@ -153,6 +166,37 @@ object SimilarityOps {
          |  MIN(norm2) AS min_norm2, MAX(norm2) AS max_norm2,
          |  CAST(CAST(SUM(norm2) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_norm2
          |FROM n GROUP BY label ORDER BY label""".stripMargin,
+    "q80_multiprobe_ann" ->
+      s"""WITH planes(p, s) AS (VALUES
+         |  $planesValues),
+         |e AS (SELECT vec_id, $qv AS v FROM embeddings),
+         |sigs AS (
+         |  SELECT e.vec_id, pl.p // 4 AS band,
+         |    CAST(SUM(CASE WHEN list_dot_product(e.v,
+         |        list_transform(pl.s, x -> CAST(x AS DOUBLE))) > 0
+         |      THEN 1 << (pl.p % 4) ELSE 0 END) AS BIGINT) AS bkey
+         |  FROM e, planes pl GROUP BY 1, 2),
+         |qsigs AS (
+         |  SELECT vec_id, band, CAST(xor(bkey, f.f) AS BIGINT) AS bkey
+         |  FROM sigs, (VALUES (0), (1), (2), (4), (8)) f(f)
+         |  WHERE vec_id % 10 = 0),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+         |  FROM sigs c JOIN qsigs q ON c.band = q.band AND c.bkey = q.bkey
+         |  WHERE c.vec_id != q.vec_id),
+         |scored AS (
+         |  SELECT cand.query_id, cand.vec_id,
+         |    CAST(list_dot_product(cv.v, qv.v) /
+         |      sqrt(list_dot_product(qv.v, qv.v) * list_dot_product(cv.v, cv.v))
+         |      AS DOUBLE) AS cosine
+         |  FROM cand
+         |  JOIN e cv ON cv.vec_id = cand.vec_id
+         |  JOIN e qv ON qv.vec_id = cand.query_id)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, cosine FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q75_ivf_ann" ->
       s"""WITH e AS (SELECT vec_id, $qv AS v FROM embeddings),
          |cent AS (

@@ -39,6 +39,23 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3)
   }
 
+  test("multi-probe LSH recall beats single-probe on the same index") {
+    val ps = Similarity.planes(32, 64)
+    val bf = Similarity.bruteForceTopK(quantized, queries, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    def recallOf(probes: Int) = {
+      val ann = Similarity.annTopK(quantized, queries, k = 5, ps,
+        bands = 8, bitsPerBand = 4, multiProbe = probes)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+      (bf & ann).size.toDouble / bf.size
+    }
+    val single = recallOf(0)
+    val multi = recallOf(4)
+    info(f"recall@5 single-probe $single%.3f -> multi-probe $multi%.3f")
+    assert(multi >= single)
+    assert(multi >= 0.5)
+  }
+
   test("IVF: every corpus row lands in a real centroid list; probes per query = nprobe") {
     val cents = Similarity.ivfCentroids(quantized, 8)
     assert(cents.length == 8)
