@@ -1,0 +1,63 @@
+package graft.plans
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Plan police: the scale claims in PLANS.md, enforced as a test.
+  * Every registered query's physical plan is scanned for the three
+  * shapes that do not survive a 100× scale-up — CartesianProduct,
+  * BroadcastNestedLoopJoin, and an unpartitioned WindowExec — and any
+  * occurrence must be on the documented allowlist below. A new query
+  * that accidentally plans a cross join or a global window fails CI
+  * here, not in production.
+  */
+class PlanHygieneSpec extends SparkSpec {
+
+  /** Queries whose flagged shape is deliberate and bounded. The test
+    * is exact in both directions: an undocumented offender fails, and
+    * a stale allowlist entry (no longer flagged) also fails — the
+    * list cannot rot. */
+  private val allow: Map[String, String] = Map(
+    // 1-row aggregate scalars cross-joined back (gate thresholds):
+    // both sides are single rows by construction
+    "q07_row_count_anomaly" -> "cross join of two 1-row aggregates",
+    "q54_quality_filter" -> "broadcast of a 1-row percentile cut",
+    "q20_zscore_anomaly" -> "broadcast of a 1-row moments aggregate",
+    // brute-force scorers: the broadcast side is the bounded query
+    // set — the contract of top-k search (PLANS.md)
+    "q49_cosine_topk" -> "broadcast query set vs corpus (exact baseline)",
+    // IVF probe scoring: |Q|·k centroid cross, both sides broadcast-bounded
+    "q75_ivf_ann" -> "query x codebook probe scoring (|Q|*k rows)",
+    // broadcast range join against a 12-row month dimension — the
+    // right shape when the range side is a bounded dim (q13 is the
+    // keyed as-of alternative for unbounded right sides)
+    "q33_range_join" -> "broadcast range join vs 12-row month dim",
+    // post-aggregation windows over driver-sized frames (≤ ~30 rows)
+    "q25_trailing_avg" -> "trailing window over a 30-row daily aggregate",
+  )
+
+  private def offenders(plan: SparkPlan): Seq[String] = plan.collect {
+    case _: CartesianProductExec => "CartesianProduct"
+    case _: BroadcastNestedLoopJoinExec => "BroadcastNestedLoopJoin"
+    case w: WindowExec if w.partitionSpec.isEmpty => "UnpartitionedWindow"
+  }
+
+  test("no undocumented cartesian/BNLJ/global-window in any query plan") {
+    val flagged = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val found = offenders(fn(spark, sfDir).queryExecution.sparkPlan).distinct
+        if (found.isEmpty) Nil else Seq(name -> found)
+    }.toMap
+    val undocumented = (flagged.keySet -- allow.keySet).toSeq.sorted
+      .map(n => s"$n: ${flagged(n).mkString(", ")}")
+    val stale = (allow.keySet -- flagged.keySet).toSeq.sorted
+    assert(undocumented.isEmpty,
+      s"undocumented scale-hostile plan shapes:\n${undocumented.mkString("\n")}")
+    assert(stale.isEmpty, s"stale allowlist entries (no longer flagged): $stale")
+    flagged.toSeq.sortBy(_._1).foreach { case (n, f) =>
+      info(s"$n: ${f.mkString(", ")} — ${allow(n)}")
+    }
+  }
+}
