@@ -32,7 +32,7 @@ object TelecomOps {
 
   /** Bump when a generator or its schema changes — stale fixtures
     * must never satisfy the marker check. */
-  private val FixtureVersion = "v2"
+  private val FixtureVersion = "v3" // v3: corrupt-record injection
 
   /** Materialize a generated bronze input and read it back, so the
     * Spark pipeline and the DuckDB oracle see the same bytes. Content
@@ -112,10 +112,17 @@ object TelecomOps {
       .orderBy("alert_id")
   }
 
+  /** Quarantine audit (P2's complement): the corrupt bronze rows the
+    * silver hard filter rejects, reason-coded for triage. */
+  def q81Quarantine(s: SparkSession, dir: String): DataFrame =
+    Silver.quarantineCalls(bronzeCalls(s, dir))
+      .orderBy("_kafka_offset")
+
   val queries: Map[String, Q] = Map(
     "q60_tower_hourly" -> q60TowerHourly _,
     "q61_customer_monthly" -> q61CustomerMonthly _,
     "q62_fraud_alerts" -> q62FraudAlerts _,
+    "q81_quarantine" -> q81Quarantine _,
   )
 
   // ---- DuckDB oracle SQL over the materialized bronze fixtures ----
@@ -139,6 +146,19 @@ object TelecomOps {
        |  WHERE _rn = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q81_quarantine" ->
+      s"""WITH bc AS (SELECT * FROM read_parquet('$FixtureDir/calls_n20000/*.parquet'))
+         |SELECT event_id, caller_msisdn, tower_id, duration_seconds, _kafka_offset,
+         |  concat_ws(',',
+         |    CASE WHEN event_id IS NULL THEN 'null_event_id' END,
+         |    CASE WHEN caller_msisdn IS NULL THEN 'null_caller_msisdn' END,
+         |    CASE WHEN tower_id IS NULL THEN 'null_tower_id' END,
+         |    CASE WHEN duration_seconds IS NULL OR duration_seconds < 0
+         |         THEN 'bad_duration' END) AS reasons
+         |FROM bc
+         |WHERE event_id IS NULL OR caller_msisdn IS NULL OR tower_id IS NULL
+         |   OR duration_seconds IS NULL OR duration_seconds < 0
+         |ORDER BY _kafka_offset""".stripMargin,
     "q60_tower_hourly" ->
       s"""WITH bc AS (SELECT * FROM read_parquet('$FixtureDir/calls_n20000/*.parquet')),
          |bp AS (SELECT * FROM read_parquet('$FixtureDir/probes_n24/*.parquet')),

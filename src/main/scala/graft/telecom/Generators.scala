@@ -62,11 +62,21 @@ object Generators {
       _kafka_partition = (i % 4).toInt,
       _kafka_offset = i,
       _bronze_ingested_at = new Timestamp(startMs + 60000 + rnd.nextInt(600000)))
+    // corrupt-record injection (FIXTURES.md contract: NULL msisdn /
+    // NULL tower / negative duration) — P2's hard filter and the q81
+    // quarantine audit need real prey. event_id/ts/lat/lon stay valid
+    // so the fraud path (which reads bronze pre-silver) is unaffected.
+    val corrupted = rnd.nextDouble() match {
+      case d if d < 0.004 => ev.copy(caller_msisdn = null)
+      case d if d < 0.008 => ev.copy(tower_id = null)
+      case d if d < 0.012 => ev.copy(duration_seconds = -1L - rnd.nextInt(100))
+      case _ => ev
+    }
     // at-least-once duplicate with later ingest time (W1 dedup prey)
     if (rnd.nextDouble() < dupRate)
-      Seq(ev, ev.copy(_bronze_ingested_at =
-        new Timestamp(ev._bronze_ingested_at.getTime + 120000), _kafka_offset = n + i))
-    else Seq(ev)
+      Seq(corrupted, corrupted.copy(_bronze_ingested_at =
+        new Timestamp(corrupted._bronze_ingested_at.getTime + 120000), _kafka_offset = n + i))
+    else Seq(corrupted)
   }
 
   def callEvents(spark: SparkSession, n: Int = 2000, seed: Long = 42L,
@@ -77,7 +87,11 @@ object Generators {
     // per-index seeds keep it deterministic at any partition count
     val base = spark.range(0, n).flatMap(
       (i: java.lang.Long) => callEventAt(i, n, seed, dupRate, failRate, tw))
+    // sanitized template: planted fraud/burst rows must never inherit
+    // an injected corruption (silver would drop them)
     val template = callEventAt(0, n, seed, dupRate = 0, failRate = 0, tw).head
+      .copy(caller_msisdn = "+15550000000", tower_id = tw.head.tower_id,
+        duration_seconds = 60L)
     // planted impossible travel: same customer, 2 towers ~9700km apart, 10 min gap
     val fraudTravel = Seq(
       template.copy(event_id = "EVTFRAUD01", caller_customer_id = "CUSTFRAUD",

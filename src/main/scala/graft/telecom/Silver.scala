@@ -18,6 +18,28 @@ import org.apache.spark.sql.types.DecimalType
 object Silver {
 
   /** Reference silver_calls.sql:31-119. */
+  /** Quarantine audit: exactly the rows silverCalls' hard filter
+    * drops, each with comma-joined reason codes. The reference drops
+    * them silently (silver_calls.sql:50-55); a production lakehouse
+    * lands them for triage — the reject condition here is the exact
+    * complement of the keep condition, so silver + quarantine
+    * partition the bronze row set. concat_ws skips the null branches
+    * identically in Spark and ANSI SQL, keeping the reason string
+    * oracle-portable. */
+  def quarantineCalls(bronzeCalls: DataFrame): DataFrame = {
+    val reasons = concat_ws(",",
+      when(col("event_id").isNull, "null_event_id"),
+      when(col("caller_msisdn").isNull, "null_caller_msisdn"),
+      when(col("tower_id").isNull, "null_tower_id"),
+      when(col("duration_seconds").isNull || col("duration_seconds") < 0,
+        "bad_duration"))
+    bronzeCalls
+      .withColumn("reasons", reasons)
+      .filter(col("reasons") =!= "")
+      .select(col("event_id"), col("caller_msisdn"), col("tower_id"),
+        col("duration_seconds"), col("_kafka_offset"), col("reasons"))
+  }
+
   def silverCalls(bronzeCalls: DataFrame,
                   asOfDate: java.sql.Date = null,
                   lookbackDays: Int = 3): DataFrame = {

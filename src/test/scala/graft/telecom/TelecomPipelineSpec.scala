@@ -21,9 +21,28 @@ class TelecomPipelineSpec extends SparkSpec {
   private lazy val dimD = Gold.dimDate(spark)
   private lazy val fact = Gold.factCalls(silverCalls, dimC, dimT, dimD)
 
+  test("quarantine is the exact complement of the silver hard filter") {
+    val kept = bronzeCalls.filter(
+      col("event_id").isNotNull && col("caller_msisdn").isNotNull &&
+        col("tower_id").isNotNull && col("duration_seconds") >= 0)
+    val quarantined = Silver.quarantineCalls(bronzeCalls)
+    assert(quarantined.count() > 0, "generator must plant corrupt rows")
+    assert(kept.count() + quarantined.count() === bronzeCalls.count())
+    assert(quarantined.filter(col("reasons") === "").count() === 0)
+    val reasonValues = quarantined.select("reasons").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(reasonValues.subsetOf(Set(
+      "null_caller_msisdn", "null_tower_id", "bad_duration")))
+  }
+
   test("silver dedup removes at-least-once duplicates, keeps latest ingest") {
-    val rawIds = bronzeCalls.count()
-    val distinctIds = bronzeCalls.select("event_id").distinct().count()
+    // dedup accounting is over the rows that survive the corrupt-record
+    // hard filter (quarantine covers the rest)
+    val clean = bronzeCalls.filter(
+      col("event_id").isNotNull && col("caller_msisdn").isNotNull &&
+        col("tower_id").isNotNull && col("duration_seconds") >= 0)
+    val rawIds = clean.count()
+    val distinctIds = clean.select("event_id").distinct().count()
     assert(rawIds > distinctIds) // generator planted duplicates
     assert(silverCalls.count() === distinctIds)
     assert(silverCalls.select("call_id").distinct().count() === distinctIds)
