@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.Funcs._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Data-quality / observability surface (SURVEY.md §2.4 A6-A12, §2.8
@@ -190,9 +190,57 @@ object Quality {
       .orderBy("status")
   }
 
+  /** KMV estimate from a sketch array column: exact count when the
+    * sketch holds fewer than k values, else (k-1)/frac(kth min). */
+  private def kmvEst(sketch: Column, k: Int): Column = {
+    val frac = conv(substring(try_element_at(sketch, lit(k)), 1, 12), 16, 10)
+      .cast("double") / lit(math.pow(16.0, 12.0))
+    when(size(sketch) < k, size(sketch).cast("double"))
+      .otherwise(lit((k - 1).toDouble) / frac)
+  }
+
+  /** Sketch ALGEBRA — the 100 TB point of mergeable sketches: the
+    * per-status customer sketches from q76 are combined WITHOUT
+    * re-reading orders. Union sketch = k smallest of the two k-min
+    * sets (pure array ops on the 256-hash summaries);
+    * |A∩B| ≈ est|A| + est|B| − est|A∪B| by inclusion-exclusion. The
+    * exact overlap rides along for calibration. */
+  def q82KmvOverlap(s: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val sk = Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(call_function("graft_kmv",
+        md5(col("o_custkey").cast("string")), lit(k)).as("sketch"))
+    val a = sk.select(col("status").as("status_a"), col("sketch").as("sk_a"))
+    val b = sk.select(col("status").as("status_b"), col("sketch").as("sk_b"))
+    val exact = {
+      val d = Tables.orders(s, dir)
+        .select(col("o_orderstatus").as("st"), col("o_custkey").as("ck")).distinct()
+      val da = d.select(col("st").as("status_a"), col("ck"))
+      val db = d.select(col("st").as("status_b"), col("ck"))
+      da.join(db, "ck").filter(col("status_a") < col("status_b"))
+        .groupBy("status_a", "status_b")
+        .agg(count(lit(1)).as("exact_overlap"))
+    }
+    a.crossJoin(b).filter(col("status_a") < col("status_b"))
+      .withColumn("sk_union",
+        slice(array_sort(array_distinct(concat(col("sk_a"), col("sk_b")))), 1, k))
+      .select(
+        col("status_a"), col("status_b"),
+        kmvEst(col("sk_a"), k).as("est_a"),
+        kmvEst(col("sk_b"), k).as("est_b"),
+        kmvEst(col("sk_union"), k).as("est_union"))
+      .withColumn("est_overlap",
+        col("est_a") + col("est_b") - col("est_union"))
+      .join(exact, Seq("status_a", "status_b"), "left")
+      .withColumn("exact_overlap", coalesce(col("exact_overlap"), lit(0L)))
+      .orderBy("status_a", "status_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "q17_conditional_agg" -> q17ConditionalAgg _,
     "q76_kmv_distinct" -> q76KmvDistinct _,
+    "q82_kmv_overlap" -> q82KmvOverlap _,
     "q18_worst_status" -> q18WorstStatus _,
     "q20_zscore_anomaly" -> q20ZscoreAnomaly _,
     "q21_null_rates" -> q21NullRates _,
@@ -203,7 +251,46 @@ object Quality {
     "q31_top_revenue" -> q31TopRevenue _,
   )
 
+  /** DuckDB replication of kmvEst over a list-of-hex column. */
+  private def kmvEstSql(l: String): String =
+    s"""CASE WHEN len($l) < 256 THEN CAST(len($l) AS DOUBLE)
+       |  ELSE 255.0 / (CAST(CAST('0x' || substr($l[256], 1, 12) AS BIGINT) AS DOUBLE)
+       |                / 281474976710656.0) END""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q82_kmv_overlap" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT o_orderstatus AS status,
+         |         md5(CAST(o_custkey AS VARCHAR)) AS hv
+         |  FROM orders),
+         |r AS (
+         |  SELECT status, hv,
+         |         ROW_NUMBER() OVER (PARTITION BY status ORDER BY hv) AS rn
+         |  FROM h),
+         |sk AS (
+         |  SELECT status, list(hv ORDER BY hv) AS sketch
+         |  FROM r WHERE rn <= 256 GROUP BY status),
+         |p AS (
+         |  SELECT a.status AS status_a, b.status AS status_b,
+         |         a.sketch AS sa, b.sketch AS sb,
+         |         list_sort(list_distinct(a.sketch || b.sketch))[1:256] AS su
+         |  FROM sk a, sk b WHERE a.status < b.status),
+         |est AS (
+         |  SELECT status_a, status_b,
+         |    CAST(${kmvEstSql("sa")} AS DOUBLE) AS est_a,
+         |    CAST(${kmvEstSql("sb")} AS DOUBLE) AS est_b,
+         |    CAST(${kmvEstSql("su")} AS DOUBLE) AS est_union
+         |  FROM p),
+         |d AS (SELECT DISTINCT o_orderstatus AS st, o_custkey AS ck FROM orders),
+         |ex AS (
+         |  SELECT a.st AS status_a, b.st AS status_b, COUNT(*) AS exact_overlap
+         |  FROM d a JOIN d b ON a.ck = b.ck AND a.st < b.st GROUP BY 1, 2)
+         |SELECT est.status_a, est.status_b, est_a, est_b, est_union,
+         |  est_a + est_b - est_union AS est_overlap,
+         |  COALESCE(ex.exact_overlap, 0) AS exact_overlap
+         |FROM est LEFT JOIN ex
+         |  ON est.status_a = ex.status_a AND est.status_b = ex.status_b
+         |ORDER BY est.status_a, est.status_b""".stripMargin,
     "q76_kmv_distinct" ->
       """WITH h AS (
         |  SELECT DISTINCT o_orderstatus AS status,
