@@ -80,6 +80,69 @@ object MicroBatchIngest {
       .withWatermark(eventTsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** [[parse]] variant that keeps the raw payload and a parse flag
+    * instead of silently nulling failed rows: from_json in PERMISSIVE
+    * mode yields an all-null struct for malformed input (never a null
+    * struct), so failure detection goes through the
+    * columnNameOfCorruptRecord channel — `_parse_ok` is false iff the
+    * corrupt-record column captured the payload. Feed to
+    * [[startBronzeSinkDlq]] for dead-letter routing. */
+  def parseFlagged(raw: DataFrame, schema: StructType, topic: String): DataFrame = {
+    val hasKafkaCols = Seq("topic", "partition", "offset").forall(raw.columns.contains)
+    val corruptCol = "_graft_corrupt"
+    val schemaWithCorrupt = schema.add(corruptCol, org.apache.spark.sql.types.StringType)
+    raw.select(
+        from_json(col("value").cast("string"), schemaWithCorrupt,
+          Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corruptCol)).as("r"),
+        col("value").cast("string").as("_raw_value"),
+        (if (hasKafkaCols) col("topic") else lit(topic)).as("_kafka_topic"),
+        (if (hasKafkaCols) col("partition") else lit(0)).cast("int").as("_kafka_partition"),
+        (if (hasKafkaCols) col("offset").cast("long") else xxhash64(col("value")))
+          .as("_kafka_offset"))
+      .withColumn("_parse_ok", col(s"r.$corruptCol").isNull)
+      .select(col("r.*"), col("_raw_value"), col("_parse_ok"),
+        col("_kafka_topic"), col("_kafka_partition"), col("_kafka_offset"))
+      .drop(corruptCol)
+      .withColumn("_bronze_ingested_at", current_timestamp())
+  }
+
+  /** Bronze sink with a dead-letter lane (the streaming face of
+    * Silver.quarantineCalls): rows whose payload failed to parse or
+    * whose event timestamp is missing land under `dlqPath` with a
+    * reason column — IN THE SAME MICRO-BATCH, so at-least-once
+    * upstreams never lose a record to silent parse drops (the
+    * reference's consumer would crash or skip; a lakehouse triages).
+    * Good rows take the usual Hive-partitioned append. */
+  def startBronzeSinkDlq(flagged: DataFrame, path: String, dlqPath: String,
+                         checkpoint: String, eventTsCol: String,
+                         triggerSecs: Int = 300): StreamingQuery =
+    flagged.writeStream
+      .trigger(Trigger.ProcessingTime(s"$triggerSecs seconds"))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val reason = concat_ws(",",
+          when(!col("_parse_ok"), "unparseable_payload"),
+          when(col("_parse_ok") && col(eventTsCol).isNull, "missing_event_ts"))
+        val tagged = batch.withColumn("_dlq_reason", reason).cache()
+        try {
+          tagged.filter(col("_dlq_reason") =!= "")
+            .select(col("_raw_value"), col("_kafka_topic"),
+              col("_kafka_partition"), col("_kafka_offset"),
+              col("_bronze_ingested_at"), col("_dlq_reason"))
+            .write.mode("append").parquet(dlqPath)
+          tagged.filter(col("_dlq_reason") === "")
+            .drop("_raw_value", "_parse_ok", "_dlq_reason")
+            .withColumn("year", year(col(eventTsCol)))
+            .withColumn("month", month(col(eventTsCol)))
+            .withColumn("day", dayofmonth(col(eventTsCol)))
+            .write.mode("append")
+            .partitionBy("year", "month", "day")
+            .option("compression", "snappy")
+            .parquet(path)
+        } finally tagged.unpersist()
+      }
+      .start()
+
   /** Start the Bronze landing sink: micro-batch trigger, foreachBatch
     * Parquet append partitioned year=/month=/day= (reference
     * kafka_to_bronze.py:57-87), checkpointed for exactly-once. */

@@ -43,6 +43,35 @@ class StreamingIngestSpec extends SparkSpec {
     assert(new java.io.File(s"$dir/data/year=2024/month=1/day=1").exists())
   }
 
+  test("dead-letter lane: unparseable and ts-less rows land in the DLQ, good rows in bronze") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("bronze-dlq").toString
+    val mem = MemoryStream[String]
+    val flagged = MicroBatchIngest.parseFlagged(mem.toDF(), callSchema, "call_events")
+      .withColumn("event_ts_t", to_timestamp(col("event_ts")))
+    val q = MicroBatchIngest.startBronzeSinkDlq(
+      flagged, s"$dir/data", s"$dir/dlq", s"$dir/ckpt", "event_ts_t", triggerSecs = 1)
+    try {
+      mem.addData(
+        """{"event_id":"ok1","caller_msisdn":"+15551234567","event_ts":"2024-01-01T10:00:00Z","duration_seconds":60}""",
+        """this is not json at all""",
+        """{"event_id":"nots","caller_msisdn":"+15550000001","duration_seconds":5}""",
+        """{"event_id":"ok2","caller_msisdn":"+15559876543","event_ts":"2024-02-15T11:30:00Z","duration_seconds":120}""")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val good = spark.read.parquet(s"$dir/data")
+    assert(good.count() === 2)
+    assert(good.select("event_id").as[String].collect().toSet === Set("ok1", "ok2"))
+    assert(!good.columns.contains("_raw_value") && !good.columns.contains("_dlq_reason"))
+    val dlq = spark.read.parquet(s"$dir/dlq")
+    val reasons = dlq.select("_dlq_reason").as[String].collect().sorted
+    assert(reasons === Array("missing_event_ts", "unparseable_payload"))
+    // the raw payload is preserved verbatim for replay after a fix
+    assert(dlq.filter(col("_dlq_reason") === "unparseable_payload")
+      .select("_raw_value").as[String].head() === "this is not json at all")
+  }
+
   test("streaming windowed agg: append mode emits finalized windows past the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
