@@ -111,7 +111,31 @@ object Breadth {
           .otherwise("neither").as("presence"))
       .orderBy("order_id")
 
+  /** Entity-resolution fuzzy matching: blocked levenshtein. Blocking
+    * on brand bounds the quadratic term by block size (the same
+    * principle as LSH banding: never all-pairs); the edit-distance
+    * verify runs only within blocks. Both engines ship the classic
+    * Levenshtein, so the pipeline is hash-exact cross-engine. At
+    * 100 TB: multi-key blocking + length prefilter, same shape. */
+  def q83FuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+    val a = p.select(col("p_partkey").as("key_a"), col("p_brand").as("brand"),
+      col("p_name").as("name_a"))
+    val b = p.select(col("p_partkey").as("key_b"), col("p_brand").as("brand"),
+      col("p_name").as("name_b"))
+    a.join(b, Seq("brand"))
+      .filter(col("key_a") < col("key_b"))
+      .withColumn("edit_distance", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("edit_distance") <= 2)
+      .withColumn("match_tier",
+        when(col("edit_distance") === 0, "exact").otherwise("fuzzy"))
+      .select(col("brand"), col("key_a"), col("key_b"), col("name_a"),
+        col("name_b"), col("edit_distance"), col("match_tier"))
+      .orderBy("brand", "key_a", "key_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q83_fuzzy_match" -> q83FuzzyMatch _,
     "q66_window_nav" -> q66WindowNav _,
     "q67_string_kitchen" -> q67StringKitchen _,
     "q68_array_ops" -> q68ArrayOps _,
@@ -120,6 +144,16 @@ object Breadth {
   )
 
   val oracles: Map[String, String] = Map(
+    "q83_fuzzy_match" ->
+      """WITH p AS (SELECT p_partkey, p_brand, p_name FROM part)
+        |SELECT a.p_brand AS brand, a.p_partkey AS key_a, b.p_partkey AS key_b,
+        |  a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_distance,
+        |  CASE WHEN levenshtein(a.p_name, b.p_name) = 0 THEN 'exact'
+        |       ELSE 'fuzzy' END AS match_tier
+        |FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY brand, key_a, key_b""".stripMargin,
     "q66_window_nav" ->
       """SELECT o_orderkey AS order_id, o_custkey AS customer_id,
         |  CAST(o_orderdate AS DATE) AS order_date, o_totalprice,

@@ -58,6 +58,21 @@ object Extended {
         grouping(col("status")).cast("int").as("g_status"))
       .orderBy(col("g_year"), col("g_status"), col("order_year"), col("status"))
 
+  /** CUBE (status, priority): all 2^n grouping combinations in one
+    * Expand + hash aggregate — completes the grouping-sets family
+    * next to q35's ROLLUP. */
+  def q84Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("priority"), col("o_totalprice"))
+      .cube(col("status"), col("priority"))
+      .agg(
+        count(lit(1)).as("order_count"),
+        dsum(col("o_totalprice")).as("total_revenue"),
+        grouping(col("status")).cast("int").as("g_status"),
+        grouping(col("priority")).cast("int").as("g_priority"))
+      .orderBy(col("g_status"), col("g_priority"), col("status"), col("priority"))
+
   /** PIVOT: order status → columns, revenue per priority. The pivot
     * values are declared (no collect-distinct pass) — required at
     * scale so the plan is a single conditional aggregation. */
@@ -263,6 +278,7 @@ object Extended {
     "q58_scd2_lookup" -> q58Scd2Lookup _,
     "q34_sessionize" -> q34Sessionize _,
     "q35_rollup" -> q35Rollup _,
+    "q84_cube" -> q84Cube _,
     "q36_pivot" -> q36Pivot _,
     "q37_group_percentiles" -> q37GroupPercentiles _,
     "q38_histogram" -> q38Histogram _,
@@ -360,6 +376,15 @@ object Extended {
         |FROM orders
         |GROUP BY ROLLUP(year(o_orderdate), o_orderstatus)
         |ORDER BY g_year, g_status, order_year, status""".stripMargin,
+    "q84_cube" ->
+      """SELECT o_orderstatus AS status, o_orderpriority AS priority,
+        |  COUNT(*) AS order_count,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+        |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY g_status, g_priority, status, priority""".stripMargin,
     "q36_pivot" ->
       """SELECT o_orderpriority AS priority,
         |  COALESCE(CAST(SUM(CASE WHEN o_orderstatus = 'F'
