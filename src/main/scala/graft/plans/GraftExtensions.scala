@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         KmvSketchAgg(children.head, k)
       }))
     ext.injectOptimizerRule(_ => RewriteDotProduct)
+    ext.injectOptimizerRule(_ => RewriteBoundedLevenshtein)
     ext.injectPlannerStrategy(_ => SessionizeStrategy)
   }
 }
