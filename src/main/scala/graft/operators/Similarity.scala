@@ -203,13 +203,19 @@ object Similarity {
         posexplode(srpBandKeys(col("query_vec"), ps, bands, bitsPerBand, dot)))
       .select(col("vec_id"), col("query_vec"), col("pos").as("band"), col("col").as("bkey"))
     // flip mask 0 keeps the exact bucket; masks 2^j probe 1-bit
-    // neighbors — applied to the query side only
+    // neighbors — applied to the query side only (single-probe skips
+    // the explode entirely so q50's plan is unchanged)
     val flips = array((0L +: (0 until multiProbe).map(1L << _).map(_.toLong)).map(lit(_)): _*)
-    val bandQ = queries
+    val exploded = queries
       .select(col("query_id"), col("qvec"),
         posexplode(srpBandKeys(col("qvec"), ps, bands, bitsPerBand, dot)))
-      .select(col("query_id"), col("qvec"), col("pos").as("band"),
-        explode(transform(flips, f => col("col").bitwiseXOR(f))).as("bkey"))
+    val bandQ =
+      if (multiProbe == 0)
+        exploded.select(col("query_id"), col("qvec"),
+          col("pos").as("band"), col("col").as("bkey"))
+      else
+        exploded.select(col("query_id"), col("qvec"), col("pos").as("band"),
+          explode(transform(flips, f => col("col").bitwiseXOR(f))).as("bkey"))
     // dedup candidate IDS only (distinct over two longs, not over
     // full vector arrays), then re-attach vectors + precomputed norms
     val candIds = bandC.select("vec_id", "band", "bkey")
