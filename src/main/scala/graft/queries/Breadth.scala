@@ -125,8 +125,13 @@ object Breadth {
       col("p_name").as("name_b"))
     a.join(b, Seq("brand"))
       .filter(col("key_a") < col("key_b"))
-      .withColumn("edit_distance", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("edit_distance") <= 2)
+      // one banded O(k·n) computation serves both the filter and the
+      // output value: the ternary form returns the exact distance
+      // whenever it is within the threshold, -1 otherwise (the
+      // RewriteBoundedLevenshtein rule covers callers who write the
+      // binary form; here the bounded kernel is used directly)
+      .withColumn("edit_distance", levenshtein(col("name_a"), col("name_b"), 2))
+      .filter(col("edit_distance") >= 0)
       .withColumn("match_tier",
         when(col("edit_distance") === 0, "exact").otherwise("fuzzy"))
       .select(col("brand"), col("key_a"), col("key_b"), col("name_a"),
