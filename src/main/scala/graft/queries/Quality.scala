@@ -237,10 +237,33 @@ object Quality {
       .orderBy("status_a", "status_b")
   }
 
+  /** Quantile estimation from a deterministic hash sample — the
+    * portable scale answer when a mergeable digest isn't
+    * cross-engine: a 1/8 md5-threshold sample is identical in any
+    * engine, so sampled quantiles are hash-exact while the estimator
+    * touches a fraction of the data. Implemented as ONE aggregation
+    * pass: the sampled column is the raw value masked by the hash
+    * predicate (percentile ignores nulls), so no self-join and no
+    * second scan; exact quantiles ride along to show the error. */
+  def q85SampleQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val key = md5(concat_ws("|", col("l_orderkey"), col("l_linenumber")))
+    Tables.lineitem(s, dir)
+      .select(col("l_extendedprice").as("v"),
+        when(key < "2", col("l_extendedprice")).as("vs"))
+      .agg(
+        count(col("v")).as("rows_total"),
+        count(col("vs")).as("rows_sampled"),
+        expr("percentile(v, 0.5)").as("p50_exact"),
+        expr("percentile(vs, 0.5)").as("p50_est"),
+        expr("percentile(v, 0.95)").as("p95_exact"),
+        expr("percentile(vs, 0.95)").as("p95_est"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q17_conditional_agg" -> q17ConditionalAgg _,
     "q76_kmv_distinct" -> q76KmvDistinct _,
     "q82_kmv_overlap" -> q82KmvOverlap _,
+    "q85_sample_quantiles" -> q85SampleQuantiles _,
     "q18_worst_status" -> q18WorstStatus _,
     "q20_zscore_anomaly" -> q20ZscoreAnomaly _,
     "q21_null_rates" -> q21NullRates _,
@@ -258,6 +281,18 @@ object Quality {
        |                / 281474976710656.0) END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q85_sample_quantiles" ->
+      """WITH m AS (
+        |  SELECT l_extendedprice AS v,
+        |    CASE WHEN md5(concat_ws('|', l_orderkey, l_linenumber)) < '2'
+        |         THEN l_extendedprice END AS vs
+        |  FROM lineitem)
+        |SELECT COUNT(v) AS rows_total, COUNT(vs) AS rows_sampled,
+        |  quantile_cont(v, 0.5) AS p50_exact,
+        |  quantile_cont(vs, 0.5) AS p50_est,
+        |  quantile_cont(v, 0.95) AS p95_exact,
+        |  quantile_cont(vs, 0.95) AS p95_est
+        |FROM m""".stripMargin,
     "q82_kmv_overlap" ->
       s"""WITH h AS (
          |  SELECT DISTINCT o_orderstatus AS status,

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamEnrichSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val callRows = Seq(
+    ("c1", "T1", ts("2024-01-01 10:00:00")), // probes at 09:55, 09:52 in window
+    ("c2", "T1", ts("2024-01-01 10:30:00")), // no probe within 10 min
+    ("c3", "T2", ts("2024-01-01 10:05:00"))) // T2 probe at 10:00 in window
+  private val probeRows = Seq(
+    ("T1", ts("2024-01-01 09:52:00"), 40.0),
+    ("T1", ts("2024-01-01 09:55:00"), 55.0),
+    ("T1", ts("2024-01-01 10:01:00"), 60.0), // after c1, before c2-10min
+    ("T2", ts("2024-01-01 10:00:00"), 80.0))
+
+  test("stream-stream interval join: bounded-state enrichment equals the batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    val cMem = MemoryStream[(String, String, Timestamp)]
+    val pMem = MemoryStream[(String, Timestamp, Double)]
+    val joined = StreamEnrich.callsWithTowerLoad(
+      cMem.toDF().toDF("event_id", "tower_id", "call_ts"),
+      pMem.toDF().toDF("tower_id", "probe_ts", "load_pct"))
+    val q = joined.writeStream.format("memory")
+      .queryName("enriched").outputMode("append").start()
+    try {
+      cMem.addData(callRows: _*)
+      pMem.addData(probeRows: _*)
+      q.processAllAvailable()
+      // advance both watermarks so all interval pairs finalize
+      cMem.addData(("cx", "T9", ts("2024-01-01 12:00:00")))
+      pMem.addData(("T9", ts("2024-01-01 12:00:00"), 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("enriched")
+      .select("event_id", "probe_ts", "load_pct")
+      .as[(String, Timestamp, Double)].collect().toSet
+    val batch = StreamEnrich.callsWithTowerLoad(
+        callRows.toDF("event_id", "tower_id", "call_ts"),
+        probeRows.toDF("tower_id", "probe_ts", "load_pct"))
+      .select("event_id", "probe_ts", "load_pct")
+      .as[(String, Timestamp, Double)].collect().toSet
+    // c1 picks up both T1 probes in [09:50, 10:00]; c2 matches none;
+    // c3 picks up the T2 probe
+    val expected = Set(
+      ("c1", ts("2024-01-01 09:52:00"), 40.0),
+      ("c1", ts("2024-01-01 09:55:00"), 55.0),
+      ("c3", ts("2024-01-01 10:00:00"), 80.0))
+    assert(batch.filter(_._1 != "cx") == expected)
+    assert(streamed.filter(_._1 != "cx") == expected)
+  }
+}
