@@ -64,7 +64,43 @@ object DedupOps {
       .orderBy("cluster_id", "doc_id")
   }
 
+  /** Incremental corpus dedup — the continual-ingestion op: classify
+    * each NEWLY ARRIVED document (doc_id % 10 == 0 plays the
+    * increment) against the existing corpus as exact_dup (canonical
+    * fingerprint match), near_dup (LSH candidate verified at
+    * jaccard ≥ 0.2), or novel. Exact wins over near; the matched
+    * corpus doc is the smallest matching id. Only increment×corpus
+    * pairs are scored — the corpus never self-joins, so the per-batch
+    * cost scales with the increment, not the corpus. */
+  def q86IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val isInc = col("doc_id") % 10 === 0
+    val fp = d.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+    val exact = fp.filter(isInc)
+      .join(fp.filter(!isInc).select(col("fp"), col("doc_id").as("cid")), "fp")
+      .groupBy("doc_id").agg(min("cid").as("exact_match"))
+    val sigs = Dedup.minhashSignatures(d, "doc_id", "text", k = 16, shingleN = 3)
+    val crossPairs = Dedup.lshCandidatePairs(sigs, "doc_id", bands = 4, rowsPerBand = 4)
+      .filter((col("id_a") % 10 === 0) =!= (col("id_b") % 10 === 0))
+      .select(
+        when(col("id_a") % 10 === 0, col("id_a")).otherwise(col("id_b")).as("id_a"),
+        when(col("id_a") % 10 === 0, col("id_b")).otherwise(col("id_a")).as("id_b"))
+    val near = Dedup.verifyJaccard(crossPairs, d, "doc_id", "text", shingleN = 3)
+      .filter(col("jaccard") >= 0.2)
+      .groupBy(col("id_a").as("doc_id")).agg(min("id_b").as("near_match"))
+    d.filter(isInc).select("doc_id")
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_match").isNotNull, "exact_dup")
+          .when(col("near_match").isNotNull, "near_dup")
+          .otherwise("novel").as("verdict"),
+        coalesce(col("exact_match"), col("near_match")).as("match_doc_id"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q86_incremental_dedup" -> q86IncrementalDedup _,
     "q46_minhash_neardup" -> q46MinhashNearDup _,
     "q47_simhash_fingerprint" -> q47SimhashFingerprint _,
     "q48_simhash_neardup" -> q48SimhashNearDup _,
@@ -170,6 +206,56 @@ object DedupOps {
          |FROM verified
          |WHERE CAST(isz AS DOUBLE) / usz >= 0.2
          |ORDER BY id_a, id_b""".stripMargin,
+    "q86_incremental_dedup" ->
+      s"""WITH $tokHashCte,
+         |$shinglesCte,
+         |sig AS (
+         |  SELECT doc_id, sh,
+         |    list_transform(generate_series(1, 16), i ->
+         |      list_aggregate(list_transform(sh, x ->
+         |        ((((2654435769 * i) % 1073741789) | 1) * CAST(x % 4294967296 AS BIGINT)
+         |          + (2245893631 * i + 668197679) % 1073741789) % 4294967311),
+         |        'min')) AS sig
+         |  FROM sh),
+         |banded AS (
+         |  SELECT doc_id, b.band_idx, sig[b.band_idx*4+1 : b.band_idx*4+4] AS band
+         |  FROM sig, (SELECT unnest(generate_series(0,3)) AS band_idx) b),
+         |rawp AS (
+         |  SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
+         |  FROM banded a JOIN banded b
+         |    ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id),
+         |cpairs AS (
+         |  SELECT DISTINCT CASE WHEN x % 10 = 0 THEN x ELSE y END AS ia,
+         |         CASE WHEN x % 10 = 0 THEN y ELSE x END AS ib
+         |  FROM rawp WHERE (x % 10 = 0) != (y % 10 = 0)),
+         |near AS (
+         |  SELECT p.ia AS doc_id, MIN(p.ib) AS near_match
+         |  FROM cpairs p
+         |  JOIN sh sa ON sa.doc_id = p.ia
+         |  JOIN sh sb ON sb.doc_id = p.ib
+         |  WHERE CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+         |      / (len(sa.sh) + len(sb.sh)
+         |         - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) >= 0.2
+         |  GROUP BY 1),
+         |fpt AS (
+         |  SELECT doc_id,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM documents),
+         |exact AS (
+         |  SELECT i.doc_id, MIN(c.doc_id) AS exact_match
+         |  FROM fpt i JOIN fpt c
+         |    ON i.fp = c.fp AND i.doc_id % 10 = 0 AND c.doc_id % 10 != 0
+         |  GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CASE WHEN e.exact_match IS NOT NULL THEN 'exact_dup'
+         |       WHEN n.near_match IS NOT NULL THEN 'near_dup'
+         |       ELSE 'novel' END AS verdict,
+         |  COALESCE(e.exact_match, n.near_match) AS match_doc_id
+         |FROM documents d
+         |LEFT JOIN exact e ON e.doc_id = d.doc_id
+         |LEFT JOIN near n ON n.doc_id = d.doc_id
+         |WHERE d.doc_id % 10 = 0
+         |ORDER BY d.doc_id""".stripMargin,
     // Connected components as a recursive transitive closure: every
     // vertex reaches itself; reachability propagates along symmetric
     // edges; MIN over reached ids = the cluster label (UNION dedups,
