@@ -139,8 +139,25 @@ object Breadth {
       .orderBy("brand", "key_a", "key_b")
   }
 
+  /** Schema-evolution union: a v2 feed adds a column mid-stream;
+    * unionByName(allowMissingColumns) aligns by NAME and null-fills
+    * the gap — the schema-drift tolerance every long-lived bronze
+    * topic needs (positional union would silently mis-bind). */
+  def q87SchemaDriftUnion(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val v1 = o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey").as("order_id"), col("o_custkey").as("customer_id"),
+        col("o_totalprice").as("revenue"))
+    val v2 = o.filter(col("o_orderkey") % 2 =!= 0)
+      .select(col("o_orderkey").as("order_id"), col("o_custkey").as("customer_id"),
+        col("o_totalprice").as("revenue"), col("o_orderpriority").as("priority"))
+    v1.unionByName(v2, allowMissingColumns = true)
+      .orderBy("order_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q83_fuzzy_match" -> q83FuzzyMatch _,
+    "q87_schema_drift_union" -> q87SchemaDriftUnion _,
     "q66_window_nav" -> q66WindowNav _,
     "q67_string_kitchen" -> q67StringKitchen _,
     "q68_array_ops" -> q68ArrayOps _,
@@ -149,6 +166,14 @@ object Breadth {
   )
 
   val oracles: Map[String, String] = Map(
+    "q87_schema_drift_union" ->
+      """SELECT o_orderkey AS order_id, o_custkey AS customer_id,
+        |  o_totalprice AS revenue, NULL AS priority
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |FROM orders WHERE o_orderkey % 2 != 0
+        |ORDER BY order_id""".stripMargin,
     "q83_fuzzy_match" ->
       """WITH p AS (SELECT p_partkey, p_brand, p_name FROM part)
         |SELECT a.p_brand AS brand, a.p_partkey AS key_a, b.p_partkey AS key_b,

@@ -83,6 +83,21 @@ object SnapshotTable {
     spark.read.parquet(dataDir(path, cand.last))
   }
 
+  /** Row-level delete as a new snapshot (the right-to-be-forgotten
+    * path): rewrite the current version without the matching rows and
+    * commit. History still holds the deleted rows — a compliance
+    * deletion completes by following with expire(keepLast = 1), which
+    * physically reaps every older version; the spec pins both halves.
+    * Returns (new version, rows deleted). */
+  def deleteWhere(spark: SparkSession, path: String,
+                  predicate: org.apache.spark.sql.Column,
+                  nowMs: Long = System.currentTimeMillis()): (Long, Long) = {
+    val current = read(spark, path)
+    val keep = current.filter(!predicate || predicate.isNull)
+    val deleted = current.count() - keep.count()
+    (commit(spark, keep, path, nowMs), deleted)
+  }
+
   /** Roll the table back to `version`: a NEW snapshot pointing at the
     * old data directory — history is preserved, nothing is rewritten. */
   def rollback(spark: SparkSession, path: String, version: Long,

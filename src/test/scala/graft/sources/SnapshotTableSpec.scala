@@ -22,6 +22,31 @@ class SnapshotTableSpec extends SparkSpec {
     intercept[NoSuchElementException](SnapshotTable.readAsOf(spark, path, 500))
   }
 
+  test("deleteWhere: rows vanish from the new version, history keeps them until expire") {
+    val path = tmp()
+    SnapshotTable.commit(spark,
+      Seq((1, "keep"), (2, "erase"), (3, "keep"), (4, "erase")).toDF("id", "x"),
+      path, nowMs = 1000)
+    val (v2, deleted) = SnapshotTable.deleteWhere(spark, path, col("x") === "erase", nowMs = 2000)
+    assert(deleted === 2L && v2 === 2L)
+    assert(SnapshotTable.read(spark, path).select("id").as[Int].collect().sorted === Array(1, 3))
+    // history still serves the deleted rows (time travel) ...
+    assert(SnapshotTable.readVersion(spark, path, 1).count() === 4)
+    // ... until compliance expiry physically reaps older versions
+    SnapshotTable.expire(path, olderThanMs = 3000, keepLast = 1)
+    intercept[Exception](SnapshotTable.readVersion(spark, path, 1).count())
+    assert(SnapshotTable.read(spark, path).count() === 2)
+  }
+
+  test("deleteWhere: null predicate rows are kept (SQL DELETE semantics)") {
+    val path = tmp()
+    SnapshotTable.commit(spark,
+      Seq((1, Some("a")), (2, None), (3, Some("b"))).toDF("id", "x"), path, nowMs = 1000)
+    val (_, deleted) = SnapshotTable.deleteWhere(spark, path, col("x") === "a", nowMs = 2000)
+    assert(deleted === 1L)
+    assert(SnapshotTable.read(spark, path).select("id").as[Int].collect().sorted === Array(2, 3))
+  }
+
   test("rollback points a new version at old data without rewriting") {
     val path = tmp()
     SnapshotTable.commit(spark, Seq(1).toDF("id"), path, nowMs = 1000)
