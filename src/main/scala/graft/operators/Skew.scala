@@ -22,6 +22,30 @@ object Skew {
     * Equivalent to groupBy(key).agg(sum, count) for any input; worth
     * the second (tiny) shuffle only when one key dominates.
     */
+  /** Salted equi join for a pathologically hot probe key: the probe
+    * side scatters each row across `salts` sub-keys, the (small)
+    * build side replicates every row to ALL salts, and the join runs
+    * on (key, salt) — so the hot key's rows land on `salts` reducers
+    * instead of one. Row multiplicity is exactly that of the plain
+    * join (each probe row meets each matching build row exactly once,
+    * on its own salt replica), for inner and left joins alike.
+    *
+    * When AQE's skew split suffices, prefer it (zero code); this is
+    * the remedy when the build side must NOT broadcast (too big) and
+    * one key still dominates — e.g. the UNKNOWN customer in a
+    * fact ⟕ enrichment join. Build-side cost: ×salts replication,
+    * which is the explicit price of the balance. */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
+                 salts: Int = 16, joinType: String = "inner"): DataFrame = {
+    val saltExpr = pmod(
+      xxhash64(probe.columns.map(col): _*) + spark_partition_id().cast("long"),
+      lit(salts)).cast("int")
+    val salted = probe.withColumn("_salt", saltExpr)
+    val replicated = build.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(replicated, Seq(key, "_salt"), joinType).drop("_salt")
+  }
+
   def saltedSumCount(df: DataFrame, keyCols: Seq[String], valueCol: String,
                      salts: Int = 16): DataFrame = {
     // content hash + partition id: identical duplicate rows (or a

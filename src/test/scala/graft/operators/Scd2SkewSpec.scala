@@ -38,6 +38,28 @@ class Scd2SkewSpec extends SparkSpec {
     assert(out.size === 6)   // no fan-out, no drops
   }
 
+  test("Skew.saltedJoin equals the plain join on skewed data, and shuffles on (key, salt)") {
+    import org.apache.spark.sql.functions._
+    // 90% of probe rows share one hot key; build has multi-row keys
+    // to pin multiplicity semantics
+    val probe = spark.range(0, 2000)
+      .select(when(col("id") % 10 =!= 0, "HOT").otherwise(concat(lit("k"), col("id"))).as("k"),
+        col("id").as("v"))
+    val build = Seq(("HOT", "a"), ("HOT", "b"), ("k10", "c"), ("missing", "d"))
+      .toDF("k", "attr")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v", "attr").collect().map(_.toString).sorted.toSeq
+    val plain = probe.join(build, Seq("k"))
+    val salted = Skew.saltedJoin(probe, build, "k", salts = 8)
+    assert(canon(salted) == canon(plain))
+    // left-join parity incl. unmatched probe rows
+    val plainLeft = probe.join(build, Seq("k"), "left")
+    val saltedLeft = Skew.saltedJoin(probe, build, "k", salts = 8, joinType = "left")
+    assert(canon(saltedLeft) == canon(plainLeft))
+    // the exchange must carry the salt: hot key spread over 8 reducers
+    assert(salted.queryExecution.sparkPlan.toString.contains("_salt"))
+  }
+
   test("Skew.saltedSumCount equals direct aggregation, including a hot key") {
     val hot = (1 to 5000).map(i => ("hot", i.toLong))
     val cold = (1 to 100).map(i => (s"k$i", i.toLong))
