@@ -40,10 +40,14 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     // Short keys (q01_pricing_summary -> q01) + 3dp keep the JSON line
-    // well under the driver's output-capture tail so it stays parseable.
+    // well under the driver's output-capture tail so it stays
+    // parseable; any qNN prefix collision falls back to full names so
+    // no timing can silently vanish behind a duplicate JSON key.
     def fmt(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
+    val shortKeys = results.map(_._1.takeWhile(_ != '_'))
+    val useShort = shortKeys.distinct.length == shortKeys.length
+    val qs = results.zip(shortKeys).map { case ((k, v), sk) =>
+      "\"" + (if (useShort) sk else k) + "\":" + fmt(v)
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

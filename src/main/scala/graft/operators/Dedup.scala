@@ -291,6 +291,13 @@ object Dedup {
       labels = next
       i += 1
     }
+    // a silently non-converged result would emit cluster fragments
+    // whose label is NOT a member id (no survivor row) — fail loudly
+    // instead; callers with genuinely deeper graphs raise maxIter or
+    // switch to star contraction
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "component diameter exceeds maxIter; raise it or use star contraction")
     labels.withColumnRenamed("label", "cluster_id")
   }
 

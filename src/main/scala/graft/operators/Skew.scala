@@ -37,6 +37,12 @@ object Skew {
     * which is the explicit price of the balance. */
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
                  salts: Int = 16, joinType: String = "inner"): DataFrame = {
+    // right/full joins would emit every unmatched build row once PER
+    // SALT REPLICA — reject them instead of silently duplicating
+    require(Set("inner", "left", "leftouter", "left_outer")
+        .contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left joins only (got $joinType): " +
+        "unmatched build rows would duplicate once per salt replica")
     val saltExpr = pmod(
       xxhash64(probe.columns.map(col): _*) + spark_partition_id().cast("long"),
       lit(salts)).cast("int")

@@ -19,8 +19,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_kmv"),
       new ExpressionInfo(classOf[KmvSketchAgg].getName, "graft_kmv"),
       (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_kmv requires exactly (value, k literal) arguments, got ${children.length}")
         val k = children(1) match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
           case other => throw new IllegalArgumentException(
             s"graft_kmv k must be an integer literal, got $other")
         }

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{GreaterThanOrEqual, LessThan, LessThanOrEqual, Levenshtein, Literal}
+import org.apache.spark.sql.catalyst.expressions.{GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Levenshtein, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
@@ -34,6 +34,9 @@ object RewriteBoundedLevenshtein extends Rule[LogicalPlan] {
             if kv > 0 =>
           GreaterThanOrEqual(Levenshtein(a, b, Some(k)), Literal(0))
         case LessThan(Levenshtein(a, b, None), Literal(kv: Int, IntegerType))
+            if kv > 1 =>
+          GreaterThanOrEqual(Levenshtein(a, b, Some(Literal(kv - 1))), Literal(0))
+        case GreaterThan(Literal(kv: Int, IntegerType), Levenshtein(a, b, None))
             if kv > 1 =>
           GreaterThanOrEqual(Levenshtein(a, b, Some(Literal(kv - 1))), Literal(0))
       }

@@ -94,8 +94,11 @@ object SnapshotTable {
                   nowMs: Long = System.currentTimeMillis()): (Long, Long) = {
     val current = read(spark, path)
     val keep = current.filter(!predicate || predicate.isNull)
-    val deleted = current.count() - keep.count()
-    (commit(spark, keep, path, nowMs), deleted)
+    // one data scan total: write the kept rows, then diff row counts
+    // against the new version (parquet counts come from file footers)
+    val total = current.count()
+    val v = commit(spark, keep, path, nowMs)
+    (v, total - readVersion(spark, path, v).count())
   }
 
   /** Roll the table back to `version`: a NEW snapshot pointing at the

@@ -99,7 +99,10 @@ object MicroBatchIngest {
         (if (hasKafkaCols) col("partition") else lit(0)).cast("int").as("_kafka_partition"),
         (if (hasKafkaCols) col("offset").cast("long") else xxhash64(col("value")))
           .as("_kafka_offset"))
-      .withColumn("_parse_ok", col(s"r.$corruptCol").isNull)
+      // a null struct (null payload / literal "null" JSON) is a parse
+      // failure too — the corrupt-record column can't flag those
+      .withColumn("_parse_ok",
+        col("r").isNotNull && col(s"r.$corruptCol").isNull)
       .select(col("r.*"), col("_raw_value"), col("_parse_ok"),
         col("_kafka_topic"), col("_kafka_partition"), col("_kafka_offset"))
       .drop(corruptCol)

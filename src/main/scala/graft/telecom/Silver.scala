@@ -1,6 +1,6 @@
 package graft.telecom
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -18,14 +18,22 @@ import org.apache.spark.sql.types.DecimalType
 object Silver {
 
   /** Reference silver_calls.sql:31-119. */
+  /** The silver hard filter's keep condition — single source of
+    * truth shared by [[silverCalls]] and [[quarantineCalls]], so the
+    * two can never drift out of their partition-of-bronze invariant
+    * (each rejectReasons branch must imply NOT cleanCallKeep). */
+  private[telecom] def cleanCallKeep: Column =
+    col("event_id").isNotNull && col("caller_msisdn").isNotNull &&
+      col("tower_id").isNotNull && col("duration_seconds") >= 0
+
   /** Quarantine audit: exactly the rows silverCalls' hard filter
     * drops, each with comma-joined reason codes. The reference drops
     * them silently (silver_calls.sql:50-55); a production lakehouse
-    * lands them for triage — the reject condition here is the exact
-    * complement of the keep condition, so silver + quarantine
-    * partition the bronze row set. concat_ws skips the null branches
-    * identically in Spark and ANSI SQL, keeping the reason string
-    * oracle-portable. */
+    * lands them for triage. Selection is literally NOT cleanCallKeep
+    * (the shared predicate), so silver + quarantine partition the
+    * bronze row set by construction; the reason string only labels
+    * the rejects. concat_ws skips the null branches identically in
+    * Spark and ANSI SQL, keeping it oracle-portable. */
   def quarantineCalls(bronzeCalls: DataFrame): DataFrame = {
     val reasons = concat_ws(",",
       when(col("event_id").isNull, "null_event_id"),
@@ -34,8 +42,8 @@ object Silver {
       when(col("duration_seconds").isNull || col("duration_seconds") < 0,
         "bad_duration"))
     bronzeCalls
+      .filter(!coalesce(cleanCallKeep, lit(false)))
       .withColumn("reasons", reasons)
-      .filter(col("reasons") =!= "")
       .select(col("event_id"), col("caller_msisdn"), col("tower_id"),
         col("duration_seconds"), col("_kafka_offset"), col("reasons"))
   }
@@ -49,8 +57,7 @@ object Silver {
     val w = Window.partitionBy("event_id")
       .orderBy(col("_bronze_ingested_at").desc, col("_kafka_offset").desc)
     bronzeCalls
-      .filter(col("event_id").isNotNull && col("caller_msisdn").isNotNull &&
-        col("tower_id").isNotNull && col("duration_seconds") >= 0)
+      .filter(cleanCallKeep)
       .filter(lookback)
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)

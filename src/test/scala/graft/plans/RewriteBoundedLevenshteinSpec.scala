@@ -47,9 +47,13 @@ class RewriteBoundedLevenshteinSpec extends SparkSpec {
   test("strict < and flipped >= comparisons also rewrite, with matching row sets") {
     val lt = parts.filter(levenshtein(col("name"), lit(probe)) < 31)
     val flipped = parts.filter(lit(30) >= levenshtein(col("name"), lit(probe)))
+    val flippedStrict = parts.filter(lit(31) > levenshtein(col("name"), lit(probe)))
     assert(boundedCount(lt.queryExecution.optimizedPlan) >= 1)
     assert(boundedCount(flipped.queryExecution.optimizedPlan) >= 1)
+    assert(boundedCount(flippedStrict.queryExecution.optimizedPlan) >= 1)
     assert(lt.select("p_partkey").as[Long].collect().toSet ===
       flipped.select("p_partkey").as[Long].collect().toSet)
+    assert(lt.select("p_partkey").as[Long].collect().toSet ===
+      flippedStrict.select("p_partkey").as[Long].collect().toSet)
   }
 }

@@ -55,6 +55,7 @@ class StreamingIngestSpec extends SparkSpec {
       mem.addData(
         """{"event_id":"ok1","caller_msisdn":"+15551234567","event_ts":"2024-01-01T10:00:00Z","duration_seconds":60}""",
         """this is not json at all""",
+        """null""",
         """{"event_id":"nots","caller_msisdn":"+15550000001","duration_seconds":5}""",
         """{"event_id":"ok2","caller_msisdn":"+15559876543","event_ts":"2024-02-15T11:30:00Z","duration_seconds":120}""")
       q.processAllAvailable()
@@ -66,7 +67,9 @@ class StreamingIngestSpec extends SparkSpec {
     assert(!good.columns.contains("_raw_value") && !good.columns.contains("_dlq_reason"))
     val dlq = spark.read.parquet(s"$dir/dlq")
     val reasons = dlq.select("_dlq_reason").as[String].collect().sorted
-    assert(reasons === Array("missing_event_ts", "unparseable_payload"))
+    // literal "null" JSON parses to a null struct — a parse failure,
+    // not a missing-timestamp row
+    assert(reasons === Array("missing_event_ts", "unparseable_payload", "unparseable_payload"))
     // the raw payload is preserved verbatim for replay after a fix
     assert(dlq.filter(col("_dlq_reason") === "unparseable_payload")
       .select("_raw_value").as[String].head() === "this is not json at all")
