@@ -155,9 +155,27 @@ object Breadth {
       .orderBy("order_id")
   }
 
+  /** Higher-order array functions — transform / filter / aggregate
+    * over per-order quantity vectors (the lambda-expression family
+    * next to q68's set-style array ops). Quantities are cast to
+    * longs and the collected array is sorted, so every fold is
+    * order-deterministic and exact in both engines. */
+  def q88ArrayHof(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey").as("order_id"))
+      .agg(sort_array(collect_list(col("l_quantity").cast("long"))).as("qtys"))
+      .select(col("order_id"),
+        size(col("qtys")).as("item_count"),
+        aggregate(col("qtys"), lit(0L), (acc, x) => acc + x).as("total_qty"),
+        size(filter(col("qtys"), x => x >= 30)).as("big_items"),
+        aggregate(transform(col("qtys"), x => x * x), lit(0L),
+          (acc, x) => acc + x).as("sum_sq"))
+      .orderBy("order_id")
+
   val queries: Map[String, Q] = Map(
     "q83_fuzzy_match" -> q83FuzzyMatch _,
     "q87_schema_drift_union" -> q87SchemaDriftUnion _,
+    "q88_array_hof" -> q88ArrayHof _,
     "q66_window_nav" -> q66WindowNav _,
     "q67_string_kitchen" -> q67StringKitchen _,
     "q68_array_ops" -> q68ArrayOps _,
@@ -166,6 +184,17 @@ object Breadth {
   )
 
   val oracles: Map[String, String] = Map(
+    "q88_array_hof" ->
+      """WITH q AS (
+        |  SELECT l_orderkey AS order_id,
+        |    list_sort(list(CAST(l_quantity AS BIGINT))) AS qtys
+        |  FROM lineitem GROUP BY 1)
+        |SELECT order_id,
+        |  CAST(len(qtys) AS INTEGER) AS item_count,
+        |  CAST(list_sum(qtys) AS BIGINT) AS total_qty,
+        |  CAST(len(list_filter(qtys, x -> x >= 30)) AS INTEGER) AS big_items,
+        |  CAST(list_sum(list_transform(qtys, x -> x * x)) AS BIGINT) AS sum_sq
+        |FROM q ORDER BY order_id""".stripMargin,
     "q87_schema_drift_union" ->
       """SELECT o_orderkey AS order_id, o_custkey AS customer_id,
         |  o_totalprice AS revenue, NULL AS priority

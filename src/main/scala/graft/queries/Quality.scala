@@ -94,7 +94,8 @@ object Quality {
 
   /** A8: cardinality monitor — exact COUNT DISTINCT (reference
     * pipeline_observability.py:175-205; at 100 TB swap in
-    * approx_count_distinct, see graft.operators.Observability).
+    * approx_count_distinct — telecom.Checks.cardinalityDrift — or the
+    * mergeable KMV sketch, q76/q82).
     */
   def q22Cardinality(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
