@@ -172,10 +172,28 @@ object Breadth {
           (acc, x) => acc + x).as("sum_sq"))
       .orderBy("order_id")
 
+  /** Distribution windows: percent_rank and cume_dist per customer
+    * (the two navigation functions q66 doesn't cover). The window
+    * order carries a unique tie-break, so both ratios are exact
+    * integer fractions — deterministic cross-engine doubles. */
+  def q89WindowDist(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("customer_id")
+      .orderBy(col("o_totalprice"), col("order_id"))
+    Tables.orders(s, dir)
+      .select(
+        col("o_orderkey").as("order_id"),
+        col("o_custkey").as("customer_id"),
+        col("o_totalprice"))
+      .withColumn("spend_pct_rank", percent_rank().over(w))
+      .withColumn("spend_cume_dist", cume_dist().over(w))
+      .orderBy("order_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q83_fuzzy_match" -> q83FuzzyMatch _,
     "q87_schema_drift_union" -> q87SchemaDriftUnion _,
     "q88_array_hof" -> q88ArrayHof _,
+    "q89_window_dist" -> q89WindowDist _,
     "q66_window_nav" -> q66WindowNav _,
     "q67_string_kitchen" -> q67StringKitchen _,
     "q68_array_ops" -> q68ArrayOps _,
@@ -184,6 +202,13 @@ object Breadth {
   )
 
   val oracles: Map[String, String] = Map(
+    "q89_window_dist" ->
+      """SELECT o_orderkey AS order_id, o_custkey AS customer_id, o_totalprice,
+        |  percent_rank() OVER w AS spend_pct_rank,
+        |  cume_dist() OVER w AS spend_cume_dist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY order_id""".stripMargin,
     "q88_array_hof" ->
       """WITH q AS (
         |  SELECT l_orderkey AS order_id,

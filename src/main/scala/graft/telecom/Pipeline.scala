@@ -62,7 +62,8 @@ object Pipeline {
     * reference's incremental models.
     */
   def mergeParquet(spark: SparkSession, increment: DataFrame, path: String,
-                   keyCols: Seq[String], versionCol: String): Unit = {
+                   keyCols: Seq[String], versionCol: String,
+                   allowSchemaEvolution: Boolean = false): Unit = {
     val target = Paths.get(path)
     // crash recovery: a previous run that died between its two moves
     // leaves the old snapshot in _bak and no target — restore it
@@ -75,7 +76,11 @@ object Pipeline {
         val existing = spark.read.parquet(path)
         val w = Window.partitionBy(keyCols.map(col): _*)
           .orderBy(col(versionCol).desc)
-        existing.unionByName(increment)
+        // schema evolution: an increment that adds (or drops) columns
+        // aligns by name with null back-fill — old rows get null for
+        // new columns, which is the reference's dbt on_schema_change:
+        // append_new_columns contract
+        existing.unionByName(increment, allowMissingColumns = allowSchemaEvolution)
           .withColumn("_merge_rn", row_number().over(w))
           .filter(col("_merge_rn") === 1)
           .drop("_merge_rn")

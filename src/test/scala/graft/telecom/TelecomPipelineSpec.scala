@@ -150,6 +150,31 @@ class TelecomPipelineSpec extends SparkSpec {
     assert(out.toSeq === Seq(("k1", 2L, "a2"), ("k2", 1L, "b"), ("k3", 1L, "c")))
   }
 
+  test("incremental merge with schema evolution: new column null-fills old rows") {
+    val path = java.nio.file.Files.createTempDirectory("merge-evo").toString + "/t"
+    Pipeline.mergeParquet(spark,
+      Seq(("k1", 1L, "a"), ("k2", 1L, "b")).toDF("id", "ver", "x"),
+      path, Seq("id"), "ver")
+    // v2 increment adds a column and updates k2
+    Pipeline.mergeParquet(spark,
+      Seq(("k2", 2L, "b2", "extra"), ("k3", 1L, "c", "e3"))
+        .toDF("id", "ver", "x", "new_col"),
+      path, Seq("id"), "ver", allowSchemaEvolution = true)
+    val out = spark.read.parquet(path)
+      .select("id", "x", "new_col").as[(String, String, Option[String])]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out === Map(
+      "k1" -> (("a", None)),
+      "k2" -> (("b2", Some("extra"))),
+      "k3" -> (("c", Some("e3")))))
+    // without the flag, a drifted increment still fails fast
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Pipeline.mergeParquet(spark,
+        Seq(("k4", 3L, "d", "x", 9)).toDF("id", "ver", "x", "new_col", "another"),
+        path, Seq("id"), "ver")
+    }
+  }
+
   test("watermark store: incremental pull only sees rows past the watermark") {
     val dir = java.nio.file.Files.createTempDirectory("wm").toString
     val store = new Pipeline.WatermarkStore(dir)
