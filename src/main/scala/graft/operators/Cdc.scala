@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture between two table states (the change-feed
+  * face a snapshot-versioned lakehouse exposes — compare Delta CDF /
+  * Iceberg changelog): a keyed full-outer diff labeling every row
+  * insert / delete / update / unchanged, with before/after values.
+  *
+  * Scale design: ONE full-outer sort-merge join on the key — the same
+  * cost as any keyed reconciliation; change detection is a null-safe
+  * column comparison (no hashing, no serialization format to agree
+  * on cross-engine). Pairs with sources.SnapshotTable.readVersion to
+  * diff any two committed versions.
+  */
+object Cdc {
+
+  /** Diff `after` against `before` on `keyCols`. Output: key columns,
+    * `op`, and for every non-key column c both `c_before` and
+    * `c_after` (delete rows carry only *_before, inserts only
+    * *_after). Set keepUnchanged=true to emit unchanged rows too. */
+  def snapshotDiff(before: DataFrame, after: DataFrame, keyCols: Seq[String],
+                   keepUnchanged: Boolean = false): DataFrame = {
+    val valueCols = before.columns.filterNot(keyCols.contains).toSeq
+    require(valueCols.toSet == after.columns.filterNot(keyCols.contains).toSet,
+      s"snapshotDiff requires matching non-key columns, got " +
+        s"${valueCols.mkString(",")} vs ${after.columns.filterNot(keyCols.contains).mkString(",")}")
+    val b = before.select(
+      (keyCols.map(col) :+ lit(true).as("_b_present")) ++
+        valueCols.map(c => col(c).as(s"${c}_before")): _*)
+    val a = after.select(
+      (keyCols.map(col) :+ lit(true).as("_a_present")) ++
+        valueCols.map(c => col(c).as(s"${c}_after")): _*)
+    val changed: Column = valueCols
+      .map(c => !(col(s"${c}_before") <=> col(s"${c}_after")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val diffed = b.join(a, keyCols, "full_outer")
+      .withColumn("op",
+        when(col("_b_present").isNull, "insert")
+          .when(col("_a_present").isNull, "delete")
+          .when(changed, "update")
+          .otherwise("unchanged"))
+      .drop("_b_present", "_a_present")
+    if (keepUnchanged) diffed else diffed.filter(col("op") =!= "unchanged")
+  }
+}

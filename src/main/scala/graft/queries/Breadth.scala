@@ -189,11 +189,28 @@ object Breadth {
       .orderBy("order_id")
   }
 
+  /** CDC between two derived table versions (operators.Cdc): v2 drops
+    * some orders, adds others, and bumps every third price — the diff
+    * labels each changed key insert/delete/update with before/after
+    * values. One keyed full-outer join; no serialized row hashing. */
+  def q90SnapshotCdc(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("order_id"), col("o_totalprice").as("price"))
+    val v1 = o.filter(col("order_id") % 7 =!= 0)
+    val v2 = o.filter(col("order_id") % 5 =!= 0)
+      .withColumn("price",
+        when(col("order_id") % 3 === 0, col("price") + 10.0).otherwise(col("price")))
+    graft.operators.Cdc.snapshotDiff(v1, v2, Seq("order_id"))
+      .select("order_id", "op", "price_before", "price_after")
+      .orderBy("order_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q83_fuzzy_match" -> q83FuzzyMatch _,
     "q87_schema_drift_union" -> q87SchemaDriftUnion _,
     "q88_array_hof" -> q88ArrayHof _,
     "q89_window_dist" -> q89WindowDist _,
+    "q90_snapshot_cdc" -> q90SnapshotCdc _,
     "q66_window_nav" -> q66WindowNav _,
     "q67_string_kitchen" -> q67StringKitchen _,
     "q68_array_ops" -> q68ArrayOps _,
@@ -202,6 +219,27 @@ object Breadth {
   )
 
   val oracles: Map[String, String] = Map(
+    "q90_snapshot_cdc" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey AS order_id, o_totalprice AS price
+        |  FROM orders WHERE o_orderkey % 7 != 0),
+        |v2 AS (
+        |  SELECT o_orderkey AS order_id,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10.0
+        |         ELSE o_totalprice END AS price
+        |  FROM orders WHERE o_orderkey % 5 != 0),
+        |j AS (
+        |  SELECT COALESCE(v1.order_id, v2.order_id) AS order_id,
+        |    v1.price AS price_before, v2.price AS price_after,
+        |    v1.order_id IS NOT NULL AS bp, v2.order_id IS NOT NULL AS ap
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.order_id = v2.order_id)
+        |SELECT order_id,
+        |  CASE WHEN NOT bp THEN 'insert' WHEN NOT ap THEN 'delete'
+        |       ELSE 'update' END AS op,
+        |  price_before, price_after
+        |FROM j
+        |WHERE NOT bp OR NOT ap OR price_before IS DISTINCT FROM price_after
+        |ORDER BY order_id""".stripMargin,
     "q89_window_dist" ->
       """SELECT o_orderkey AS order_id, o_custkey AS customer_id, o_totalprice,
         |  percent_rank() OVER w AS spend_pct_rank,

@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.SnapshotTable
+import org.apache.spark.sql.functions._
+
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("snapshotDiff labels insert/delete/update with before/after values") {
+    val before = Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0))
+      .toDF("id", "x", "v")
+    val after = Seq((2, "b", 25.0), (3, "c", 30.0), (4, "d", 40.0))
+      .toDF("id", "x", "v")
+    val diff = Cdc.snapshotDiff(before, after, Seq("id"))
+      .select("id", "op", "v_before", "v_after")
+      .as[(Int, String, Option[Double], Option[Double])].collect().toSet
+    assert(diff === Set(
+      (1, "delete", Some(10.0), None),
+      (2, "update", Some(20.0), Some(25.0)),
+      (4, "insert", None, Some(40.0))))
+  }
+
+  test("null-safe change detection: null -> value and value -> null are updates, null -> null is not") {
+    val before = Seq((1, Option.empty[String]), (2, Some("x")), (3, Option.empty[String]))
+      .toDF("id", "v")
+    val after = Seq((1, Some("now")), (2, Option.empty[String]), (3, Option.empty[String]))
+      .toDF("id", "v")
+    val ops = Cdc.snapshotDiff(before, after, Seq("id"), keepUnchanged = true)
+      .select("id", "op").as[(Int, String)].collect().toMap
+    assert(ops === Map(1 -> "update", 2 -> "update", 3 -> "unchanged"))
+  }
+
+  test("diffing two SnapshotTable versions yields the committed change set") {
+    val path = java.nio.file.Files.createTempDirectory("cdc").toString + "/t"
+    SnapshotTable.commit(spark, Seq((1, "a"), (2, "b")).toDF("id", "x"), path, nowMs = 1000)
+    SnapshotTable.commit(spark, Seq((2, "b2"), (3, "c")).toDF("id", "x"), path, nowMs = 2000)
+    val diff = Cdc.snapshotDiff(
+        SnapshotTable.readVersion(spark, path, 1),
+        SnapshotTable.readVersion(spark, path, 2), Seq("id"))
+      .select("id", "op").as[(Int, String)].collect().toSet
+    assert(diff === Set((1, "delete"), (2, "update"), (3, "insert")))
+  }
+}
