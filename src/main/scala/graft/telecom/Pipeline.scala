@@ -155,7 +155,26 @@ object Pipeline {
     * verdict). The gate mirrors the reference's "tests block the
     * dashboard refresh" contract: callers stop on BLOCKED. */
   def runAll(spark: SparkSession, outDir: String,
-             callEvents: Int = 2000): (Seq[TableRun], String) = {
+             callEvents: Int = 2000): (Seq[TableRun], String) =
+    runDag(spark, outDir, callEvents, _ => true)
+
+  /** Incremental recompute: rebuild ONLY `changed` and its downstream
+    * cone (impact analysis over the lineage DAG); every untouched
+    * parent is read from its previously persisted output instead of
+    * being regenerated — the partial-backfill semantics an
+    * orchestrator needs when one model's logic or input changes.
+    * Requires a prior full run to have persisted the unaffected
+    * tables under outDir. */
+  def runDownstream(spark: SparkSession, outDir: String, changed: String,
+                    callEvents: Int = 2000): (Seq[TableRun], String) = {
+    require(lineage.contains(changed), s"unknown table $changed")
+    val affected = Set(changed) ++ downstreamOf(changed)
+    runDag(spark, outDir, callEvents, affected.contains)
+  }
+
+  private def runDag(spark: SparkSession, outDir: String,
+                     callEvents: Int,
+                     rebuild: String => Boolean): (Seq[TableRun], String) = {
     val tables = scala.collection.mutable.Map[String, DataFrame]()
     // the builder names are validated against the lineage map BEFORE
     // any table is written, so the two encodings cannot drift into a
@@ -185,13 +204,20 @@ object Pipeline {
       case "agg_customer_monthly_summary" =>
         Gold.aggCustomerMonthly(tables("fact_calls"), tables("dim_customers"))
     }
-    val manifest = topoOrder().map { name =>
-      val t0 = System.nanoTime()
-      val df = build(name)
-      df.write.mode("overwrite").parquet(s"$outDir/$name")
-      val persisted = spark.read.parquet(s"$outDir/$name")
-      tables(name) = persisted
-      TableRun(name, persisted.count(), (System.nanoTime() - t0) / 1e9)
+    val manifest = topoOrder().flatMap { name =>
+      if (rebuild(name)) {
+        val t0 = System.nanoTime()
+        val df = build(name)
+        df.write.mode("overwrite").parquet(s"$outDir/$name")
+        val persisted = spark.read.parquet(s"$outDir/$name")
+        tables(name) = persisted
+        Some(TableRun(name, persisted.count(), (System.nanoTime() - t0) / 1e9))
+      } else {
+        // untouched parent: serve the persisted output; no rewrite,
+        // no manifest entry (the run record lists only rebuilt tables)
+        tables(name) = spark.read.parquet(s"$outDir/$name")
+        None
+      }
     }
     // S12 run metadata: the manifest lands next to the tables as JSON
     // (the pipeline-observability run record a warehouse job would PUT

@@ -201,6 +201,23 @@ class TelecomPipelineSpec extends SparkSpec {
     assert(compacted.count() === bronzeCalls.select("event_id").distinct().count())
   }
 
+  test("runDownstream rebuilds only the changed cone and matches a full rebuild") {
+    val out = java.nio.file.Files.createTempDirectory("daginc").toString
+    Pipeline.runAll(spark, out, callEvents = 500)
+    val fullMonthly = spark.read.parquet(s"$out/agg_customer_monthly_summary")
+      .collect().map(_.toString).sorted.toSeq
+    val (manifest, verdict) = Pipeline.runDownstream(spark, out, "silver_calls", callEvents = 500)
+    assert(verdict === "HEALTHY")
+    // exactly the changed table + its downstream cone, in topo order
+    assert(manifest.map(_.table) === Seq("silver_calls", "fact_calls",
+      "agg_customer_monthly_summary", "agg_tower_hourly_utilization"))
+    // deterministic inputs -> the incremental rebuild reproduces the
+    // full-run output byte-for-byte at the row level
+    val incMonthly = spark.read.parquet(s"$out/agg_customer_monthly_summary")
+      .collect().map(_.toString).sorted.toSeq
+    assert(incMonthly === fullMonthly)
+  }
+
   test("runAll executes the full DAG in topo order and gates HEALTHY") {
     val out = java.nio.file.Files.createTempDirectory("dagrun").toString
     val (manifest, verdict) = Pipeline.runAll(spark, out, callEvents = 1000)
