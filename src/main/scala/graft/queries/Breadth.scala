@@ -205,12 +205,60 @@ object Breadth {
       .orderBy("order_id")
   }
 
+  /** Interval-overlap self join, blocked by order: which line items
+    * of the same order were in transit simultaneously (ship→receipt
+    * windows intersect). The block key bounds the quadratic term by
+    * lines-per-order; at corpus scale an unkeyed interval join would
+    * instead bucket intervals onto a coarse time grid (q33's shape).
+    */
+  def q91IntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    // the trimmed lineitem schema has no receipt date — derive a
+    // deterministic transit window: ship + (quantity mod 20) days
+    val li = Tables.lineitem(s, dir).select(
+      col("l_orderkey").as("order_id"), col("l_linenumber").as("line_no"),
+      col("l_shipdate").cast("date").as("ship"),
+      date_add(col("l_shipdate").cast("date"),
+        col("l_quantity").cast("int") % 20).as("receipt"))
+    val a = li.select(col("order_id"), col("line_no").as("line_a"),
+      col("ship").as("ship_a"), col("receipt").as("receipt_a"))
+    val b = li.select(col("order_id"), col("line_no").as("line_b"),
+      col("ship").as("ship_b"), col("receipt").as("receipt_b"))
+    a.join(b, Seq("order_id"))
+      .filter(col("line_a") < col("line_b"))
+      .filter(col("ship_a") <= col("receipt_b") && col("ship_b") <= col("receipt_a"))
+      .select(col("order_id"), col("line_a"), col("line_b"),
+        (datediff(least(col("receipt_a"), col("receipt_b")),
+          greatest(col("ship_a"), col("ship_b"))) + 1).as("overlap_days"))
+      .orderBy("order_id", "line_a", "line_b")
+  }
+
+  /** Ratio-to-report: each (priority, status) revenue as a share of
+    * its priority's total. The window sum runs over DECIMAL partials
+    * (order-independent, unlike summing doubles whose result depends
+    * on intra-partition add order), and only the final ratio drops to
+    * doubles. */
+  def q92RatioToReport(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("priority")
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority").as("priority"),
+        col("o_orderstatus").as("status"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev_dec"))
+      .withColumn("priority_share",
+        col("rev_dec").cast("double") /
+          sum(col("rev_dec")).over(w).cast("double"))
+      .select(col("priority"), col("status"),
+        col("rev_dec").cast("double").as("revenue"), col("priority_share"))
+      .orderBy("priority", "status")
+  }
+
   val queries: Map[String, Q] = Map(
     "q83_fuzzy_match" -> q83FuzzyMatch _,
     "q87_schema_drift_union" -> q87SchemaDriftUnion _,
     "q88_array_hof" -> q88ArrayHof _,
     "q89_window_dist" -> q89WindowDist _,
     "q90_snapshot_cdc" -> q90SnapshotCdc _,
+    "q91_interval_overlap" -> q91IntervalOverlap _,
+    "q92_ratio_to_report" -> q92RatioToReport _,
     "q66_window_nav" -> q66WindowNav _,
     "q67_string_kitchen" -> q67StringKitchen _,
     "q68_array_ops" -> q68ArrayOps _,
@@ -219,6 +267,28 @@ object Breadth {
   )
 
   val oracles: Map[String, String] = Map(
+    "q91_interval_overlap" ->
+      """WITH li AS (
+        |  SELECT l_orderkey AS order_id, l_linenumber AS line_no,
+        |    CAST(l_shipdate AS DATE) AS ship,
+        |    CAST(l_shipdate AS DATE) + (CAST(l_quantity AS INTEGER) % 20) AS receipt
+        |  FROM lineitem)
+        |SELECT a.order_id, a.line_no AS line_a, b.line_no AS line_b,
+        |  CAST(least(a.receipt, b.receipt) - greatest(a.ship, b.ship)
+        |       AS INTEGER) + 1 AS overlap_days
+        |FROM li a JOIN li b
+        |  ON a.order_id = b.order_id AND a.line_no < b.line_no
+        |WHERE a.ship <= b.receipt AND b.ship <= a.receipt
+        |ORDER BY a.order_id, line_a, line_b""".stripMargin,
+    "q92_ratio_to_report" ->
+      """WITH g AS (
+        |  SELECT o_orderpriority AS priority, o_orderstatus AS status,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT priority, status, CAST(rev_dec AS DOUBLE) AS revenue,
+        |  CAST(rev_dec AS DOUBLE) /
+        |    CAST(SUM(rev_dec) OVER (PARTITION BY priority) AS DOUBLE) AS priority_share
+        |FROM g ORDER BY priority, status""".stripMargin,
     "q90_snapshot_cdc" ->
       """WITH v1 AS (
         |  SELECT o_orderkey AS order_id, o_totalprice AS price
