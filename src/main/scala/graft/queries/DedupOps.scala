@@ -99,8 +99,28 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** The deduplicated corpus — the artifact a curation pipeline
+    * actually ships: every document except non-survivor members of
+    * near-dup clusters (q77's connected components keep the min-id
+    * doc per cluster). One anti-join against the loser set. */
+  def q93DedupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val sigs = Dedup.minhashSignatures(d, "doc_id", "text", k = 16, shingleN = 3)
+    val cand = Dedup.lshCandidatePairs(sigs, "doc_id", bands = 4, rowsPerBand = 4)
+    val pairs = Dedup.verifyJaccard(cand, d, "doc_id", "text", shingleN = 3)
+      .filter(col("jaccard") >= 0.2)
+      .select("id_a", "id_b")
+    val losers = Dedup.connectedComponents(pairs)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("doc_id"))
+    d.join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q86_incremental_dedup" -> q86IncrementalDedup _,
+    "q93_dedup_corpus" -> q93DedupCorpus _,
     "q46_minhash_neardup" -> q46MinhashNearDup _,
     "q47_simhash_fingerprint" -> q47SimhashFingerprint _,
     "q48_simhash_neardup" -> q48SimhashNearDup _,
@@ -256,6 +276,45 @@ object DedupOps {
          |LEFT JOIN near n ON n.doc_id = d.doc_id
          |WHERE d.doc_id % 10 = 0
          |ORDER BY d.doc_id""".stripMargin,
+    "q93_dedup_corpus" ->
+      s"""WITH RECURSIVE $tokHashCte,
+         |$shinglesCte,
+         |sig AS (
+         |  SELECT doc_id, sh,
+         |    list_transform(generate_series(1, 16), i ->
+         |      list_aggregate(list_transform(sh, x ->
+         |        ((((2654435769 * i) % 1073741789) | 1) * CAST(x % 4294967296 AS BIGINT)
+         |          + (2245893631 * i + 668197679) % 1073741789) % 4294967311),
+         |        'min')) AS sig
+         |  FROM sh),
+         |banded AS (
+         |  SELECT doc_id, b.band_idx, sig[b.band_idx*4+1 : b.band_idx*4+4] AS band
+         |  FROM sig, (SELECT unnest(generate_series(0,3)) AS band_idx) b),
+         |cpairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id),
+         |verified AS (
+         |  SELECT p.id_a, p.id_b
+         |  FROM cpairs p
+         |  JOIN sh sa ON sa.doc_id = p.id_a
+         |  JOIN sh sb ON sb.doc_id = p.id_b
+         |  WHERE CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+         |      / (len(sa.sh) + len(sb.sh)
+         |         - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) >= 0.2),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM verified
+         |  UNION ALL SELECT id_b, id_a FROM verified),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src),
+         |losers AS (
+         |  SELECT id FROM (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+         |  WHERE id != cluster_id)
+         |SELECT doc_id, lang, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM losers)
+         |ORDER BY doc_id""".stripMargin,
     // Connected components as a recursive transitive closure: every
     // vertex reaches itself; reachability propagates along symmetric
     // edges; MIN over reached ids = the cluster label (UNION dedups,
