@@ -19,6 +19,15 @@ import org.apache.spark.sql.functions._
   */
 object StreamEnrich {
 
+  /** Stream-static enrichment: every micro-batch joins the (bounded)
+    * tower dimension map-side via broadcast — no stream-side shuffle,
+    * no state. Left join keeps events from unknown towers (they flow
+    * through with null dim columns for downstream quarantine rather
+    * than vanishing). The static side is re-resolved per batch, so a
+    * dim refresh is picked up without restarting the query. */
+  def callsWithTowerDim(calls: DataFrame, towers: DataFrame): DataFrame =
+    calls.join(broadcast(towers), Seq("tower_id"), "left")
+
   def callsWithTowerLoad(calls: DataFrame, probes: DataFrame,
                          tolerance: String = "10 minutes",
                          lateness: String = "30 seconds"): DataFrame = {

@@ -21,6 +21,23 @@ class StreamEnrichSpec extends SparkSpec {
     ("T1", ts("2024-01-01 10:01:00"), 60.0), // after c1, before c2-10min
     ("T2", ts("2024-01-01 10:00:00"), 80.0))
 
+  test("stream-static broadcast enrichment: dims join map-side, unknown towers survive") {
+    implicit val sqlCtx = spark.sqlContext
+    val towers = Seq(("T1", "NYC"), ("T2", "SFO")).toDF("tower_id", "city")
+    val mem = MemoryStream[(String, String)]
+    val enriched = StreamEnrich.callsWithTowerDim(
+      mem.toDF().toDF("event_id", "tower_id"), towers)
+    val q = enriched.writeStream.format("memory")
+      .queryName("dim_enriched").outputMode("append").start()
+    try {
+      mem.addData(("c1", "T1"), ("c2", "T9"), ("c3", "T2"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("dim_enriched")
+      .select("event_id", "city").as[(String, Option[String])].collect().toSet
+    assert(rows === Set(("c1", Some("NYC")), ("c2", None), ("c3", Some("SFO"))))
+  }
+
   test("stream-stream interval join: bounded-state enrichment equals the batch join") {
     implicit val sqlCtx = spark.sqlContext
     val cMem = MemoryStream[(String, String, Timestamp)]
