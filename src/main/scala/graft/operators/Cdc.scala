@@ -26,22 +26,31 @@ object Cdc {
     require(valueCols.toSet == after.columns.filterNot(keyCols.contains).toSet,
       s"snapshotDiff requires matching non-key columns, got " +
         s"${valueCols.mkString(",")} vs ${after.columns.filterNot(keyCols.contains).mkString(",")}")
+    // keys are renamed per side and matched NULL-SAFELY (<=>): a
+    // plain key-list join would never match null keys, reporting an
+    // unchanged null-key row as a spurious delete + insert
     val b = before.select(
-      (keyCols.map(col) :+ lit(true).as("_b_present")) ++
+      (keyCols.map(k => col(k).as(s"_bk_$k")) :+ lit(true).as("_b_present")) ++
         valueCols.map(c => col(c).as(s"${c}_before")): _*)
     val a = after.select(
-      (keyCols.map(col) :+ lit(true).as("_a_present")) ++
+      (keyCols.map(k => col(k).as(s"_ak_$k")) :+ lit(true).as("_a_present")) ++
         valueCols.map(c => col(c).as(s"${c}_after")): _*)
+    val keyMatch = keyCols
+      .map(k => col(s"_bk_$k") <=> col(s"_ak_$k"))
+      .reduce(_ && _)
     val changed: Column = valueCols
       .map(c => !(col(s"${c}_before") <=> col(s"${c}_after")))
       .reduceOption(_ || _).getOrElse(lit(false))
-    val diffed = b.join(a, keyCols, "full_outer")
+    val diffed = b.join(a, keyMatch, "full_outer")
       .withColumn("op",
         when(col("_b_present").isNull, "insert")
           .when(col("_a_present").isNull, "delete")
           .when(changed, "update")
           .otherwise("unchanged"))
-      .drop("_b_present", "_a_present")
+      .select(
+        keyCols.map(k => coalesce(col(s"_bk_$k"), col(s"_ak_$k")).as(k)) ++
+          Seq(col("op")) ++
+          valueCols.flatMap(c => Seq(col(s"${c}_before"), col(s"${c}_after"))): _*)
     if (keepUnchanged) diffed else diffed.filter(col("op") =!= "unchanged")
   }
 }

@@ -177,29 +177,51 @@ object Dedup {
       .toDF(idCol, "sig")
   }
 
+  /** Banded (id, band_idx, band_key) rows for LSH bucketing, with the
+    * short-signature guard woven into the sig column (a free-standing
+    * check column would be pruned away unevaluated): a signature
+    * shorter than bands*rowsPerBand would slice to EMPTY band arrays,
+    * hashing every doc into one shared bucket and silently degrading
+    * the bucket join to O(n²). */
+  private def lshBands(sigs: DataFrame, idCol: String,
+                       bands: Int, rowsPerBand: Int): DataFrame = {
+    val guarded = sigs.withColumn("sig",
+      when(assert_true(size(col("sig")) >= lit(bands * rowsPerBand),
+          lit(s"minhash signature shorter than bands*rowsPerBand = ${bands * rowsPerBand}"))
+        .isNull, col("sig")))
+    guarded.select(
+        col(idCol), posexplode(
+          array((0 until bands).map(bi =>
+            slice(col("sig"), bi * rowsPerBand + 1, rowsPerBand)): _*)))
+      .select(col(idCol), col("pos").as("band_idx"), hash(col("col")).as("band_key"))
+  }
+
   /** LSH banding: split the signature into `bands` bands of
     * `rowsPerBand`, bucket on (band index, band hash), self-join
     * within buckets → distinct candidate pairs (idA < idB). */
   def lshCandidatePairs(sigs: DataFrame, idCol: String,
                         bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
-    // guard: a signature shorter than bands*rowsPerBand would slice to
-    // EMPTY band arrays, hashing every doc into one shared bucket and
-    // silently degrading the self-join to O(n^2). The assert is woven
-    // into the sig column (a free-standing check column would be
-    // pruned away unevaluated).
-    val guarded = sigs.withColumn("sig",
-      when(assert_true(size(col("sig")) >= lit(bands * rowsPerBand),
-          lit(s"minhash signature shorter than bands*rowsPerBand = ${bands * rowsPerBand}"))
-        .isNull, col("sig")))
-    val banded = guarded.select(
-        col(idCol), posexplode(
-          array((0 until bands).map(bi =>
-            slice(col("sig"), bi * rowsPerBand + 1, rowsPerBand)): _*)))
-      .select(col(idCol), col("pos").as("band_idx"), hash(col("col")).as("band_key"))
+    val banded = lshBands(sigs, idCol, bands, rowsPerBand)
     val left = banded.select(col(idCol).as("id_a"), col("band_idx"), col("band_key"))
     val right = banded.select(col(idCol).as("id_b"), col("band_idx"), col("band_key"))
     left.join(right, Seq("band_idx", "band_key"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Bipartite LSH candidates: bucket-join LEFT signatures against
+    * RIGHT signatures only — the incremental-dedup shape, where the
+    * corpus must never self-join (its within-bucket pairs would
+    * dominate the candidate cost at any realistic corpus:increment
+    * ratio). Emits distinct (id_a from left, id_b from right). */
+  def lshCandidatePairsAcross(sigsLeft: DataFrame, sigsRight: DataFrame,
+                              idCol: String, bands: Int = 4,
+                              rowsPerBand: Int = 4): DataFrame = {
+    val l = lshBands(sigsLeft, idCol, bands, rowsPerBand)
+      .select(col(idCol).as("id_a"), col("band_idx"), col("band_key"))
+    val r = lshBands(sigsRight, idCol, bands, rowsPerBand)
+      .select(col(idCol).as("id_b"), col("band_idx"), col("band_key"))
+    l.join(r, Seq("band_idx", "band_key"))
       .select("id_a", "id_b").distinct()
   }
 

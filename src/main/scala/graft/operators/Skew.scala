@@ -1,12 +1,12 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Skew-handling primitives (SURVEY.md §7.4 #6, BASELINE scale
   * notes). Joins lean on AQE's runtime skew-join splitting; for
-  * aggregations over pathologically hot keys this provides the
-  * classic two-phase salted form.
+  * pathologically hot keys this provides the classic salted forms
+  * for aggregation and equi joins.
   */
 object Skew {
 
@@ -22,6 +22,22 @@ object Skew {
     * Equivalent to groupBy(key).agg(sum, count) for any input; worth
     * the second (tiny) shuffle only when one key dominates.
     */
+  def saltedSumCount(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                     salts: Int = 16): DataFrame = {
+    // content hash + partition id: identical duplicate rows (or a
+    // low-cardinality value set) still spread across reducers instead
+    // of collapsing into one salt bucket; the salt never affects the
+    // final result, so partition-dependence is harmless here
+    val saltExpr = pmod(
+      xxhash64(df.columns.map(col): _*) + spark_partition_id().cast("long"), lit(salts))
+    df.withColumn("_salt", saltExpr)
+      .groupBy((keyCols.map(col) :+ col("_salt")): _*)
+      .agg(sum(col(valueCol)).as("_psum"), count(lit(1)).as("_pcnt"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("_psum")).as(s"sum_$valueCol"),
+        sum(col("_pcnt")).as("row_count"))
+  }
+
   /** Salted equi join for a pathologically hot probe key: the probe
     * side scatters each row across `salts` sub-keys, the (small)
     * build side replicates every row to ALL salts, and the join runs
@@ -50,21 +66,5 @@ object Skew {
     val replicated = build.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated, Seq(key, "_salt"), joinType).drop("_salt")
-  }
-
-  def saltedSumCount(df: DataFrame, keyCols: Seq[String], valueCol: String,
-                     salts: Int = 16): DataFrame = {
-    // content hash + partition id: identical duplicate rows (or a
-    // low-cardinality value set) still spread across reducers instead
-    // of collapsing into one salt bucket; the salt never affects the
-    // final result, so partition-dependence is harmless here
-    val saltExpr = pmod(
-      xxhash64(df.columns.map(col): _*) + spark_partition_id().cast("long"), lit(salts))
-    df.withColumn("_salt", saltExpr)
-      .groupBy((keyCols.map(col) :+ col("_salt")): _*)
-      .agg(sum(col(valueCol)).as("_psum"), count(lit(1)).as("_pcnt"))
-      .groupBy(keyCols.map(col): _*)
-      .agg(sum(col("_psum")).as(s"sum_$valueCol"),
-        sum(col("_pcnt")).as("row_count"))
   }
 }

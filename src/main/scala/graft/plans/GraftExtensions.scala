@@ -23,7 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_kmv requires exactly (value, k literal) arguments, got ${children.length}")
         val k = children(1) match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) =>
+            require(v >= 1 && v <= Int.MaxValue,
+              s"graft_kmv k must fit a positive Int, got $v")
+            v.toInt
           case other => throw new IllegalArgumentException(
             s"graft_kmv k must be an integer literal, got $other")
         }

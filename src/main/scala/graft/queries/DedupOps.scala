@@ -80,11 +80,12 @@ object DedupOps {
       .join(fp.filter(!isInc).select(col("fp"), col("doc_id").as("cid")), "fp")
       .groupBy("doc_id").agg(min("cid").as("exact_match"))
     val sigs = Dedup.minhashSignatures(d, "doc_id", "text", k = 16, shingleN = 3)
-    val crossPairs = Dedup.lshCandidatePairs(sigs, "doc_id", bands = 4, rowsPerBand = 4)
-      .filter((col("id_a") % 10 === 0) =!= (col("id_b") % 10 === 0))
-      .select(
-        when(col("id_a") % 10 === 0, col("id_a")).otherwise(col("id_b")).as("id_a"),
-        when(col("id_a") % 10 === 0, col("id_b")).otherwise(col("id_a")).as("id_b"))
+    // bipartite banding: increment bands join corpus bands only — the
+    // corpus never self-joins, so candidate cost scales with the
+    // increment (corpus-side work is one banding scan)
+    val crossPairs = Dedup.lshCandidatePairsAcross(
+      sigs.filter(isInc), sigs.filter(!isInc), "doc_id",
+      bands = 4, rowsPerBand = 4)
     val near = Dedup.verifyJaccard(crossPairs, d, "doc_id", "text", shingleN = 3)
       .filter(col("jaccard") >= 0.2)
       .groupBy(col("id_a").as("doc_id")).agg(min("id_b").as("near_match"))
@@ -150,6 +151,23 @@ object DedupOps {
   private def rotlSql(x: String, k: Int): String =
     s"(($x) * ${1L << k} % 18446744073709551616 + ($x) // ${1L << (64 - k)})"
 
+  /** MinHash(16) signature + 4x4 LSH banding CTEs — the exact-parity
+    * kernel shared verbatim by the q46/q77/q86/q93 oracles (a
+    * coefficient tweak applied to one copy would silently break the
+    * others, so there is only one copy). */
+  private val sigBandedCtes =
+    """sig AS (
+      |  SELECT doc_id, sh,
+      |    list_transform(generate_series(1, 16), i ->
+      |      list_aggregate(list_transform(sh, x ->
+      |        ((((2654435769 * i) % 1073741789) | 1) * CAST(x % 4294967296 AS BIGINT)
+      |          + (2245893631 * i + 668197679) % 1073741789) % 4294967311),
+      |        'min')) AS sig
+      |  FROM sh),
+      |banded AS (
+      |  SELECT doc_id, b.band_idx, sig[b.band_idx*4+1 : b.band_idx*4+4] AS band
+      |  FROM sig, (SELECT unnest(generate_series(0,3)) AS band_idx) b)""".stripMargin
+
   /** Per-document token FNV hashes (th) — the shared first stage. */
   private val tokHashCte =
     s"""tok AS (
@@ -196,17 +214,7 @@ object DedupOps {
     "q46_minhash_neardup" ->
       s"""WITH $tokHashCte,
          |$shinglesCte,
-         |sig AS (
-         |  SELECT doc_id, sh,
-         |    list_transform(generate_series(1, 16), i ->
-         |      list_aggregate(list_transform(sh, x ->
-         |        ((((2654435769 * i) % 1073741789) | 1) * CAST(x % 4294967296 AS BIGINT)
-         |          + (2245893631 * i + 668197679) % 1073741789) % 4294967311),
-         |        'min')) AS sig
-         |  FROM sh),
-         |banded AS (
-         |  SELECT doc_id, b.band_idx, sig[b.band_idx*4+1 : b.band_idx*4+4] AS band
-         |  FROM sig, (SELECT unnest(generate_series(0,3)) AS band_idx) b),
+         |$sigBandedCtes,
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM banded a JOIN banded b
@@ -229,17 +237,7 @@ object DedupOps {
     "q86_incremental_dedup" ->
       s"""WITH $tokHashCte,
          |$shinglesCte,
-         |sig AS (
-         |  SELECT doc_id, sh,
-         |    list_transform(generate_series(1, 16), i ->
-         |      list_aggregate(list_transform(sh, x ->
-         |        ((((2654435769 * i) % 1073741789) | 1) * CAST(x % 4294967296 AS BIGINT)
-         |          + (2245893631 * i + 668197679) % 1073741789) % 4294967311),
-         |        'min')) AS sig
-         |  FROM sh),
-         |banded AS (
-         |  SELECT doc_id, b.band_idx, sig[b.band_idx*4+1 : b.band_idx*4+4] AS band
-         |  FROM sig, (SELECT unnest(generate_series(0,3)) AS band_idx) b),
+         |$sigBandedCtes,
          |rawp AS (
          |  SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
          |  FROM banded a JOIN banded b
@@ -279,17 +277,7 @@ object DedupOps {
     "q93_dedup_corpus" ->
       s"""WITH RECURSIVE $tokHashCte,
          |$shinglesCte,
-         |sig AS (
-         |  SELECT doc_id, sh,
-         |    list_transform(generate_series(1, 16), i ->
-         |      list_aggregate(list_transform(sh, x ->
-         |        ((((2654435769 * i) % 1073741789) | 1) * CAST(x % 4294967296 AS BIGINT)
-         |          + (2245893631 * i + 668197679) % 1073741789) % 4294967311),
-         |        'min')) AS sig
-         |  FROM sh),
-         |banded AS (
-         |  SELECT doc_id, b.band_idx, sig[b.band_idx*4+1 : b.band_idx*4+4] AS band
-         |  FROM sig, (SELECT unnest(generate_series(0,3)) AS band_idx) b),
+         |$sigBandedCtes,
          |cpairs AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM banded a JOIN banded b
@@ -324,17 +312,7 @@ object DedupOps {
     "q77_dedup_clusters" ->
       s"""WITH RECURSIVE $tokHashCte,
          |$shinglesCte,
-         |sig AS (
-         |  SELECT doc_id, sh,
-         |    list_transform(generate_series(1, 16), i ->
-         |      list_aggregate(list_transform(sh, x ->
-         |        ((((2654435769 * i) % 1073741789) | 1) * CAST(x % 4294967296 AS BIGINT)
-         |          + (2245893631 * i + 668197679) % 1073741789) % 4294967311),
-         |        'min')) AS sig
-         |  FROM sh),
-         |banded AS (
-         |  SELECT doc_id, b.band_idx, sig[b.band_idx*4+1 : b.band_idx*4+4] AS band
-         |  FROM sig, (SELECT unnest(generate_series(0,3)) AS band_idx) b),
+         |$sigBandedCtes,
          |cpairs AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM banded a JOIN banded b

@@ -81,12 +81,13 @@ object MicroBatchIngest {
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
   /** [[parse]] variant that keeps the raw payload and a parse flag
-    * instead of silently nulling failed rows: from_json in PERMISSIVE
-    * mode yields an all-null struct for malformed input (never a null
-    * struct), so failure detection goes through the
-    * columnNameOfCorruptRecord channel — `_parse_ok` is false iff the
-    * corrupt-record column captured the payload. Feed to
-    * [[startBronzeSinkDlq]] for dead-letter routing. */
+    * instead of silently nulling failed rows. Failure has TWO shapes:
+    * malformed JSON yields an all-null struct with the
+    * columnNameOfCorruptRecord channel set, while a null payload or
+    * the literal "null" document yields a NULL struct (and a null
+    * corrupt column) — so `_parse_ok` requires a non-null struct AND
+    * an empty corrupt column. Feed to [[startBronzeSinkDlq]] for
+    * dead-letter routing. */
   def parseFlagged(raw: DataFrame, schema: StructType, topic: String): DataFrame = {
     val hasKafkaCols = Seq("topic", "partition", "offset").forall(raw.columns.contains)
     val corruptCol = "_graft_corrupt"

@@ -204,27 +204,32 @@ object Pipeline {
       case "agg_customer_monthly_summary" =>
         Gold.aggCustomerMonthly(tables("fact_calls"), tables("dim_customers"))
     }
-    val manifest = topoOrder().flatMap { name =>
+    // inventory covers EVERY table on disk (untouched parents carry
+    // seconds = 0.0); the returned manifest lists only rebuilt tables
+    val inventory = topoOrder().map { name =>
       if (rebuild(name)) {
         val t0 = System.nanoTime()
         val df = build(name)
         df.write.mode("overwrite").parquet(s"$outDir/$name")
         val persisted = spark.read.parquet(s"$outDir/$name")
         tables(name) = persisted
-        Some(TableRun(name, persisted.count(), (System.nanoTime() - t0) / 1e9))
+        (TableRun(name, persisted.count(), (System.nanoTime() - t0) / 1e9), true)
       } else {
-        // untouched parent: serve the persisted output; no rewrite,
-        // no manifest entry (the run record lists only rebuilt tables)
-        tables(name) = spark.read.parquet(s"$outDir/$name")
-        None
+        // untouched parent: serve the persisted output, no rewrite
+        val persisted = spark.read.parquet(s"$outDir/$name")
+        tables(name) = persisted
+        (TableRun(name, persisted.count(), 0.0), false)
       }
     }
-    // S12 run metadata: the manifest lands next to the tables as JSON
-    // (the pipeline-observability run record a warehouse job would PUT
-    // with its outputs — reference pipeline_observability.py:282-321)
-    val manifestJson = manifest.map(r =>
-      s"""{"table": "${r.table}", "rows": ${r.rows}, "seconds": ${r.seconds}}""")
-      .mkString("[", ",", "]")
+    val manifest = inventory.collect { case (run, true) => run }
+    // S12 run metadata: the persisted record describes the FULL table
+    // inventory on disk — a partial rebuild must not shrink it to the
+    // rebuilt subset (the pipeline-observability run record a
+    // warehouse job would PUT with its outputs — reference
+    // pipeline_observability.py:282-321)
+    val manifestJson = inventory.map { case (r, rebuilt) =>
+      s"""{"table": "${r.table}", "rows": ${r.rows}, "seconds": ${r.seconds}, "rebuilt": $rebuilt}"""
+    }.mkString("[", ",", "]")
     Files.write(Paths.get(outDir, "run_manifest.json"),
       manifestJson.getBytes("UTF-8"))
     val checks = Seq(

@@ -31,6 +31,14 @@ class CdcSpec extends SparkSpec {
     assert(ops === Map(1 -> "update", 2 -> "update", 3 -> "unchanged"))
   }
 
+  test("null keys match null-safely: an unchanged null-key row is not a delete+insert") {
+    val before = Seq((Option(1), 10.0), (Option.empty[Int], 20.0)).toDF("id", "v")
+    val after = Seq((Option(1), 10.0), (Option.empty[Int], 25.0)).toDF("id", "v")
+    val diff = Cdc.snapshotDiff(before, after, Seq("id"), keepUnchanged = true)
+      .select("id", "op").as[(Option[Int], String)].collect().toSet
+    assert(diff === Set((Some(1), "unchanged"), (None, "update")))
+  }
+
   test("diffing two SnapshotTable versions yields the committed change set") {
     val path = java.nio.file.Files.createTempDirectory("cdc").toString + "/t"
     SnapshotTable.commit(spark, Seq((1, "a"), (2, "b")).toDF("id", "x"), path, nowMs = 1000)
