@@ -73,6 +73,24 @@ object Extended {
         grouping(col("priority")).cast("int").as("g_priority"))
       .orderBy(col("g_status"), col("g_priority"), col("status"), col("priority"))
 
+  /** Explicit GROUPING SETS — the general form behind q35's ROLLUP
+    * and q84's CUBE: two independent one-dimension subtotals plus the
+    * grand total in ONE Expand + hash aggregate (three separate
+    * GROUP BYs would scan the table three times). Expressed through
+    * the SQL surface, which is where grouping sets live. */
+  def q94GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT o_orderstatus AS status, o_orderpriority AS priority,
+        |  COUNT(*) AS order_count,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_priority
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_priority, status, priority""".stripMargin)
+  }
+
   /** PIVOT: order status → columns, revenue per priority. The pivot
     * values are declared (no collect-distinct pass) — required at
     * scale so the plan is a single conditional aggregation. */
@@ -279,6 +297,7 @@ object Extended {
     "q34_sessionize" -> q34Sessionize _,
     "q35_rollup" -> q35Rollup _,
     "q84_cube" -> q84Cube _,
+    "q94_grouping_sets" -> q94GroupingSets _,
     "q36_pivot" -> q36Pivot _,
     "q37_group_percentiles" -> q37GroupPercentiles _,
     "q38_histogram" -> q38Histogram _,
@@ -376,6 +395,15 @@ object Extended {
         |FROM orders
         |GROUP BY ROLLUP(year(o_orderdate), o_orderstatus)
         |ORDER BY g_year, g_status, order_year, status""".stripMargin,
+    "q94_grouping_sets" ->
+      """SELECT o_orderstatus AS status, o_orderpriority AS priority,
+        |  COUNT(*) AS order_count,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+        |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_priority, status, priority""".stripMargin,
     "q84_cube" ->
       """SELECT o_orderstatus AS status, o_orderpriority AS priority,
         |  COUNT(*) AS order_count,
