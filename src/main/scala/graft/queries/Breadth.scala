@@ -251,7 +251,31 @@ object Breadth {
       .orderBy("priority", "status")
   }
 
+  /** Numeric RANGE window frame (value-based, not time-based): for
+    * each order, how many of the same customer's orders fall within
+    * ±10000 of its price, and their decimal-exact revenue sum. The
+    * frame bound is a VALUE offset on the sort key — a different
+    * execution shape than ROWS frames (q25) or time RANGE (q11). */
+  def q95ValueRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("customer_id").orderBy(col("price_l"))
+      .rangeBetween(-10000L, 10000L)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey").as("order_id"),
+        col("o_custkey").as("customer_id"),
+        col("o_totalprice"),
+        // integral window sort key: long cents, so frame-bound
+        // comparisons are exact in both engines
+        round(col("o_totalprice") * 100).cast("long").as("price_l"))
+      .withColumn("near_price_orders", count(lit(1)).over(w))
+      .withColumn("near_price_revenue",
+        sum(col("price_l")).over(w).cast("double") / 100.0)
+      .select("order_id", "customer_id", "o_totalprice",
+        "near_price_orders", "near_price_revenue")
+      .orderBy("order_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q95_value_range_frame" -> q95ValueRangeFrame _,
     "q83_fuzzy_match" -> q83FuzzyMatch _,
     "q87_schema_drift_union" -> q87SchemaDriftUnion _,
     "q88_array_hof" -> q88ArrayHof _,
@@ -267,6 +291,18 @@ object Breadth {
   )
 
   val oracles: Map[String, String] = Map(
+    "q95_value_range_frame" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS order_id, o_custkey AS customer_id, o_totalprice,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_l
+        |  FROM orders)
+        |SELECT order_id, customer_id, o_totalprice,
+        |  COUNT(*) OVER w AS near_price_orders,
+        |  CAST(SUM(price_l) OVER w AS DOUBLE) / 100.0 AS near_price_revenue
+        |FROM o
+        |WINDOW w AS (PARTITION BY customer_id ORDER BY price_l
+        |             RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING)
+        |ORDER BY order_id""".stripMargin,
     "q91_interval_overlap" ->
       """WITH li AS (
         |  SELECT l_orderkey AS order_id, l_linenumber AS line_no,
