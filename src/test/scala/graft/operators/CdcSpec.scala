@@ -39,6 +39,31 @@ class CdcSpec extends SparkSpec {
     assert(diff === Set((Some(1), "unchanged"), (None, "update")))
   }
 
+  test("property: applying the diff to BEFORE reconstructs AFTER exactly") {
+    // deterministic pseudo-random versions: overlapping key ranges,
+    // value changes on a hash-selected subset
+    val before = spark.range(0, 500)
+      .select(col("id"), (col("id") % 97).as("v"), md5(col("id").cast("string")).as("x"))
+      .filter(col("id") % 7 =!= 0)
+    val after = spark.range(0, 520)
+      .select(col("id"),
+        when(col("id") % 3 === 0, col("id") % 89).otherwise(col("id") % 97).as("v"),
+        md5(col("id").cast("string")).as("x"))
+      .filter(col("id") % 5 =!= 0)
+    val diff = Cdc.snapshotDiff(before, after, Seq("id")).cache()
+    val deletesAndUpdates = diff
+      .filter(col("op").isin("delete", "update")).select("id")
+    val insertsAndUpdates = diff
+      .filter(col("op").isin("insert", "update"))
+      .select(col("id"), col("v_after").as("v"), col("x_after").as("x"))
+    val reconstructed = before
+      .join(deletesAndUpdates, Seq("id"), "left_anti")
+      .unionByName(insertsAndUpdates)
+    assert(reconstructed.exceptAll(after).isEmpty &&
+      after.exceptAll(reconstructed).isEmpty)
+    diff.unpersist()
+  }
+
   test("diffing two SnapshotTable versions yields the committed change set") {
     val path = java.nio.file.Files.createTempDirectory("cdc").toString + "/t"
     SnapshotTable.commit(spark, Seq((1, "a"), (2, "b")).toDF("id", "x"), path, nowMs = 1000)
