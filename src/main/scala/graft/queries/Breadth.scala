@@ -274,8 +274,35 @@ object Breadth {
       .orderBy("order_id")
   }
 
+  /** Map-typed columns: per-customer status→count maps built with
+    * map_from_entries over a SORTED entry array (map iteration order
+    * = construction order, so downstream serialization is
+    * deterministic), probed with try_element_at, and serialized to a
+    * canonical string — raw map output would break hash comparison,
+    * the same reason q68 emits arrays as joined strings. The oracle
+    * pins the VALUES via plain grouped SQL (string_agg / CASE), so
+    * the map implementation is checked against map-free semantics. */
+  def q96MapOps(s: SparkSession, dir: String): DataFrame = {
+    val cnts = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("customer_id"),
+        col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("cnt"))
+    cnts.groupBy("customer_id")
+      .agg(map_from_entries(
+        sort_array(collect_list(struct(col("status"), col("cnt"))))).as("m"))
+      .select(
+        col("customer_id"),
+        size(col("m")).as("distinct_statuses"),
+        try_element_at(col("m"), lit("F")).as("fulfilled_count"),
+        array_join(transform(map_entries(col("m")),
+          e => concat(e.getField("key"), lit("="), e.getField("value"))), ",")
+          .as("status_counts"))
+      .orderBy("customer_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q95_value_range_frame" -> q95ValueRangeFrame _,
+    "q96_map_ops" -> q96MapOps _,
     "q83_fuzzy_match" -> q83FuzzyMatch _,
     "q87_schema_drift_union" -> q87SchemaDriftUnion _,
     "q88_array_hof" -> q88ArrayHof _,
@@ -291,6 +318,16 @@ object Breadth {
   )
 
   val oracles: Map[String, String] = Map(
+    "q96_map_ops" ->
+      """WITH c AS (
+        |  SELECT o_custkey AS customer_id, o_orderstatus AS status,
+        |         COUNT(*) AS cnt
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT customer_id,
+        |  CAST(COUNT(*) AS INTEGER) AS distinct_statuses,
+        |  MAX(CASE WHEN status = 'F' THEN cnt END) AS fulfilled_count,
+        |  string_agg(status || '=' || cnt, ',' ORDER BY status) AS status_counts
+        |FROM c GROUP BY customer_id ORDER BY customer_id""".stripMargin,
     "q95_value_range_frame" ->
       """WITH o AS (
         |  SELECT o_orderkey AS order_id, o_custkey AS customer_id, o_totalprice,
