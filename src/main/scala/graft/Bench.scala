@@ -32,7 +32,13 @@ object Bench {
       queries.MultimodalOps.warmFixtures(spark, sfDir)
       SparkEntry.queries.get("q01_pricing_summary")
         .foreach(fn => fn(spark, sfDir).count())
-    } catch { case _: Throwable => () }
+    } catch {
+      // stderr keeps the stdout JSON line clean but makes a failed
+      // warm-up visible: the first fixture-dependent query would
+      // otherwise silently absorb materialization into its timer
+      case t: Throwable =>
+        System.err.println(s"[bench] warm-up failed: $t")
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -23,9 +23,20 @@ object Cdc {
   def snapshotDiff(before: DataFrame, after: DataFrame, keyCols: Seq[String],
                    keepUnchanged: Boolean = false): DataFrame = {
     val valueCols = before.columns.filterNot(keyCols.contains).toSeq
+    require(keyCols.forall(before.columns.contains) && keyCols.forall(after.columns.contains),
+      s"snapshotDiff key columns ${keyCols.mkString(",")} must exist in both sides " +
+        s"(before: ${before.columns.mkString(",")}; after: ${after.columns.mkString(",")})")
     require(valueCols.toSet == after.columns.filterNot(keyCols.contains).toSet,
       s"snapshotDiff requires matching non-key columns, got " +
         s"${valueCols.mkString(",")} vs ${after.columns.filterNot(keyCols.contains).mkString(",")}")
+    require(!before.columns.contains("op") && !after.columns.contains("op"),
+      "snapshotDiff output reserves the column name 'op'; rename it on both sides first")
+    val beforeTypes = before.schema.map(f => f.name -> f.dataType).toMap
+    val afterTypes = after.schema.map(f => f.name -> f.dataType).toMap
+    val mismatched = (keyCols ++ valueCols).filter(c => beforeTypes(c) != afterTypes(c))
+    require(mismatched.isEmpty,
+      s"snapshotDiff column types differ between sides: " +
+        mismatched.map(c => s"$c (${beforeTypes(c).sql} vs ${afterTypes(c).sql})").mkString(", "))
     // keys are renamed per side and matched NULL-SAFELY (<=>): a
     // plain key-list join would never match null keys, reporting an
     // unchanged null-key row as a spurious delete + insert

@@ -10,6 +10,13 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Salt assignment shared by both salted forms: content hash mixed
+    * with a per-row ordinal, so byte-identical duplicate rows within a
+    * partition still take distinct salts (the degenerate hot key made
+    * of repeated identical rows spreads instead of re-concentrating). */
+  private[operators] def saltCol(df: DataFrame, salts: Int) = pmod(
+    xxhash64(df.columns.map(col): _*) + monotonically_increasing_id(), lit(salts))
+
   /** Two-phase salted aggregation: partial sums/counts on
     * (key, salt) — spreading a hot key over `salts` reducers — then
     * final combine on the key. The salt mixes row content with the
@@ -24,13 +31,10 @@ object Skew {
     */
   def saltedSumCount(df: DataFrame, keyCols: Seq[String], valueCol: String,
                      salts: Int = 16): DataFrame = {
-    // content hash + partition id: identical duplicate rows (or a
-    // low-cardinality value set) still spread across reducers instead
-    // of collapsing into one salt bucket; the salt never affects the
-    // final result, so partition-dependence is harmless here
-    val saltExpr = pmod(
-      xxhash64(df.columns.map(col): _*) + spark_partition_id().cast("long"), lit(salts))
-    df.withColumn("_salt", saltExpr)
+    // the salt never affects the final result (the final combine
+    // collapses all salts), so its layout-dependent assignment is
+    // harmless here
+    df.withColumn("_salt", saltCol(df, salts))
       .groupBy((keyCols.map(col) :+ col("_salt")): _*)
       .agg(sum(col(valueCol)).as("_psum"), count(lit(1)).as("_pcnt"))
       .groupBy(keyCols.map(col): _*)
@@ -59,10 +63,7 @@ object Skew {
         .contains(joinType.toLowerCase),
       s"saltedJoin supports inner/left joins only (got $joinType): " +
         "unmatched build rows would duplicate once per salt replica")
-    val saltExpr = pmod(
-      xxhash64(probe.columns.map(col): _*) + spark_partition_id().cast("long"),
-      lit(salts)).cast("int")
-    val salted = probe.withColumn("_salt", saltExpr)
+    val salted = probe.withColumn("_salt", saltCol(probe, salts).cast("int"))
     val replicated = build.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated, Seq(key, "_salt"), joinType).drop("_salt")

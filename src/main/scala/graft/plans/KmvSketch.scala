@@ -14,7 +14,10 @@ import org.apache.spark.unsafe.types.UTF8String
 /** KMV (k-minimum-values) distinct-count sketch as a native Catalyst
   * aggregate: keeps the k smallest DISTINCT hash strings of the input
   * (callers pass md5(value) hex — lexicographic order == numeric
-  * order), evaluates to the ascending array of survivors.
+  * order), evaluates to the ascending array of survivors. Ordering is
+  * UTF-8 binary (UTF8String.compareTo) — identical to the engine's
+  * string sort for the default binary collation — so arbitrary
+  * strings, not just hex, order consistently with ORDER BY.
   *
   * Why this sketch and not HLL: KMV over a deterministic hash is
   * engine-portable — any SQL engine rebuilds the identical k-min set
@@ -41,7 +44,7 @@ case class KmvSketchAgg(
     k: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.TreeSet[String]]
+  extends TypedImperativeAggregate[java.util.TreeSet[UTF8String]]
   with UnaryLike[Expression] {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -56,48 +59,61 @@ case class KmvSketchAgg(
         s"$prettyName requires a STRING argument, got ${child.dataType.sql}")
     else TypeCheckResult.TypeCheckSuccess
 
-  override def createAggregationBuffer(): java.util.TreeSet[String] =
-    new java.util.TreeSet[String]()
+  override def createAggregationBuffer(): java.util.TreeSet[UTF8String] =
+    new java.util.TreeSet[UTF8String]()
 
-  private def add(buf: java.util.TreeSet[String], s: String): Unit = {
+  private def add(buf: java.util.TreeSet[UTF8String], s: UTF8String): Unit = {
     // insert-then-trim keeps the set at the k smallest distinct values
     buf.add(s)
     if (buf.size > k) buf.pollLast()
   }
 
-  override def update(buf: java.util.TreeSet[String], input: InternalRow): java.util.TreeSet[String] = {
+  override def update(buf: java.util.TreeSet[UTF8String], input: InternalRow): java.util.TreeSet[UTF8String] = {
     val v = child.eval(input)
-    if (v != null) add(buf, v.asInstanceOf[UTF8String].toString)
+    // copy(): the evaluated UTF8String may point into a reused row buffer
+    if (v != null) add(buf, v.asInstanceOf[UTF8String].copy())
     buf
   }
 
-  override def merge(b1: java.util.TreeSet[String], b2: java.util.TreeSet[String]): java.util.TreeSet[String] = {
+  override def merge(b1: java.util.TreeSet[UTF8String], b2: java.util.TreeSet[UTF8String]): java.util.TreeSet[UTF8String] = {
     b2.forEach(s => add(b1, s))
     b1
   }
 
-  override def eval(buf: java.util.TreeSet[String]): Any = {
+  override def eval(buf: java.util.TreeSet[UTF8String]): Any = {
     val arr = new Array[Any](buf.size)
     var i = 0
-    buf.forEach { s => arr(i) = UTF8String.fromString(s); i += 1 }
+    buf.forEach { s => arr(i) = s; i += 1 }
     new GenericArrayData(arr)
   }
 
-  override def serialize(buf: java.util.TreeSet[String]): Array[Byte] = {
+  // length-prefixed raw UTF-8 bytes: no 64 KiB writeUTF ceiling, and the
+  // bytes round-trip the binary ordering exactly
+  override def serialize(buf: java.util.TreeSet[UTF8String]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.forEach(out.writeUTF)
+    buf.forEach { s =>
+      val b = s.getBytes
+      out.writeInt(b.length)
+      out.write(b)
+    }
     out.flush()
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[String] = {
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[UTF8String] = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val buf = createAggregationBuffer()
     val n = in.readInt()
     var i = 0
-    while (i < n) { buf.add(in.readUTF()); i += 1 }
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.add(UTF8String.fromBytes(b))
+      i += 1
+    }
     buf
   }
 

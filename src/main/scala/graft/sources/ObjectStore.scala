@@ -24,6 +24,13 @@ object ObjectStore {
     * scheme (kafka_to_bronze.py:62-67) so downstream engines prune
     * partitions on the raw landing zone. */
   def landingKey(topic: String, runTs: java.time.Instant): String = {
+    // Kafka-legal topic names only ([a-zA-Z0-9._-], same charset Kafka
+    // enforces): the topic becomes both an object-key path component
+    // and a JSON sidecar value, so anything else (quotes, slashes,
+    // spaces) would corrupt one or the other — reject loudly instead
+    require(topic.nonEmpty && topic.forall(c =>
+        c.isLetterOrDigit && c <= 'z' || c == '.' || c == '_' || c == '-'),
+      s"topic must match Kafka naming [a-zA-Z0-9._-]+, got '$topic'")
     val d = java.time.LocalDateTime.ofInstant(runTs, java.time.ZoneOffset.UTC)
     f"events/$topic/year=${d.getYear}%04d/month=${d.getMonthValue}%02d/day=${d.getDayOfMonth}%02d"
   }
@@ -43,6 +50,8 @@ object ObjectStore {
     val dest = s"$bucketPrefix/${landingKey(topic, runTs)}"
     val n = df.count()
     df.write.mode(SaveMode.Append).parquet(dest)
+    // topic is validated to [a-zA-Z0-9._-]+ by landingKey, so plain
+    // interpolation cannot produce invalid JSON here
     val meta =
       s"""{"topic": "$topic", "record_count": "$n", "flush_timestamp": "$runTs"}"""
     val out = fs(spark, dest).create(new Path(dest, "_meta.json"), true)
@@ -50,13 +59,16 @@ object ObjectStore {
     dest
   }
 
-  /** Read back a landed prefix's request metadata sidecar. */
+  /** Read back a landed prefix's request metadata sidecar. Parsed as
+    * real JSON (not a regex scan) so escaped values round-trip. */
   def metadata(spark: SparkSession, prefix: String): Map[String, String] = {
     val in = fs(spark, prefix).open(new Path(prefix, "_meta.json"))
     val text =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    "\"([^\"]+)\"\\s*:\\s*\"([^\"]*)\"".r.findAllMatchIn(text)
-      .map(m => m.group(1) -> m.group(2)).toMap
+    val row = spark.read
+      .json(spark.createDataset(Seq(text))(org.apache.spark.sql.Encoders.STRING))
+      .collect()(0)
+    row.schema.fieldNames.map(f => f -> String.valueOf(row.getAs[Any](f))).toMap
   }
 }

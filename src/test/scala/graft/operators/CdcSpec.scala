@@ -64,6 +64,29 @@ class CdcSpec extends SparkSpec {
     diff.unpersist()
   }
 
+  test("snapshotDiff rejects missing keys, reserved 'op', and type mismatches loudly") {
+    val ok = Seq((1, "a")).toDF("id", "v")
+    // key column absent from `after`: a clear require, not an opaque
+    // unresolved-column analysis error
+    val noKey = Seq(("a", 1)).toDF("v", "other")
+    val e1 = intercept[IllegalArgumentException] {
+      Cdc.snapshotDiff(ok, noKey, Seq("id"))
+    }
+    assert(e1.getMessage.contains("key columns"))
+    // a column literally named `op` would collide with the label column
+    val withOp = Seq((1, "a", "x")).toDF("id", "v", "op")
+    val e2 = intercept[IllegalArgumentException] {
+      Cdc.snapshotDiff(withOp, withOp, Seq("id"))
+    }
+    assert(e2.getMessage.contains("op"))
+    // per-column type mismatch between sides
+    val typed = Seq((1, 2.5)).toDF("id", "v")
+    val e3 = intercept[IllegalArgumentException] {
+      Cdc.snapshotDiff(ok, typed, Seq("id"))
+    }
+    assert(e3.getMessage.contains("types differ"))
+  }
+
   test("diffing two SnapshotTable versions yields the committed change set") {
     val path = java.nio.file.Files.createTempDirectory("cdc").toString + "/t"
     SnapshotTable.commit(spark, Seq((1, "a"), (2, "b")).toDF("id", "x"), path, nowMs = 1000)

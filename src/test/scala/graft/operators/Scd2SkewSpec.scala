@@ -73,4 +73,13 @@ class Scd2SkewSpec extends SparkSpec {
     assert(salted === direct)
     assert(salted("hot") === ((hot.map(_._2).sum, 5000L)))
   }
+
+  test("salt spreads byte-identical duplicate rows within one partition") {
+    // degenerate hot key: 4000 identical rows in a single partition —
+    // a content-only hash would map them all to one salt/reducer
+    val dupes = Seq.fill(4000)(("hot", 1L)).toDF("key", "v").repartition(1)
+    val used = dupes.select(Skew.saltCol(dupes, 16).as("s"))
+      .distinct().count()
+    assert(used == 16, s"expected all 16 salts used, got $used")
+  }
 }

@@ -55,6 +55,32 @@ class KmvSketchSpec extends SparkSpec {
     assert(err < 0.5)
   }
 
+  test("kmv orders non-ASCII like the engine and survives >64KiB values") {
+    val k = 4
+    // non-ASCII values whose UTF-16 (Java String) order differs from
+    // UTF-8 binary order, plus a value past writeUTF's 65535-byte cap
+    val big = "😀" + ("x" * 70000) // 4-byte emoji prefix, >64KiB total
+    val vals = Seq("Ａ", "é", "z", "Z", "éb", big, "💡", "ab")
+    val df = vals.toDF("v")
+    val viaAgg = df
+      .agg(call_function("graft_kmv", col("v"), lit(k)).as("sketch"))
+      .select(col("sketch")).as[Seq[String]].head()
+    val viaSql = df.distinct().orderBy("v").limit(k)
+      .as[String].collect().toSeq.sorted(Ordering.comparatorToOrdering(
+        new java.util.Comparator[String] {
+          def compare(a: String, b: String): Int =
+            org.apache.spark.unsafe.types.UTF8String.fromString(a)
+              .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+        }))
+    // the engine's orderBy+limit picks the same k survivors (binary order)
+    assert(viaAgg == viaSql)
+    // the big value round-trips serialize/deserialize across a shuffle
+    val withBig = df.repartition(3)
+      .agg(call_function("graft_kmv", col("v"), lit(100)).as("sketch"))
+      .select(col("sketch")).as[Seq[String]].head()
+    assert(withBig.contains(big))
+  }
+
   test("kmv ignores nulls and caps state at k") {
     val k = 8
     val withNulls = spark.range(0, 100)

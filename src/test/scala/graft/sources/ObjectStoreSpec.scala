@@ -29,6 +29,22 @@ class ObjectStoreSpec extends SparkSpec {
     assert(ObjectStore.metadata(spark, prefix)("record_count") == "2")
   }
 
+  test("S12: non-Kafka-legal topic names are rejected before touching the store") {
+    val bucket = java.nio.file.Files.createTempDirectory("bucket").toString
+    // a quote would corrupt the JSON sidecar; a slash would escape the
+    // key prefix — both are illegal in Kafka topic names, reject loudly
+    for (bad <- Seq("""we"ird""", "a/b", "a b", "", "emoji💡")) {
+      val e = intercept[IllegalArgumentException] {
+        ObjectStore.put(Seq((1L, "a")).toDF("id", "v"), bucket, bad, runTs)
+      }
+      assert(e.getMessage.contains("Kafka naming"))
+    }
+    // the full legal charset goes through fine
+    val prefix = ObjectStore.put(
+      Seq((1L, "a")).toDF("id", "v"), bucket, "A-z.0_9", runTs)
+    assert(ObjectStore.metadata(spark, prefix)("topic") == "A-z.0_9")
+  }
+
   test("P8: freshness gate passes at-or-after the SLA horizon and fails when stale") {
     val df = Seq(
       ("x", java.sql.Timestamp.valueOf("2024-01-15 09:00:00")),
