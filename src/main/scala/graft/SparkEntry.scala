@@ -24,6 +24,7 @@ object SparkEntry {
     q.Extended.queries,
     q.CurationOps.queries,
     q.Breadth.queries,
+    q.ScaleOps.queries,
   )
   private def oracleModules: Seq[Map[String, String]] = Seq(
     q.Relational.oracles,
@@ -38,6 +39,7 @@ object SparkEntry {
     q.Extended.oracles,
     q.CurationOps.oracles,
     q.Breadth.oracles,
+    q.ScaleOps.oracles,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -130,7 +130,9 @@ object Similarity {
         lit(centNorm(cv))
       struct(score.as("s"), lit(-cid).as("n"))
     }
-    -greatest(scored: _*).getField("n")
+    // greatest() requires >1 args; a 1-entry codebook assigns trivially
+    if (scored.length == 1) lit(cents.head._1)
+    else -greatest(scored: _*).getField("n")
   }
 
   /** Top-nprobe centroid lists per query (queries are the small,

@@ -66,6 +66,21 @@ object TextAnalysis {
       (least(stopRatio * 5.0, lit(1.0)) * 0.3)).cast("double")
   }
 
+  /** Word n-grams of a PRE-MATERIALIZED token-array column (pass an
+    * attribute, not a computed Column — the lambda references it per
+    * element). Documents shorter than n yield an empty array; the
+    * guard also keeps `sequence` ascending. Used for substring-level
+    * duplicate-span detection (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", ACL 2022 — their exact
+    * substring match, expressed over word n-grams so the operator
+    * stays a declarative scan-speed projection).
+    */
+  def wordNgrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
   /** Canonical-form fingerprint: md5 over lowercased,
     * whitespace-collapsed, trimmed text — the exact-dedup key that
     * survives formatting noise. */

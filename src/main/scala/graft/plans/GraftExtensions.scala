@@ -32,6 +32,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         KmvSketchAgg(children.head, k)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAgg].getName, "graft_bloom_agg"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2 || children.length == 3,
+          s"graft_bloom_agg requires (hash, expectedItems[, fpp]), got ${children.length} args")
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        val items = children(1) match {
+          case Literal(v: Int, _) => v.toLong
+          case Literal(v: Long, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_bloom_agg expectedItems must be an integer literal, got $other")
+        }
+        val fpp = if (children.length < 3) 0.03 else children(2) match {
+          case Literal(v: Double, _) => v
+          case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
+          case other => throw new IllegalArgumentException(
+            s"graft_bloom_agg fpp must be a numeric literal, got $other")
+        }
+        BloomFilterAgg(children.head, items, fpp)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "graft_might_contain"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_might_contain requires (bloom, hash), got ${children.length} args")
+        BloomMightContain(children.head, children(1))
+      }))
     ext.injectOptimizerRule(_ => RewriteDotProduct)
     ext.injectOptimizerRule(_ => RewriteBoundedLevenshtein)
     ext.injectPlannerStrategy(_ => SessionizeStrategy)

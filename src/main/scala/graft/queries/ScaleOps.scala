@@ -1,0 +1,198 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Funcs
+import graft.operators.{SemanticDedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-3 scale operators: semantic dedup (k-means + within-cluster
+  * near-dup), bloom-filter semi-join reduction, per-domain quota
+  * capping, and substring-level duplicate-span detection. Each is
+  * DuckDB-oracle hash-checked like every other registered query.
+  */
+object ScaleOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        Similarity.quantize(col("embedding")).as("query_vec"))
+
+  /** SemDeDup: 2 Lloyd iterations of cosine k-means (k=8) from the
+    * md5-picked codebook, then near-dup flags within clusters at
+    * cosine ≥ 0.45 with keep-smallest-id survivorship. The oracle
+    * replays the identical integer-exact iterations in SQL. */
+  def q97SemanticDedup(s: SparkSession, dir: String): DataFrame =
+    SemanticDedup.semdup(quantized(s, dir), k = 8, iters = 2, tau = 0.45)
+      .orderBy("vec_id")
+
+  /** Bloom-pruned star join: build a bloom filter over the filtered
+    * customer segment's key hashes (graft_bloom_agg), prune orders at
+    * scan speed (graft_might_contain), THEN join exactly — the result
+    * is identical to the plain join (false positives die in the
+    * join), which is exactly what the oracle checks. Falls back to
+    * the unpruned join when the graft extension isn't loaded. */
+  def q98BloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_name"))
+    val orders = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_totalprice"))
+    val pruned =
+      if (s.catalog.functionExists("graft_might_contain")) {
+        val bloomBytes = cust
+          .agg(call_function("graft_bloom_agg",
+            xxhash64(col("c_custkey")), lit(1000000L)).as("bf"))
+          .head().getAs[Array[Byte]](0)
+        orders.filter(call_function("graft_might_contain",
+          lit(bloomBytes), xxhash64(col("o_custkey"))))
+      } else orders
+    pruned.join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(lit(1)).as("order_count"),
+        Funcs.dsum(col("o_totalprice")).as("total_spend"))
+      .orderBy("c_custkey")
+  }
+
+  /** Per-domain quota capping — the per-source document cap a crawl
+    * curation pipeline applies so no single domain dominates the
+    * training mix: keep the 10 highest-quality docs per source
+    * (deterministic doc_id tie-break). One keyed window, no global
+    * ordering anywhere. */
+  def q99DomainCap(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+    val w = Window.partitionBy("source")
+      .orderBy(col("quality").desc, col("doc_id"))
+    d.withColumn("rank_in_source", row_number().over(w))
+      .filter(col("rank_in_source") <= 10)
+      .select(col("source"), col("rank_in_source"), col("doc_id"),
+        col("lang"), col("quality"))
+      .orderBy("source", "rank_in_source")
+  }
+
+  /** Substring-level duplicate spans: word 8-grams appearing in more
+    * than one document, counted per document — the scan-shuffle-scan
+    * shape of exact substring dedup at corpus scale (shuffle keys are
+    * n-gram strings, never whole documents). */
+  def q100DupSpans(s: SparkSession, dir: String): DataFrame = {
+    val n = 8
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+    val grams = t.select(col("doc_id"),
+      explode(TextAnalysis.wordNgrams(col("toks"), n)).as("gram"))
+    val dupGrams = grams.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("gram")
+    val totals = grams.groupBy("doc_id").agg(count(lit(1)).as("total_spans"))
+    val dups = grams.join(dupGrams, "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("dup_spans"))
+    Tables.documents(s, dir).select("doc_id")
+      .join(totals, Seq("doc_id"), "left")
+      .join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("total_spans"), lit(0L)).as("total_spans"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        when(coalesce(col("total_spans"), lit(0L)) > 0,
+          coalesce(col("dup_spans"), lit(0L)).cast("double") /
+            col("total_spans").cast("double"))
+          .otherwise(lit(0.0)).cast("double").as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q97_semantic_dedup" -> q97SemanticDedup _,
+    "q98_bloom_join" -> q98BloomJoin _,
+    "q99_domain_cap" -> q99DomainCap _,
+    "q100_dup_spans" -> q100DupSpans _,
+  )
+
+  private val qv =
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS DOUBLE))"
+
+  /** Nearest-centroid assignment against codebook CTE `cents`. */
+  private def assignSql(cents: String): String =
+    s"""(SELECT vec_id, cid FROM (
+       |  SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |    ORDER BY list_dot_product(e.v, c.cv) / sqrt(list_dot_product(c.cv, c.cv))
+       |      DESC, c.cid) rn
+       |  FROM e, $cents c) WHERE rn = 1)""".stripMargin
+
+  /** Element-wise integer sum centroid rebuild from assignment CTE. */
+  private def updateSql(a: String): String =
+    s"""(SELECT cid, list(s ORDER BY i) AS cv FROM (
+       |  SELECT $a.cid, s.i, SUM(e.v[s.i]) AS s
+       |  FROM $a JOIN e USING (vec_id), generate_series(1, 64) s(i)
+       |  GROUP BY 1, 2) GROUP BY cid)""".stripMargin
+
+  // quality formula must stay textually aligned with Extended.qualitySql
+  // (q42/q54 proved the cross-engine double parity of this expression)
+  private val qualitySql =
+    """CAST((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4)
+      |  + ((1.0 - least(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+      |      / greatest(CAST(length(text) AS DOUBLE), 1.0) * 10.0, 1.0)) * 0.3)
+      |  + (least(CAST(len(regexp_extract_all(lower(text), '\b(the|and|is|of|to|a|in|it)\b')) AS DOUBLE)
+      |      / greatest(CAST(len(regexp_split_to_array(lower(trim(text)), ' +')) AS DOUBLE), 1.0)
+      |      * 5.0, 1.0) * 0.3) AS DOUBLE)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q97_semantic_dedup" ->
+      s"""WITH e AS (SELECT vec_id, $qv AS v FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, v AS cv FROM e
+         |       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+         |a0 AS ${assignSql("c0")},
+         |c1 AS ${updateSql("a0")},
+         |a1 AS ${assignSql("c1")},
+         |c2 AS ${updateSql("a1")},
+         |a2 AS ${assignSql("c2")},
+         |dup AS (SELECT b.vec_id AS vid, MIN(a.vec_id) AS dup_of
+         |  FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  JOIN e ea ON ea.vec_id = a.vec_id
+         |  JOIN e eb ON eb.vec_id = b.vec_id
+         |  WHERE list_dot_product(ea.v, eb.v) /
+         |        sqrt(list_dot_product(ea.v, ea.v) * list_dot_product(eb.v, eb.v)) >= 0.45
+         |  GROUP BY 1)
+         |SELECT a2.vec_id, a2.cid AS cluster,
+         |  dup.dup_of IS NOT NULL AS is_semdup, dup.dup_of
+         |FROM a2 LEFT JOIN dup ON dup.vid = a2.vec_id
+         |ORDER BY a2.vec_id""".stripMargin,
+    "q98_bloom_join" ->
+      """SELECT c.c_custkey, c.c_name, COUNT(*) AS order_count,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "q99_domain_cap" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, source, lang, $qualitySql AS quality FROM documents),
+         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY source ORDER BY quality DESC, doc_id) AS INTEGER)
+         |  AS rank_in_source FROM s)
+         |SELECT source, rank_in_source, doc_id, lang, quality
+         |FROM r WHERE rank_in_source <= 10
+         |ORDER BY source, rank_in_source""".stripMargin,
+    "q100_dup_spans" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), ' +') AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 6, 1)),
+        |        i -> array_to_string(toks[i:i+7], ' '))) AS gram FROM t),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+        |tot AS (SELECT doc_id, COUNT(*) AS total_spans FROM g GROUP BY doc_id),
+        |dsp AS (SELECT g.doc_id, COUNT(*) AS dup_spans
+        |        FROM g JOIN dup USING (gram) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(tot.total_spans, 0) AS total_spans,
+        |  COALESCE(dsp.dup_spans, 0) AS dup_spans,
+        |  CAST(CASE WHEN COALESCE(tot.total_spans, 0) > 0
+        |    THEN CAST(COALESCE(dsp.dup_spans, 0) AS DOUBLE) / CAST(tot.total_spans AS DOUBLE)
+        |    ELSE 0.0 END AS DOUBLE) AS dup_ratio
+        |FROM documents d
+        |LEFT JOIN tot ON tot.doc_id = d.doc_id
+        |LEFT JOIN dsp ON dsp.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+  )
+}
