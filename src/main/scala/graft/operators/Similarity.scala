@@ -182,6 +182,102 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
   }
 
+  // -------------------------------------------------------------- PQ
+
+  /** Product-quantization codebooks (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): the
+    * vector space splits into m subspaces; each has a ks-entry
+    * codebook. Codebook entries are the subvectors of the ks corpus
+    * rows with the smallest md5(vec_id) — the same engine-portable
+    * deterministic draw as the IVF codebook (a production build would
+    * run [[SemanticDedup.lloydStep]] per subspace; the draw keeps the
+    * oracle replayable). Returns sub(j)(k) = (subvector, |c|²). */
+  def pqCodebooks(corpus: DataFrame, ks: Int, m: Int,
+                  dim: Int): Array[Array[(Array[Long], Long)]] = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val subDim = dim / m
+    val picked = ivfCentroids(corpus, ks) // md5-ordered: index == code
+    Array.tabulate(m, ks) { (j, k) =>
+      val cv = picked(k)._2.slice(j * subDim, (j + 1) * subDim)
+      (cv, cv.map(x => x * x).sum)
+    }
+  }
+
+  /** PQ-ADC shortlist + exact re-rank (the production IVF-PQ serving
+    * shape): encode the corpus to m small codes (argmin ‖x_j − c‖²
+    * per subspace — a scan-speed least-of-structs projection, exactly
+    * like the IVF assignment), precompute each query's m×ks exact
+    * distance table, score every corpus row with m table lookups
+    * instead of a dim-wide dot product, keep the `shortlist` best per
+    * query, then re-rank ONLY the shortlist with exact L2 — the
+    * standard two-stage ANN serving pattern (ADC shortlist bounds how
+    * many full vectors are ever touched per query).
+    *
+    * All arithmetic is integer-exact (‖x_j − c‖² = ‖x_j‖² − 2x·c +
+    * ‖c‖², and ‖x_j‖² is constant per row so the encode argmin drops
+    * it), so both distances are BIGINTs any engine reproduces.
+    *
+    * Scale story: the corpus is read once to emit m bytes/vector of
+    * codes — at rest the code index is ~dim·4/m× smaller than the
+    * vectors (64-dim float → 4 codes) — and the ADC scan touches
+    * codes only; queries broadcast their distance tables (the
+    * bounded-query-set contract of q49's brute force, with per-pair
+    * cost collapsed from a 64-dim dot to m array lookups). Full
+    * vectors are fetched for |Q|·shortlist rows via WindowGroupLimit
+    * + equi-join, never for the corpus scan. Compose with IVF probing
+    * (q75) to cut the scanned fraction too. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             ks: Int = 16, m: Int = 4, dim: Int = 64,
+             shortlist: Int = 50): DataFrame = {
+    val sp = corpus.sparkSession
+    val subDim = dim / m
+    val sub = pqCodebooks(corpus, ks, m, dim)
+    def codeExpr(vec: Column, j: Int): Column = {
+      val cands = (0 until ks).map { kk =>
+        val (cv, cn2) = sub(j)(kk)
+        val d = lit(cn2) - lit(2L) * dotFast(sp, slice(vec, j * subDim + 1, subDim),
+          array(cv.map(lit(_)): _*))
+        struct(d.as("d"), lit(kk).as("k"))
+      }
+      least(cands: _*).getField("k")
+    }
+    val coded = corpus.select(
+      col("vec_id") +: (0 until m).map(j => codeExpr(col("query_vec"), j).as(s"c$j")): _*)
+    def distTable(vec: Column, j: Int): Column = {
+      val qj = slice(vec, j * subDim + 1, subDim)
+      array((0 until ks).map { kk =>
+        val (cv, cn2) = sub(j)(kk)
+        (dotFast(sp, qj, qj) - lit(2L) * dotFast(sp, qj, array(cv.map(lit(_)): _*)) +
+          lit(cn2)).cast("long")
+      }: _*)
+    }
+    val qdt = queries.select(
+      col("query_id") +: (0 until m).map(j => distTable(col("qvec"), j).as(s"dt$j")): _*)
+    val wa = Window.partitionBy("query_id")
+      .orderBy(col("approx_dist").asc, col("vec_id").asc)
+    val cands = coded.crossJoin(broadcast(qdt))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("approx_dist",
+        (0 until m).map(j => element_at(col(s"dt$j"), col(s"c$j") + 1)).reduce(_ + _))
+      .withColumn("_arank", row_number().over(wa))
+      .filter(col("_arank") <= shortlist)
+      .select("query_id", "vec_id", "approx_dist")
+    // exact re-rank of the shortlist only: fetch full vectors by id
+    val c2 = corpus.select(col("vec_id"), col("query_vec"),
+      dotFast(sp, col("query_vec"), col("query_vec")).as("_n2c"))
+    val q2 = queries.select(col("query_id"), col("qvec"),
+      dotFast(sp, col("qvec"), col("qvec")).as("_n2q"))
+    val we = Window.partitionBy("query_id")
+      .orderBy(col("l2_dist").asc, col("vec_id").asc)
+    cands.join(c2, "vec_id").join(broadcast(q2), "query_id")
+      .withColumn("l2_dist",
+        col("_n2c") - lit(2L) * dotFast(sp, col("query_vec"), col("qvec")) + col("_n2q"))
+      .withColumn("rank", row_number().over(we))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        col("l2_dist"), col("approx_dist"))
+  }
+
   /** LSH-bucketed ANN: multi-table sign-random-projection — bucket
     * corpus + queries per band, score only within shared buckets,
     * take per-query top-k. The scale path: scoring cost drops from

@@ -104,11 +104,49 @@ object ScaleOps {
       .orderBy("doc_id")
   }
 
+  /** PQ-ADC ANN: 4 subspaces × 16 codes over the 64-dim embeddings —
+    * every corpus vector compresses to 4 codes; search scores with
+    * table lookups. Same md5-deterministic codebook trick as IVF, so
+    * the oracle rebuilds the identical index; approx_dist is an
+    * integer-exact BIGINT. */
+  def q101PqAnn(s: SparkSession, dir: String): DataFrame = {
+    val c = quantized(s, dir)
+    val q = c.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("query_vec").as("qvec"))
+    Similarity.pqTopK(c, q, k = 5, ks = 16, m = 4, dim = 64)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Source-mixture rebalancing (α = 0.5 temperature sampling): keep
+    * each source at rate √(maxCount/n_source) so the sampled mix
+    * flattens toward √-proportional — the standard multi-source LLM
+    * training mix adjustment. Deterministic md5-fraction coin per
+    * doc; sqrt/division are IEEE-exact cross-engine. */
+  def q102MixtureSample(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val counts = d.groupBy("source").agg(count(lit(1)).as("n_source"))
+    // tiny gate scalar (≤ #sources rows aggregated to 1)
+    val maxN = counts.agg(max(col("n_source"))).head().getLong(0)
+    val rates = counts.withColumn("rate",
+      least(sqrt(lit(maxN.toDouble) / col("n_source").cast("double")), lit(1.0)))
+    val hashFrac =
+      conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast("double") / lit(281474976710656.0) // 2^48
+    d.select(col("doc_id"), col("source"), col("lang"))
+      .join(broadcast(rates), "source")
+      .filter(hashFrac < col("rate"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_source"), col("rate").cast("double").as("rate"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q97_semantic_dedup" -> q97SemanticDedup _,
     "q98_bloom_join" -> q98BloomJoin _,
     "q99_domain_cap" -> q99DomainCap _,
     "q100_dup_spans" -> q100DupSpans _,
+    "q101_pq_ann" -> q101PqAnn _,
+    "q102_mixture_sample" -> q102MixtureSample _,
   )
 
   private val qv =
@@ -175,6 +213,58 @@ object ScaleOps {
          |SELECT source, rank_in_source, doc_id, lang, quality
          |FROM r WHERE rank_in_source <= 10
          |ORDER BY source, rank_in_source""".stripMargin,
+    "q101_pq_ann" ->
+      s"""WITH e AS (SELECT vec_id, $qv AS v FROM embeddings),
+         |cent AS (SELECT ROW_NUMBER() OVER (
+         |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS k, v
+         |  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |sub AS (SELECT c.k, j.j, c.v[j.j*16+1 : j.j*16+16] AS cv,
+         |    list_dot_product(c.v[j.j*16+1 : j.j*16+16],
+         |                     c.v[j.j*16+1 : j.j*16+16]) AS cn2
+         |  FROM cent c, generate_series(0, 3) j(j)),
+         |codes AS (SELECT vec_id, j, k AS code FROM (
+         |  SELECT e.vec_id, s.j, s.k,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id, s.j
+         |      ORDER BY s.cn2 - 2 * list_dot_product(e.v[s.j*16+1 : s.j*16+16], s.cv),
+         |        s.k) rn
+         |  FROM e, sub s) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id % 10 = 0),
+         |dt AS (SELECT q.query_id, s.j, s.k,
+         |    CAST(list_dot_product(q.v[s.j*16+1 : s.j*16+16], q.v[s.j*16+1 : s.j*16+16])
+         |      - 2 * list_dot_product(q.v[s.j*16+1 : s.j*16+16], s.cv)
+         |      + s.cn2 AS BIGINT) AS d
+         |  FROM q, sub s),
+         |scored AS (SELECT dt.query_id, c.vec_id, CAST(SUM(dt.d) AS BIGINT) AS approx_dist
+         |  FROM codes c JOIN dt ON dt.j = c.j AND dt.k = c.code
+         |  WHERE c.vec_id != dt.query_id GROUP BY 1, 2),
+         |short AS (SELECT query_id, vec_id, approx_dist FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY approx_dist, vec_id) AS arank
+         |  FROM scored) WHERE arank <= 50),
+         |rr AS (SELECT s.query_id, s.vec_id, s.approx_dist,
+         |    CAST(list_dot_product(cv.v, cv.v)
+         |      - 2 * list_dot_product(cv.v, qv.v)
+         |      + list_dot_product(qv.v, qv.v) AS BIGINT) AS l2_dist
+         |  FROM short s
+         |  JOIN e cv ON cv.vec_id = s.vec_id
+         |  JOIN e qv ON qv.vec_id = s.query_id)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, l2_dist, approx_dist
+         |FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY l2_dist, vec_id) AS rank
+         |  FROM rr) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q102_mixture_sample" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n_source FROM documents GROUP BY 1),
+        |mx AS (SELECT MAX(n_source) AS mx FROM c),
+        |r AS (SELECT source, n_source,
+        |    CAST(least(sqrt(CAST(mx.mx AS DOUBLE) / CAST(n_source AS DOUBLE)), 1.0)
+        |      AS DOUBLE) AS rate
+        |  FROM c, mx)
+        |SELECT d.doc_id, d.source, d.lang, r.n_source, r.rate
+        |FROM documents d JOIN r USING (source)
+        |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12) AS BIGINT)
+        |      / 281474976710656.0 < r.rate
+        |ORDER BY d.doc_id""".stripMargin,
     "q100_dup_spans" ->
       """WITH t AS (SELECT doc_id,
         |    regexp_split_to_array(lower(trim(text)), ' +') AS toks FROM documents),

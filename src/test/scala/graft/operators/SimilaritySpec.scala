@@ -80,6 +80,30 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3)
   }
 
+  test("PQ-ADC recall vs exact L2 is reasonable (4 subspaces x 16 codes)") {
+    // exact L2 top-5 baseline: ||a-b||^2 = n2a - 2ab + n2b, integer-exact
+    val c2 = quantized.withColumn("_n2c",
+      Similarity.dotQ(col("query_vec"), col("query_vec")))
+    val q2 = queries.withColumn("_n2q", Similarity.dotQ(col("qvec"), col("qvec")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("l2").asc, col("vec_id").asc)
+    val exact = c2.crossJoin(broadcast(q2))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("l2", col("_n2c") - lit(2L) *
+        Similarity.dotQ(col("query_vec"), col("qvec")) + col("_n2q"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(quantized, queries, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    info(f"PQ recall@5 = $recall%.3f (4 lookups/pair vs 64-dim dots; 16x compression)")
+    assert(recall >= 0.3)
+    // ADC distances are sums of squared subspace distances: never negative
+    val dists = Similarity.pqTopK(quantized, queries, k = 5)
+      .select("approx_dist").as[Long].collect()
+    assert(dists.forall(_ >= 0))
+  }
+
   test("planes are deterministic for a fixed seed") {
     assert(Similarity.planes(4, 8).map(_.toSeq).toSeq ==
       Similarity.planes(4, 8).map(_.toSeq).toSeq)
