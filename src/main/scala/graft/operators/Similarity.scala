@@ -232,24 +232,35 @@ object Similarity {
     val sp = corpus.sparkSession
     val subDim = dim / m
     val sub = pqCodebooks(corpus, ks, m, dim)
+    // the codebook ships as ONE array-of-structs literal per subspace
+    // and is scanned with a HOF loop. An unrolled ks-way
+    // least-of-structs (the IVF-assignment idiom) is catastrophically
+    // wrong here: m·ks inlined dot products made Janino spend ~80 s
+    // compiling the generated method (execution itself was fine) —
+    // loop-shaped code keeps compilation O(1) in ks at identical
+    // integer arithmetic
+    def cbLit(j: Int): Column = array((0 until ks).map { kk =>
+      val (cv, cn2) = sub(j)(kk)
+      struct(array(cv.map(lit(_)): _*).as("cv"), lit(cn2).as("n"))
+    }: _*)
+    // per-subspace distances ‖x_j − c‖² − ‖x_j‖² = n − 2x·c (the
+    // dropped ‖x_j‖² is constant per row: argmin-safe)
+    def subDists(vec: Column, j: Int): Column =
+      transform(cbLit(j), e =>
+        e.getField("n") - lit(2L) * dotQ(slice(vec, j * subDim + 1, subDim),
+          e.getField("cv")))
     def codeExpr(vec: Column, j: Int): Column = {
-      val cands = (0 until ks).map { kk =>
-        val (cv, cn2) = sub(j)(kk)
-        val d = lit(cn2) - lit(2L) * dotFast(sp, slice(vec, j * subDim + 1, subDim),
-          array(cv.map(lit(_)): _*))
-        struct(d.as("d"), lit(kk).as("k"))
-      }
-      least(cands: _*).getField("k")
+      val d = subDists(vec, j)
+      // first index of the min = smallest code on ties (oracle parity)
+      (array_position(d, array_min(d)) - 1).cast("int")
     }
     val coded = corpus.select(
       col("vec_id") +: (0 until m).map(j => codeExpr(col("query_vec"), j).as(s"c$j")): _*)
     def distTable(vec: Column, j: Int): Column = {
       val qj = slice(vec, j * subDim + 1, subDim)
-      array((0 until ks).map { kk =>
-        val (cv, cn2) = sub(j)(kk)
-        (dotFast(sp, qj, qj) - lit(2L) * dotFast(sp, qj, array(cv.map(lit(_)): _*)) +
-          lit(cn2)).cast("long")
-      }: _*)
+      transform(cbLit(j), e =>
+        (dotQ(qj, qj) - lit(2L) * dotQ(qj, e.getField("cv")) +
+          e.getField("n")).cast("long"))
     }
     val qdt = queries.select(
       col("query_id") +: (0 until m).map(j => distTable(col("qvec"), j).as(s"dt$j")): _*)
