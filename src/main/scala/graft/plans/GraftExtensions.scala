@@ -47,7 +47,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         val fpp = if (children.length < 3) 0.03 else children(2) match {
           case Literal(v: Double, _) => v
-          case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
+          // SQL decimal literals (e.g. 0.01) wrap Spark's Decimal,
+          // not java.math.BigDecimal
+          case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
           case other => throw new IllegalArgumentException(
             s"graft_bloom_agg fpp must be a numeric literal, got $other")
         }

@@ -309,7 +309,9 @@ object Extended {
     "q74_snapshot_timetravel" -> q74SnapshotTimetravel _,
   )
 
-  private val qualitySql =
+  /** DuckDB replica of TextAnalysis.qualityScore — shared by every
+    * oracle that ranks or gates on quality (q42/q54 here, q99). */
+  private[queries] val qualitySql =
     """CAST((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4)
       |  + ((1.0 - least(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
       |      / greatest(CAST(length(text) AS DOUBLE), 1.0) * 10.0, 1.0)) * 0.3)

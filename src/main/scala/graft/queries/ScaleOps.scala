@@ -43,9 +43,13 @@ object ScaleOps {
       .select(col("o_custkey"), col("o_totalprice"))
     val pruned =
       if (s.catalog.functionExists("graft_might_contain")) {
+        // size the filter from the build side (tiny driver scalar on
+        // the already-filtered dim) — a fixed oversize would inline
+        // megabytes of literal bits into every task's plan
+        val dimKeys = math.max(cust.count(), 1L)
         val bloomBytes = cust
           .agg(call_function("graft_bloom_agg",
-            xxhash64(col("c_custkey")), lit(1000000L)).as("bf"))
+            xxhash64(col("c_custkey")), lit(dimKeys)).as("bf"))
           .head().getAs[Array[Byte]](0)
         orders.filter(call_function("graft_might_contain",
           lit(bloomBytes), xxhash64(col("o_custkey"))))
@@ -167,15 +171,9 @@ object ScaleOps {
        |  FROM $a JOIN e USING (vec_id), generate_series(1, 64) s(i)
        |  GROUP BY 1, 2) GROUP BY cid)""".stripMargin
 
-  // quality formula must stay textually aligned with Extended.qualitySql
-  // (q42/q54 proved the cross-engine double parity of this expression)
-  private val qualitySql =
-    """CAST((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4)
-      |  + ((1.0 - least(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
-      |      / greatest(CAST(length(text) AS DOUBLE), 1.0) * 10.0, 1.0)) * 0.3)
-      |  + (least(CAST(len(regexp_extract_all(lower(text), '\b(the|and|is|of|to|a|in|it)\b')) AS DOUBLE)
-      |      / greatest(CAST(len(regexp_split_to_array(lower(trim(text)), ' +')) AS DOUBLE), 1.0)
-      |      * 5.0, 1.0) * 0.3) AS DOUBLE)""".stripMargin
+  // the one shared DuckDB replica of TextAnalysis.qualityScore —
+  // q42/q54 proved its cross-engine double parity
+  private def qualitySql = Extended.qualitySql
 
   val oracles: Map[String, String] = Map(
     "q97_semantic_dedup" ->

@@ -93,15 +93,15 @@ class SimilaritySpec extends SparkSpec {
         Similarity.dotQ(col("query_vec"), col("qvec")) + col("_n2q"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
-    val pq = Similarity.pqTopK(quantized, queries, k = 5)
-      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val pqRows = Similarity.pqTopK(quantized, queries, k = 5)
+      .select("query_id", "vec_id", "approx_dist")
+      .as[(Long, Long, Long)].collect()
+    val pq = pqRows.map(r => (r._1, r._2)).toSet
     val recall = (exact & pq).size.toDouble / exact.size
     info(f"PQ recall@5 = $recall%.3f (4 lookups/pair vs 64-dim dots; 16x compression)")
     assert(recall >= 0.3)
     // ADC distances are sums of squared subspace distances: never negative
-    val dists = Similarity.pqTopK(quantized, queries, k = 5)
-      .select("approx_dist").as[Long].collect()
-    assert(dists.forall(_ >= 0))
+    assert(pqRows.forall(_._3 >= 0))
   }
 
   test("planes are deterministic for a fixed seed") {

@@ -57,6 +57,18 @@ class BloomFilterSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("3-arg SQL form accepts a decimal fpp literal") {
+    spark.range(100).toDF("k").createOrReplaceTempView("bloom_keys")
+    // 0.01 parses as a DecimalType literal, not a double — the
+    // extension must unwrap Spark's Decimal
+    val bytes = spark.sql(
+      "SELECT graft_bloom_agg(k, 1000, 0.01) AS bf FROM bloom_keys")
+      .head().getAs[Array[Byte]](0)
+    val hits = spark.range(100).toDF("k")
+      .filter(call_function("graft_might_contain", lit(bytes), col("k"))).count()
+    assert(hits == 100)
+  }
+
   test("bloom-pruned join result equals the plain join") {
     val dim = (0L until 100L).filter(_ % 3 == 0).toDF("key")
     val fact = (0L until 10000L).map(i => (i % 200L, i)).toDF("key", "payload")
