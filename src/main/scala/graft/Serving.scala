@@ -72,4 +72,29 @@ object Serving {
 
   /** The serving entry: plain ANSI SQL against the registered names. */
   def sql(spark: SparkSession, query: String): DataFrame = spark.sql(query)
+
+  /** Materialize a registered view as a managed table and collect
+    * table + column statistics — the reference's dbt post-hook
+    * `ANALYZE {{ this }}` (dbt_project.yml:49) on every model build.
+    * With stats in the catalog, Catalyst's CBO has real rowCount /
+    * sizeInBytes / per-column NDV+min/max for join reordering and
+    * broadcast decisions instead of file-size guesses; at 100 TB the
+    * difference is picking the right build side BEFORE a shuffle is
+    * committed, not after AQE observes a bad one. */
+  def materializeWithStats(spark: SparkSession, view: String, table: String,
+                           statCols: Seq[String] = Nil): Unit = {
+    // idempotent across JVMs: the in-memory catalog forgets managed
+    // tables on restart but their warehouse location persists, and
+    // saveAsTable refuses to adopt an orphaned location
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(warehouse, table.toLowerCase(java.util.Locale.ROOT)))
+    spark.table(view).write.mode("overwrite").saveAsTable(table)
+    spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
+    if (statCols.nonEmpty)
+      spark.sql(
+        s"ANALYZE TABLE $table COMPUTE STATISTICS FOR COLUMNS ${statCols.mkString(", ")}")
+  }
 }

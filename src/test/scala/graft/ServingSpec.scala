@@ -40,4 +40,32 @@ class ServingSpec extends SparkSpec {
       plan.split("ReadSchema")(1).takeWhile(_ != '\n').contains("doc_id"))
     assert(!plan.split("ReadSchema")(1).takeWhile(_ != '\n').contains("text"))
   }
+
+  test("materializeWithStats records table and column statistics for CBO") {
+    Serving.registerCatalog(spark, dir, telecomEvents = 2000)
+    Serving.materializeWithStats(spark, "dim_customers", "dim_customers_stats",
+      statCols = Seq("customer_id", "value_segment"))
+    val stats = spark.sql("DESCRIBE EXTENDED dim_customers_stats")
+      .filter(col("col_name") === "Statistics")
+      .select("data_type").as[String].collect()
+    assert(stats.nonEmpty && stats.head.contains("rows"),
+      s"expected rowCount statistics, got: ${stats.mkString}")
+    val colStats = spark.sql(
+      "DESCRIBE EXTENDED dim_customers_stats customer_id")
+      .filter(col("info_name") === "distinct_count")
+      .select("info_value").as[String].collect()
+    assert(colStats.nonEmpty && colStats.head.trim.toLong > 0,
+      s"expected NDV column statistics, got: ${colStats.mkString}")
+    // CBO sees them: with cost-based optimization on, the optimized
+    // plan's row estimate comes from the ANALYZE stats, not file size
+    val expected = spark.table("dim_customers_stats").count()
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val est = spark.table("dim_customers_stats")
+        .queryExecution.optimizedPlan.stats.rowCount
+      assert(est.contains(BigInt(expected)),
+        s"CBO rowCount estimate $est != actual $expected")
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+    spark.sql("DROP TABLE dim_customers_stats")
+  }
 }
