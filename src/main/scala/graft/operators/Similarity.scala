@@ -289,6 +289,50 @@ object Similarity {
         col("l2_dist"), col("approx_dist"))
   }
 
+  /** Truncated-dimension shortlist + exact re-rank (the
+    * matryoshka-representation trick, Kusupati et al., NeurIPS 2022:
+    * nested-prefix embeddings let the head dims carry most of the
+    * signal): score every pair on the first `headDim` dims only —
+    * a headDim/dim fraction of the dot-product work — keep a
+    * per-query shortlist, then exact full-dim cosine on shortlist
+    * rows only. Same two-stage serving skeleton as [[pqTopK]], with
+    * dimension truncation instead of code lookups as the cheap
+    * stage; at scale the head prefix can live in its own narrow
+    * column (or index) so the scan reads headDim/dim of the bytes. */
+  def truncatedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                    headDim: Int, shortlist: Int): DataFrame = {
+    val sp = corpus.sparkSession
+    val dot = dotFast(sp, _: Column, _: Column)
+    val ch = corpus.select(col("vec_id"), slice(col("query_vec"), 1, headDim).as("hv"))
+      .withColumn("_n2h", dot(col("hv"), col("hv")))
+    val qh = queries.select(col("query_id"), slice(col("qvec"), 1, headDim).as("qh"))
+      .withColumn("_n2qh", dot(col("qh"), col("qh")))
+    val wa = Window.partitionBy("query_id")
+      .orderBy(col("head_cosine").desc, col("vec_id").asc)
+    val cands = ch.crossJoin(broadcast(qh))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("head_cosine",
+        (dot(col("hv"), col("qh")).cast("double") /
+          sqrt(col("_n2qh").cast("double") * col("_n2h").cast("double"))).cast("double"))
+      .withColumn("_hrank", row_number().over(wa))
+      .filter(col("_hrank") <= shortlist)
+      .select("query_id", "vec_id", "head_cosine")
+    val c2 = corpus.select(col("vec_id"), col("query_vec"),
+      dot(col("query_vec"), col("query_vec")).as("_n2c"))
+    val q2 = queries.select(col("query_id"), col("qvec"),
+      dot(col("qvec"), col("qvec")).as("_n2q"))
+    val we = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    cands.join(c2, "vec_id").join(broadcast(q2), "query_id")
+      .withColumn("cosine",
+        (dot(col("query_vec"), col("qvec")).cast("double") /
+          sqrt(col("_n2q").cast("double") * col("_n2c").cast("double"))).cast("double"))
+      .withColumn("rank", row_number().over(we))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        col("cosine"), col("head_cosine"))
+  }
+
   /** LSH-bucketed ANN: multi-table sign-random-projection — bucket
     * corpus + queries per band, score only within shared buckets,
     * take per-query top-k. The scale path: scoring cost drops from

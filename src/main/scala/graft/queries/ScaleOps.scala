@@ -144,8 +144,20 @@ object ScaleOps {
       .orderBy("doc_id")
   }
 
+  /** Truncated-dimension ANN: 16-dim head shortlist (50) + full
+    * 64-dim exact re-rank — the matryoshka serving pattern next to
+    * PQ (q101); cheap stage = prefix dims instead of codes. */
+  def q103TruncatedAnn(s: SparkSession, dir: String): DataFrame = {
+    val c = quantized(s, dir)
+    val q = c.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("query_vec").as("qvec"))
+    Similarity.truncatedTopK(c, q, k = 5, headDim = 16, shortlist = 50)
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "q97_semantic_dedup" -> q97SemanticDedup _,
+    "q103_truncated_ann" -> q103TruncatedAnn _,
     "q98_bloom_join" -> q98BloomJoin _,
     "q99_domain_cap" -> q99DomainCap _,
     "q100_dup_spans" -> q100DupSpans _,
@@ -250,6 +262,30 @@ object ScaleOps {
          |FROM (
          |  SELECT *, ROW_NUMBER() OVER (
          |    PARTITION BY query_id ORDER BY l2_dist, vec_id) AS rank
+         |  FROM rr) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q103_truncated_ann" ->
+      s"""WITH e AS (SELECT vec_id, $qv AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id % 10 = 0),
+         |hs AS (SELECT q.query_id, c.vec_id,
+         |    CAST(list_dot_product(c.v[1:16], q.v[1:16]) /
+         |      sqrt(list_dot_product(q.v[1:16], q.v[1:16]) *
+         |           list_dot_product(c.v[1:16], c.v[1:16])) AS DOUBLE) AS head_cosine
+         |  FROM q, e c WHERE c.vec_id != q.query_id),
+         |short AS (SELECT query_id, vec_id, head_cosine FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY head_cosine DESC, vec_id) AS hrank
+         |  FROM hs) WHERE hrank <= 50),
+         |rr AS (SELECT s.query_id, s.vec_id, s.head_cosine,
+         |    CAST(list_dot_product(cv.v, qv.v) /
+         |      sqrt(list_dot_product(qv.v, qv.v) * list_dot_product(cv.v, cv.v))
+         |      AS DOUBLE) AS cosine
+         |  FROM short s
+         |  JOIN e cv ON cv.vec_id = s.vec_id
+         |  JOIN e qv ON qv.vec_id = s.query_id)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, cosine, head_cosine
+         |FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
          |  FROM rr) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q102_mixture_sample" ->
       """WITH c AS (SELECT source, COUNT(*) AS n_source FROM documents GROUP BY 1),

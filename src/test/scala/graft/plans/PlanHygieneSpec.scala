@@ -33,6 +33,9 @@ class PlanHygieneSpec extends SparkSpec {
     // PQ-ADC scan: broadcast query distance tables vs corpus codes —
     // the compressed form of q49's bounded-query-set brute force
     "q101_pq_ann" -> "ADC scan (broadcast query dist tables vs codes)",
+    // truncated-dim shortlist: broadcast query heads vs corpus heads —
+    // the matryoshka variant of the same bounded-query-set scan
+    "q103_truncated_ann" -> "head-dim scan (broadcast query heads)",
     // broadcast range join against a 12-row month dimension — the
     // right shape when the range side is a bounded dim (q13 is the
     // keyed as-of alternative for unbounded right sides)
