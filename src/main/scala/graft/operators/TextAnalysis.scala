@@ -81,6 +81,24 @@ object TextAnalysis {
         i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
 
+  /** Overlapping fixed-size token windows over a PRE-MATERIALIZED
+    * token-array column — the retrieval/context chunker every RAG or
+    * long-document ingestion pipeline runs before embedding. One
+    * struct per chunk (chunk_id, token_start, n_tokens, chunk_text);
+    * the final chunk may be shorter. A pure scan-speed projection:
+    * explode downstream and the shuffle (if any) carries chunks, not
+    * documents. */
+  def tokenChunks(toks: Column, chunkLen: Int, stride: Int): Column = {
+    require(chunkLen > 0 && stride > 0, "chunkLen and stride must be positive")
+    transform(
+      sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(stride)),
+      st => struct(
+        (st / stride).cast("int").as("chunk_id"),
+        st.as("token_start"),
+        least(lit(chunkLen), size(toks) - st).as("n_tokens"),
+        array_join(slice(toks, st + lit(1), lit(chunkLen)), " ").as("chunk_text")))
+  }
+
   /** Canonical-form fingerprint: md5 over lowercased,
     * whitespace-collapsed, trimmed text — the exact-dedup key that
     * survives formatting noise. */

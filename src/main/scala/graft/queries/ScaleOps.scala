@@ -155,9 +155,24 @@ object ScaleOps {
       .orderBy("query_id", "rank")
   }
 
+  /** Document chunking: 32-token windows at stride 24 (8-token
+    * overlap) — the RAG/long-context ingestion step; one row per
+    * chunk with its token span. */
+  def q104TokenChunks(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+    t.select(col("doc_id"),
+        explode(TextAnalysis.tokenChunks(col("toks"), chunkLen = 32, stride = 24))
+          .as("c"))
+      .select(col("doc_id"), col("c.chunk_id"), col("c.token_start"),
+        col("c.n_tokens"), col("c.chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q97_semantic_dedup" -> q97SemanticDedup _,
     "q103_truncated_ann" -> q103TruncatedAnn _,
+    "q104_token_chunks" -> q104TokenChunks _,
     "q98_bloom_join" -> q98BloomJoin _,
     "q99_domain_cap" -> q99DomainCap _,
     "q100_dup_spans" -> q100DupSpans _,
@@ -287,6 +302,15 @@ object ScaleOps {
          |  SELECT *, ROW_NUMBER() OVER (
          |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
          |  FROM rr) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q104_token_chunks" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), ' +') AS toks FROM documents),
+        |st AS (SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS s FROM t)
+        |SELECT doc_id, CAST(s // 24 AS INTEGER) AS chunk_id,
+        |  CAST(s AS INTEGER) AS token_start,
+        |  CAST(least(32, len(toks) - s) AS INTEGER) AS n_tokens,
+        |  array_to_string(toks[s+1 : s+32], ' ') AS chunk_text
+        |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
     "q102_mixture_sample" ->
       """WITH c AS (SELECT source, COUNT(*) AS n_source FROM documents GROUP BY 1),
         |mx AS (SELECT MAX(n_source) AS mx FROM c),

@@ -76,4 +76,26 @@ class FuncsSpec extends SparkSpec {
     val f = df.as[String].collect()
     assert(f(0) == f(1) && f(0) != f(2))
   }
+
+  test("tokenChunks: spans tile the document with stride overlap; short docs get one chunk") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, (1 to 80).map(i => s"w$i").mkString(" ")),  // 80 tokens: starts 0,24,48,72
+      (2L, "a b c")                                    // 3 tokens: one short chunk
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(
+        TextAnalysis.tokenChunks(col("toks"), chunkLen = 32, stride = 24)).as("c"))
+      .select(col("doc_id"), col("c.chunk_id"), col("c.token_start"),
+        col("c.n_tokens"), col("c.chunk_text"))
+    val long = df.filter(col("doc_id") === 1).orderBy("chunk_id").collect()
+    assert(long.map(_.getInt(2)).toSeq == Seq(0, 24, 48, 72))
+    assert(long.map(_.getInt(3)).toSeq == Seq(32, 32, 32, 8))
+    // overlap: chunk k's last 8 tokens == chunk k+1's first 8
+    val texts = long.map(_.getString(4).split(" ").toSeq)
+    assert(texts(0).takeRight(8) == texts(1).take(8))
+    val short = df.filter(col("doc_id") === 2).collect()
+    assert(short.length == 1 && short.head.getInt(3) == 3 &&
+      short.head.getString(4) == "a b c")
+  }
 }
