@@ -155,7 +155,7 @@ object DedupOps {
     * kernel shared verbatim by the q46/q77/q86/q93 oracles (a
     * coefficient tweak applied to one copy would silently break the
     * others, so there is only one copy). */
-  private val sigBandedCtes =
+  private[queries] val sigBandedCtes =
     """sig AS (
       |  SELECT doc_id, sh,
       |    list_transform(generate_series(1, 16), i ->
@@ -169,7 +169,7 @@ object DedupOps {
       |  FROM sig, (SELECT unnest(generate_series(0,3)) AS band_idx) b)""".stripMargin
 
   /** Per-document token FNV hashes (th) — the shared first stage. */
-  private val tokHashCte =
+  private[queries] val tokHashCte =
     s"""tok AS (
        |  SELECT doc_id,
        |    list_transform(regexp_split_to_array(lower(trim(text)), ' +'),
@@ -178,7 +178,7 @@ object DedupOps {
 
   /** Distinct sorted 3-gram shingle hashes — mirrors
     * Dedup.shingleHashes incl. the short-text whole-text fallback. */
-  private val shinglesCte =
+  private[queries] val shinglesCte =
     s"""sh AS (
        |  SELECT doc_id,
        |    list_sort(list_distinct(CASE WHEN len(th) >= 3 THEN

@@ -169,10 +169,57 @@ object ScaleOps {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** The capstone composite: the curation pipeline a training-data
+    * team actually ships, chaining five library operators end to end —
+    * exact-dup survivors (canonical fingerprint, keep min id) →
+    * near-dup connected-component survivors (MinHash LSH + Jaccard
+    * verify among remaining docs) → quality gate (score ≥ 0.5) →
+    * per-source cap (top 20 by quality) → 2000-token shard packing
+    * via the distributed prefix sum. Every stage is a shape proven
+    * individually (q45/q93/q54/q99/q59); this query proves they
+    * COMPOSE — one lazy plan, no materialization between stages, and
+    * the whole chain is hash-checked against a single DuckDB oracle. */
+  def q105CurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val d = Tables.documents(s, dir)
+    // 1. exact dedup: keep the smallest doc_id per canonical form
+    val exactKeep = d
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .groupBy("fp").agg(min("doc_id").as("doc_id")).select("doc_id")
+    val d1 = d.join(exactKeep, "doc_id")
+    // 2. near-dup clusters among survivors: keep the min-id member
+    val sigs = Dedup.minhashSignatures(d1, "doc_id", "text", k = 16, shingleN = 3)
+    val cand = Dedup.lshCandidatePairs(sigs, "doc_id", bands = 4, rowsPerBand = 4)
+    val pairs = Dedup.verifyJaccard(cand, d1, "doc_id", "text", shingleN = 3)
+      .filter(col("jaccard") >= 0.2).select("id_a", "id_b")
+    val losers = Dedup.connectedComponents(pairs)
+      .filter(col("id") =!= col("cluster_id")).select(col("id").as("doc_id"))
+    val d2 = d1.join(losers, Seq("doc_id"), "left_anti")
+    // 3. quality gate (fixed threshold keeps the stage stateless)
+    val d3 = d2.withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .filter(col("quality") >= 0.5)
+    // 4. per-source quota
+    val w = Window.partitionBy("source")
+      .orderBy(col("quality").desc, col("doc_id"))
+    val d4 = d3.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= 20)
+    // 5. shard packing: distributed running token sum, 2000/shard
+    val counted = d4.select(col("doc_id"), col("source"), col("lang"),
+      col("quality"),
+      TextAnalysis.tokenCount(col("text")).cast("bigint").as("token_count"))
+    graft.operators.PrefixSum
+      .withRunningSum(counted, "doc_id", "token_count", "cum_tokens")
+      .withColumn("shard_id",
+        floor((col("cum_tokens") - col("token_count")) / 2000L).cast("bigint"))
+      .select("doc_id", "source", "lang", "quality", "token_count", "shard_id")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q97_semantic_dedup" -> q97SemanticDedup _,
     "q103_truncated_ann" -> q103TruncatedAnn _,
     "q104_token_chunks" -> q104TokenChunks _,
+    "q105_curation_pipeline" -> q105CurationPipeline _,
     "q98_bloom_join" -> q98BloomJoin _,
     "q99_domain_cap" -> q99DomainCap _,
     "q100_dup_spans" -> q100DupSpans _,
@@ -302,6 +349,59 @@ object ScaleOps {
          |  SELECT *, ROW_NUMBER() OVER (
          |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
          |  FROM rr) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q105_curation_pipeline" ->
+      s"""WITH RECURSIVE ${DedupOps.tokHashCte},
+         |${DedupOps.shinglesCte},
+         |${DedupOps.sigBandedCtes},
+         |keep0 AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM (
+         |    SELECT doc_id,
+         |      md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |    FROM documents) GROUP BY fp),
+         |cpairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id
+         |  WHERE a.doc_id IN (SELECT doc_id FROM keep0)
+         |    AND b.doc_id IN (SELECT doc_id FROM keep0)),
+         |verified AS (
+         |  SELECT p.id_a, p.id_b
+         |  FROM cpairs p
+         |  JOIN sh sa ON sa.doc_id = p.id_a
+         |  JOIN sh sb ON sb.doc_id = p.id_b
+         |  WHERE CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+         |      / (len(sa.sh) + len(sb.sh)
+         |         - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) >= 0.2),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM verified
+         |  UNION ALL SELECT id_b, id_a FROM verified),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src),
+         |losers AS (
+         |  SELECT id FROM (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+         |  WHERE id != cluster_id),
+         |d3 AS (
+         |  SELECT doc_id, source, lang, $qualitySql AS quality, text
+         |  FROM documents
+         |  WHERE doc_id IN (SELECT doc_id FROM keep0)
+         |    AND doc_id NOT IN (SELECT id FROM losers)),
+         |d4 AS (
+         |  SELECT doc_id, source, lang, quality, text FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY source ORDER BY quality DESC, doc_id) AS rk
+         |    FROM d3 WHERE quality >= 0.5) WHERE rk <= 20),
+         |t AS (
+         |  SELECT doc_id, source, lang, quality,
+         |    CAST(len(regexp_split_to_array(lower(trim(text)), ' +')) AS BIGINT)
+         |      AS token_count
+         |  FROM d4)
+         |SELECT doc_id, source, lang, quality, token_count,
+         |  CAST(floor((SUM(token_count) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - token_count) / 2000)
+         |    AS BIGINT) AS shard_id
+         |FROM t ORDER BY doc_id""".stripMargin,
     "q104_token_chunks" ->
       """WITH t AS (SELECT doc_id,
         |    regexp_split_to_array(lower(trim(text)), ' +') AS toks FROM documents),
