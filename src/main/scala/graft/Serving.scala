@@ -85,12 +85,16 @@ object Serving {
                            statCols: Seq[String] = Nil): Unit = {
     // idempotent across JVMs: the in-memory catalog forgets managed
     // tables on restart but their warehouse location persists, and
-    // saveAsTable refuses to adopt an orphaned location
+    // saveAsTable refuses to adopt an orphaned location. Resolve the
+    // location through the session catalog (handles database-
+    // qualified names) and delete via the Hadoop FileSystem API
+    // (works for DFS warehouses, not just local paths).
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val warehouse = new java.net.URI(
-      spark.conf.get("spark.sql.warehouse.dir")).getPath
-    org.apache.commons.io.FileUtils.deleteQuietly(
-      new java.io.File(warehouse, table.toLowerCase(java.util.Locale.ROOT)))
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val loc = spark.sessionState.catalog.defaultTablePath(ident)
+    val hpath = new org.apache.hadoop.fs.Path(loc)
+    val fs = hpath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hpath)) fs.delete(hpath, true)
     spark.table(view).write.mode("overwrite").saveAsTable(table)
     spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
     if (statCols.nonEmpty)

@@ -303,10 +303,17 @@ object Similarity {
                     headDim: Int, shortlist: Int): DataFrame = {
     val sp = corpus.sparkSession
     val dot = dotFast(sp, _: Column, _: Column)
+    // _n2h/_n2qh > 0 guards: a vector whose head prefix is all zeros
+    // would give 0/0 = NaN head_cosine, and NaN sorts ABOVE every
+    // real score in a descending window — flooding the shortlist.
+    // Zero-head vectors are legitimately unrankable by the head
+    // stage, so they are excluded (mirrored in the q103 oracle).
     val ch = corpus.select(col("vec_id"), slice(col("query_vec"), 1, headDim).as("hv"))
       .withColumn("_n2h", dot(col("hv"), col("hv")))
+      .filter(col("_n2h") > 0)
     val qh = queries.select(col("query_id"), slice(col("qvec"), 1, headDim).as("qh"))
       .withColumn("_n2qh", dot(col("qh"), col("qh")))
+      .filter(col("_n2qh") > 0)
     val wa = Window.partitionBy("query_id")
       .orderBy(col("head_cosine").desc, col("vec_id").asc)
     val cands = ch.crossJoin(broadcast(qh))
@@ -317,6 +324,20 @@ object Similarity {
       .withColumn("_hrank", row_number().over(wa))
       .filter(col("_hrank") <= shortlist)
       .select("query_id", "vec_id", "head_cosine")
+    exactCosineRerank(cands, corpus, queries, k, carry = Seq("head_cosine"))
+  }
+
+  /** Shared exact-cosine re-rank tail for two-stage ANN serving:
+    * fetch full vectors for candidate (query_id, vec_id) rows by
+    * equi-join, score the exact cosine, keep the per-query top-k.
+    * One copy of the cosine formula + tie-break window so the ANN
+    * variants cannot silently diverge. `carry` columns from the
+    * candidate stage ride along into the output. */
+  def exactCosineRerank(cands: DataFrame, corpus: DataFrame,
+                        queries: DataFrame, k: Int,
+                        carry: Seq[String] = Nil): DataFrame = {
+    val sp = corpus.sparkSession
+    val dot = dotFast(sp, _: Column, _: Column)
     val c2 = corpus.select(col("vec_id"), col("query_vec"),
       dot(col("query_vec"), col("query_vec")).as("_n2c"))
     val q2 = queries.select(col("query_id"), col("qvec"),
@@ -329,8 +350,8 @@ object Similarity {
           sqrt(col("_n2q").cast("double") * col("_n2c").cast("double"))).cast("double"))
       .withColumn("rank", row_number().over(we))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id"),
-        col("cosine"), col("head_cosine"))
+      .select((Seq("query_id", "rank", "vec_id", "cosine") ++ carry)
+        .map(col): _*)
   }
 
   /** LSH-bucketed ANN: multi-table sign-random-projection — bucket

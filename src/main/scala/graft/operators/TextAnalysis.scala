@@ -90,13 +90,19 @@ object TextAnalysis {
     * documents. */
   def tokenChunks(toks: Column, chunkLen: Int, stride: Int): Column = {
     require(chunkLen > 0 && stride > 0, "chunkLen and stride must be positive")
-    transform(
-      sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(stride)),
-      st => struct(
-        (st / stride).cast("int").as("chunk_id"),
-        st.as("token_start"),
-        least(lit(chunkLen), size(toks) - st).as("n_tokens"),
-        array_join(slice(toks, st + lit(1), lit(chunkLen)), " ").as("chunk_text")))
+    // empty token arrays yield NO chunks (not one phantom empty
+    // chunk — the sequence lower bound would otherwise still emit
+    // start 0); mirrors the oracle's range(0, len, stride) semantics
+    when(size(toks) >= 1,
+      transform(
+        sequence(lit(0), size(toks) - 1, lit(stride)),
+        st => struct(
+          (st / stride).cast("int").as("chunk_id"),
+          st.as("token_start"),
+          least(lit(chunkLen), size(toks) - st).as("n_tokens"),
+          array_join(slice(toks, st + lit(1), lit(chunkLen)), " ").as("chunk_text"))))
+      .otherwise(array().cast(
+        "array<struct<chunk_id:int,token_start:int,n_tokens:int,chunk_text:string>>"))
   }
 
   /** Canonical-form fingerprint: md5 over lowercased,

@@ -168,6 +168,37 @@ object DedupOps {
       |  SELECT doc_id, b.band_idx, sig[b.band_idx*4+1 : b.band_idx*4+4] AS band
       |  FROM sig, (SELECT unnest(generate_series(0,3)) AS band_idx) b)""".stripMargin
 
+  /** Jaccard-verify (≥ 0.2) over `cpairs` + symmetric edges +
+    * recursive reachability — the connected-component tail shared by
+    * the q77/q93/q105 oracles (reads the `cpairs` and `sh` CTEs
+    * defined upstream; same one-copy doctrine as sigBandedCtes). */
+  private[queries] val ccReachCtes =
+    """verified AS (
+      |  SELECT p.id_a, p.id_b
+      |  FROM cpairs p
+      |  JOIN sh sa ON sa.doc_id = p.id_a
+      |  JOIN sh sb ON sb.doc_id = p.id_b
+      |  WHERE CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+      |      / (len(sa.sh) + len(sb.sh)
+      |         - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) >= 0.2),
+      |edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM verified
+      |  UNION ALL SELECT id_b, id_a FROM verified),
+      |reach(id, r) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src)""".stripMargin
+
+  /** Min-label non-survivors from `reach` — q93/q105's drop set. */
+  private[queries] val ccLosersCte =
+    """losers AS (
+      |  SELECT id FROM (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+      |  WHERE id != cluster_id)""".stripMargin
+
+  /** Canonical-form md5 fingerprint (TextAnalysis.fingerprint parity). */
+  private[queries] val fingerprintSql =
+    """md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"""
+
   /** Per-document token FNV hashes (th) — the shared first stage. */
   private[queries] val tokHashCte =
     s"""tok AS (
@@ -256,8 +287,7 @@ object DedupOps {
          |         - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) >= 0.2
          |  GROUP BY 1),
          |fpt AS (
-         |  SELECT doc_id,
-         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |  SELECT doc_id, $fingerprintSql AS fp
          |  FROM documents),
          |exact AS (
          |  SELECT i.doc_id, MIN(c.doc_id) AS exact_match
@@ -282,24 +312,8 @@ object DedupOps {
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM banded a JOIN banded b
          |    ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id),
-         |verified AS (
-         |  SELECT p.id_a, p.id_b
-         |  FROM cpairs p
-         |  JOIN sh sa ON sa.doc_id = p.id_a
-         |  JOIN sh sb ON sb.doc_id = p.id_b
-         |  WHERE CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
-         |      / (len(sa.sh) + len(sb.sh)
-         |         - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) >= 0.2),
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM verified
-         |  UNION ALL SELECT id_b, id_a FROM verified),
-         |reach(id, r) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src),
-         |losers AS (
-         |  SELECT id FROM (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
-         |  WHERE id != cluster_id)
+         |$ccReachCtes,
+         |$ccLosersCte
          |SELECT doc_id, lang, n_chars FROM documents
          |WHERE doc_id NOT IN (SELECT id FROM losers)
          |ORDER BY doc_id""".stripMargin,
@@ -317,21 +331,7 @@ object DedupOps {
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM banded a JOIN banded b
          |    ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id),
-         |verified AS (
-         |  SELECT p.id_a, p.id_b
-         |  FROM cpairs p
-         |  JOIN sh sa ON sa.doc_id = p.id_a
-         |  JOIN sh sb ON sb.doc_id = p.id_b
-         |  WHERE CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
-         |      / (len(sa.sh) + len(sb.sh)
-         |         - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) >= 0.2),
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM verified
-         |  UNION ALL SELECT id_b, id_a FROM verified),
-         |reach(id, r) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src),
+         |$ccReachCtes,
          |lab AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
          |SELECT id AS doc_id, cluster_id,
          |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,

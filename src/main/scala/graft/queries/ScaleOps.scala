@@ -177,8 +177,11 @@ object ScaleOps {
     * per-source cap (top 20 by quality) → 2000-token shard packing
     * via the distributed prefix sum. Every stage is a shape proven
     * individually (q45/q93/q54/q99/q59); this query proves they
-    * COMPOSE — one lazy plan, no materialization between stages, and
-    * the whole chain is hash-checked against a single DuckDB oracle. */
+    * COMPOSE, hash-checked as a whole against one DuckDB oracle.
+    * Stages 1-4 stay one lazy Catalyst plan; connectedComponents and
+    * PrefixSum run eager jobs at BUILD time (CC iterations +
+    * subtotal collect), so constructing this DataFrame already
+    * executes the dedup chain. */
   def q105CurationPipeline(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Dedup
     val d = Tables.documents(s, dir)
@@ -332,7 +335,9 @@ object ScaleOps {
          |    CAST(list_dot_product(c.v[1:16], q.v[1:16]) /
          |      sqrt(list_dot_product(q.v[1:16], q.v[1:16]) *
          |           list_dot_product(c.v[1:16], c.v[1:16])) AS DOUBLE) AS head_cosine
-         |  FROM q, e c WHERE c.vec_id != q.query_id),
+         |  FROM q, e c WHERE c.vec_id != q.query_id
+         |    AND list_dot_product(c.v[1:16], c.v[1:16]) > 0
+         |    AND list_dot_product(q.v[1:16], q.v[1:16]) > 0),
          |short AS (SELECT query_id, vec_id, head_cosine FROM (
          |  SELECT *, ROW_NUMBER() OVER (
          |    PARTITION BY query_id ORDER BY head_cosine DESC, vec_id) AS hrank
@@ -355,8 +360,7 @@ object ScaleOps {
          |${DedupOps.sigBandedCtes},
          |keep0 AS (
          |  SELECT MIN(doc_id) AS doc_id FROM (
-         |    SELECT doc_id,
-         |      md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |    SELECT doc_id, ${DedupOps.fingerprintSql} AS fp
          |    FROM documents) GROUP BY fp),
          |cpairs AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -364,24 +368,8 @@ object ScaleOps {
          |    ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id
          |  WHERE a.doc_id IN (SELECT doc_id FROM keep0)
          |    AND b.doc_id IN (SELECT doc_id FROM keep0)),
-         |verified AS (
-         |  SELECT p.id_a, p.id_b
-         |  FROM cpairs p
-         |  JOIN sh sa ON sa.doc_id = p.id_a
-         |  JOIN sh sb ON sb.doc_id = p.id_b
-         |  WHERE CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
-         |      / (len(sa.sh) + len(sb.sh)
-         |         - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) >= 0.2),
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM verified
-         |  UNION ALL SELECT id_b, id_a FROM verified),
-         |reach(id, r) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src),
-         |losers AS (
-         |  SELECT id FROM (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
-         |  WHERE id != cluster_id),
+         |${DedupOps.ccReachCtes},
+         |${DedupOps.ccLosersCte},
          |d3 AS (
          |  SELECT doc_id, source, lang, $qualitySql AS quality, text
          |  FROM documents
