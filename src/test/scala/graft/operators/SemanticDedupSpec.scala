@@ -42,6 +42,13 @@ class SemanticDedupSpec extends SparkSpec {
     assert(!byId(10L).getBoolean(2) && !byId(20L).getBoolean(2))
   }
 
+  test("semdup output is independent of input partitioning") {
+    def run(parts: Int) =
+      SemanticDedup.semdup(corpus.repartition(parts), k = 3, iters = 2, tau = 0.98)
+        .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(run(1) == run(7))
+  }
+
   test("pairs are scored within clusters only (cross-cluster dup invisible)") {
     // two identical vectors forced into different clusters by k=corpus
     // size never pair; with k=1 they do — the bound is the cluster

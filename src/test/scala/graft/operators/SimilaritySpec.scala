@@ -115,6 +115,16 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3)
   }
 
+  test("PQ and truncated-dim results are independent of corpus partitioning") {
+    def pq(parts: Int) = Similarity.pqTopK(quantized.repartition(parts), queries, k = 5)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    def tr(parts: Int) = Similarity.truncatedTopK(quantized.repartition(parts),
+      queries, k = 5, headDim = 16, shortlist = 50)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(pq(2) == pq(9))
+    assert(tr(2) == tr(9))
+  }
+
   test("planes are deterministic for a fixed seed") {
     assert(Similarity.planes(4, 8).map(_.toSeq).toSeq ==
       Similarity.planes(4, 8).map(_.toSeq).toSeq)
