@@ -218,11 +218,41 @@ object ScaleOps {
       .orderBy("doc_id")
   }
 
+  /** EWMA anomaly baseline (exponential smoothing, α = 1/2): per
+    * user, fold daily event counts in day order — s_i = (s_{i-1} +
+    * x_i)/2 — counting days where the count exceeds 2× the running
+    * baseline. The recursive family next to the reference's z-score
+    * monitor: both engines run the IDENTICAL left fold over the
+    * day-sorted array, so the doubles agree bit-for-bit (and α = 1/2
+    * keeps every step an exact binary fraction at this depth).
+    * Scale shape: one keyed agg to daily counts, one keyed agg to
+    * per-user arrays (bounded by the date span), fold at scan speed
+    * — per-entity state never exceeds the day count. */
+  def q106EwmaSpikes(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val arr = daily.groupBy("user_id")
+      .agg(array_sort(collect_list(struct(col("day"), col("cnt")))).as("a"))
+    val enc = transform(col("a"),
+      x => struct(x.getField("cnt").cast("double").as("e"), lit(0).as("s")))
+    arr.select(col("user_id"), size(col("a")).as("n_days"),
+        aggregate(enc, struct(lit(0.0).as("e"), lit(0).as("s")), (acc, b) =>
+          struct((acc.getField("e") * 0.5 + b.getField("e") * 0.5).as("e"),
+            (acc.getField("s") +
+              when(b.getField("e") > acc.getField("e") * 2.0 &&
+                acc.getField("e") > 0.0, 1).otherwise(0)).as("s"))).as("r"))
+      .select(col("user_id"), col("n_days"),
+        col("r.e").cast("double").as("ewma_final"), col("r.s").as("spike_days"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q97_semantic_dedup" -> q97SemanticDedup _,
     "q103_truncated_ann" -> q103TruncatedAnn _,
     "q104_token_chunks" -> q104TokenChunks _,
     "q105_curation_pipeline" -> q105CurationPipeline _,
+    "q106_ewma_spikes" -> q106EwmaSpikes _,
     "q98_bloom_join" -> q98BloomJoin _,
     "q99_domain_cap" -> q99DomainCap _,
     "q100_dup_spans" -> q100DupSpans _,
@@ -354,6 +384,29 @@ object ScaleOps {
          |  SELECT *, ROW_NUMBER() OVER (
          |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
          |  FROM rr) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // NOTE: no struct-typed list_reduce accumulator here — DuckDB
+    // 1.0.0 aliases the accumulator in place, so a later struct field
+    // reads an earlier field's ALREADY-UPDATED value (observed via a
+    // string-trace probe). The spike count therefore recomputes the
+    // prefix EWMA per position with scalar folds (n ≤ 31 days, so the
+    // quadratic rescan is trivial and the doubles are the identical
+    // fold the Spark side runs).
+    "q106_ewma_spikes" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |arr AS (
+        |  SELECT user_id, list(CAST(cnt AS DOUBLE) ORDER BY day) AS l
+        |  FROM daily GROUP BY 1)
+        |SELECT user_id, CAST(len(l) AS INTEGER) AS n_days,
+        |  CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), l),
+        |    (a, b) -> a * 0.5 + b * 0.5) AS DOUBLE) AS ewma_final,
+        |  CAST(len(list_filter(range(2, len(l) + 1), j ->
+        |    l[j] > 2.0 * list_reduce(list_prepend(CAST(0.0 AS DOUBLE), l[1:j-1]),
+        |      (a, b) -> a * 0.5 + b * 0.5)
+        |    AND list_reduce(list_prepend(CAST(0.0 AS DOUBLE), l[1:j-1]),
+        |      (a, b) -> a * 0.5 + b * 0.5) > 0.0)) AS INTEGER) AS spike_days
+        |FROM arr ORDER BY user_id""".stripMargin,
     "q105_curation_pipeline" ->
       s"""WITH RECURSIVE ${DedupOps.tokHashCte},
          |${DedupOps.shinglesCte},
