@@ -234,13 +234,12 @@ object ScaleOps {
       .agg(count(lit(1)).as("cnt"))
     val arr = daily.groupBy("user_id")
       .agg(array_sort(collect_list(struct(col("day"), col("cnt")))).as("a"))
-    val enc = transform(col("a"),
-      x => struct(x.getField("cnt").cast("double").as("e"), lit(0).as("s")))
+    val enc = transform(col("a"), x => x.getField("cnt").cast("double"))
     arr.select(col("user_id"), size(col("a")).as("n_days"),
-        aggregate(enc, struct(lit(0.0).as("e"), lit(0).as("s")), (acc, b) =>
-          struct((acc.getField("e") * 0.5 + b.getField("e") * 0.5).as("e"),
+        aggregate(enc, struct(lit(0.0).as("e"), lit(0).as("s")), (acc, x) =>
+          struct((acc.getField("e") * 0.5 + x * 0.5).as("e"),
             (acc.getField("s") +
-              when(b.getField("e") > acc.getField("e") * 2.0 &&
+              when(x > acc.getField("e") * 2.0 &&
                 acc.getField("e") > 0.0, 1).otherwise(0)).as("s"))).as("r"))
       .select(col("user_id"), col("n_days"),
         col("r.e").cast("double").as("ewma_final"), col("r.s").as("spike_days"))
@@ -403,9 +402,7 @@ object ScaleOps {
         |    (a, b) -> a * 0.5 + b * 0.5) AS DOUBLE) AS ewma_final,
         |  CAST(len(list_filter(range(2, len(l) + 1), j ->
         |    l[j] > 2.0 * list_reduce(list_prepend(CAST(0.0 AS DOUBLE), l[1:j-1]),
-        |      (a, b) -> a * 0.5 + b * 0.5)
-        |    AND list_reduce(list_prepend(CAST(0.0 AS DOUBLE), l[1:j-1]),
-        |      (a, b) -> a * 0.5 + b * 0.5) > 0.0)) AS INTEGER) AS spike_days
+        |      (a, b) -> a * 0.5 + b * 0.5))) AS INTEGER) AS spike_days
         |FROM arr ORDER BY user_id""".stripMargin,
     "q105_curation_pipeline" ->
       s"""WITH RECURSIVE ${DedupOps.tokHashCte},
