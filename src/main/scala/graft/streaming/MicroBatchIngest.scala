@@ -49,6 +49,14 @@ object MicroBatchIngest {
         spark.conf.get("graft.ingest.maxOffsetsPerTrigger", "10000").toLong)
     else fallback
 
+  /** Per-topic routing for a multi-topic raw stream — the reference's
+    * consumer subscribes to all four topics (three CDR + probes,
+    * kafka_to_bronze.py:90-122) and buffers/lands each under its own
+    * prefix with its own schema. One upstream source fans out to
+    * per-topic parsed streams; each gets its own bronze sink. */
+  def topicStream(raw: DataFrame, topic: String, schema: StructType): DataFrame =
+    parse(raw.filter(col("topic") === topic), schema, topic)
+
   /** Parse a raw (value JSON + source metadata) stream into typed rows
     * with provenance columns (reference kafka_to_bronze.py:124-129).
     * `raw` must have columns: value (string), plus optional

@@ -109,6 +109,79 @@ object Generators {
 
   /** Probe events: random-walk load with 0.1%-style spike injection
     * (reference network_probe_producer.py:38-47). */
+  /** data_session_events generator mirroring the reference's
+    * distributions (cdr_producer.py:110-139): duration 30-7200 s,
+    * heavy download skew, 5G-weighted radio tech, 5% roaming,
+    * revenue = total MB × 0.001 at 6 dp. Per-index seeded like
+    * callEvents — content depends only on (seed, i). */
+  def dataSessionEvents(spark: SparkSession, n: Int = 2000,
+                        seed: Long = 45L): Dataset[DataSessionEvent] = {
+    import spark.implicits._
+    val tw = towers().toIndexedSeq
+    val contentTypes = IndexedSeq("streaming_video", "social_media",
+      "web_browsing", "voip", "gaming", "file_download")
+    val radio = IndexedSeq("4G_LTE", "5G_NR", "5G_NR", "5G_MMWAVE")
+    val plans = IndexedSeq("Basic", "Standard", "Premium", "Unlimited", "Business")
+    spark.range(n).map { i =>
+      val rnd = new scala.util.Random(seed ^ (i * 0x9E3779B97F4A7C15L))
+      val tower = tw(rnd.nextInt(tw.length))
+      val startMs = baseTs + rnd.nextInt(72 * 3600) * 1000L
+      val dur = 30L + rnd.nextInt(7171)
+      val dl = 1024L + (rnd.nextDouble() * 499999000L).toLong
+      val ul = 512L + (rnd.nextDouble() * 49999000L).toLong
+      val ts = new Timestamp(startMs).toInstant.toString
+      DataSessionEvent(
+        event_id = f"DSE$i%08d",
+        event_type = "DATA_SESSION",
+        subscriber_msisdn = f"+1555${rnd.nextInt(10000000)}%07d",
+        customer_id = f"CUST${rnd.nextInt(200)}%04d",
+        tower_id = tower.tower_id,
+        tower_city = s"City ${tower.tower_id.drop(3).toInt % 4}",
+        tower_state = tower.region,
+        session_start_timestamp = ts,
+        session_duration_seconds = dur,
+        bytes_downloaded = dl,
+        bytes_uploaded = ul,
+        total_bytes = dl + ul,
+        content_type = contentTypes(rnd.nextInt(contentTypes.length)),
+        radio_technology = radio(rnd.nextInt(radio.length)),
+        signal_strength_dbm = -110 + rnd.nextInt(61),
+        packet_loss_pct = math.round(rnd.nextDouble() * 5 * 100.0) / 100.0,
+        latency_ms = 5 + rnd.nextInt(196),
+        plan_type = plans(rnd.nextInt(plans.length)),
+        roaming = rnd.nextDouble() < 0.05,
+        revenue_usd = math.round((dl + ul) / 1000000.0 * 0.001 * 1e6) / 1e6,
+        ingested_at = ts)
+    }
+  }
+
+  /** sms_events generator (cdr_producer.py:142-157): P2P/A2P, delivery
+    * status weighted 92/5/3, message size 10-160 bytes. */
+  def smsEvents(spark: SparkSession, n: Int = 2000,
+                seed: Long = 46L): Dataset[SmsEvent] = {
+    import spark.implicits._
+    val tw = towers().toIndexedSeq
+    spark.range(n).map { i =>
+      val rnd = new scala.util.Random(seed ^ (i * 0x9E3779B97F4A7C15L))
+      val tower = tw(rnd.nextInt(tw.length))
+      val ts = new Timestamp(baseTs + rnd.nextInt(72 * 3600) * 1000L).toInstant.toString
+      val statusDraw = rnd.nextInt(100)
+      SmsEvent(
+        event_id = f"SMS$i%08d",
+        event_type = "SMS",
+        sender_msisdn = f"+1555${rnd.nextInt(10000000)}%07d",
+        receiver_msisdn = f"+1555${rnd.nextInt(10000000)}%07d",
+        sender_customer_id = f"CUST${rnd.nextInt(200)}%04d",
+        tower_id = tower.tower_id,
+        sms_type = if (rnd.nextBoolean()) "P2P" else "A2P",
+        delivery_status =
+          if (statusDraw < 92) "DELIVERED" else if (statusDraw < 97) "FAILED" else "PENDING",
+        message_size_bytes = 10 + rnd.nextInt(151),
+        timestamp = ts,
+        ingested_at = ts)
+    }
+  }
+
   def probeEvents(spark: SparkSession, hours: Int = 24, seed: Long = 43L): Dataset[ProbeEvent] = {
     import spark.implicits._
     val rnd = new scala.util.Random(seed)

@@ -33,6 +33,46 @@ object Schemas {
       _kafka_offset: Long,
       _bronze_ingested_at: Timestamp)
 
+  /** data_session_events (reference cdr_producer.py:110-139) — the
+    * 60%-weighted topic of the CDR mix. */
+  case class DataSessionEvent(
+      event_id: String,
+      event_type: String,
+      subscriber_msisdn: String,
+      customer_id: String,
+      tower_id: String,
+      tower_city: String,
+      tower_state: String,
+      session_start_timestamp: String,
+      session_duration_seconds: Long,
+      bytes_downloaded: Long,
+      bytes_uploaded: Long,
+      total_bytes: Long,
+      content_type: String,
+      radio_technology: String,
+      signal_strength_dbm: Int,
+      packet_loss_pct: Double,
+      latency_ms: Int,
+      plan_type: String,
+      roaming: Boolean,
+      revenue_usd: Double,
+      ingested_at: String)
+
+  /** sms_events (reference cdr_producer.py:142-157) — the
+    * 10%-weighted topic; P2P/A2P with weighted delivery status. */
+  case class SmsEvent(
+      event_id: String,
+      event_type: String,
+      sender_msisdn: String,
+      receiver_msisdn: String,
+      sender_customer_id: String,
+      tower_id: String,
+      sms_type: String,
+      delivery_status: String,
+      message_size_bytes: Int,
+      timestamp: String,
+      ingested_at: String)
+
   /** network_probe_events (reference network_probe_producer.py:59-80). */
   case class ProbeEvent(
       probe_id: String,

@@ -43,6 +43,65 @@ class StreamingIngestSpec extends SparkSpec {
     assert(new java.io.File(s"$dir/data/year=2024/month=1/day=1").exists())
   }
 
+  test("multi-topic consumer: call/data/sms route to per-topic bronze with their own schemas") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("bronze-multi").toString
+    import org.apache.spark.sql.Encoders
+    // provenance columns are ADDED at ingest (kafka_to_bronze.py:124-129),
+    // so the wire payload and its schema exclude them
+    val prov = Set("_kafka_topic", "_kafka_partition", "_kafka_offset",
+      "_bronze_ingested_at")
+    def payloadSchema(s: StructType) = StructType(s.filterNot(f => prov(f.name)))
+    // the reference's 30/60/10 weighted mix across three CDR topics
+    val calls = graft.telecom.Generators.callEvents(spark, n = 30)
+      .drop(prov.toSeq: _*).toJSON.collect().map(("call_events", _))
+    val data = graft.telecom.Generators.dataSessionEvents(spark, n = 60)
+      .toJSON.collect().map(("data_session_events", _))
+    val sms = graft.telecom.Generators.smsEvents(spark, n = 10)
+      .toJSON.collect().map(("sms_events", _))
+    val mem = MemoryStream[(String, String)]
+    val raw = mem.toDF().toDF("topic", "value")
+    val topics = Seq(
+      ("call_events",
+        payloadSchema(Encoders.product[graft.telecom.Schemas.CallEvent].schema),
+        "call_start_timestamp"),
+      ("data_session_events", Encoders.product[graft.telecom.Schemas.DataSessionEvent].schema,
+        "session_start_timestamp"),
+      ("sms_events", Encoders.product[graft.telecom.Schemas.SmsEvent].schema,
+        "timestamp"))
+    val queries = topics.map { case (t, sch, tsCol) =>
+      val parsed = MicroBatchIngest.topicStream(raw, t, sch)
+        .withColumn("_event_ts", to_timestamp(col(tsCol)))
+      MicroBatchIngest.startBronzeSink(
+        parsed, s"$dir/$t", s"$dir/ckpt-$t", "_event_ts", triggerSecs = 1)
+    }
+    try {
+      mem.addData(calls ++ data ++ sms)
+      queries.foreach(_.processAllAvailable())
+    } finally queries.foreach(_.stop())
+    val landedCalls = spark.read.parquet(s"$dir/call_events")
+    val landedData = spark.read.parquet(s"$dir/data_session_events")
+    val landedSms = spark.read.parquet(s"$dir/sms_events")
+    // callEvents injects duplicates + planted fraud rows, so compare
+    // against the actual payload counts, not the nominal n
+    assert(landedCalls.count() === calls.length)
+    assert(landedData.count() === data.length && data.length === 60)
+    assert(landedSms.count() === sms.length && sms.length === 10)
+    // each topic keeps its own shape (no lossy common schema)
+    assert(landedCalls.columns.contains("call_result_code"))
+    assert(landedData.columns.contains("bytes_downloaded") &&
+      landedData.columns.contains("radio_technology"))
+    assert(landedSms.columns.contains("delivery_status"))
+    // provenance carries the true topic per lane
+    assert(landedData.select("_kafka_topic").distinct()
+      .as[String].collect().toSeq == Seq("data_session_events"))
+    // and the payloads are faithful: deterministic generator re-run matches
+    val sumBytes = landedData.agg(sum("total_bytes")).head().getLong(0)
+    val expected = graft.telecom.Generators.dataSessionEvents(spark, n = 60)
+      .agg(sum("total_bytes")).head().getLong(0)
+    assert(sumBytes === expected)
+  }
+
   test("dead-letter lane: unparseable and ts-less rows land in the DLQ, good rows in bronze") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("bronze-dlq").toString
