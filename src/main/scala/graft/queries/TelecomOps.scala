@@ -61,8 +61,15 @@ object TelecomOps {
   private[graft] def warmFixtures(s: SparkSession, dir: String): Unit = {
     import s.implicits._
     bronzeCalls(s, dir)
+    bronzeDataSessions(s, dir)
     fixture(s, Generators.probeEvents(s, hours = 24).toDF(), "probes", 24)
     fixture(s, Generators.crmCustomers(s, n = 200).toDF(), "customers", 200)
+  }
+
+  private def bronzeDataSessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = genSize(dir)
+    fixture(s, Generators.dataSessionEvents(s, n = n).toDF(), "data_sessions", n)
   }
 
   private def bronzeCalls(s: SparkSession, dir: String): DataFrame = {
@@ -79,6 +86,27 @@ object TelecomOps {
     val silverProbes = Silver.silverProbes(
       fixture(s, Generators.probeEvents(s, hours = 24).toDF(), "probes", 24))
     Gold.aggTowerHourly(silverProbes, silverCalls)
+      .withColumn("hour", date_format(col("hour"), "yyyy-MM-dd HH:mm:ss"))
+      .orderBy("tower_id", "hour")
+  }
+
+  /** Hourly per-tower rollup over the 60%-weighted DATA topic — the
+    * reference's A1/A3 rollup shape applied to data sessions: session
+    * counts, exact byte sums, 5G share, decimal-exact latency mean
+    * and revenue. One keyed aggregation; bytes are long sums (exact),
+    * money/fractions go through DECIMAL (Funcs.dsum/davg). */
+  def q107DataSessionRollup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Funcs
+    bronzeDataSessions(s, dir)
+      .withColumn("hour",
+        date_trunc("hour", to_timestamp(col("session_start_timestamp"))))
+      .groupBy("tower_id", "hour")
+      .agg(
+        count(lit(1)).as("session_count"),
+        sum(col("total_bytes")).as("total_bytes"),
+        Funcs.countIf(col("radio_technology").startsWith("5G")).as("sessions_5g"),
+        Funcs.davg(col("latency_ms")).as("avg_latency_ms"),
+        Funcs.dsum(col("revenue_usd"), 6).as("revenue_usd"))
       .withColumn("hour", date_format(col("hour"), "yyyy-MM-dd HH:mm:ss"))
       .orderBy("tower_id", "hour")
   }
@@ -123,6 +151,7 @@ object TelecomOps {
     "q61_customer_monthly" -> q61CustomerMonthly _,
     "q62_fraud_alerts" -> q62FraudAlerts _,
     "q81_quarantine" -> q81Quarantine _,
+    "q107_data_session_rollup" -> q107DataSessionRollup _,
   )
 
   // ---- DuckDB oracle SQL over the materialized bronze fixtures ----
@@ -159,6 +188,19 @@ object TelecomOps {
          |WHERE event_id IS NULL OR caller_msisdn IS NULL OR tower_id IS NULL
          |   OR duration_seconds IS NULL OR duration_seconds < 0
          |ORDER BY _kafka_offset""".stripMargin,
+    "q107_data_session_rollup" ->
+      s"""WITH b AS (SELECT * FROM read_parquet('$FixtureDir/data_sessions_n20000/*.parquet'))
+         |SELECT tower_id,
+         |  strftime(date_trunc('hour', CAST(session_start_timestamp AS TIMESTAMP)),
+         |    '%Y-%m-%d %H:%M:%S') AS hour,
+         |  COUNT(*) AS session_count,
+         |  CAST(SUM(total_bytes) AS BIGINT) AS total_bytes,
+         |  CAST(SUM(CASE WHEN radio_technology LIKE '5G%' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS sessions_5g,
+         |  CAST(CAST(SUM(CAST(latency_ms AS DECIMAL(18,6))) AS DOUBLE)
+         |    / COUNT(latency_ms) AS DOUBLE) AS avg_latency_ms,
+         |  CAST(SUM(CAST(revenue_usd AS DECIMAL(18,6))) AS DOUBLE) AS revenue_usd
+         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q60_tower_hourly" ->
       s"""WITH bc AS (SELECT * FROM read_parquet('$FixtureDir/calls_n20000/*.parquet')),
          |bp AS (SELECT * FROM read_parquet('$FixtureDir/probes_n24/*.parquet')),
