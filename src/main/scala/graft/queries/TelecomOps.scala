@@ -62,6 +62,7 @@ object TelecomOps {
     import s.implicits._
     bronzeCalls(s, dir)
     bronzeDataSessions(s, dir)
+    bronzeSms(s, dir)
     fixture(s, Generators.probeEvents(s, hours = 24).toDF(), "probes", 24)
     fixture(s, Generators.crmCustomers(s, n = 200).toDF(), "customers", 200)
   }
@@ -70,6 +71,12 @@ object TelecomOps {
     import s.implicits._
     val n = genSize(dir)
     fixture(s, Generators.dataSessionEvents(s, n = n).toDF(), "data_sessions", n)
+  }
+
+  private def bronzeSms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = genSize(dir)
+    fixture(s, Generators.smsEvents(s, n = n).toDF(), "sms", n)
   }
 
   private def bronzeCalls(s: SparkSession, dir: String): DataFrame = {
@@ -109,6 +116,25 @@ object TelecomOps {
         Funcs.dsum(col("revenue_usd"), 6).as("revenue_usd"))
       .withColumn("hour", date_format(col("hour"), "yyyy-MM-dd HH:mm:ss"))
       .orderBy("tower_id", "hour")
+  }
+
+  /** SMS delivery quality per (tower, sms_type) — the reference's A3
+    * conditional-counter shape on the 10%-weighted topic: status
+    * counts plus a decimal-exact delivery rate (the GX-style
+    * `mostly`-gate numerator/denominator, materialized per tower). */
+  def q108SmsDelivery(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Funcs
+    bronzeSms(s, dir)
+      .groupBy("tower_id", "sms_type")
+      .agg(
+        count(lit(1)).as("sms_count"),
+        Funcs.countIf(col("delivery_status") === "DELIVERED").as("delivered"),
+        Funcs.countIf(col("delivery_status") === "FAILED").as("failed"),
+        Funcs.countIf(col("delivery_status") === "PENDING").as("pending"),
+        sum(col("message_size_bytes").cast("long")).as("total_bytes"),
+        (Funcs.countIf(col("delivery_status") === "DELIVERED").cast("double") /
+          count(lit(1)).cast("double")).cast("double").as("delivery_rate"))
+      .orderBy("tower_id", "sms_type")
   }
 
   /** Star-schema fact build (J1-J3 broadcast joins) + monthly rollup
@@ -152,6 +178,7 @@ object TelecomOps {
     "q62_fraud_alerts" -> q62FraudAlerts _,
     "q81_quarantine" -> q81Quarantine _,
     "q107_data_session_rollup" -> q107DataSessionRollup _,
+    "q108_sms_delivery" -> q108SmsDelivery _,
   )
 
   // ---- DuckDB oracle SQL over the materialized bronze fixtures ----
@@ -188,6 +215,20 @@ object TelecomOps {
          |WHERE event_id IS NULL OR caller_msisdn IS NULL OR tower_id IS NULL
          |   OR duration_seconds IS NULL OR duration_seconds < 0
          |ORDER BY _kafka_offset""".stripMargin,
+    "q108_sms_delivery" ->
+      s"""WITH b AS (SELECT * FROM read_parquet('$FixtureDir/sms_n20000/*.parquet'))
+         |SELECT tower_id, sms_type,
+         |  COUNT(*) AS sms_count,
+         |  CAST(SUM(CASE WHEN delivery_status = 'DELIVERED' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS delivered,
+         |  CAST(SUM(CASE WHEN delivery_status = 'FAILED' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS failed,
+         |  CAST(SUM(CASE WHEN delivery_status = 'PENDING' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS pending,
+         |  CAST(SUM(message_size_bytes) AS BIGINT) AS total_bytes,
+         |  CAST(CAST(SUM(CASE WHEN delivery_status = 'DELIVERED' THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS DOUBLE) AS delivery_rate
+         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q107_data_session_rollup" ->
       s"""WITH b AS (SELECT * FROM read_parquet('$FixtureDir/data_sessions_n20000/*.parquet'))
          |SELECT tower_id,
