@@ -39,6 +39,11 @@ object Serving {
     bronzeCalls.createOrReplaceTempView("bronze_call_events")
     bronzeProbes.createOrReplaceTempView("bronze_network_probes")
     bronzeCrm.createOrReplaceTempView("bronze_crm_customers")
+    // the other two CDR topics (60%/10% of the reference's mix)
+    telecom.Generators.dataSessionEvents(spark, n = telecomEvents).toDF()
+      .createOrReplaceTempView("bronze_data_session_events")
+    telecom.Generators.smsEvents(spark, n = telecomEvents).toDF()
+      .createOrReplaceTempView("bronze_sms_events")
 
     val silverCalls = telecom.Silver.silverCalls(bronzeCalls)
     val silverProbes = telecom.Silver.silverProbes(bronzeProbes)
