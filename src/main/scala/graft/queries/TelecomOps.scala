@@ -67,23 +67,23 @@ object TelecomOps {
     fixture(s, Generators.crmCustomers(s, n = 200).toDF(), "customers", 200)
   }
 
-  private def bronzeDataSessions(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** One sf-scaled bronze fixture per CDR topic — the generator and
+    * fixture name are the only variation points. */
+  private def sizedFixture(s: SparkSession, dir: String, name: String)
+                          (gen: Int => DataFrame): DataFrame = {
     val n = genSize(dir)
-    fixture(s, Generators.dataSessionEvents(s, n = n).toDF(), "data_sessions", n)
+    fixture(s, gen(n), name, n)
   }
 
-  private def bronzeSms(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val n = genSize(dir)
-    fixture(s, Generators.smsEvents(s, n = n).toDF(), "sms", n)
-  }
+  private def bronzeCalls(s: SparkSession, dir: String): DataFrame =
+    sizedFixture(s, dir, "calls")(n => Generators.callEvents(s, n = n).toDF())
 
-  private def bronzeCalls(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val n = genSize(dir)
-    fixture(s, Generators.callEvents(s, n = n).toDF(), "calls", n)
-  }
+  private def bronzeDataSessions(s: SparkSession, dir: String): DataFrame =
+    sizedFixture(s, dir, "data_sessions")(n =>
+      Generators.dataSessionEvents(s, n = n).toDF())
+
+  private def bronzeSms(s: SparkSession, dir: String): DataFrame =
+    sizedFixture(s, dir, "sms")(n => Generators.smsEvents(s, n = n).toDF())
 
   /** Full bronze→silver→gold run: generated CDRs + probes → dedup →
     * conformed silver → tower-hourly utilization rollup (A1-A4, J4). */
@@ -132,8 +132,7 @@ object TelecomOps {
         Funcs.countIf(col("delivery_status") === "FAILED").as("failed"),
         Funcs.countIf(col("delivery_status") === "PENDING").as("pending"),
         sum(col("message_size_bytes").cast("long")).as("total_bytes"),
-        (Funcs.countIf(col("delivery_status") === "DELIVERED").cast("double") /
-          count(lit(1)).cast("double")).cast("double").as("delivery_rate"))
+        Funcs.matchRate(col("delivery_status") === "DELIVERED").as("delivery_rate"))
       .orderBy("tower_id", "sms_type")
   }
 

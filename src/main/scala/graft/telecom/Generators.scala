@@ -107,8 +107,6 @@ object Generators {
     base.union((fraudTravel ++ burst).toDS())
   }
 
-  /** Probe events: random-walk load with 0.1%-style spike injection
-    * (reference network_probe_producer.py:38-47). */
   /** data_session_events generator mirroring the reference's
     * distributions (cdr_producer.py:110-139): duration 30-7200 s,
     * heavy download skew, 5G-weighted radio tech, 5% roaming,
@@ -182,6 +180,8 @@ object Generators {
     }
   }
 
+  /** Probe events: random-walk load with 0.1%-style spike injection
+    * (reference network_probe_producer.py:38-47). */
   def probeEvents(spark: SparkSession, hours: Int = 24, seed: Long = 43L): Dataset[ProbeEvent] = {
     import spark.implicits._
     val rnd = new scala.util.Random(seed)
