@@ -246,12 +246,43 @@ object ScaleOps {
       .orderBy("user_id")
   }
 
+  /** Embedding-distribution drift monitor: per-label centroid shift
+    * between two corpus halves (vec_id parity stands in for
+    * batch/time split) — the embedding-space analog of the
+    * reference's distribution-drift monitors. Centroids are integer
+    * SUM vectors (cosine is scale-invariant — SemanticDedup's trick),
+    * so the whole check is one bounded aggregation: shuffle keys are
+    * (label, half, dim) and no vector is ever materialized twice.
+    * Random synthetic halves score near 0 (no stable per-label
+    * direction) — exactly what a drift gate should say here. */
+  def q109EmbeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("label"),
+      (col("vec_id") % 2).cast("int").as("half"),
+      Similarity.quantize(col("embedding")).as("v"))
+    val cents = e.select(col("label"), col("half"), posexplode(col("v")))
+      .groupBy("label", "half", "pos").agg(sum(col("col")).as("s"))
+      .groupBy("label", "half")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+        x => x.getField("s")).as("cv"))
+    val cnt = e.groupBy("label", "half").agg(count(lit(1)).as("n"))
+    val a = cents.filter(col("half") === 0).select(col("label"), col("cv").as("cva"))
+    val b = cents.filter(col("half") === 1).select(col("label"), col("cv").as("cvb"))
+    val ca = cnt.filter(col("half") === 0).select(col("label"), col("n").as("n_first"))
+    val cb = cnt.filter(col("half") === 1).select(col("label"), col("n").as("n_second"))
+    a.join(b, "label").join(ca, "label").join(cb, "label")
+      .withColumn("centroid_cosine", Similarity.cosineQ(col("cva"), col("cvb")))
+      .select(col("label"), col("n_first"), col("n_second"),
+        col("centroid_cosine"), (col("centroid_cosine") < 0.5).as("is_drifted"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, Q] = Map(
     "q97_semantic_dedup" -> q97SemanticDedup _,
     "q103_truncated_ann" -> q103TruncatedAnn _,
     "q104_token_chunks" -> q104TokenChunks _,
     "q105_curation_pipeline" -> q105CurationPipeline _,
     "q106_ewma_spikes" -> q106EwmaSpikes _,
+    "q109_embedding_drift" -> q109EmbeddingDrift _,
     "q98_bloom_join" -> q98BloomJoin _,
     "q99_domain_cap" -> q99DomainCap _,
     "q100_dup_spans" -> q100DupSpans _,
@@ -383,6 +414,27 @@ object ScaleOps {
          |  SELECT *, ROW_NUMBER() OVER (
          |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
          |  FROM rr) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q109_embedding_drift" ->
+      s"""WITH e AS (SELECT label, CAST(vec_id % 2 AS INTEGER) AS half, $qv AS v
+         |  FROM embeddings),
+         |sums AS (
+         |  SELECT label, half, s.i, SUM(v[s.i]) AS s
+         |  FROM e, generate_series(1, 64) s(i) GROUP BY 1, 2, 3),
+         |cent AS (
+         |  SELECT label, half, list(s ORDER BY i) AS cv FROM sums GROUP BY 1, 2),
+         |cnt AS (SELECT label, half, COUNT(*) AS n FROM e GROUP BY 1, 2)
+         |SELECT a.label, ca.n AS n_first, cb.n AS n_second,
+         |  CAST(list_dot_product(a.cv, b.cv) /
+         |    sqrt(list_dot_product(a.cv, a.cv) * list_dot_product(b.cv, b.cv))
+         |    AS DOUBLE) AS centroid_cosine,
+         |  CAST(list_dot_product(a.cv, b.cv) /
+         |    sqrt(list_dot_product(a.cv, a.cv) * list_dot_product(b.cv, b.cv))
+         |    AS DOUBLE) < 0.5 AS is_drifted
+         |FROM cent a
+         |JOIN cent b ON a.label = b.label AND a.half = 0 AND b.half = 1
+         |JOIN cnt ca ON ca.label = a.label AND ca.half = 0
+         |JOIN cnt cb ON cb.label = b.label AND cb.half = 1
+         |ORDER BY a.label""".stripMargin,
     // NOTE: no struct-typed list_reduce accumulator here — DuckDB
     // 1.0.0 aliases the accumulator in place, so a later struct field
     // reads an earlier field's ALREADY-UPDATED value (observed via a
