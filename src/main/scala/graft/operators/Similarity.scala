@@ -327,6 +327,43 @@ object Similarity {
     exactCosineRerank(cands, corpus, queries, k, carry = Seq("head_cosine"))
   }
 
+  /** Binary (1-bit) quantization + Hamming shortlist + exact re-rank:
+    * each vector compresses to its per-dimension SIGN BITS — 64 dims
+    * → 8 bytes, the most aggressive point on the compression ladder
+    * (PQ compresses to codes, matryoshka to prefix dims, binary to
+    * bits) — and candidate scoring is two xor+popcount ops per pair.
+    * Bits pack into two 32-bit words (shifts ≤ 31 are exact and
+    * ANSI-safe in both engines; a 64-bit word would need a sign-bit
+    * dance at 1<<63). Same scan shape as pqTopK: codes only in the
+    * scan, full vectors fetched for |Q|·shortlist rows. */
+  def binaryCode(vec: Column, word: Int): Column = {
+    val powers = array((0 until 32).map(j => lit(1L << j)): _*)
+    // disjoint powers: sum ≡ bitwise OR, stays under 2^32 (ANSI-safe)
+    aggregate(zip_with(slice(vec, word * 32 + 1, 32), powers,
+      (x, p) => when(x > 0, p).otherwise(0L)), lit(0L), (acc, x) => acc + x)
+  }
+
+  def binaryTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 shortlist: Int): DataFrame = {
+    val coded = corpus.select(col("vec_id"),
+      binaryCode(col("query_vec"), 0).as("b0"),
+      binaryCode(col("query_vec"), 1).as("b1"))
+    val qcoded = queries.select(col("query_id"),
+      binaryCode(col("qvec"), 0).as("q0"),
+      binaryCode(col("qvec"), 1).as("q1"))
+    val wa = Window.partitionBy("query_id")
+      .orderBy(col("hamming").asc, col("vec_id").asc)
+    val cands = coded.crossJoin(broadcast(qcoded))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("hamming",
+        (bit_count(col("b0").bitwiseXOR(col("q0"))) +
+          bit_count(col("b1").bitwiseXOR(col("q1")))).cast("long"))
+      .withColumn("_hrank", row_number().over(wa))
+      .filter(col("_hrank") <= shortlist)
+      .select("query_id", "vec_id", "hamming")
+    exactCosineRerank(cands, corpus, queries, k, carry = Seq("hamming"))
+  }
+
   /** Shared exact-cosine re-rank tail for two-stage ANN serving:
     * fetch full vectors for candidate (query_id, vec_id) rows by
     * equi-join, score the exact cosine, keep the per-query top-k.

@@ -276,6 +276,18 @@ object ScaleOps {
       .orderBy("label")
   }
 
+  /** Binary-quantized ANN: sign-bit codes (64 dims → 8 bytes),
+    * Hamming shortlist of 50, exact cosine re-rank top-5 — the
+    * 1-bit extreme of the compression ladder next to PQ (q101) and
+    * matryoshka (q103). */
+  def q110BinaryAnn(s: SparkSession, dir: String): DataFrame = {
+    val c = quantized(s, dir)
+    val q = c.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("query_vec").as("qvec"))
+    Similarity.binaryTopK(c, q, k = 5, shortlist = 50)
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "q97_semantic_dedup" -> q97SemanticDedup _,
     "q103_truncated_ann" -> q103TruncatedAnn _,
@@ -283,6 +295,7 @@ object ScaleOps {
     "q105_curation_pipeline" -> q105CurationPipeline _,
     "q106_ewma_spikes" -> q106EwmaSpikes _,
     "q109_embedding_drift" -> q109EmbeddingDrift _,
+    "q110_binary_ann" -> q110BinaryAnn _,
     "q98_bloom_join" -> q98BloomJoin _,
     "q99_domain_cap" -> q99DomainCap _,
     "q100_dup_spans" -> q100DupSpans _,
@@ -410,6 +423,38 @@ object ScaleOps {
          |  JOIN e cv ON cv.vec_id = s.vec_id
          |  JOIN e qv ON qv.vec_id = s.query_id)
          |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, cosine, head_cosine
+         |FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM rr) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q110_binary_ann" ->
+      s"""WITH e AS (SELECT vec_id, $qv AS v FROM embeddings),
+         |codes AS (SELECT vec_id,
+         |    CAST(list_sum(list_transform(generate_series(1, 32), j ->
+         |      CASE WHEN v[j] > 0 THEN (CAST(1 AS BIGINT) << (j - 1))
+         |           ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS b0,
+         |    CAST(list_sum(list_transform(generate_series(1, 32), j ->
+         |      CASE WHEN v[j + 32] > 0 THEN (CAST(1 AS BIGINT) << (j - 1))
+         |           ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS b1
+         |  FROM e),
+         |q AS (SELECT vec_id AS query_id, b0 AS q0, b1 AS q1 FROM codes
+         |      WHERE vec_id % 10 = 0),
+         |hs AS (SELECT q.query_id, c.vec_id,
+         |    CAST(bit_count(xor(c.b0, q.q0)) + bit_count(xor(c.b1, q.q1))
+         |      AS BIGINT) AS hamming
+         |  FROM q, codes c WHERE c.vec_id != q.query_id),
+         |short AS (SELECT query_id, vec_id, hamming FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY hamming, vec_id) AS hrank
+         |  FROM hs) WHERE hrank <= 50),
+         |rr AS (SELECT s.query_id, s.vec_id, s.hamming,
+         |    CAST(list_dot_product(cv.v, qv.v) /
+         |      sqrt(list_dot_product(qv.v, qv.v) * list_dot_product(cv.v, cv.v))
+         |      AS DOUBLE) AS cosine
+         |  FROM short s
+         |  JOIN e cv ON cv.vec_id = s.vec_id
+         |  JOIN e qv ON qv.vec_id = s.query_id)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, cosine, hamming
          |FROM (
          |  SELECT *, ROW_NUMBER() OVER (
          |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank

@@ -125,6 +125,20 @@ class SimilaritySpec extends SparkSpec {
     assert(tr(2) == tr(9))
   }
 
+  test("binary (sign-bit) ANN recall vs brute-force cosine; codes partition-invariant") {
+    val bf = Similarity.bruteForceTopK(quantized, queries, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val bin = Similarity.binaryTopK(quantized, queries, k = 5, shortlist = 50)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (bf & bin).size.toDouble / bf.size
+    info(f"binary ANN recall@5 = $recall%.3f (8-byte codes, xor+popcount scan)")
+    assert(recall >= 0.3)
+    def run(parts: Int) = Similarity.binaryTopK(
+      quantized.repartition(parts), queries, k = 5, shortlist = 50)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(run(2) == run(9))
+  }
+
   test("planes are deterministic for a fixed seed") {
     assert(Similarity.planes(4, 8).map(_.toSeq).toSeq ==
       Similarity.planes(4, 8).map(_.toSeq).toSeq)

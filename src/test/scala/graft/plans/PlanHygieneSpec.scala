@@ -36,6 +36,9 @@ class PlanHygieneSpec extends SparkSpec {
     // truncated-dim shortlist: broadcast query heads vs corpus heads —
     // the matryoshka variant of the same bounded-query-set scan
     "q103_truncated_ann" -> "head-dim scan (broadcast query heads)",
+    // binary-code Hamming scan: broadcast 16-byte query codes vs
+    // corpus codes — the 1-bit variant of the same scan
+    "q110_binary_ann" -> "Hamming scan (broadcast query sign codes)",
     // broadcast range join against a 12-row month dimension — the
     // right shape when the range side is a bounded dim (q13 is the
     // keyed as-of alternative for unbounded right sides)
