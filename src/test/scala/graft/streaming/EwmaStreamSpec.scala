@@ -1,0 +1,53 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import graft.queries.ScaleOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import EwmaStream.DayCount
+
+/** Stream ≡ batch ≡ SQL-expression triangulation for the EWMA
+  * monitor: the stateful streaming fold across micro-batches must
+  * reproduce q106's aggregate-expression results bit-for-bit. */
+class EwmaStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dailyCounts = Tables.events(spark, sfDir)
+    .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+    .agg(count(lit(1)).as("cnt"))
+    .as[DayCount]
+
+  test("streaming EWMA across two micro-batches equals the batch folds") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = dailyCounts.collect().sortBy(r => (r.user_id, r.day.getTime))
+    // chronological split: earlier days arrive in batch 1, later in
+    // batch 2 (the caller contract for cross-batch order)
+    val cut = rows.map(_.day.getTime).sorted.apply(rows.length / 2)
+    val (b1, b2) = rows.partition(_.day.getTime <= cut)
+    val mem = MemoryStream[DayCount]
+    val q = EwmaStream.detectStream(mem.toDS())
+      .writeStream.format("memory").queryName("ewma_out")
+      .outputMode("update").start()
+    try {
+      mem.addData(b1.toSeq); q.processAllAvailable()
+      mem.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    // last update per user is the final state
+    val streamed = spark.table("ewma_out")
+      .withColumn("_n", monotonically_increasing_id())
+      .orderBy(col("_n").desc).dropDuplicates("user_id")
+      .select("user_id", "n_days", "ewma_final", "spike_days")
+      .as[(Long, Int, Double, Int)].collect().toSet
+
+    val typedBatch = EwmaStream.detectBatch(dailyCounts)
+      .select("user_id", "n_days", "ewma_final", "spike_days")
+      .as[(Long, Int, Double, Int)].collect().toSet
+    assert(streamed == typedBatch, "stream must equal the typed batch fold")
+
+    // and both must match the SQL-expression form behind q106
+    val sqlForm = ScaleOps.q106EwmaSpikes(spark, sfDir)
+      .select("user_id", "n_days", "ewma_final", "spike_days")
+      .as[(Long, Int, Double, Int)].collect().toSet
+    assert(typedBatch == sqlForm, "typed fold must equal the SQL expression fold")
+  }
+}
