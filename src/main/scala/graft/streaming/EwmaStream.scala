@@ -26,17 +26,21 @@ object EwmaStream {
     (e * 0.5 + x * 0.5,
       spikes + (if (x > e * tau && e > 0.0) 1 else 0))
 
-  private def updateGroup(tau: Double)(
-      user: Long, rows: Iterator[DayCount],
-      state: GroupState[EwmaState]): Iterator[EwmaOut] = {
-    val s0 = state.getOption.getOrElse(EwmaState(0.0, 0, 0))
-    // fold in day order within the batch — cross-batch order is the
-    // caller's contract (feed batches chronologically), matching the
-    // batch form's global day sort
-    val sN = rows.toSeq.sortBy(_.day.getTime).foldLeft(s0) { (st, r) =>
+  /** Day-ordered fold — the ONE kernel both faces run (sort key and
+    * day accounting included, so stream and batch cannot drift). */
+  private def fold(s0: EwmaState, rows: Iterator[DayCount],
+                   tau: Double): EwmaState =
+    rows.toSeq.sortBy(_.day.getTime).foldLeft(s0) { (st, r) =>
       val (e2, sp2) = step(st.e, st.spikes, r.cnt.toDouble, tau)
       EwmaState(e2, sp2, st.days + 1)
     }
+
+  private def updateGroup(tau: Double)(
+      user: Long, rows: Iterator[DayCount],
+      state: GroupState[EwmaState]): Iterator[EwmaOut] = {
+    // cross-batch order is the caller's contract (feed batches
+    // chronologically); within a batch the fold sorts by day
+    val sN = fold(state.getOption.getOrElse(EwmaState(0.0, 0, 0)), rows, tau)
     state.update(sN)
     Iterator(EwmaOut(user, sN.days, sN.e, sN.spikes))
   }
@@ -58,11 +62,7 @@ object EwmaStream {
     val sp = ds.sparkSession
     import sp.implicits._
     ds.groupByKey(_.user_id).mapGroups { (user, rows) =>
-      val sN = rows.toSeq.sortBy(_.day.getTime)
-        .foldLeft(EwmaState(0.0, 0, 0)) { (st, r) =>
-          val (e2, sp2) = step(st.e, st.spikes, r.cnt.toDouble, tau)
-          EwmaState(e2, sp2, st.days + 1)
-        }
+      val sN = fold(EwmaState(0.0, 0, 0), rows, tau)
       EwmaOut(user, sN.days, sN.e, sN.spikes)
     }
   }

@@ -32,11 +32,15 @@ class EwmaStreamSpec extends SparkSpec {
       mem.addData(b1.toSeq); q.processAllAvailable()
       mem.addData(b2.toSeq); q.processAllAvailable()
     } finally q.stop()
-    // last update per user is the final state
+    // final state per user = the update with the largest n_days
+    // (strictly increasing per user — no reliance on sink row order)
     val streamed = spark.table("ewma_out")
-      .withColumn("_n", monotonically_increasing_id())
-      .orderBy(col("_n").desc).dropDuplicates("user_id")
-      .select("user_id", "n_days", "ewma_final", "spike_days")
+      .groupBy("user_id")
+      .agg(max_by(
+        struct(col("n_days"), col("ewma_final"), col("spike_days")),
+        col("n_days")).as("r"))
+      .select(col("user_id"), col("r.n_days"), col("r.ewma_final"),
+        col("r.spike_days"))
       .as[(Long, Int, Double, Int)].collect().toSet
 
     val typedBatch = EwmaStream.detectBatch(dailyCounts)
