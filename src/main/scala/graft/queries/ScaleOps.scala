@@ -182,9 +182,16 @@ object ScaleOps {
     * PrefixSum run eager jobs at BUILD time (CC iterations +
     * subtotal collect), so constructing this DataFrame already
     * executes the dedup chain. */
-  def q105CurationPipeline(s: SparkSession, dir: String): DataFrame = {
+  def q105CurationPipeline(s: SparkSession, dir: String): DataFrame =
+    curate(Tables.documents(s, dir)).drop("text").orderBy("doc_id")
+
+  /** The reusable pipeline body behind q105 — takes any documents
+    * frame with (doc_id, source, lang, text). Factored out so the
+    * idempotence property (curating an already-curated corpus keeps
+    * every row — CurationIdempotenceSpec) can run it on its own
+    * output. */
+  private[queries] def curate(d: DataFrame): DataFrame = {
     import graft.operators.Dedup
-    val d = Tables.documents(s, dir)
     // 1. exact dedup: keep the smallest doc_id per canonical form
     val exactKeep = d
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -208,14 +215,14 @@ object ScaleOps {
       .filter(col("_rk") <= 20)
     // 5. shard packing: distributed running token sum, 2000/shard
     val counted = d4.select(col("doc_id"), col("source"), col("lang"),
-      col("quality"),
+      col("quality"), col("text"),
       TextAnalysis.tokenCount(col("text")).cast("bigint").as("token_count"))
     graft.operators.PrefixSum
       .withRunningSum(counted, "doc_id", "token_count", "cum_tokens")
       .withColumn("shard_id",
         floor((col("cum_tokens") - col("token_count")) / 2000L).cast("bigint"))
-      .select("doc_id", "source", "lang", "quality", "token_count", "shard_id")
-      .orderBy("doc_id")
+      .select(col("doc_id"), col("source"), col("lang"), col("quality"),
+        col("token_count"), col("shard_id"), col("text"))
   }
 
   /** EWMA anomaly baseline (exponential smoothing, α = 1/2): per
