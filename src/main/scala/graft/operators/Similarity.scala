@@ -232,33 +232,12 @@ object Similarity {
     val sp = corpus.sparkSession
     val subDim = dim / m
     val sub = pqCodebooks(corpus, ks, m, dim)
-    // the codebook ships as ONE array-of-structs literal per subspace
-    // and is scanned with a HOF loop. An unrolled ks-way
-    // least-of-structs (the IVF-assignment idiom) is catastrophically
-    // wrong here: m·ks inlined dot products made Janino spend ~80 s
-    // compiling the generated method (execution itself was fine) —
-    // loop-shaped code keeps compilation O(1) in ks at identical
-    // integer arithmetic
-    def cbLit(j: Int): Column = array((0 until ks).map { kk =>
-      val (cv, cn2) = sub(j)(kk)
-      struct(array(cv.map(lit(_)): _*).as("cv"), lit(cn2).as("n"))
-    }: _*)
-    // per-subspace distances ‖x_j − c‖² − ‖x_j‖² = n − 2x·c (the
-    // dropped ‖x_j‖² is constant per row: argmin-safe)
-    def subDists(vec: Column, j: Int): Column =
-      transform(cbLit(j), e =>
-        e.getField("n") - lit(2L) * dotQ(slice(vec, j * subDim + 1, subDim),
-          e.getField("cv")))
-    def codeExpr(vec: Column, j: Int): Column = {
-      val d = subDists(vec, j)
-      // first index of the min = smallest code on ties (oracle parity)
-      (array_position(d, array_min(d)) - 1).cast("int")
-    }
+    def codeExpr(vec: Column, j: Int): Column = pqCodeExpr(vec, sub, subDim, j)
     val coded = corpus.select(
       col("vec_id") +: (0 until m).map(j => codeExpr(col("query_vec"), j).as(s"c$j")): _*)
     def distTable(vec: Column, j: Int): Column = {
       val qj = slice(vec, j * subDim + 1, subDim)
-      transform(cbLit(j), e =>
+      transform(pqCbLit(sub, j), e =>
         (dotQ(qj, qj) - lit(2L) * dotQ(qj, e.getField("cv")) +
           e.getField("n")).cast("long"))
     }
@@ -325,6 +304,90 @@ object Similarity {
       .filter(col("_hrank") <= shortlist)
       .select("query_id", "vec_id", "head_cosine")
     exactCosineRerank(cands, corpus, queries, k, carry = Seq("head_cosine"))
+  }
+
+  /** The per-subspace codebook as ONE array-of-structs literal,
+    * scanned with HOF loops. An unrolled ks-way least-of-structs (the
+    * IVF-assignment idiom) is catastrophically wrong here: m·ks
+    * inlined dot products made Janino spend ~80 s COMPILING the
+    * generated method (execution itself was fine) — loop-shaped code
+    * keeps compilation O(1) in ks at identical integer arithmetic. */
+  private def pqCbLit(sub: Array[Array[(Array[Long], Long)]], j: Int): Column =
+    array(sub(j).indices.map { kk =>
+      val (cv, cn2) = sub(j)(kk)
+      struct(array(cv.map(lit(_)): _*).as("cv"), lit(cn2).as("n"))
+    }: _*)
+
+  /** Nearest sub-codebook entry (argmin ‖x_j − c‖², dropping the
+    * per-row-constant ‖x_j‖²); first index of the min = smallest
+    * code on ties (oracle parity). */
+  private[operators] def pqCodeExpr(vec: Column,
+      sub: Array[Array[(Array[Long], Long)]], subDim: Int, j: Int): Column = {
+    val d = transform(pqCbLit(sub, j), e =>
+      e.getField("n") - lit(2L) * dotQ(slice(vec, j * subDim + 1, subDim),
+        e.getField("cv")))
+    (array_position(d, array_min(d)) - 1).cast("int")
+  }
+
+  /** One rounded-mean Lloyd iteration per subspace: re-assign each
+    * subvector to its nearest entry, then move every non-empty entry
+    * to the element-wise MEAN of its members rounded to the nearest
+    * integer — codebooks stay integer vectors, so pqTopK's exact
+    * arithmetic (and its Janino-safe loop shape) is unchanged. The
+    * production training path the md5 draw stands in for; the spec
+    * measures the recall gain. */
+  def pqRefineCodebooks(corpus: DataFrame,
+      sub: Array[Array[(Array[Long], Long)]], m: Int,
+      dim: Int): Array[Array[(Array[Long], Long)]] = {
+    val subDim = dim / m
+    (0 until m).map { j =>
+      val stats = corpus
+        .select(pqCodeExpr(col("query_vec"), sub, subDim, j).as("c"),
+          posexplode(slice(col("query_vec"), j * subDim + 1, subDim)))
+        .groupBy("c", "pos")
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (c, rows) =>
+          val byPos = rows.map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+            .sortBy(_._1)
+          c -> byPos.map { case (_, s, n) => math.round(s.toDouble / n) }.toArray
+        }
+      sub(j).indices.map { kk =>
+        val cv = stats.getOrElse(kk, sub(j)(kk)._1) // empty entry: keep
+        (cv, cv.map(x => x * x).sum)
+      }.toArray
+    }.toArray
+  }
+
+  /** [[pqTopK]] with caller-supplied codebooks (e.g. Lloyd-refined
+    * via [[pqRefineCodebooks]]). */
+  def pqTopKWith(corpus: DataFrame, queries: DataFrame, k: Int,
+                 sub: Array[Array[(Array[Long], Long)]], m: Int, dim: Int,
+                 shortlist: Int): DataFrame = {
+    val subDim = dim / m
+    val coded = corpus.select(
+      col("vec_id") +: (0 until m).map(j =>
+        pqCodeExpr(col("query_vec"), sub, subDim, j).as(s"c$j")): _*)
+    def distTable(vec: Column, j: Int): Column = {
+      val qj = slice(vec, j * subDim + 1, subDim)
+      transform(pqCbLit(sub, j), e =>
+        (dotQ(qj, qj) - lit(2L) * dotQ(qj, e.getField("cv")) +
+          e.getField("n")).cast("long"))
+    }
+    val qdt = queries.select(
+      col("query_id") +: (0 until m).map(j => distTable(col("qvec"), j).as(s"dt$j")): _*)
+    val wa = Window.partitionBy("query_id")
+      .orderBy(col("approx_dist").asc, col("vec_id").asc)
+    val cands = coded.crossJoin(broadcast(qdt))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("approx_dist",
+        (0 until m).map(j => element_at(col(s"dt$j"), col(s"c$j") + 1)).reduce(_ + _))
+      .withColumn("_arank", row_number().over(wa))
+      .filter(col("_arank") <= shortlist)
+      .select("query_id", "vec_id", "approx_dist")
+    val l2 = exactCosineRerank(cands, corpus, queries, k, carry = Seq("approx_dist"))
+    l2
   }
 
   /** Binary (1-bit) quantization + Hamming shortlist + exact re-rank:

@@ -139,6 +139,23 @@ class SimilaritySpec extends SparkSpec {
     assert(run(2) == run(9))
   }
 
+  test("Lloyd-refined PQ codebooks do not lose recall vs the md5 draw") {
+    val bf = Similarity.bruteForceTopK(quantized, queries, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    def recallOf(sub: Array[Array[(Array[Long], Long)]]) = {
+      val got = Similarity.pqTopKWith(quantized, queries, k = 5, sub, m = 4,
+        dim = 64, shortlist = 50)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+      (bf & got).size.toDouble / bf.size
+    }
+    val base = Similarity.pqCodebooks(quantized, ks = 16, m = 4, dim = 64)
+    val once = Similarity.pqRefineCodebooks(quantized, base, m = 4, dim = 64)
+    val twice = Similarity.pqRefineCodebooks(quantized, once, m = 4, dim = 64)
+    val (rBase, rRef) = (recallOf(base), recallOf(twice))
+    info(f"PQ recall@5: md5-draw $rBase%.3f -> 2x Lloyd-refined $rRef%.3f")
+    assert(rRef >= rBase, "refinement must not lose recall")
+  }
+
   test("planes are deterministic for a fixed seed") {
     assert(Similarity.planes(4, 8).map(_.toSeq).toSeq ==
       Similarity.planes(4, 8).map(_.toSeq).toSeq)
