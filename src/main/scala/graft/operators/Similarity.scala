@@ -228,30 +228,18 @@ object Similarity {
     * (q75) to cut the scanned fraction too. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
              ks: Int = 16, m: Int = 4, dim: Int = 64,
-             shortlist: Int = 50): DataFrame = {
+             shortlist: Int = 50): DataFrame =
+    pqTopKWith(corpus, queries, k, pqCodebooks(corpus, ks, m, dim), m, dim,
+      shortlist)
+
+  /** [[pqTopK]] with caller-supplied codebooks (e.g. Lloyd-refined
+    * via [[pqRefineCodebooks]]) — the one implementation both entry
+    * points share: ADC shortlist then exact-L2 re-rank. */
+  def pqTopKWith(corpus: DataFrame, queries: DataFrame, k: Int,
+                 sub: Array[Array[(Array[Long], Long)]], m: Int, dim: Int,
+                 shortlist: Int): DataFrame = {
     val sp = corpus.sparkSession
-    val subDim = dim / m
-    val sub = pqCodebooks(corpus, ks, m, dim)
-    def codeExpr(vec: Column, j: Int): Column = pqCodeExpr(vec, sub, subDim, j)
-    val coded = corpus.select(
-      col("vec_id") +: (0 until m).map(j => codeExpr(col("query_vec"), j).as(s"c$j")): _*)
-    def distTable(vec: Column, j: Int): Column = {
-      val qj = slice(vec, j * subDim + 1, subDim)
-      transform(pqCbLit(sub, j), e =>
-        (dotQ(qj, qj) - lit(2L) * dotQ(qj, e.getField("cv")) +
-          e.getField("n")).cast("long"))
-    }
-    val qdt = queries.select(
-      col("query_id") +: (0 until m).map(j => distTable(col("qvec"), j).as(s"dt$j")): _*)
-    val wa = Window.partitionBy("query_id")
-      .orderBy(col("approx_dist").asc, col("vec_id").asc)
-    val cands = coded.crossJoin(broadcast(qdt))
-      .filter(col("query_id") =!= col("vec_id"))
-      .withColumn("approx_dist",
-        (0 until m).map(j => element_at(col(s"dt$j"), col(s"c$j") + 1)).reduce(_ + _))
-      .withColumn("_arank", row_number().over(wa))
-      .filter(col("_arank") <= shortlist)
-      .select("query_id", "vec_id", "approx_dist")
+    val cands = pqShortlist(corpus, queries, sub, m, dim / m, shortlist)
     // exact re-rank of the shortlist only: fetch full vectors by id
     val c2 = corpus.select(col("vec_id"), col("query_vec"),
       dotFast(sp, col("query_vec"), col("query_vec")).as("_n2c"))
@@ -266,6 +254,34 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"),
         col("l2_dist"), col("approx_dist"))
+  }
+
+  /** The ADC shortlist stage shared by the PQ entry points: encode
+    * the corpus, broadcast per-query distance tables, keep the
+    * `shortlist` best (approx_dist, vec_id) per query. */
+  private def pqShortlist(corpus: DataFrame, queries: DataFrame,
+                          sub: Array[Array[(Array[Long], Long)]], m: Int,
+                          subDim: Int, shortlist: Int): DataFrame = {
+    val coded = corpus.select(
+      col("vec_id") +: (0 until m).map(j =>
+        pqCodeExpr(col("query_vec"), sub, subDim, j).as(s"c$j")): _*)
+    def distTable(vec: Column, j: Int): Column = {
+      val qj = slice(vec, j * subDim + 1, subDim)
+      transform(pqCbLit(sub, j), e =>
+        (dotQ(qj, qj) - lit(2L) * dotQ(qj, e.getField("cv")) +
+          e.getField("n")).cast("long"))
+    }
+    val qdt = queries.select(
+      col("query_id") +: (0 until m).map(j => distTable(col("qvec"), j).as(s"dt$j")): _*)
+    val wa = Window.partitionBy("query_id")
+      .orderBy(col("approx_dist").asc, col("vec_id").asc)
+    coded.crossJoin(broadcast(qdt))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("approx_dist",
+        (0 until m).map(j => element_at(col(s"dt$j"), col(s"c$j") + 1)).reduce(_ + _))
+      .withColumn("_arank", row_number().over(wa))
+      .filter(col("_arank") <= shortlist)
+      .select("query_id", "vec_id", "approx_dist")
   }
 
   /** Truncated-dimension shortlist + exact re-rank (the
@@ -340,54 +356,29 @@ object Similarity {
       sub: Array[Array[(Array[Long], Long)]], m: Int,
       dim: Int): Array[Array[(Array[Long], Long)]] = {
     val subDim = dim / m
-    (0 until m).map { j =>
-      val stats = corpus
-        .select(pqCodeExpr(col("query_vec"), sub, subDim, j).as("c"),
-          posexplode(slice(col("query_vec"), j * subDim + 1, subDim)))
-        .groupBy("c", "pos")
-        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
-        .collect()
-        .groupBy(_.getInt(0))
-        .map { case (c, rows) =>
-          val byPos = rows.map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
-            .sortBy(_._1)
-          c -> byPos.map { case (_, s, n) => math.round(s.toDouble / n) }.toArray
-        }
-      sub(j).indices.map { kk =>
-        val cv = stats.getOrElse(kk, sub(j)(kk)._1) // empty entry: keep
-        (cv, cv.map(x => x * x).sum)
-      }.toArray
-    }.toArray
-  }
-
-  /** [[pqTopK]] with caller-supplied codebooks (e.g. Lloyd-refined
-    * via [[pqRefineCodebooks]]). */
-  def pqTopKWith(corpus: DataFrame, queries: DataFrame, k: Int,
-                 sub: Array[Array[(Array[Long], Long)]], m: Int, dim: Int,
-                 shortlist: Int): DataFrame = {
-    val subDim = dim / m
-    val coded = corpus.select(
-      col("vec_id") +: (0 until m).map(j =>
-        pqCodeExpr(col("query_vec"), sub, subDim, j).as(s"c$j")): _*)
-    def distTable(vec: Column, j: Int): Column = {
-      val qj = slice(vec, j * subDim + 1, subDim)
-      transform(pqCbLit(sub, j), e =>
-        (dotQ(qj, qj) - lit(2L) * dotQ(qj, e.getField("cv")) +
-          e.getField("n")).cast("long"))
+    // ONE corpus pass for all m subspaces: encode every subspace's
+    // code, explode the full vector once, and route each element to
+    // its (subspace, code, position) cell
+    val codeArr = array((0 until m).map(j =>
+      pqCodeExpr(col("query_vec"), sub, subDim, j)): _*)
+    val stats = corpus
+      .select(codeArr.as("codes"), posexplode(col("query_vec")))
+      .select((col("pos") / subDim).cast("int").as("j"),
+        element_at(col("codes"), (col("pos") / subDim).cast("int") + 1).as("c"),
+        (col("pos") % subDim).as("p"), col("col").as("x"))
+      .groupBy("j", "c", "p")
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .collect()
+      .groupBy(r => (r.getInt(0), r.getInt(1)))
+      .map { case (jc, rows) =>
+        val byPos = rows.map(r => (r.getInt(2), r.getLong(3), r.getLong(4)))
+          .sortBy(_._1)
+        jc -> byPos.map { case (_, s, n) => math.round(s.toDouble / n) }.toArray
+      }
+    Array.tabulate(m, sub(0).length) { (j, kk) =>
+      val cv = stats.getOrElse((j, kk), sub(j)(kk)._1) // empty entry: keep
+      (cv, cv.map(x => x * x).sum)
     }
-    val qdt = queries.select(
-      col("query_id") +: (0 until m).map(j => distTable(col("qvec"), j).as(s"dt$j")): _*)
-    val wa = Window.partitionBy("query_id")
-      .orderBy(col("approx_dist").asc, col("vec_id").asc)
-    val cands = coded.crossJoin(broadcast(qdt))
-      .filter(col("query_id") =!= col("vec_id"))
-      .withColumn("approx_dist",
-        (0 until m).map(j => element_at(col(s"dt$j"), col(s"c$j") + 1)).reduce(_ + _))
-      .withColumn("_arank", row_number().over(wa))
-      .filter(col("_arank") <= shortlist)
-      .select("query_id", "vec_id", "approx_dist")
-    val l2 = exactCosineRerank(cands, corpus, queries, k, carry = Seq("approx_dist"))
-    l2
   }
 
   /** Binary (1-bit) quantization + Hamming shortlist + exact re-rank:

@@ -183,7 +183,7 @@ object ScaleOps {
     * subtotal collect), so constructing this DataFrame already
     * executes the dedup chain. */
   def q105CurationPipeline(s: SparkSession, dir: String): DataFrame =
-    curate(Tables.documents(s, dir)).drop("text").orderBy("doc_id")
+    curate(Tables.documents(s, dir)).orderBy("doc_id")
 
   /** The reusable pipeline body behind q105 — takes any documents
     * frame with (doc_id, source, lang, text). Factored out so the
@@ -213,16 +213,19 @@ object ScaleOps {
       .orderBy(col("quality").desc, col("doc_id"))
     val d4 = d3.withColumn("_rk", row_number().over(w))
       .filter(col("_rk") <= 20)
-    // 5. shard packing: distributed running token sum, 2000/shard
+    // 5. shard packing: distributed running token sum, 2000/shard —
+    // text is dropped BEFORE the prefix sum (its repartition + persist
+    // + Row-serde passes cannot column-prune; the idempotence spec
+    // re-attaches text by doc_id join instead)
     val counted = d4.select(col("doc_id"), col("source"), col("lang"),
-      col("quality"), col("text"),
+      col("quality"),
       TextAnalysis.tokenCount(col("text")).cast("bigint").as("token_count"))
     graft.operators.PrefixSum
       .withRunningSum(counted, "doc_id", "token_count", "cum_tokens")
       .withColumn("shard_id",
         floor((col("cum_tokens") - col("token_count")) / 2000L).cast("bigint"))
       .select(col("doc_id"), col("source"), col("lang"), col("quality"),
-        col("token_count"), col("shard_id"), col("text"))
+        col("token_count"), col("shard_id"))
   }
 
   /** EWMA anomaly baseline (exponential smoothing, α = 1/2): per

@@ -17,8 +17,10 @@ class CurationIdempotenceSpec extends SparkSpec {
     val onceRows = once
       .select("doc_id", "source", "lang", "quality", "token_count", "shard_id")
       .as[(Long, String, String, Double, Long, Long)].collect().toSet
-    val twiceRows = ScaleOps.curate(
-        once.select("doc_id", "source", "lang", "text"))
+    // curate's output is text-free by design; re-attach text by id
+    val curatedDocs = once.select("doc_id", "source", "lang")
+      .join(Tables.documents(spark, sfDir).select("doc_id", "text"), "doc_id")
+    val twiceRows = ScaleOps.curate(curatedDocs)
       .select("doc_id", "source", "lang", "quality", "token_count", "shard_id")
       .as[(Long, String, String, Double, Long, Long)].collect().toSet
     assert(twiceRows == onceRows,
