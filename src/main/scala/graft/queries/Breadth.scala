@@ -111,34 +111,58 @@ object Breadth {
           .otherwise("neither").as("presence"))
       .orderBy("order_id")
 
-  /** Entity-resolution fuzzy matching: blocked levenshtein. Blocking
-    * on brand bounds the quadratic term by block size (the same
-    * principle as LSH banding: never all-pairs); the edit-distance
-    * verify runs only within blocks. Both engines ship the classic
-    * Levenshtein, so the pipeline is hash-exact cross-engine. At
-    * 100 TB: multi-key blocking + length prefilter, same shape. */
+  /** Entity-resolution fuzzy matching via a distinct-value funnel:
+    *
+    *   1. Dedup names; run the edit-distance verify on DISTINCT name
+    *      pairs only. A duplicate-heavy corpus (entity names follow a
+    *      Zipf-ish vocabulary) pays the quadratic verify on d distinct
+    *      values, not n rows — here 64 distinct names vs 20k rows at
+    *      sf0.1, i.e. ~2k levenshtein calls instead of 8M.
+    *   2. Candidate generation over the distinct names is a FastSS /
+    *      SymSpell deletion-neighborhood join (Bocek et al. 2007):
+    *      two strings within edit distance 2 must share a variant
+    *      obtained by deleting ≤ 2 chars from each (align the pair,
+    *      drop the ≤2 edited chars on each side — lossless at the
+    *      threshold), so the equi-join key is a HIGH-cardinality
+    *      variant string: block size stays corpus-scale-independent,
+    *      unlike the earlier brand-only blocking (~25 blocks whose
+    *      size grew linearly and pair count quadratically).
+    *   3. Expand verified name pairs back to (brand, key) pairs with
+    *      plain equi-joins — this stage's cost is O(output), and the
+    *      output (every matching pair) is the query's semantics.
+    *
+    * The ternary levenshtein kernel returns the exact distance within
+    * the threshold, -1 otherwise, so one banded O(k·n) computation
+    * serves both the filter and the output value. */
   def q83FuzzyMatch(s: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(s, dir)
+    val names = p.select(col("p_name").as("n")).distinct()
+    val variants = names.select(col("n"),
+      explode(graft.operators.FuzzyJoin.deletionNeighborhood(col("n"), 2)).as("v"))
+    val cand = variants.as("x").join(variants.as("y"), Seq("v"))
+      .filter(col("x.n") < col("y.n"))
+      .select(col("x.n").as("n1"), col("y.n").as("n2")).distinct()
+    val verified = cand
+      .withColumn("edit_distance", levenshtein(col("n1"), col("n2"), 2))
+      .filter(col("edit_distance") >= 0)
+    // both orientations (key order is independent of name order) plus
+    // the identity pairs — duplicate rows of the same name match at
+    // distance 0 without ever reaching the neighborhood join
+    val oriented = verified
+      .unionByName(verified.select(col("n2").as("n1"), col("n1").as("n2"),
+        col("edit_distance")))
+      .unionByName(names.select(col("n").as("n1"), col("n").as("n2"),
+        lit(0).as("edit_distance")))
     val a = p.select(col("p_partkey").as("key_a"), col("p_brand").as("brand"),
       col("p_name").as("name_a"))
     val b = p.select(col("p_partkey").as("key_b"), col("p_brand").as("brand"),
       col("p_name").as("name_b"))
-    a.join(b, Seq("brand"))
+    a.join(oriented, col("name_a") === col("n1"))
+      .join(b, col("name_b") === col("n2") && a("brand") === b("brand"))
       .filter(col("key_a") < col("key_b"))
-      // NO separate length prefilter: the ternary kernel already
-      // returns -1 in O(1) when |len(a) − len(b)| > threshold, so a
-      // length filter of our own just pays two O(n) length() calls
-      // per pair for zero extra pruning (measured: +2 s at sf0.1)
-      // one banded O(k·n) computation serves both the filter and the
-      // output value: the ternary form returns the exact distance
-      // whenever it is within the threshold, -1 otherwise (the
-      // RewriteBoundedLevenshtein rule covers callers who write the
-      // binary form; here the bounded kernel is used directly)
-      .withColumn("edit_distance", levenshtein(col("name_a"), col("name_b"), 2))
-      .filter(col("edit_distance") >= 0)
       .withColumn("match_tier",
         when(col("edit_distance") === 0, "exact").otherwise("fuzzy"))
-      .select(col("brand"), col("key_a"), col("key_b"), col("name_a"),
+      .select(a("brand"), col("key_a"), col("key_b"), col("name_a"),
         col("name_b"), col("edit_distance"), col("match_tier"))
       .orderBy("brand", "key_a", "key_b")
   }
