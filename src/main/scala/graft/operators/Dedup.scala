@@ -280,32 +280,29 @@ object Dedup {
     * id) falls out with no extra pass.
     *
     * Algorithm: iterative min-label propagation. Each round is one
-    * keyed shuffle (union + groupBy min); `localCheckpoint` truncates
-    * the lineage so plans stay flat across iterations. Rounds needed
-    * = component diameter — near-dup clusters are shallow chains by
-    * construction, so this converges in a handful of rounds; a corpus
-    * with genuinely deep components would swap this loop for
-    * star-contraction (Kiveris et al., "Connected Components in
-    * MapReduce and Beyond", SoCC 2014) with the same contract.
-    * Convergence is detected by an exact old-vs-new anti-check, and
-    * maxIter bounds the worst case.
+    * keyed shuffle (union + groupBy min); a lineage cut per round
+    * keeps plans flat across iterations (see [[cut]] — reliable
+    * `checkpoint()` when a checkpoint dir is configured, executor-
+    * local truncation otherwise). Rounds needed = component diameter —
+    * near-dup clusters are shallow chains by construction, so this
+    * converges in a handful of rounds. If `maxIter` rounds pass
+    * without convergence (a genuinely deep component), the loop falls
+    * back to [[starContraction]], which converges in O(log n)
+    * alternating rounds regardless of diameter.
     */
   def connectedComponents(edges: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 20): DataFrame = {
-    val sym = edges.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(edges.select(col(idB).as("src"), col(idA).as("dst")))
-      .localCheckpoint()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+    val sym = cut(edges.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(edges.select(col(idB).as("src"), col(idA).as("dst"))))
+    var labels = cut(sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val msgs = sym.join(labels, sym("src") === labels("id"))
         .select(col("dst").as("id"), col("label"))
-      val next = labels.select("id", "label").union(msgs)
-        .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint()
+      val next = cut(labels.select("id", "label").union(msgs)
+        .groupBy("id").agg(min("label").as("label")))
       converged = next
         .join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old"))
@@ -313,14 +310,86 @@ object Dedup {
       labels = next
       i += 1
     }
-    // a silently non-converged result would emit cluster fragments
-    // whose label is NOT a member id (no survivor row) — fail loudly
-    // instead; callers with genuinely deeper graphs raise maxIter or
-    // switch to star contraction
-    require(converged,
-      s"connectedComponents did not converge in $maxIter rounds — " +
-        "component diameter exceeds maxIter; raise it or use star contraction")
-    labels.withColumnRenamed("label", "cluster_id")
+    if (converged) labels.withColumnRenamed("label", "cluster_id")
+    else {
+      // component diameter exceeds maxIter: per-round propagation
+      // would need O(diameter) more shuffles, so switch to the
+      // diameter-independent algorithm instead of failing
+      Console.err.println(s"[graft] connectedComponents: not converged " +
+        s"after $maxIter label-propagation rounds; falling back to star contraction")
+      starContraction(sym)
+    }
+  }
+
+  /** Lineage cut between iterative-loop rounds. Default is
+    * `localCheckpoint` — truncation into executor memory/disk, fast
+    * but NOT fault-tolerant: an executor loss mid-loop kills the job.
+    * Right for local mode and short jobs. A long-running job on a
+    * real cluster should call
+    * `spark.sparkContext.setCheckpointDir("hdfs://…")` first: every
+    * cut then becomes a reliable `checkpoint()` to the fault-tolerant
+    * store and the loop survives executor churn. */
+  private def cut(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC 2014): each round hangs every node off the
+    * minimum of its neighborhood, which at least halves tree heights —
+    * O(log n) rounds to reach the fixed point (one star per component,
+    * centered at the component's min id) regardless of diameter.
+    * Costs one distinct per half-round, so min-label propagation is
+    * preferred for the shallow graphs near-dup clustering produces;
+    * this is the deep-graph path. Input: symmetric (src, dst) edges.
+    * Output: (id, cluster_id = min member id), matching
+    * [[connectedComponents]]. */
+  def starContraction(sym: DataFrame, maxRounds: Int = 60): DataFrame = {
+    val nodes = cut(sym.select(col("src").as("id")).distinct())
+    var cur = cut(sym.filter(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("hi"),
+        least(col("src"), col("dst")).as("lo")).distinct())
+    var done = false
+    var r = 0
+    while (!done && r < maxRounds) {
+      val next = cut(smallStar(largeStar(cur)))
+      // stars are the unique fixed point, so set-equality is the
+      // convergence test; counts first makes the common "still
+      // shrinking" rounds cheap
+      done = next.count() == cur.count() && next.exceptAll(cur).isEmpty
+      cur = next
+      r += 1
+    }
+    // O(log n) convergence is a theorem; the cap is a runaway guard
+    require(done, s"starContraction did not converge in $maxRounds rounds")
+    val starLabels = cur.groupBy(col("hi").as("id")).agg(min("lo").as("cluster_id"))
+    nodes.join(starLabels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+  }
+
+  /** Large-star round: every node u connects each STRICTLY LARGER
+    * neighbor v to m = min(N(u) ∪ {u}). Output stays canonical
+    * (hi > lo) and self-loop-free since v > u ≥ m. */
+  private def largeStar(canon: DataFrame): DataFrame = {
+    val sym = canon.select(col("hi").as("u"), col("lo").as("v"))
+      .union(canon.select(col("lo").as("u"), col("hi").as("v")))
+    val mins = sym.groupBy("u").agg(min("v").as("mv"))
+      .select(col("u"), least(col("u"), col("mv")).as("m"))
+    sym.join(mins, "u").filter(col("v") > col("u"))
+      .select(col("v").as("hi"), col("m").as("lo")).distinct()
+  }
+
+  /** Small-star round: every node u connects its smaller neighbors
+    * (and itself) to m = min of those neighbors ∪ {u}. Operates on
+    * canonical pairs directly — u's smaller neighborhood is exactly
+    * its `lo` rows. */
+  private def smallStar(canon: DataFrame): DataFrame = {
+    val mins = canon.groupBy("hi").agg(min("lo").as("m"))
+    canon.join(mins, "hi")
+      .select(col("lo").as("x"), col("m"))
+      .union(mins.select(col("hi").as("x"), col("m")))
+      .filter(col("x") =!= col("m"))
+      .select(col("x").as("hi"), col("m").as("lo")).distinct()
   }
 
   def simhashNearDups(sigs: DataFrame, idCol: String, maxHamming: Int = 7): DataFrame = {

@@ -34,6 +34,25 @@ class DedupSpec extends SparkSpec {
     assert(cc.forall(_._2 == 0L) && cc.length == 10)
   }
 
+  test("connected components: diameter past maxIter converges via star-contraction fallback") {
+    // a 31-node chain (diameter 30) with maxIter=3: label propagation
+    // cannot finish, so the star-contraction fallback must produce the
+    // exact same contract (every node labeled with the component min)
+    val chain = (0L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(chain, maxIter = 3).as[(Long, Long)].collect()
+    assert(cc.length == 31 && cc.forall(_._2 == 0L))
+  }
+
+  test("star contraction directly: multiple components get min-id labels") {
+    val edges = Seq((11L, 10L), (11L, 12L), (12L, 13L), (21L, 20L))
+      .toDF("id_a", "id_b")
+    val sym = edges.select($"id_a".as("src"), $"id_b".as("dst"))
+      .union(edges.select($"id_b".as("src"), $"id_a".as("dst")))
+    val cc = Dedup.starContraction(sym).as[(Long, Long)].collect().toMap
+    assert(cc == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
   test("minhash LSH surfaces the planted near-duplicate pair") {
     // k=32 / 8 bands: capture probability ≥ 0.99 at jaccard 0.8
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", k = 32)
@@ -93,5 +112,18 @@ class DedupSpec extends SparkSpec {
     assert(verified.sameElements(Array(1.0)))
     val sh = Dedup.simhash64(dup, "doc_id", "text").as[(Long, Long)].collect().toMap
     assert(sh(0L) === sh(1L))
+  }
+
+  // LAST on purpose: setCheckpointDir has no public unset, so every
+  // later lineage cut in this shared session uses the reliable path
+  // (correct, just slower) — keep the blast radius to suite tail
+  test("reliable checkpoint: configured dir switches cuts to fault-tolerant checkpoints") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(chain).as[(Long, Long)].collect()
+    assert(cc.forall(_._2 == 0L) && cc.length == 10)
+    // the reliable path actually wrote checkpoint data
+    assert(dir.toFile.listFiles.nonEmpty)
   }
 }
