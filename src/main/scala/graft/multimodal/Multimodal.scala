@@ -8,13 +8,13 @@ import org.apache.spark.sql.functions._
   * metadata struct; decode / feature-extract / resize / frame-sample
   * run as partition-local batch operators.
   *
-  * The actual codec step is STUBBED (no image/audio libraries in this
-  * container): [[FakeCodec]] is a clearly-marked deterministic stand-in
-  * that derives "pixels" from the bytes. Everything AROUND the codec —
-  * the schema contract, binary batching via mapPartitions, per-frame
-  * explode, size-balanced repartitioning — is real, tested Spark
-  * plumbing; swapping FakeCodec for a JNI/javacv decoder changes no
-  * dataflow.
+  * The codec layer is REAL, pure-JVM, and dependency-free ([[Codec]]):
+  * BMP for images, RIFF/WAVE PCM for audio, YUV4MPEG2 (Y4M) for video
+  * — three public-domain containers parsed header-and-payload. The
+  * fixture generator writes genuine files in those formats, decode
+  * sniffs the container magic, and frame sampling extracts actual Y4M
+  * frame planes. Heavier formats (JPEG, MP4/H.264) would slot in
+  * behind the same Option-returning signatures via JNI/javacv.
   *
   * Scale notes: blobs are the skew hazard (a 4 GB video next to 4 KB
   * thumbnails). [[repartitionBySize]] packs rows into byte-balanced
@@ -33,75 +33,82 @@ object Multimodal {
   case class Frame(media_id: Long, frame_idx: Int, ts_ms: Long,
                    frame_bytes: Array[Byte])
 
-  /** STUB — deterministic fake codec. Replace with a real decoder
-    * (e.g. javacv / libvips via JNI); the call sites only depend on
-    * this signature. Features are dyadic-exact: integer byte-sums per
-    * slot divided by 256 (a power of two), so the float32 division is
-    * exact, any IEEE engine reproduces the value bit-for-bit, and
-    * sums/averages of features downstream are order-independent
-    * (each value is k/256 with k < 2^20 — no rounding anywhere). */
-  object FakeCodec {
-    def decodeFeature(bytes: Array[Byte], dim: Int = 8): Array[Float] = {
-      val acc = new Array[Long](dim)
-      var i = 0
-      while (i < bytes.length) {
-        acc(i % dim) += (bytes(i) & 0xFF)
-        i += 1
-      }
-      acc.map(_ / 256.0f)
-    }
-    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
-      // fake: truncate/pad to w*h "pixels"
-      java.util.Arrays.copyOf(bytes, w * h)
-  }
-
-  /** Deterministic synthetic media table: seeded binary blobs with
-    * typed metadata — the fixture generator standing in for an object
-    * store of real files. */
+  /** Deterministic synthetic media table: seeded blobs in REAL
+    * container formats (BMP / WAV / Y4M) with matching typed
+    * metadata — the fixture generator standing in for an object store
+    * of real files. Image widths are multiples of 4 so BMP scanlines
+    * carry no padding (keeps the SQL oracle's offset arithmetic
+    * trivial); videos run at 2 fps so each frame displays for exactly
+    * 500 ms. */
   def syntheticMedia(spark: SparkSession, n: Int = 100, seed: Long = 42L): Dataset[MediaRow] = {
     import spark.implicits._
     val rows = (0 until n).map { i =>
       val rnd = new scala.util.Random(seed + i) // per-row seed: order-independent
-      val mtype = Seq("image", "audio", "video")(i % 3)
-      val size = 256 + rnd.nextInt(4096)
-      val bytes = new Array[Byte](size)
-      rnd.nextBytes(bytes)
-      MediaRow(i.toLong, s"mem://media/$mtype/$i",
-        MediaMeta(mtype, 64 + (i % 8) * 16, 64 + (i % 8) * 16,
-          if (mtype == "video") 1000L + i * 500L else 0L,
-          if (mtype == "image") "fakepng" else if (mtype == "audio") "fakewav" else "fakemp4"),
-        bytes)
+      Seq("image", "audio", "video")(i % 3) match {
+        case "image" =>
+          val w = 8 + (i % 8) * 4
+          val bgr = new Array[Byte](w * w * 3)
+          rnd.nextBytes(bgr)
+          MediaRow(i.toLong, s"mem://media/image/$i.bmp",
+            MediaMeta("image", w, w, 0L, "bmp"),
+            Codec.encodeBmp(w, w, bgr, topDown = true))
+        case "audio" =>
+          val nSamples = 128 + rnd.nextInt(2048)
+          val pcm = new Array[Byte](2 * nSamples)
+          rnd.nextBytes(pcm)
+          MediaRow(i.toLong, s"mem://media/audio/$i.wav",
+            MediaMeta("audio", 0, 0, nSamples * 1000L / 8000L, "pcm_s16le"),
+            Codec.encodeWav(channels = 1, sampleRate = 8000, pcm))
+        case _ =>
+          val durationMs = 1000L + (i % 40) * 500L
+          val nFrames = (durationMs / 500L).toInt // 2 fps
+          val fs = Codec.y4mFrameSize(8, 8)
+          val frames = Seq.fill(nFrames) {
+            val f = new Array[Byte](fs); rnd.nextBytes(f); f
+          }
+          MediaRow(i.toLong, s"mem://media/video/$i.y4m",
+            MediaMeta("video", 8, 8, durationMs, "y4m"),
+            Codec.encodeY4m(8, 8, fpsNum = 2, fpsDen = 1, frames))
+      }
     }
     rows.toDS()
   }
 
-  /** Batched decode + feature extraction over the binary column.
-    * mapPartitions = one decoder context per partition (the shape a
-    * real codec needs), rows streamed through it. */
+  /** Batched decode + feature extraction over the binary column: the
+    * container is sniffed from its magic, the payload (pixels / PCM /
+    * frame planes) feeds the feature. mapPartitions = one decoder
+    * context per partition, rows streamed through it. Undecodable
+    * rows surface as decoded_ok=false with a zero feature — never an
+    * exception from deep inside a task. */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 8): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // per-partition decoder init would go here (real codec handle)
       it.map { m =>
-        val feat = FakeCodec.decodeFeature(m.content, dim)
-        MediaFeatures(m.media_id, m.meta.media_type,
-          decoded_ok = m.content.nonEmpty, m.content.length, feat)
+        Codec.decodeFeature(m.content, dim) match {
+          case Some(feat) =>
+            MediaFeatures(m.media_id, m.meta.media_type,
+              decoded_ok = true, m.content.length, feat)
+          case None =>
+            MediaFeatures(m.media_id, m.meta.media_type,
+              decoded_ok = false, m.content.length, new Array[Float](dim))
+        }
       }
     }
   }
 
-  /** Frame sampling for video rows: one output row per sampled frame
-    * at `intervalMs` — flatMap explode, no driver involvement. */
+  /** Frame sampling for video rows: decodes the Y4M container and
+    * emits one row per frame whose display timestamp lands on the
+    * `intervalMs` grid — real frame planes, flatMap explode, no
+    * driver involvement. Undecodable videos emit no rows. */
   def sampleFrames(media: Dataset[MediaRow], intervalMs: Long = 500L): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.filter(_.meta.media_type == "video").flatMap { m =>
-      val frames = (m.meta.duration_ms / intervalMs).toInt
-      (0 until frames).map { f =>
-        val tsMs = f * intervalMs
-        // fake frame bytes: a deterministic slice of the blob
-        val off = (tsMs % math.max(1, m.content.length - 16)).toInt
-        Frame(m.media_id, f, tsMs,
-          java.util.Arrays.copyOfRange(m.content, off, math.min(off + 16, m.content.length)))
+      Codec.decodeY4m(m.content).toSeq.flatMap { y =>
+        val frameMs = y.frameMs
+        y.frames.iterator.zipWithIndex.collect {
+          case (planes, idx) if (idx * frameMs) % intervalMs == 0 =>
+            Frame(m.media_id, idx, idx * frameMs, planes)
+        }
       }
     }
   }
@@ -114,10 +121,25 @@ object Multimodal {
     * ever sees more than its own slice, at any corpus size. A blob
     * heavier than one chunk overflows its own partition (a row cannot
     * split). `idCol` must be a unique column: it fixes the global
-    * packing order. */
+    * packing order.
+    *
+    * Placement is an exact identity partitioner over `_target`, NOT
+    * `repartitionByRange`: the range partitioner balances sampled ROW
+    * counts, so byte-balanced buckets with skewed row counts (many
+    * thumbnails vs few videos) can get merged into one partition —
+    * exactly the hot-executor outcome this operator exists to
+    * prevent. The RDD hop costs one serialization pass; the next
+    * operator over blob content pays that anyway. */
   def repartitionBySize(df: DataFrame, idCol: String, byteCol: String,
-                        numPartitions: Int): DataFrame =
-    graft.operators.PrefixSum.packTargets(df, idCol, byteCol, numPartitions)
-      .repartitionByRange(numPartitions, col("_target"))
-      .drop("_target")
+                        numPartitions: Int): DataFrame = {
+    val t = graft.operators.PrefixSum.packTargets(df, idCol, byteCol, numPartitions)
+    val tIdx = t.schema.fieldIndex("_target")
+    val np = numPartitions
+    val part = new org.apache.spark.Partitioner {
+      override def numPartitions: Int = np
+      override def getPartition(key: Any): Int = key.asInstanceOf[Long].toInt
+    }
+    val rdd = t.rdd.map(r => (r.getLong(tIdx), r)).partitionBy(part).values
+    df.sparkSession.createDataFrame(rdd, t.schema).drop("_target")
+  }
 }

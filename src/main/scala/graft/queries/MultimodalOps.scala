@@ -4,14 +4,16 @@ import graft.multimodal.Multimodal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column queries over synthetic binary media. The
+/** Multimodal-column queries over synthetic binary media in REAL
+  * container formats (BMP / WAV / Y4M — graft.multimodal.Codec). The
   * generated media table (binary content + typed metadata struct) is
   * materialized to a fixed parquet fixture and read back, so the
-  * DuckDB oracle consumes the same bytes; FakeCodec features are
-  * dyadic-exact (see graft.multimodal.Multimodal.FakeCodec), which
-  * makes the decode math replicable in portable SQL — the binary
-  * plumbing sits under the driver's hash gate, with the codec itself
-  * the one declared stub.
+  * DuckDB oracle consumes the same bytes. The oracle replays the
+  * decode as offset arithmetic over the blob's hex dump — the fixture
+  * files are canonical (54-byte top-down pad-free BMP, 44-byte-header
+  * WAV, fixed-header 8x8 Y4M), so payload positions are closed-form —
+  * and the features are dyadic-exact (slot sums / 256), putting the
+  * whole decode path under the driver's hash gate.
   */
 object MultimodalOps {
 
@@ -24,8 +26,9 @@ object MultimodalOps {
   private def mediaCount(dir: String): Int =
     if (dir.contains("sf0.1")) 3000 else if (dir.contains("sf0.01")) 300 else 100
 
-  /** Bump when the generator or FakeCodec schema changes. */
-  private val FixtureVersion = "v2"
+  /** Bump when the generator or codec schema changes.
+    * v3 = real BMP/WAV/Y4M container blobs. */
+  private val FixtureVersion = "v3"
 
   /** Materialize the generated media and read it back — pipeline and
     * oracle see identical bytes. Content is deterministic in
@@ -84,19 +87,41 @@ object MultimodalOps {
       s" + strpos('0123456789ABCDEF', substr(hx, 2*($pos)+2, 1))-1)"
 
   val oracles: Map[String, String] = Map(
-    // Replicates FakeCodec.decodeFeature slot 0 exactly: sum of bytes
-    // at positions ≡ 0 (mod 8), divided by 256 — dyadic, so AVG of
-    // doubles is exact in both engines.
+    // Replicates Codec.decodeFeature slot 0 exactly: sum of DECODED
+    // payload bytes at payload positions ≡ 0 (mod 8), divided by 256
+    // — dyadic, so AVG of doubles is exact in both engines. Payload
+    // position → file position is closed-form per container because
+    // the fixture files are canonical:
+    //   BMP  (top-down, pad-free): payload p → 54 + p
+    //   WAV  (44-byte header):     payload p → 44 + p
+    //   Y4M  (8x8 C420, 96 B/frame, 34-byte header, 6-byte FRAME\n):
+    //        payload p → 34 + (p//96)*102 + 6 + (p%96)
     "q70_media_features" ->
       s"""WITH m AS (SELECT *, hex(content) AS hx
          |  FROM read_parquet('$FixtureDir/media_n300/*.parquet')),
-         |f AS (
+         |img AS (
          |  SELECT media_id, meta.media_type AS media_type,
          |    octet_length(content) AS byte_count,
          |    list_aggregate(list_transform(
-         |      generate_series(0, CAST((octet_length(content)-1)//8 AS INTEGER)),
-         |      k -> ${hexByte("8*k")}), 'sum') AS slot0
-         |  FROM m)
+         |      generate_series(0, CAST((3*meta.width*meta.height - 1)//8 AS INTEGER)),
+         |      k -> ${hexByte("54 + 8*k")}), 'sum') AS slot0
+         |  FROM m WHERE meta.media_type = 'image'),
+         |aud AS (
+         |  SELECT media_id, meta.media_type AS media_type,
+         |    octet_length(content) AS byte_count,
+         |    list_aggregate(list_transform(
+         |      generate_series(0, CAST((octet_length(content) - 44 - 1)//8 AS INTEGER)),
+         |      k -> ${hexByte("44 + 8*k")}), 'sum') AS slot0
+         |  FROM m WHERE meta.media_type = 'audio'),
+         |vid AS (
+         |  SELECT media_id, meta.media_type AS media_type,
+         |    octet_length(content) AS byte_count,
+         |    list_aggregate(list_transform(
+         |      generate_series(0, CAST((96*(meta.duration_ms//500) - 1)//8 AS INTEGER)),
+         |      k -> ${hexByte("34 + ((8*k)//96)*102 + 6 + ((8*k)%96)")}), 'sum') AS slot0
+         |  FROM m WHERE meta.media_type = 'video'),
+         |f AS (SELECT * FROM img UNION ALL SELECT * FROM aud
+         |      UNION ALL SELECT * FROM vid)
          |SELECT media_type, CAST(COUNT(*) AS BIGINT) AS media_count,
          |  CAST(SUM(byte_count) AS BIGINT) AS total_bytes,
          |  AVG(CAST(slot0 AS DOUBLE) / 256.0) AS avg_feature_0
