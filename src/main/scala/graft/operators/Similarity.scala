@@ -256,29 +256,45 @@ object Similarity {
         col("l2_dist"), col("approx_dist"))
   }
 
-  /** The ADC shortlist stage shared by the PQ entry points: encode
-    * the corpus, broadcast per-query distance tables, keep the
-    * `shortlist` best (approx_dist, vec_id) per query. */
-  private def pqShortlist(corpus: DataFrame, queries: DataFrame,
-                          sub: Array[Array[(Array[Long], Long)]], m: Int,
-                          subDim: Int, shortlist: Int): DataFrame = {
-    val coded = corpus.select(
+  /** Corpus side of the ADC scan: each vector reduced to its m codes. */
+  private def pqCoded(corpus: DataFrame,
+                      sub: Array[Array[(Array[Long], Long)]], m: Int,
+                      subDim: Int): DataFrame =
+    corpus.select(
       col("vec_id") +: (0 until m).map(j =>
         pqCodeExpr(col("query_vec"), sub, subDim, j).as(s"c$j")): _*)
+
+  /** Query side of the ADC scan: per-query m×ks exact distance
+    * tables, one array column per subspace (broadcast by callers). */
+  private def pqQueryTables(queries: DataFrame,
+                            sub: Array[Array[(Array[Long], Long)]], m: Int,
+                            subDim: Int): DataFrame = {
     def distTable(vec: Column, j: Int): Column = {
       val qj = slice(vec, j * subDim + 1, subDim)
       transform(pqCbLit(sub, j), e =>
         (dotQ(qj, qj) - lit(2L) * dotQ(qj, e.getField("cv")) +
           e.getField("n")).cast("long"))
     }
-    val qdt = queries.select(
+    queries.select(
       col("query_id") +: (0 until m).map(j => distTable(col("qvec"), j).as(s"dt$j")): _*)
+  }
+
+  /** Sum of the m ADC table lookups for one (query, code-row) pair. */
+  private def adcDist(m: Int): Column =
+    (0 until m).map(j => element_at(col(s"dt$j"), col(s"c$j") + 1)).reduce(_ + _)
+
+  /** The ADC shortlist stage shared by the PQ entry points: encode
+    * the corpus, broadcast per-query distance tables, keep the
+    * `shortlist` best (approx_dist, vec_id) per query. */
+  private def pqShortlist(corpus: DataFrame, queries: DataFrame,
+                          sub: Array[Array[(Array[Long], Long)]], m: Int,
+                          subDim: Int, shortlist: Int): DataFrame = {
     val wa = Window.partitionBy("query_id")
       .orderBy(col("approx_dist").asc, col("vec_id").asc)
-    coded.crossJoin(broadcast(qdt))
+    pqCoded(corpus, sub, m, subDim)
+      .crossJoin(broadcast(pqQueryTables(queries, sub, m, subDim)))
       .filter(col("query_id") =!= col("vec_id"))
-      .withColumn("approx_dist",
-        (0 until m).map(j => element_at(col(s"dt$j"), col(s"c$j") + 1)).reduce(_ + _))
+      .withColumn("approx_dist", adcDist(m))
       .withColumn("_arank", row_number().over(wa))
       .filter(col("_arank") <= shortlist)
       .select("query_id", "vec_id", "approx_dist")
@@ -397,8 +413,11 @@ object Similarity {
       (x, p) => when(x > 0, p).otherwise(0L)), lit(0L), (acc, x) => acc + x)
   }
 
-  def binaryTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                 shortlist: Int): DataFrame = {
+  /** The sign-bit Hamming candidate stage shared by [[binaryTopK]]
+    * and [[funnelTopK]]: codes-only scan, top `shortlist`
+    * (hamming, vec_id) per query. */
+  private def hammingCandidates(corpus: DataFrame, queries: DataFrame,
+                                shortlist: Int): DataFrame = {
     val coded = corpus.select(col("vec_id"),
       binaryCode(col("query_vec"), 0).as("b0"),
       binaryCode(col("query_vec"), 1).as("b1"))
@@ -407,7 +426,7 @@ object Similarity {
       binaryCode(col("qvec"), 1).as("q1"))
     val wa = Window.partitionBy("query_id")
       .orderBy(col("hamming").asc, col("vec_id").asc)
-    val cands = coded.crossJoin(broadcast(qcoded))
+    coded.crossJoin(broadcast(qcoded))
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("hamming",
         (bit_count(col("b0").bitwiseXOR(col("q0"))) +
@@ -415,7 +434,54 @@ object Similarity {
       .withColumn("_hrank", row_number().over(wa))
       .filter(col("_hrank") <= shortlist)
       .select("query_id", "vec_id", "hamming")
-    exactCosineRerank(cands, corpus, queries, k, carry = Seq("hamming"))
+  }
+
+  def binaryTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 shortlist: Int): DataFrame =
+    exactCosineRerank(hammingCandidates(corpus, queries, shortlist),
+      corpus, queries, k, carry = Seq("hamming"))
+
+  /** Three-stage compressed funnel — the recall upgrade over either
+    * compressed path alone at the SAME exact-stage budget:
+    *
+    *   1. Hamming over sign-bit codes (2 xor+popcount per pair, 8-byte
+    *     codes) keeps a WIDE shortlist of `hammingShortlist`;
+    *   2. PQ-ADC rescoring of those survivors only (m table lookups
+    *     per pair, codes only — no full vector touched) narrows to the
+    *     `rerank` best;
+    *   3. exact cosine re-rank fetches full vectors for |Q|·rerank
+    *     rows only.
+    *
+    * The funnel works because the two compressions fail differently:
+    * sign bits are blind to magnitude but cheap enough to cast a wide
+    * net; ADC sees magnitude and re-orders the net so the exact
+    * budget is spent on the right candidates. Stage 1+2 read codes
+    * (10 bytes/vector at the defaults); the exact stage touches
+    * rerank/|corpus| of the vectors — same budget as [[binaryTopK]]
+    * or [[pqTopK]] with shortlist = rerank, strictly better ordering. */
+  def funnelTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 hammingShortlist: Int, rerank: Int,
+                 ks: Int = 16, m: Int = 4, dim: Int = 64): DataFrame =
+    funnelTopKWith(corpus, queries, k, pqCodebooks(corpus, ks, m, dim),
+      m, dim, hammingShortlist, rerank)
+
+  /** [[funnelTopK]] with caller-supplied codebooks (e.g. Lloyd-refined
+    * via [[pqRefineCodebooks]]). */
+  def funnelTopKWith(corpus: DataFrame, queries: DataFrame, k: Int,
+                     sub: Array[Array[(Array[Long], Long)]], m: Int, dim: Int,
+                     hammingShortlist: Int, rerank: Int): DataFrame = {
+    val subDim = dim / m
+    val wa = Window.partitionBy("query_id")
+      .orderBy(col("approx_dist").asc, col("vec_id").asc)
+    val rescored = hammingCandidates(corpus, queries, hammingShortlist)
+      .join(pqCoded(corpus, sub, m, subDim), "vec_id")
+      .join(broadcast(pqQueryTables(queries, sub, m, subDim)), "query_id")
+      .withColumn("approx_dist", adcDist(m))
+      .withColumn("_arank", row_number().over(wa))
+      .filter(col("_arank") <= rerank)
+      .select("query_id", "vec_id", "hamming", "approx_dist")
+    exactCosineRerank(rescored, corpus, queries, k,
+      carry = Seq("hamming", "approx_dist"))
   }
 
   /** Shared exact-cosine re-rank tail for two-stage ANN serving:

@@ -156,6 +156,40 @@ class SimilaritySpec extends SparkSpec {
     assert(rRef >= rBase, "refinement must not lose recall")
   }
 
+  test("funnel ANN: hamming + ADC rescoring clears 0.8 recall at the same exact budget") {
+    // q111's configuration: 8 subspaces x 64 codes. The sweep that
+    // picked it (md5-draw codebooks, hammingShortlist=150, rerank=50):
+    //   ks=16 m=4 0.68 | ks=64 m=4 0.64 | ks=16 m=8 0.73 | ks=64 m=8 0.86
+    // — subspace count m is the recall lever, codebook size second.
+    val bf = Similarity.bruteForceTopK(quantized, queries, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame) = {
+      val s = df.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+      (bf & s).size.toDouble / bf.size
+    }
+    val binOnly = recallOf(
+      Similarity.binaryTopK(quantized, queries, k = 5, shortlist = 50))
+    val funnel = recallOf(Similarity.funnelTopK(quantized, queries, k = 5,
+      hammingShortlist = 150, rerank = 50, ks = 64, m = 8))
+    val base = Similarity.pqCodebooks(quantized, ks = 64, m = 8, dim = 64)
+    val refined = Similarity.pqRefineCodebooks(quantized,
+      Similarity.pqRefineCodebooks(quantized, base, m = 8, dim = 64), m = 8, dim = 64)
+    val funnelRef = recallOf(Similarity.funnelTopKWith(quantized, queries, k = 5,
+      refined, m = 8, dim = 64, hammingShortlist = 150, rerank = 50))
+    info(f"recall@5: binary-only $binOnly%.3f -> funnel $funnel%.3f " +
+      f"-> Lloyd-refined funnel $funnelRef%.3f (same 10%% exact budget)")
+    assert(funnel >= binOnly, "ADC rescoring of a wider net must not lose recall")
+    assert(funnel >= 0.8)
+    assert(funnelRef >= funnel, "refinement must not lose recall")
+  }
+
+  test("funnel ANN results are independent of corpus partitioning") {
+    def run(parts: Int) = Similarity.funnelTopK(quantized.repartition(parts),
+      queries, k = 5, hammingShortlist = 150, rerank = 50, ks = 64, m = 8)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(run(2) == run(9))
+  }
+
   test("planes are deterministic for a fixed seed") {
     assert(Similarity.planes(4, 8).map(_.toSeq).toSeq ==
       Similarity.planes(4, 8).map(_.toSeq).toSeq)

@@ -39,6 +39,9 @@ class PlanHygieneSpec extends SparkSpec {
     // binary-code Hamming scan: broadcast 16-byte query codes vs
     // corpus codes — the 1-bit variant of the same scan
     "q110_binary_ann" -> "Hamming scan (broadcast query sign codes)",
+    // funnel stage 1 is the same Hamming scan; stages 2-3 are keyed
+    // equi-joins on the shortlist
+    "q111_funnel_ann" -> "Hamming scan (broadcast query sign codes)",
     // broadcast range join against a 12-row month dimension — the
     // right shape when the range side is a bounded dim (q13 is the
     // keyed as-of alternative for unbounded right sides)
