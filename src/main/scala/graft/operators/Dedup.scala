@@ -292,10 +292,28 @@ object Dedup {
     */
   def connectedComponents(edges: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 20): DataFrame = {
-    val sym = cut(edges.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(edges.select(col(idB).as("src"), col(idA).as("dst"))))
-    var labels = cut(sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")))
+    // symmetrize with ONE scan of `edges` (explode, not self-union):
+    // callers often pass an expensive unmaterialized chain (q105 hands
+    // the whole LSH+verify pipeline here), and a union would compute
+    // it twice before the first lineage cut
+    val sym = cut(edges.select(explode(array(
+        struct(col(idA).as("src"), col(idB).as("dst")),
+        struct(col(idB).as("src"), col(idA).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst")))
+    // seed = round 1 for free: with identity labels, the first round's
+    // messages are just the edges, so min(id, min(neighbors)) IS the
+    // post-round-1 state — one groupBy instead of distinct + join
+    var labels = cut(sym.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), col("src")).as("label")))
+    // each round takes a per-id MIN, so labels are monotonically
+    // non-increasing — the exact decimal label sum is unchanged iff
+    // NO label moved, making convergence one cheap agg over the
+    // just-checkpointed frame instead of a join-diff job
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val d = df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      if (d == null) java.math.BigDecimal.ZERO else d
+    }
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -303,10 +321,9 @@ object Dedup {
         .select(col("dst").as("id"), col("label"))
       val next = cut(labels.select("id", "label").union(msgs)
         .groupBy("id").agg(min("label").as("label")))
-      converged = next
-        .join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old"))
-        .isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       i += 1
     }

@@ -52,9 +52,23 @@ object SemanticDedup {
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
   }
 
+  /** Driver-side centroid ceiling: the codebook is collect()ed to the
+    * driver and shipped back as ONE plan literal (the Janino-safe
+    * array-of-structs shape, see Similarity.pqCbLit), so k is bounded
+    * by driver memory and serialized-plan size — NOT by the corpus.
+    * Size k ≈ √n for balanced expected cluster sizes (n=10^8 → k=10^4,
+    * ~5 MB of 64-dim long literals, fine; n=10^12 wants k=10^6, which
+    * is not a plan literal any more). Past this ceiling, keep the
+    * codebook as a TABLE and assign via a keyed join against
+    * band-bucketed candidates instead of a broadcast literal. */
+  val MaxDriverCentroids = 10000
+
   /** Run `iters` Lloyd iterations from the md5-picked initial
     * codebook and return the final (cid, sumVector) centroids. */
   def kmeans(corpus: DataFrame, k: Int, iters: Int): Array[(Long, Array[Long])] = {
+    require(k <= MaxDriverCentroids,
+      s"k=$k exceeds the driver-codebook ceiling $MaxDriverCentroids " +
+        "(collect+literal path; use a codebook table + keyed join at this scale)")
     var cents = Similarity.ivfCentroids(corpus, k)
     (0 until iters).foreach(_ => cents = lloydStep(corpus, cents))
     cents

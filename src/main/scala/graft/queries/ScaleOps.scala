@@ -196,7 +196,14 @@ object ScaleOps {
     val exactKeep = d
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
       .groupBy("fp").agg(min("doc_id").as("doc_id")).select("doc_id")
-    val d1 = d.join(exactKeep, "doc_id")
+    // cached: d1 is scanned 4+ times (signature build, the two text
+    // fetches of the Jaccard verify, the survivor anti-join chain) and
+    // each scan would otherwise recompute the fingerprint groupBy +
+    // join; unpersisted before returning — by then the eager stages
+    // (CC rounds, prefix-sum subtotals + its persisted sorted input)
+    // have run, and the returned plan reads the prefix sum's own
+    // persisted frame, not d1
+    val d1 = d.join(exactKeep, "doc_id").cache()
     // 2. near-dup clusters among survivors: keep the min-id member
     val sigs = Dedup.minhashSignatures(d1, "doc_id", "text", k = 16, shingleN = 3)
     val cand = Dedup.lshCandidatePairs(sigs, "doc_id", bands = 4, rowsPerBand = 4)
@@ -220,12 +227,14 @@ object ScaleOps {
     val counted = d4.select(col("doc_id"), col("source"), col("lang"),
       col("quality"),
       TextAnalysis.tokenCount(col("text")).cast("bigint").as("token_count"))
-    graft.operators.PrefixSum
+    val packed = graft.operators.PrefixSum
       .withRunningSum(counted, "doc_id", "token_count", "cum_tokens")
       .withColumn("shard_id",
         floor((col("cum_tokens") - col("token_count")) / 2000L).cast("bigint"))
       .select(col("doc_id"), col("source"), col("lang"), col("quality"),
         col("token_count"), col("shard_id"))
+    d1.unpersist(blocking = false)
+    packed
   }
 
   /** EWMA anomaly baseline (exponential smoothing, α = 1/2): per

@@ -62,4 +62,11 @@ class SemanticDedupSpec extends SparkSpec {
       .filter(col("is_semdup")).collect()
     assert(oneCluster.map(_.getLong(0)).toSeq == Seq(1L))
   }
+
+  test("driver-codebook ceiling guard fires before any cluster work") {
+    val e = intercept[IllegalArgumentException] {
+      SemanticDedup.kmeans(corpus, k = SemanticDedup.MaxDriverCentroids + 1, iters = 1)
+    }
+    assert(e.getMessage.contains("ceiling"))
+  }
 }
