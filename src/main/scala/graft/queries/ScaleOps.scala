@@ -21,6 +21,14 @@ object ScaleOps {
       .select(col("vec_id"),
         Similarity.quantize(col("embedding")).as("query_vec"))
 
+  /** Bloom-literal ceiling for q98: at the default fpp (0.03, ~7.3
+    * bits/key) 1M keys is ~0.9 MB of literal bits in every task's
+    * serialized plan — the practical limit for a plan-embedded
+    * filter. A dim bigger than this still prunes (degraded fpp);
+    * a dim orders of magnitude bigger wants Spark's own runtime
+    * bloom rewrite or a semi-join instead of a literal. */
+  private val MaxBloomKeys = 1000000L
+
   /** SemDeDup: 2 Lloyd iterations of cosine k-means (k=8) from the
     * md5-picked codebook, then near-dup flags within clusters at
     * cosine ≥ 0.45 with keep-smallest-id survivorship. The oracle
@@ -34,7 +42,15 @@ object ScaleOps {
     * scan speed (graft_might_contain), THEN join exactly — the result
     * is identical to the plain join (false positives die in the
     * join), which is exactly what the oracle checks. Falls back to
-    * the unpruned join when the graft extension isn't loaded. */
+    * the unpruned join when the graft extension isn't loaded.
+    *
+    * EAGER at build time (like q105): constructing this DataFrame
+    * runs two driver actions — the dim count that sizes the filter
+    * and the 1-row bloom aggregate itself. The filter then ships as a
+    * plan literal, so its size is capped ([[MaxBloomKeys]]): past the
+    * cap the filter keeps its bit budget and simply degrades in fpp
+    * (a bloom filter over-capacity prunes less but never wrongly) —
+    * the serialized plan can never balloon to the dim's cardinality. */
   def q98BloomJoin(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(s, dir)
       .filter(col("c_mktsegment") === "BUILDING")
@@ -45,8 +61,9 @@ object ScaleOps {
       if (s.catalog.functionExists("graft_might_contain")) {
         // size the filter from the build side (tiny driver scalar on
         // the already-filtered dim) — a fixed oversize would inline
-        // megabytes of literal bits into every task's plan
-        val dimKeys = math.max(cust.count(), 1L)
+        // megabytes of literal bits into every task's plan, and an
+        // uncapped build-side count would do the same for a huge dim
+        val dimKeys = math.min(math.max(cust.count(), 1L), MaxBloomKeys)
         val bloomBytes = cust
           .agg(call_function("graft_bloom_agg",
             xxhash64(col("c_custkey")), lit(dimKeys)).as("bf"))

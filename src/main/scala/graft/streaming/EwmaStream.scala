@@ -18,31 +18,47 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object EwmaStream {
 
   case class DayCount(user_id: Long, day: java.sql.Date, cnt: Long)
-  case class EwmaState(e: Double, spikes: Int, days: Int)
-  case class EwmaOut(user_id: Long, n_days: Int, ewma_final: Double, spike_days: Int)
+  /** `lastDayMs` makes the fold order-SAFE, not just order-assuming:
+    * a row at or before the last folded day cannot silently fold in
+    * the wrong order — it is dropped and counted in `late`. Dropping
+    * (not reordering) is the only state-bounded option for an EWMA:
+    * folding day t-1 after day t would need the pre-t state replayed,
+    * i.e. unbounded history per key. Exact same-day replays are
+    * dropped too — late-data idempotence, matching the merge path. */
+  case class EwmaState(e: Double, spikes: Int, days: Int,
+                       lastDayMs: Long, late: Int)
+  case class EwmaOut(user_id: Long, n_days: Int, ewma_final: Double,
+                     spike_days: Int, late_days: Int)
+
+  val InitState: EwmaState = EwmaState(0.0, 0, 0, Long.MinValue, 0)
 
   /** One fold step — textually the batch expression's arithmetic. */
   def step(e: Double, spikes: Int, x: Double, tau: Double): (Double, Int) =
     (e * 0.5 + x * 0.5,
       spikes + (if (x > e * tau && e > 0.0) 1 else 0))
 
-  /** Day-ordered fold — the ONE kernel both faces run (sort key and
-    * day accounting included, so stream and batch cannot drift). */
+  /** Day-ordered fold — the ONE kernel both faces run (sort key, day
+    * accounting, and the out-of-order guard included, so stream and
+    * batch cannot drift). */
   private def fold(s0: EwmaState, rows: Iterator[DayCount],
                    tau: Double): EwmaState =
     rows.toSeq.sortBy(_.day.getTime).foldLeft(s0) { (st, r) =>
-      val (e2, sp2) = step(st.e, st.spikes, r.cnt.toDouble, tau)
-      EwmaState(e2, sp2, st.days + 1)
+      if (r.day.getTime <= st.lastDayMs)
+        st.copy(late = st.late + 1)
+      else {
+        val (e2, sp2) = step(st.e, st.spikes, r.cnt.toDouble, tau)
+        EwmaState(e2, sp2, st.days + 1, r.day.getTime, st.late)
+      }
     }
 
   private def updateGroup(tau: Double)(
       user: Long, rows: Iterator[DayCount],
       state: GroupState[EwmaState]): Iterator[EwmaOut] = {
-    // cross-batch order is the caller's contract (feed batches
-    // chronologically); within a batch the fold sorts by day
-    val sN = fold(state.getOption.getOrElse(EwmaState(0.0, 0, 0)), rows, tau)
+    // within a batch the fold sorts by day; across batches the guard
+    // drops-and-flags anything at or before the last folded day
+    val sN = fold(state.getOption.getOrElse(InitState), rows, tau)
     state.update(sN)
-    Iterator(EwmaOut(user, sN.days, sN.e, sN.spikes))
+    Iterator(EwmaOut(user, sN.days, sN.e, sN.spikes, sN.late))
   }
 
   /** Streaming per-user EWMA: emits the running (n_days, ewma, spikes)
@@ -62,8 +78,8 @@ object EwmaStream {
     val sp = ds.sparkSession
     import sp.implicits._
     ds.groupByKey(_.user_id).mapGroups { (user, rows) =>
-      val sN = fold(EwmaState(0.0, 0, 0), rows, tau)
-      EwmaOut(user, sN.days, sN.e, sN.spikes)
+      val sN = fold(InitState, rows, tau)
+      EwmaOut(user, sN.days, sN.e, sN.spikes, sN.late)
     }
   }
 }

@@ -54,4 +54,27 @@ class EwmaStreamSpec extends SparkSpec {
       .as[(Long, Int, Double, Int)].collect().toSet
     assert(typedBatch == sqlForm, "typed fold must equal the SQL expression fold")
   }
+
+  test("out-of-order rows are dropped and flagged, never folded in the wrong order") {
+    implicit val sqlCtx = spark.sqlContext
+    def dc(d: String, c: Long) = DayCount(1L, java.sql.Date.valueOf(d), c)
+    val mem = MemoryStream[DayCount]
+    val q = EwmaStream.detectStream(mem.toDS())
+      .writeStream.format("memory").queryName("ewma_ooo")
+      .outputMode("update").start()
+    try {
+      mem.addData(Seq(dc("2026-01-02", 4), dc("2026-01-03", 8)))
+      q.processAllAvailable()
+      // an earlier day AND a same-day replay: both must be dropped
+      mem.addData(Seq(dc("2026-01-01", 100), dc("2026-01-03", 9)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("ewma_ooo")
+      .orderBy(col("late_days").desc).limit(1)
+      .select("n_days", "ewma_final", "spike_days", "late_days")
+      .as[(Int, Double, Int, Int)].collect().head
+    // state = the in-order fold only: e = ((0+4)/2 + 8)/2 = 5.0, one
+    // spike (8 > 2*2), 2 days folded, 2 late rows flagged
+    assert(last == ((2, 5.0, 1, 2)))
+  }
 }
