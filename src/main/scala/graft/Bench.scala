@@ -53,12 +53,12 @@ object Bench {
         System.err.println(s"[bench] warm-up failed: $t")
     }
 
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case t: Throwable => System.err.println(s"[bench] query failed: $t")
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case t: Throwable => System.err.println(s"[bench] query failed: $t"); false
       }
-      (System.nanoTime() - t0) / 1e9
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -70,8 +70,12 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       wanted.isEmpty || wanted(n) || wanted(n.takeWhile(_ != '_'))
     }
+    // a failing query reports the sentinel -1.0, NOT its (near-zero)
+    // fail-fast elapsed time — otherwise a broken query would IMPROVE
+    // the total exactly when it breaks, invisible in the JSON line
     val results = selected.map { case (name, fn) =>
-      name -> median((1 to reps).map(_ => timeOnce(fn)))
+      val samples = (1 to reps).map(_ => timeOnce(fn))
+      name -> (if (samples.forall(_._2)) median(samples.map(_._1)) else -1.0)
     }
     // Short keys (q01_pricing_summary -> q01) + 3dp keep the JSON line
     // well under the driver's output-capture tail so it stays
@@ -83,7 +87,8 @@ object Bench {
     val qs = results.zip(shortKeys).map { case ((k, v), sk) =>
       "\"" + (if (useShort) sk else k) + "\":" + fmt(v)
     }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // failed queries (sentinel -1.0) stay out of the total
+    val total = results.map(_._2).filter(_ >= 0).sum
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
     // stop FIRST so no Spark shutdown logging can trail the metric

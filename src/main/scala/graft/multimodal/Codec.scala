@@ -172,6 +172,9 @@ object Codec {
       id match {
         case "fmt " =>
           if (size < 16 || buf.getShort(off + 8) != 1) return None // PCM only
+          // PCM16 only: accepting 8/24-bit files would let `samples`
+          // silently pair misaligned bytes into garbage shorts
+          if (buf.getShort(off + 22) != 16) return None
           fmt = Some((buf.getShort(off + 10).toInt, buf.getInt(off + 12),
             buf.getShort(off + 22).toInt))
         case "data" =>

@@ -97,17 +97,24 @@ object Multimodal {
   }
 
   /** Frame sampling for video rows: decodes the Y4M container and
-    * emits one row per frame whose display timestamp lands on the
-    * `intervalMs` grid — real frame planes, flatMap explode, no
-    * driver involvement. Undecodable videos emit no rows. */
+    * emits, for every `intervalMs` tick inside the clip, the frame
+    * on display at that tick (idx = tick / frameMs) — so the sample
+    * count is duration/intervalMs at ANY frame rate, not only rates
+    * whose frame duration divides the interval (a modulo-grid test
+    * would emit half the frames at 25 fps and only frame 0 at NTSC
+    * rates). ts_ms is the tick (sample time); frame_idx is the source
+    * frame index, repeated when sampling faster than the frame rate.
+    * Real frame planes, flatMap explode, no driver involvement;
+    * undecodable videos emit no rows. */
   def sampleFrames(media: Dataset[MediaRow], intervalMs: Long = 500L): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.filter(_.meta.media_type == "video").flatMap { m =>
       Codec.decodeY4m(m.content).toSeq.flatMap { y =>
         val frameMs = y.frameMs
-        y.frames.iterator.zipWithIndex.collect {
-          case (planes, idx) if (idx * frameMs) % intervalMs == 0 =>
-            Frame(m.media_id, idx, idx * frameMs, planes)
+        val durationMs = y.frames.size * frameMs
+        (0L until durationMs by intervalMs).map { tick =>
+          val idx = (tick / frameMs).toInt
+          Frame(m.media_id, idx, tick, y.frames(idx))
         }
       }
     }

@@ -39,10 +39,16 @@ object EwmaStream {
 
   /** Day-ordered fold — the ONE kernel both faces run (sort key, day
     * accounting, and the out-of-order guard included, so stream and
-    * batch cannot drift). */
+    * batch cannot drift). Input contract: rows are per-(key, day)
+    * aggregates, i.e. at most one row per day per key — that is what
+    * DayCount means, and what q106's SQL fold (which has no guard)
+    * assumes for the three-way parity. If a caller violates it, the
+    * (day, cnt) sort still makes the outcome DETERMINISTIC: the
+    * smallest count of a duplicated day folds, the rest are flagged
+    * late — same treatment as a cross-batch replay. */
   private def fold(s0: EwmaState, rows: Iterator[DayCount],
                    tau: Double): EwmaState =
-    rows.toSeq.sortBy(_.day.getTime).foldLeft(s0) { (st, r) =>
+    rows.toSeq.sortBy(r => (r.day.getTime, r.cnt)).foldLeft(s0) { (st, r) =>
       if (r.day.getTime <= st.lastDayMs)
         st.copy(late = st.late + 1)
       else {

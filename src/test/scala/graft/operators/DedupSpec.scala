@@ -114,16 +114,23 @@ class DedupSpec extends SparkSpec {
     assert(sh(0L) === sh(1L))
   }
 
-  // LAST on purpose: setCheckpointDir has no public unset, so every
-  // later lineage cut in this shared session uses the reliable path
-  // (correct, just slower) — keep the blast radius to suite tail
   test("reliable checkpoint: configured dir switches cuts to fault-tolerant checkpoints") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
     spark.sparkContext.setCheckpointDir(dir.toString)
-    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val cc = Dedup.connectedComponents(chain).as[(Long, Long)].collect()
-    assert(cc.forall(_._2 == 0L) && cc.length == 10)
-    // the reliable path actually wrote checkpoint data
-    assert(dir.toFile.listFiles.nonEmpty)
+    try {
+      val chain = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      val cc = Dedup.connectedComponents(chain).as[(Long, Long)].collect()
+      assert(cc.forall(_._2 == 0L) && cc.length == 10)
+      // the reliable path actually wrote checkpoint data
+      assert(dir.toFile.listFiles.nonEmpty)
+    } finally {
+      // the session is JVM-shared across suites: restore the
+      // localCheckpoint default (null resets checkpointDir to None in
+      // local mode) and reap the temp dir so repeated test runs don't
+      // accumulate checkpoint data
+      spark.sparkContext.setCheckpointDir(null)
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+    assert(spark.sparkContext.getCheckpointDir.isEmpty)
   }
 }
