@@ -135,6 +135,22 @@ class MultimodalSpec extends SparkSpec {
     assert(sampled0.frame_bytes.toSeq === firstPlanes.toSeq)
   }
 
+  test("frame sampling at a rate that does not divide the interval still covers the clip") {
+    // 25 fps: frameMs=40 never lands on the 500 ms grid except at 0 —
+    // tick-based sampling must still emit duration/interval frames
+    val fs = Codec.y4mFrameSize(8, 8)
+    val frames = Seq.tabulate(50)(f => Array.fill(fs)(f.toByte)) // 2000 ms
+    val row = Seq(Multimodal.MediaRow(7L, "mem://v",
+      Multimodal.MediaMeta("video", 8, 8, 2000L, "y4m"),
+      Codec.encodeY4m(8, 8, 25, 1, frames))).toDS()
+    val sampled = Multimodal.sampleFrames(row, intervalMs = 500L)
+      .collect().sortBy(_.ts_ms)
+    assert(sampled.map(_.ts_ms).toSeq === Seq(0L, 500L, 1000L, 1500L))
+    // the frame on display at each tick: idx = tick / 40
+    assert(sampled.map(_.frame_idx).toSeq === Seq(0, 12, 25, 37))
+    assert(sampled.forall(f => f.frame_bytes(0) === f.frame_idx.toByte))
+  }
+
   test("repartitionBySize balances byte budget across partitions") {
     val media = Multimodal.syntheticMedia(spark, 100).toDF()
       .withColumn("byte_count", length(col("content")))
