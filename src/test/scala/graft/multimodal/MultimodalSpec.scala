@@ -42,6 +42,18 @@ class MultimodalSpec extends SparkSpec {
     assert(dec2.pixels.toSeq === expected)
   }
 
+  test("BMP: randomized round-trips across widths exercise every padding remainder (0-3 bytes)") {
+    val rnd = new scala.util.Random(11)
+    for (w <- 1 to 9; topDown <- Seq(true, false)) {
+      val h = 1 + rnd.nextInt(4)
+      val bgr = new Array[Byte](w * h * 3)
+      rnd.nextBytes(bgr)
+      val dec = Codec.decodeBmp(Codec.encodeBmp(w, h, bgr, topDown)).get
+      assert(dec.width === w && dec.height === h)
+      assert(dec.pixels.toSeq === bgr.toSeq, s"w=$w h=$h topDown=$topDown")
+    }
+  }
+
   test("WAV: canonical file decodes to the exact PCM payload; chunk walk skips extras") {
     val pcm = Array.tabulate(32)(i => (i * 13).toByte)
     val wav = Codec.decodeWav(Codec.encodeWav(1, 8000, pcm)).get
