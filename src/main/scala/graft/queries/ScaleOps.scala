@@ -340,9 +340,71 @@ object ScaleOps {
       .orderBy("query_id", "rank")
   }
 
+  /** Hybrid retrieval with reciprocal-rank fusion (the RAG serving /
+    * curation-triage pattern): a lexical retriever (distinct-token
+    * overlap) and a vector retriever (integer-quantized dot) each
+    * rank the corpus per query; their top-50 lists are fused with
+    * RRF(k=60) = 1/(60+r_lex) + 1/(60+r_vec) over the INTERSECTION of
+    * the lists, and the fused top-10 is returned. Ranks are integers
+    * and each RRF term is one correctly-rounded IEEE division, so the
+    * fusion is trivially hash-exact cross-engine — no score-scale
+    * calibration between retrievers is ever needed (RRF's point).
+    * Scale shape: the lexical retriever is a true INVERTED-INDEX join
+    * — explode distinct tokens to (token, doc) postings, equi-join
+    * query postings, count shared tokens per (query, doc) — keyed
+    * shuffles only, never a per-pair set intersection (a broadcast
+    * crossJoin with array_intersect measured 8× slower at sf0.1 and
+    * would not survive a corpus scale-up at all); only docs sharing
+    * ≥1 term rank, which is what a lexical retriever means. The
+    * vector retriever is the bounded-query-set broadcast scan (q49's
+    * contract). WindowGroupLimit caps each list at 50; fusion is an
+    * equi-join on (query, doc). At production scale the vector side
+    * would swap in its ANN form (q111) with fusion unchanged. */
+  def q112HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        array_distinct(TextAnalysis.tokens(col("text"))).as("toks"))
+    val emb = quantized(s, dir)
+    val q = docs.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"), col("toks").as("qtoks"))
+    val qv2 = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("query_vec").as("qv"))
+    val wLex = Window.partitionBy("query_id")
+      .orderBy(col("overlap").desc, col("doc_id"))
+    val dTok = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val qTok = q.select(col("query_id"), explode(col("qtoks")).as("tok"))
+    val lex = dTok.join(qTok, "tok")
+      .filter(col("query_id") =!= col("doc_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).cast("int").as("overlap"))
+      .withColumn("lex_rank", row_number().over(wLex))
+      .filter(col("lex_rank") <= 50)
+      .select(col("query_id"), col("doc_id"), col("overlap"), col("lex_rank"))
+    val wVec = Window.partitionBy("query_id")
+      .orderBy(col("dot").desc, col("vec_id"))
+    val vec = emb.crossJoin(broadcast(qv2))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("dot", Similarity.dotFast(s, col("query_vec"), col("qv")))
+      .withColumn("vec_rank", row_number().over(wVec))
+      .filter(col("vec_rank") <= 50)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("vec_rank"))
+    val wf = Window.partitionBy("query_id")
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    lex.join(vec, Seq("query_id", "doc_id"))
+      .withColumn("rrf_score",
+        lit(1.0) / (lit(60.0) + col("lex_rank")) +
+          lit(1.0) / (lit(60.0) + col("vec_rank")))
+      .withColumn("rank", row_number().over(wf))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("overlap"),
+        col("lex_rank"), col("vec_rank"), col("rrf_score"))
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "q97_semantic_dedup" -> q97SemanticDedup _,
     "q111_funnel_ann" -> q111FunnelAnn _,
+    "q112_hybrid_rrf" -> q112HybridRrf _,
     "q103_truncated_ann" -> q103TruncatedAnn _,
     "q104_token_chunks" -> q104TokenChunks _,
     "q105_curation_pipeline" -> q105CurationPipeline _,
@@ -454,6 +516,41 @@ object ScaleOps {
          |  SELECT *, ROW_NUMBER() OVER (
          |    PARTITION BY query_id ORDER BY l2_dist, vec_id) AS rank
          |  FROM rr) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q112_hybrid_rrf" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    list_distinct(regexp_split_to_array(lower(trim(text)), ' +')) AS toks
+         |  FROM documents),
+         |e AS (SELECT vec_id, $qv AS v FROM embeddings),
+         |q AS (SELECT doc_id AS query_id, toks AS qtoks FROM d
+         |      WHERE doc_id % 100 = 0),
+         |qv2 AS (SELECT vec_id AS query_id, v AS qv FROM e
+         |      WHERE vec_id % 100 = 0),
+         |lex AS (SELECT * FROM (
+         |  SELECT query_id, doc_id, overlap, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY overlap DESC, doc_id) AS lex_rank
+         |  FROM (SELECT q.query_id, d.doc_id,
+         |          CAST(len(list_intersect(d.toks, q.qtoks)) AS INTEGER) AS overlap
+         |        FROM q, d WHERE d.doc_id != q.query_id
+         |          AND len(list_intersect(d.toks, q.qtoks)) >= 1))
+         |  WHERE lex_rank <= 50),
+         |vec AS (SELECT * FROM (
+         |  SELECT query_id, doc_id, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY dot DESC, doc_id) AS vec_rank
+         |  FROM (SELECT qv2.query_id, e.vec_id AS doc_id,
+         |          CAST(list_dot_product(e.v, qv2.qv) AS BIGINT) AS dot
+         |        FROM qv2, e WHERE e.vec_id != qv2.query_id))
+         |  WHERE vec_rank <= 50),
+         |f AS (SELECT l.query_id, l.doc_id, l.overlap, l.lex_rank, v.vec_rank,
+         |    CAST(1.0 AS DOUBLE)/(60 + l.lex_rank) +
+         |      CAST(1.0 AS DOUBLE)/(60 + v.vec_rank) AS rrf_score
+         |  FROM lex l JOIN vec v
+         |    ON v.query_id = l.query_id AND v.doc_id = l.doc_id)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, overlap,
+         |  CAST(lex_rank AS INTEGER) AS lex_rank,
+         |  CAST(vec_rank AS INTEGER) AS vec_rank, rrf_score
+         |FROM (SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank
+         |  FROM f) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "q111_funnel_ann" ->
       s"""WITH e AS (SELECT vec_id, $qv AS v FROM embeddings),
          |bcodes AS (SELECT vec_id,

@@ -42,6 +42,9 @@ class PlanHygieneSpec extends SparkSpec {
     // funnel stage 1 is the same Hamming scan; stages 2-3 are keyed
     // equi-joins on the shortlist
     "q111_funnel_ann" -> "Hamming scan (broadcast query sign codes)",
+    // both RRF retrievers are the bounded-query-set broadcast scan;
+    // fusion itself is a keyed equi-join
+    "q112_hybrid_rrf" -> "two bounded-query-set retriever scans (RRF)",
     // broadcast range join against a 12-row month dimension — the
     // right shape when the range side is a bounded dim (q13 is the
     // keyed as-of alternative for unbounded right sides)
