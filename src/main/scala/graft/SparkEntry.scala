@@ -47,11 +47,27 @@ object SparkEntry {
     q.Relational.q03StarJoin(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    // a duplicate name across modules would silently SHADOW one query
+    // in the ++ fold — the driver would verify the survivor twice and
+    // the shadowed query never; fail loudly instead
+    val names = queryModules.flatMap(_.keys)
+    val dups = names.diff(names.distinct).distinct
+    require(dups.isEmpty, s"duplicate query names across modules: $dups")
     queryModules.reduce(_ ++ _)
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
-    oracleModules.reduce(_ ++ _)
+  def oracleSql: Map[String, String] = {
+    val names = oracleModules.flatMap(_.keys)
+    val dups = names.diff(names.distinct).distinct
+    require(dups.isEmpty, s"duplicate oracle names across modules: $dups")
+    val merged = oracleModules.reduce(_ ++ _)
+    // an oracle keyed to a name with no registered query is dead SQL
+    // the driver would never run — almost certainly a typo'd rename
+    val orphans = merged.keySet -- queries.keySet
+    require(orphans.isEmpty, s"oracles without a registered query: $orphans")
+    merged
+  }
 }
