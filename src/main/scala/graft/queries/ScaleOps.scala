@@ -350,21 +350,29 @@ object ScaleOps {
     * fusion is trivially hash-exact cross-engine — no score-scale
     * calibration between retrievers is ever needed (RRF's point).
     * Scale shape: the lexical retriever is a true INVERTED-INDEX join
-    * — explode distinct tokens to (token, doc) postings, equi-join
-    * query postings, count shared tokens per (query, doc) — keyed
-    * shuffles only, never a per-pair set intersection (a broadcast
-    * crossJoin with array_intersect measured 8× slower at sf0.1 and
-    * would not survive a corpus scale-up at all); only docs sharing
-    * ≥1 term rank, which is what a lexical retriever means. The
-    * vector retriever is the bounded-query-set broadcast scan (q49's
+    * — explode distinct tokens to (token, doc) postings, PRUNE hot
+    * postings (document frequency > N/10: stopword-grade tokens whose
+    * lists grow with the corpus and carry no discriminative signal —
+    * without the cap, "the"'s posting list alone fans the join out by
+    * |docs containing it| × |queries|), equi-join query postings,
+    * count shared RARE tokens per (query, doc) — keyed shuffles only,
+    * never a per-pair set intersection (a broadcast crossJoin with
+    * array_intersect measured 8× slower at sf0.1 and would not
+    * survive a corpus scale-up at all); only docs sharing ≥1 rare
+    * term rank, which is what a lexical retriever means. The vector
+    * retriever is the bounded-query-set broadcast scan (q49's
     * contract). WindowGroupLimit caps each list at 50; fusion is an
     * equi-join on (query, doc). At production scale the vector side
-    * would swap in its ANN form (q111) with fusion unchanged. */
+    * would swap in its ANN form (q111) with fusion unchanged.
+    *
+    * EAGER at build time (like q98/q105): one count() sizes the df
+    * cap. */
   def q112HybridRrf(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"),
         array_distinct(TextAnalysis.tokens(col("text"))).as("toks"))
     val emb = quantized(s, dir)
+    val maxDf = math.max(1L, docs.count() / 10)
     val q = docs.filter(col("doc_id") % 100 === 0)
       .select(col("doc_id").as("query_id"), col("toks").as("qtoks"))
     val qv2 = emb.filter(col("vec_id") % 100 === 0)
@@ -372,8 +380,11 @@ object ScaleOps {
     val wLex = Window.partitionBy("query_id")
       .orderBy(col("overlap").desc, col("doc_id"))
     val dTok = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val rare = dTok.groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("tok")
+    val dTokF = dTok.join(rare, "tok")
     val qTok = q.select(col("query_id"), explode(col("qtoks")).as("tok"))
-    val lex = dTok.join(qTok, "tok")
+    val lex = dTokF.join(qTok, "tok")
       .filter(col("query_id") =!= col("doc_id"))
       .groupBy("query_id", "doc_id")
       .agg(count(lit(1)).cast("int").as("overlap"))
@@ -525,13 +536,17 @@ object ScaleOps {
          |      WHERE doc_id % 100 = 0),
          |qv2 AS (SELECT vec_id AS query_id, v AS qv FROM e
          |      WHERE vec_id % 100 = 0),
+         |post AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+         |rare AS (SELECT tok FROM (SELECT tok, COUNT(*) AS df FROM post GROUP BY tok)
+         |         WHERE df <= (SELECT GREATEST(1, COUNT(*)//10) FROM d)),
+         |postf AS (SELECT p.doc_id, p.tok FROM post p JOIN rare r ON r.tok = p.tok),
+         |qpost AS (SELECT doc_id AS query_id, tok FROM post WHERE doc_id % 100 = 0),
          |lex AS (SELECT * FROM (
          |  SELECT query_id, doc_id, overlap, ROW_NUMBER() OVER (
          |      PARTITION BY query_id ORDER BY overlap DESC, doc_id) AS lex_rank
-         |  FROM (SELECT q.query_id, d.doc_id,
-         |          CAST(len(list_intersect(d.toks, q.qtoks)) AS INTEGER) AS overlap
-         |        FROM q, d WHERE d.doc_id != q.query_id
-         |          AND len(list_intersect(d.toks, q.qtoks)) >= 1))
+         |  FROM (SELECT qp.query_id, p.doc_id, CAST(COUNT(*) AS INTEGER) AS overlap
+         |        FROM qpost qp JOIN postf p ON p.tok = qp.tok
+         |        WHERE p.doc_id != qp.query_id GROUP BY 1, 2))
          |  WHERE lex_rank <= 50),
          |vec AS (SELECT * FROM (
          |  SELECT query_id, doc_id, ROW_NUMBER() OVER (
