@@ -33,6 +33,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         KmvSketchAgg(children.head, k)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_mg_sketch"),
+      new ExpressionInfo(classOf[MisraGriesAgg].getName, "graft_mg_sketch"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_mg_sketch requires exactly (value, capacity literal) arguments, got ${children.length}")
+        val cap = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) =>
+            require(v >= 1 && v <= Int.MaxValue,
+              s"graft_mg_sketch capacity must fit a positive Int, got $v")
+            v.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_mg_sketch capacity must be an integer literal, got $other")
+        }
+        MisraGriesAgg(children.head, cap)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(classOf[BloomFilterAgg].getName, "graft_bloom_agg"),
       (children: Seq[Expression]) => {

@@ -412,8 +412,24 @@ object ScaleOps {
       .orderBy("query_id", "rank")
   }
 
+  /** Exact corpus-wide frequent tokens via the two-pass Misra-Gries
+    * funnel (operators.HeavyHitters): bounded-state sketch pass
+    * (≤1024 pairs per task in the shuffle — never the token stream)
+    * finds a guaranteed-superset candidate list, then an exact
+    * recount of candidates only. minSupport 0.002 > 1/1025 keeps the
+    * funnel lossless, so the output is the exact HAVING-threshold
+    * answer the oracle recomputes with a full GROUP BY. */
+  def q113HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("item"))
+    graft.operators.HeavyHitters
+      .frequentItems(toks, "item", minSupport = 0.002, capacity = 1024)
+      .orderBy(col("freq").desc, col("item"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q97_semantic_dedup" -> q97SemanticDedup _,
+    "q113_heavy_hitters" -> q113HeavyHitters _,
     "q111_funnel_ann" -> q111FunnelAnn _,
     "q112_hybrid_rrf" -> q112HybridRrf _,
     "q103_truncated_ann" -> q103TruncatedAnn _,
@@ -452,6 +468,16 @@ object ScaleOps {
   private def qualitySql = Extended.qualitySql
 
   val oracles: Map[String, String] = Map(
+    "q113_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(lower(trim(text)), ' +')) AS item
+        |  FROM documents),
+        |tot AS (SELECT COUNT(*) AS n FROM toks)
+        |SELECT item, COUNT(*) AS freq, n
+        |FROM toks, tot
+        |GROUP BY item, n
+        |HAVING CAST(COUNT(*) AS DOUBLE) >= 0.002 * n
+        |ORDER BY freq DESC, item""".stripMargin,
     "q97_semantic_dedup" ->
       s"""WITH e AS (SELECT vec_id, $qv AS v FROM embeddings),
          |c0 AS (SELECT vec_id AS cid, v AS cv FROM e

@@ -1,0 +1,84 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.operators.HeavyHitters
+import org.apache.spark.sql.functions._
+
+class FreqSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Heavy-tail skew: 5 hot keys at 2000 rows each over a 20k-key
+    * singleton tail — the shape MG exists for (distinct count 20005
+    * vastly exceeds any sane capacity, so decrements really fire). */
+  private def zipf = spark.range(0, 30000)
+    .select(
+      when(col("id") % 3 === 0, concat(lit("hot"), col("id") % 5))
+        .otherwise(concat(lit("tail"), col("id")))
+        .as("item"))
+
+  test("exact regime: distinct <= capacity makes the sketch the exact frequency table") {
+    val df = spark.range(0, 10000)
+      .select(concat(lit("k"), col("id") % 50).as("item"))
+    val sk = df.agg(call_function("graft_mg_sketch", col("item"), lit(64)).as("sk"))
+      .select(explode(col("sk")).as("c"))
+      .select(col("c.item").as("item"), col("c.lb").as("lb"))
+      .as[(String, Long)].collect().toMap
+    val exact = df.groupBy("item").count().as[(String, Long)].collect().toMap
+    assert(sk == exact)
+  }
+
+  test("MG bound: every stored lb undercounts by at most n/(capacity+1), never overcounts") {
+    val cap = 32
+    val n = zipf.count()
+    val exact = zipf.groupBy("item").count().as[(String, Long)].collect().toMap
+    val sk = zipf.repartition(7)
+      .agg(call_function("graft_mg_sketch", col("item"), lit(cap)).as("sk"))
+      .select(explode(col("sk")).as("c"))
+      .select(col("c.item").as("item"), col("c.lb").as("lb"))
+      .as[(String, Long)].collect().toMap
+    assert(sk.nonEmpty && sk.size <= cap)
+    val slack = n.toDouble / (cap + 1)
+    sk.foreach { case (item, lb) =>
+      val t = exact(item)
+      assert(lb <= t, s"$item: lb $lb overcounts true $t")
+      assert(t - lb <= slack, s"$item: undercount ${t - lb} exceeds bound $slack")
+    }
+    // the superset guarantee: every true heavy item is stored
+    exact.filter(_._2 > slack).keys.foreach { item =>
+      assert(sk.contains(item), s"true heavy hitter $item missing from sketch")
+    }
+  }
+
+  test("frequentItems is exact and partition-invariant despite the sketch's merge-order noise") {
+    val support = 0.01
+    val exact = zipf.groupBy("item").agg(count(lit(1)).as("freq"))
+      .filter(col("freq").cast("double") >= lit(support) * zipf.count())
+      .as[(String, Long)].collect().toMap
+    def run(parts: Int) =
+      HeavyHitters.frequentItems(zipf.repartition(parts), "item", support, capacity = 256)
+        .select(col("item"), col("freq")).as[(String, Long)].collect().toMap
+    val r1 = run(1)
+    val r13 = run(13)
+    assert(r1 == exact, "two-pass funnel must match the full groupBy answer")
+    assert(r13 == exact, "result must not depend on input partitioning")
+  }
+
+  test("frequentItems rejects a support below the lossless bound") {
+    val e = intercept[IllegalArgumentException] {
+      HeavyHitters.frequentItems(zipf, "item", minSupport = 0.0001, capacity = 256)
+    }
+    assert(e.getMessage.contains("lossless"))
+  }
+
+  test("sketch state survives serialization (buffer spill path) byte-exactly") {
+    val agg = MisraGriesAgg(org.apache.spark.sql.catalyst.expressions.Literal("x"), 8)
+    val buf = agg.createAggregationBuffer()
+    Seq("a", "b", "a", "c", "a", "b").foreach { s =>
+      val cur = buf.get(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      buf.put(org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        if (cur == null) 1L else cur + 1L)
+    }
+    val rt = agg.deserialize(agg.serialize(buf))
+    assert(rt == buf)
+  }
+}
