@@ -221,6 +221,28 @@ object Extended {
       .orderBy("user_id")
   }
 
+  /** Zone-map file skipping under the oracle gate: orders commit as a
+    * range-clustered snapshot with per-file min/max stats
+    * (SnapshotTable.commitWithStats), then a closed-range predicate
+    * reads ONLY the files whose zone can match (readPruned) — the
+    * Iceberg manifest-stats scan path. The oracle recomputes from the
+    * raw table, so pruning must lose no row; the companion spec
+    * asserts files are actually skipped. EAGER at build time like
+    * q74: constructing this DataFrame writes the snapshot fixture. */
+  def q114ZonemapScan(s: SparkSession, dir: String): DataFrame = {
+    val path = "/root/repo/target/snapshot_fixture/orders_zoned"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    graft.sources.SnapshotTable.commitWithStats(
+      s, Tables.orders(s, dir).repartitionByRange(8, col("o_totalprice")),
+      path, Seq("o_totalprice"), nowMs = 1000)
+    graft.sources.SnapshotTable
+      .readPruned(s, path, "o_totalprice", 1000.0, 5000.0)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("order_count"),
+        dsum(col("o_totalprice")).as("total_price"))
+      .orderBy("status")
+  }
+
   /** TF-IDF top-3 terms per document: explode → term counts → doc
     * frequency → idf → rank. Two shuffles (doc terms, term df) —
     * both on bounded keys. Scores rounded to 6dp BEFORE ranking so
@@ -307,6 +329,7 @@ object Extended {
     "q55_merge_emulation" -> q55MergeEmulation _,
     "q56_tfidf" -> q56TfIdf _,
     "q74_snapshot_timetravel" -> q74SnapshotTimetravel _,
+    "q114_zonemap_scan" -> q114ZonemapScan _,
   )
 
   /** DuckDB replica of TextAnalysis.qualityScore — shared by every
@@ -462,6 +485,12 @@ object Extended {
          |SELECT doc_id, quality_score, median_score
          |FROM scored, cut WHERE quality_score >= median_score
          |ORDER BY doc_id""".stripMargin,
+    "q114_zonemap_scan" ->
+      """SELECT o_orderstatus AS status, COUNT(*) AS order_count,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |WHERE o_totalprice BETWEEN 1000.0 AND 5000.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q74_snapshot_timetravel" ->
       """WITH cur AS (
         |  SELECT event_id, user_id,

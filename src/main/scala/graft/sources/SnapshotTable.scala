@@ -60,6 +60,100 @@ object SnapshotTable {
     v
   }
 
+  // ---- zone maps: per-file min/max stats + file-skipping reads ----
+  // The Iceberg manifest-stats analog: at 100 TB a range predicate
+  // should open only the files whose [min,max] can match, not every
+  // footer in the table. Stats live in `_zonemap.json` INSIDE the
+  // version's data directory — Spark's file index ignores
+  // underscore-prefixed files, expire() reaps stats with their data
+  // directory, and a rollback'd version keeps the stats it was
+  // written with.
+
+  /** Per-file numeric column range; files absent from the zone map
+    * (all-null column, or written without stats) can never be pruned. */
+  case class ZoneEntry(file: String, col: String, min: Double, max: Double)
+
+  private def zonemapPath(path: String, s: Snapshot): Path =
+    Paths.get(dataDir(path, s), "_zonemap.json")
+
+  def zonemap(path: String, s: Snapshot): Seq[ZoneEntry] = {
+    val zm = zonemapPath(path, s)
+    if (!Files.exists(zm)) return Seq.empty
+    val re = """\{"file":"([^"]+)","col":"([^"]+)","min":([-0-9.eE]+),"max":([-0-9.eE]+)\}""".r
+    re.findAllMatchIn(Files.readString(zm))
+      .map(m => ZoneEntry(m.group(1), m.group(2), m.group(3).toDouble, m.group(4).toDouble))
+      .toSeq
+  }
+
+  /** Commit + write a zone map over `statsCols` (numeric columns):
+    * one extra scan of the freshly written files computes per-file
+    * min/max. Pair with a range-clustered write (repartitionByRange /
+    * Zorder) — stats on files with interleaved values prune nothing. */
+  def commitWithStats(spark: SparkSession, df: DataFrame, path: String,
+                      statsCols: Seq[String],
+                      nowMs: Long = System.currentTimeMillis()): Long = {
+    import org.apache.spark.sql.functions._
+    val v = commit(spark, df, path, nowMs)
+    val snap = snapshots(path).find(_.version == v).get
+    val written = spark.read.parquet(dataDir(path, snap))
+    val aggs = statsCols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"min_$c"),
+      max(col(c).cast("double")).as(s"max_$c")))
+    val rows = written
+      .groupBy(element_at(split(input_file_name(), "/"), -1).as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // one row per written FILE — bounded by the write's task count
+    val entries = rows.flatMap { r =>
+      val file = r.getString(0)
+      statsCols.flatMap { c =>
+        val (mn, mx) = (r.getAs[Any](s"min_$c"), r.getAs[Any](s"max_$c"))
+        if (mn == null || mx == null) None // all-null file: unprunable
+        else Some(s"""{"file":"$file","col":"$c","min":${mn.asInstanceOf[Double]},"max":${mx.asInstanceOf[Double]}}""")
+      }
+    }
+    Files.writeString(zonemapPath(path, snap), entries.mkString("[", ",", "]"))
+    v
+  }
+
+  /** The current snapshot's parquet files partitioned into
+    * (kept, pruned) for a closed-range predicate on `colName` —
+    * a file survives unless its zone-map range PROVABLY misses
+    * [lo, hi]. Exposed for pruning assertions; readPruned is the
+    * query path. */
+  def pruneFiles(path: String, colName: String,
+                 lo: Double, hi: Double): (Seq[String], Seq[String]) = {
+    val snap = snapshots(path).last
+    val dir = dataDir(path, snap)
+    val ranges = zonemap(path, snap).filter(_.col == colName)
+      .map(e => e.file -> e).toMap
+    val all = Files.list(Paths.get(dir)).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(f => f.endsWith(".parquet") && !f.startsWith("_") && !f.startsWith("."))
+      .toSeq.sorted
+    all.partition(f => ranges.get(f) match {
+      case Some(e) => !(e.max < lo || e.min > hi) // overlap ⇒ must read
+      case None => true // no stats ⇒ can't prove absence ⇒ must read
+    })
+  }
+
+  /** Read the current snapshot touching only files whose zone-map
+    * range can contain `colName` ∈ [lo, hi]. Sound only under the
+    * caller's matching filter (pruning drops whole files, not rows:
+    * kept files still hold out-of-range rows, and rows with NULL
+    * `colName` never match a range predicate anyway), so the range
+    * filter is applied here rather than trusted to the caller. */
+  def readPruned(spark: SparkSession, path: String, colName: String,
+                 lo: Double, hi: Double): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val snap = snapshots(path).last
+    val dir = dataDir(path, snap)
+    val (kept, _) = pruneFiles(path, colName, lo, hi)
+    val base =
+      if (kept.isEmpty) spark.read.parquet(dir).limit(0) // schema-preserving empty
+      else spark.read.parquet(kept.map(f => s"$dir/$f"): _*)
+    base.filter(col(colName).cast("double").between(lo, hi))
+  }
+
   private def dataDir(path: String, s: Snapshot): String = s"$path/${s.dir}"
 
   /** Read the current snapshot. */

@@ -25,6 +25,7 @@ class PlanHygieneSpec extends SparkSpec {
     "q07_row_count_anomaly" -> "cross join of two 1-row aggregates",
     "q54_quality_filter" -> "broadcast of a 1-row percentile cut",
     "q20_zscore_anomaly" -> "broadcast of a 1-row moments aggregate",
+    "q113_heavy_hitters" -> "broadcast of the 1-row (sketch, n) aggregate",
     // brute-force scorers: the broadcast side is the bounded query
     // set — the contract of top-k search (PLANS.md)
     "q49_cosine_topk" -> "broadcast query set vs corpus (exact baseline)",

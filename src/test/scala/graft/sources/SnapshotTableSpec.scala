@@ -76,6 +76,45 @@ class SnapshotTableSpec extends SparkSpec {
     intercept[NoSuchElementException](SnapshotTable.readVersion(spark, path, 2))
   }
 
+  test("zone map: range-clustered files outside the predicate range are skipped, result is lossless") {
+    val path = tmp()
+    // 8 range-clustered files over v=0..7999 → each file spans ~1000
+    val df = spark.range(0, 8000)
+      .select(col("id"), (col("id") % 97).as("tag"), col("id").cast("double").as("v"))
+      .repartitionByRange(8, col("v"))
+    SnapshotTable.commitWithStats(spark, df, path, Seq("v"), nowMs = 1000)
+    val (kept, pruned) = SnapshotTable.pruneFiles(path, "v", 2100.0, 2900.0)
+    assert(pruned.nonEmpty, "a narrow range over range-clustered files must skip files")
+    // an ~800-wide range over ~1000-wide file spans touches at most 3 files
+    assert(kept.size <= 3, s"expected <=3 of 8 files kept, got ${kept.size}")
+    val got = SnapshotTable.readPruned(spark, path, "v", 2100.0, 2900.0)
+      .select("id").as[Long].collect().sorted
+    assert(got === (2100L to 2900L).toArray, "pruning must lose no matching row")
+    // the zone map sidecar must be invisible to a plain snapshot read
+    assert(SnapshotTable.read(spark, path).count() === 8000)
+  }
+
+  test("zone map: files without stats (all-null column) are never pruned; empty overlap keeps schema") {
+    val path = tmp()
+    val df = spark.range(0, 100)
+      .select(col("id"),
+        when(col("id") < 50, col("id").cast("double")).as("v"))
+      .repartitionByRange(4, col("v"))
+    SnapshotTable.commitWithStats(spark, df, path, Seq("v"), nowMs = 1000)
+    // the all-null file carries no zone entry → must be in every kept set
+    val (kept, _) = SnapshotTable.pruneFiles(path, "v", 1e9, 2e9)
+    val zm = SnapshotTable.zonemap(path, SnapshotTable.snapshots(path).last)
+    val statless = kept.filterNot(f => zm.exists(_.file == f))
+    assert(statless.nonEmpty, "null-only files have no stats and must survive pruning")
+    // no rows can match, but the frame must still have the right schema
+    val empty = SnapshotTable.readPruned(spark, path, "v", 1e9, 2e9)
+    assert(empty.columns.toSeq === Seq("id", "v") && empty.count() === 0)
+    // rollback to the same version keeps serving pruned reads (stats
+    // live inside the data dir, so they travel with it)
+    SnapshotTable.rollback(spark, path, 1, nowMs = 2000)
+    assert(SnapshotTable.readPruned(spark, path, "v", 10.0, 12.0).count() === 3)
+  }
+
   test("mergeSnapshot: keep-latest merge with time-travelable history, idempotent replay") {
     val path = tmp()
     val day1 = Seq(("k1", 1L, "a"), ("k2", 1L, "b")).toDF("id", "v", "p")
