@@ -224,8 +224,28 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Salted two-phase aggregation (operators.Skew) under the oracle
+    * gate: l_returnflag is a pathologically hot grouping key (3
+    * values over the whole fact table — every row funnels into 3
+    * reducers in the naive plan), so partials aggregate on
+    * (key, salt) across 16 reducers per key first, then combine on
+    * the key. The value is pre-cast to DECIMAL so the partial sums
+    * are associative-exact and the salted result hashes identically
+    * to the oracle's plain GROUP BY. */
+  def q115SaltedAgg(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("decimal(18,2)").as("qty"))
+    graft.operators.Skew.saltedSumCount(li, Seq("l_returnflag"), "qty", salts = 16)
+      .select(col("l_returnflag").as("flag"),
+        col("sum_qty").cast("double").as("sum_qty"),
+        col("row_count"))
+      .orderBy("flag")
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
+    "q115_salted_agg" -> q115SaltedAgg _,
     "q02_filter_project" -> q02FilterProject _,
     "q03_star_join" -> q03StarJoin _,
     "q04_left_join_agg" -> q04LeftJoinAgg _,
@@ -239,6 +259,11 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q115_salted_agg" ->
+      """SELECT l_returnflag AS flag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS row_count
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
