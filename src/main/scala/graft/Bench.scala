@@ -58,7 +58,20 @@ object Bench {
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case t: Throwable => System.err.println(s"[bench] query failed: $t"); false
       }
-      ((System.nanoTime() - t0) / 1e9, ok)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // free leaked block-manager state AFTER the timer: persist-based
+      // operators (PrefixSum's sorted input, connectedComponents'
+      // localCheckpoints) cannot unpersist their own output's lineage,
+      // and across 115 queries x reps the pinned blocks inflate later
+      // timers through GC pressure. Queries are independent — in
+      // production each runs in its own session — so nothing here is
+      // needed again (the next rep rebuilds its plan from scratch).
+      try {
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.valuesIterator
+          .foreach(_.unpersist(blocking = false))
+      } catch { case t: Throwable => System.err.println(s"[bench] cache sweep failed: $t") }
+      (elapsed, ok)
     }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
