@@ -68,10 +68,37 @@ object SemanticDedup {
   def kmeans(corpus: DataFrame, k: Int, iters: Int): Array[(Long, Array[Long])] = {
     require(k <= MaxDriverCentroids,
       s"k=$k exceeds the driver-codebook ceiling $MaxDriverCentroids " +
-        "(collect+literal path; use a codebook table + keyed join at this scale)")
+        "(collect+literal path; use assignByJoin with a codebook table at this scale)")
     var cents = Similarity.ivfCentroids(corpus, k)
     (0 until iters).foreach(_ => cents = lloydStep(corpus, cents))
     cents
+  }
+
+  /** The implemented beyond-[[MaxDriverCentroids]] path: nearest-
+    * centroid assignment against a codebook TABLE (cid, cv) instead
+    * of a plan literal. The codebook ships once per executor as a
+    * broadcast relation (no per-task serialized-plan blowup, no
+    * Janino ceiling); scoring streams through codegen; the argmax is
+    * a lexicographic max of struct(score, -cid) — bit-identical
+    * semantics to [[Similarity.ivfAssignExpr]] (same exact integer
+    * dot, same sqrt, ties → smallest cid), which the spec pins.
+    *
+    * Cost vs the literal path: the n×k scored stream never
+    * materializes, but the per-vector argmax is one extra keyed
+    * shuffle of n (vec_id, partial-max) rows, and the caller joins
+    * the (vec_id, cluster) assignment back to the corpus — the price
+    * of a codebook too big to inline. Returns (vec_id, cluster). */
+  def assignByJoin(corpus: DataFrame, cents: DataFrame): DataFrame = {
+    val sp = corpus.sparkSession
+    val dot = Similarity.dotFast(sp, _: Column, _: Column)
+    corpus.select(col("vec_id"), col("query_vec"))
+      .join(broadcast(cents.select(col("cid"), col("cv"))))
+      .withColumn("_score",
+        dot(col("query_vec"), col("cv")).cast("double") /
+          sqrt(dot(col("cv"), col("cv")).cast("double")))
+      .groupBy(col("vec_id"))
+      .agg((-max(struct(col("_score").as("s"), (-col("cid")).as("n")))
+        .getField("n")).as("cluster"))
   }
 
   /** Cluster the corpus, then flag every vector that has a SMALLER-id

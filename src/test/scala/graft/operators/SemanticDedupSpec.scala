@@ -63,6 +63,27 @@ class SemanticDedupSpec extends SparkSpec {
     assert(oneCluster.map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("assignByJoin (codebook-as-table scale path) matches the literal-codebook assignment") {
+    import spark.implicits._
+    // a REAL corpus slice, so scores include ties-adjacent values and
+    // negative components — not just the synthetic fixture
+    val real = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("query_vec"))
+    val cents = Similarity.ivfCentroids(real, 16)
+    val viaLiteral = real
+      .withColumn("cluster", Similarity.ivfAssignExpr(spark, col("query_vec"), cents))
+      .select(col("vec_id"), col("cluster"))
+      .as[(Long, Long)].collect().toMap
+    val centTable = cents.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
+      .toDF("cid", "cv")
+    def viaJoin(parts: Int) =
+      SemanticDedup.assignByJoin(real.repartition(parts), centTable)
+        .as[(Long, Long)].collect().toMap
+    assert(viaJoin(2) == viaLiteral,
+      "table-join assignment must be bit-identical to the plan-literal path")
+    assert(viaJoin(7) == viaLiteral, "and independent of input partitioning")
+  }
+
   test("driver-codebook ceiling guard fires before any cluster work") {
     val e = intercept[IllegalArgumentException] {
       SemanticDedup.kmeans(corpus, k = SemanticDedup.MaxDriverCentroids + 1, iters = 1)
