@@ -155,8 +155,37 @@ object Temporal {
       .orderBy("month_start")
   }
 
+  /** Conversion funnel: per user, first signup → first purchase at or
+    * after it → 7-day conversion flag. Two keyed shuffles (the
+    * per-user first-stage aggregate, then the stage-2 candidate join
+    * on user_id — per-user event counts bound the join's in-key term,
+    * the same argument as q91's order-key blocking). The classic
+    * ordered-sequence analytics shape: every later stage only ever
+    * joins against the (smaller) earlier stage's firsts. */
+  def q116Funnel(s: SparkSession, dir: String): DataFrame = {
+    val week_us = 7L * 86400L * 1000000L
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    val signups = ev
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "signup", col("ts_us"))).as("first_signup_us"))
+      .filter(col("first_signup_us").isNotNull)
+    val firstPurchase = ev.filter(col("event_type") === "purchase")
+      .join(signups, "user_id")
+      .filter(col("ts_us") >= col("first_signup_us"))
+      .groupBy("user_id")
+      .agg(min(col("ts_us")).as("first_purchase_us"))
+    signups.join(firstPurchase, Seq("user_id"), "left")
+      .select(col("user_id"), col("first_signup_us"), col("first_purchase_us"),
+        (col("first_purchase_us").isNotNull &&
+          col("first_purchase_us") <= col("first_signup_us") + week_us)
+          .as("converted_7d"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q12_date_spine" -> q12DateSpine _,
+    "q116_funnel" -> q116Funnel _,
     "q13_asof_join" -> q13AsofJoin _,
     "q16_datetime_parts" -> q16DatetimeParts _,
     "q19_monthly_rollup" -> q19MonthlyRollup _,
@@ -166,6 +195,25 @@ object Temporal {
   )
 
   val oracles: Map[String, String] = Map(
+    "q116_funnel" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+        |      AS first_signup_us
+        |  FROM events GROUP BY 1
+        |  HAVING MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+        |    IS NOT NULL),
+        |p AS (
+        |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS first_purchase_us
+        |  FROM events e JOIN s ON s.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND epoch_us(e.ts) >= s.first_signup_us
+        |  GROUP BY 1)
+        |SELECT s.user_id, s.first_signup_us, p.first_purchase_us,
+        |  COALESCE(p.first_purchase_us <= s.first_signup_us + 604800000000,
+        |           FALSE) AS converted_7d
+        |FROM s LEFT JOIN p ON p.user_id = s.user_id
+        |ORDER BY s.user_id""".stripMargin,
     "q12_date_spine" ->
       """SELECT d AS date_day,
         |  CAST(strftime(d, '%Y%m%d') AS INTEGER) AS date_key,
