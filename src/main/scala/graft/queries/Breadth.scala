@@ -328,8 +328,51 @@ object Breadth {
       .orderBy("customer_id")
   }
 
+  /** Market-basket pair mining (the pairwise A-priori step): top
+    * co-occurring part pairs across orders. The pair join is blocked
+    * on the order key — in-block pairs are bounded by lines-per-order
+    * (≤7 in this schema), the same quadratic-containment argument as
+    * q91 — and the final top-k is a TakeOrderedAndProject with a full
+    * (count, part_a, part_b) tiebreak so LIMIT is deterministic. */
+  def q117BasketPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("order_id"), col("l_partkey"))
+      .distinct() // an order can repeat a part across lines
+    val a = d.select(col("order_id"), col("l_partkey").as("part_a"))
+    val b = d.select(col("order_id"), col("l_partkey").as("part_b"))
+    a.join(b, Seq("order_id"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("part_a"), col("part_b"))
+      .limit(25)
+  }
+
+  /** Cohort retention grid: users bucketed by first-signup week, and
+    * for each (cohort, week-offset) the distinct users active that
+    * week — the classic retention triangle. Shuffles: per-user first
+    * aggregate, the user-keyed cohort join, then the bounded
+    * (cohort, offset) grid aggregate. */
+  def q118CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        date_trunc("week", col("ts")).cast("date").as("week"))
+    val cohorts = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    val activity = ev.select(col("user_id"), col("week")).distinct()
+    activity.join(cohorts, "user_id")
+      .filter(col("week") >= col("cohort_week"))
+      .withColumn("week_offset",
+        (datediff(col("week"), col("cohort_week")) / 7).cast("int"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   val queries: Map[String, Q] = Map(
     "q95_value_range_frame" -> q95ValueRangeFrame _,
+    "q117_basket_pairs" -> q117BasketPairs _,
+    "q118_cohort_retention" -> q118CohortRetention _,
     "q96_map_ops" -> q96MapOps _,
     "q83_fuzzy_match" -> q83FuzzyMatch _,
     "q87_schema_drift_union" -> q87SchemaDriftUnion _,
@@ -346,6 +389,31 @@ object Breadth {
   )
 
   val oracles: Map[String, String] = Map(
+    "q117_basket_pairs" ->
+      """WITH d AS (
+        |  SELECT DISTINCT l_orderkey AS order_id, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |  COUNT(*) AS pair_count
+        |FROM d a JOIN d b
+        |  ON a.order_id = b.order_id AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2
+        |ORDER BY pair_count DESC, part_a, part_b
+        |LIMIT 25""".stripMargin,
+    "q118_cohort_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    CAST(date_trunc('week', ts) AS DATE) AS week
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, MIN(week) AS cohort_week FROM e
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, week FROM e)
+        |SELECT c.cohort_week,
+        |  CAST((a.week - c.cohort_week) // 7 AS INTEGER) AS week_offset,
+        |  COUNT(DISTINCT a.user_id) AS active_users
+        |FROM a JOIN c ON c.user_id = a.user_id
+        |WHERE a.week >= c.cohort_week
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q96_map_ops" ->
       """WITH c AS (
         |  SELECT o_custkey AS customer_id, o_orderstatus AS status,

@@ -129,6 +129,22 @@ object Checks {
       v => baseline == 0 || math.abs(v - baseline) / baseline.toDouble <= tolerancePct,
       baseline.toDouble, severity)
 
+  /** Attach scan-free pipeline metrics to a DataFrame via Spark's
+    * observe() API: row count plus a null counter per required
+    * column, collected as accumulator side-output of whatever action
+    * the caller runs next (the write itself at 100 TB) — the
+    * reference's per-run row-count/null metrics
+    * (pipeline_observability.py:120-173) WITHOUT the second scan
+    * those metrics cost there. Read results from `obs.get` after the
+    * action; the returned frame is the input, untouched. */
+  def withObservedMetrics(df: DataFrame, obs: org.apache.spark.sql.Observation,
+                          requiredCols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("rows") +:
+      requiredCols.map(c =>
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
+    df.observe(obs, aggs.head, aggs.tail: _*)
+  }
+
   /** Schema diff vs an expected column set (reference
     * pipeline_observability.py:210-277) — driver-side, no scan. */
   def schemaDiff(df: DataFrame, expected: Set[String]): (Set[String], Set[String]) = {

@@ -115,6 +115,22 @@ class TelecomPipelineSpec extends SparkSpec {
     results.foreach(r => assert(r.passed, r.toString))
   }
 
+  test("observed metrics ride the action for free and match a direct computation") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("a"), Some(1.0)), (2L, None, Some(2.0)),
+      (3L, Some("c"), None), (4L, None, None)
+    ).toDF("id", "name", "score")
+    val obs = new org.apache.spark.sql.Observation("silver_metrics")
+    val observed = Checks.withObservedMetrics(df, obs, Seq("name", "score"))
+    // the observation must not perturb the data it watches
+    assert(observed.collect().length === 4)
+    val m = obs.get
+    assert(m("rows") === 4L)
+    assert(m("nulls_name") === 2L)
+    assert(m("nulls_score") === 2L)
+  }
+
   test("volumeZscore flags a spiked latest day against exact history moments") {
     import java.sql.Date
     val steady = (1 to 20).map(d => (Date.valueOf(f"2024-01-$d%02d"), 1000L + (d % 3)))
