@@ -237,10 +237,16 @@ object Similarity {
     * points share: ADC shortlist then exact-L2 re-rank. */
   def pqTopKWith(corpus: DataFrame, queries: DataFrame, k: Int,
                  sub: Array[Array[(Array[Long], Long)]], m: Int, dim: Int,
-                 shortlist: Int): DataFrame = {
+                 shortlist: Int): DataFrame =
+    exactL2Rerank(pqShortlist(corpus, queries, sub, m, dim / m, shortlist),
+      corpus, queries, k)
+
+  /** Exact-L2 re-rank of an (query_id, vec_id, approx_dist)
+    * candidate set: fetch full vectors for candidates only, keep the
+    * k best per query by integer-exact L2. */
+  private def exactL2Rerank(cands: DataFrame, corpus: DataFrame,
+                            queries: DataFrame, k: Int): DataFrame = {
     val sp = corpus.sparkSession
-    val cands = pqShortlist(corpus, queries, sub, m, dim / m, shortlist)
-    // exact re-rank of the shortlist only: fetch full vectors by id
     val c2 = corpus.select(col("vec_id"), col("query_vec"),
       dotFast(sp, col("query_vec"), col("query_vec")).as("_n2c"))
     val q2 = queries.select(col("query_id"), col("qvec"),
@@ -254,6 +260,45 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"),
         col("l2_dist"), col("approx_dist"))
+  }
+
+  /** IVF-PQ: the canonical web-scale ANN index (FAISS "IVFx,PQy") —
+    * a coarse quantizer prunes the scan to nprobe of numCentroids
+    * inverted lists, PQ-ADC scores ONLY those lists' codes, and the
+    * exact-L2 re-rank touches `shortlist` full vectors per query.
+    * Composes the q75 pruning stage with the q101 compression stage;
+    * unlike both, the candidate stage here is a broadcast HASH join
+    * on the list id (|Q|·nprobe probe rows with their distance
+    * tables), not a cross join — so the scanned fraction is
+    * ~nprobe/numCentroids AND per-pair cost is m table lookups.
+    * The corpus is read once, emitting (cid, m codes) per vector in
+    * one scan-speed projection — the on-disk index layout at 100 TB
+    * (cluster the code table BY cid and the probe join prunes
+    * whole partitions before the ADC math). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                numCentroids: Int, nprobe: Int,
+                ks: Int, m: Int, dim: Int, shortlist: Int): DataFrame = {
+    val sp = corpus.sparkSession
+    val subDim = dim / m
+    val cents = ivfCentroids(corpus, numCentroids)
+    val sub = pqCodebooks(corpus, ks, m, dim)
+    val coded = corpus.select(
+      col("vec_id") +:
+        ivfAssignExpr(sp, col("query_vec"), cents).as("cid") +:
+        (0 until m).map(j =>
+          pqCodeExpr(col("query_vec"), sub, subDim, j).as(s"c$j")): _*)
+    val probeTables = ivfProbes(queries, cents, nprobe)
+      .select("query_id", "cid")
+      .join(pqQueryTables(queries, sub, m, subDim), "query_id")
+    val wa = Window.partitionBy("query_id")
+      .orderBy(col("approx_dist").asc, col("vec_id").asc)
+    val cands = coded.join(broadcast(probeTables), "cid")
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("approx_dist", adcDist(m))
+      .withColumn("_arank", row_number().over(wa))
+      .filter(col("_arank") <= shortlist)
+      .select("query_id", "vec_id", "approx_dist")
+    exactL2Rerank(cands, corpus, queries, k)
   }
 
   /** Corpus side of the ADC scan: each vector reduced to its m codes. */

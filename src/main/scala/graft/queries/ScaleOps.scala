@@ -427,9 +427,25 @@ object ScaleOps {
       .orderBy(col("freq").desc, col("item"))
   }
 
+  /** IVF-PQ (Similarity.ivfPqTopK): coarse pruning to 4 of 16
+    * inverted lists × PQ-ADC scoring of only those lists' 8-byte
+    * codes × exact re-rank of the 50 ADC-best — FAISS's canonical
+    * IVF16,PQ8 as one composed Spark plan. The candidate stage is a
+    * broadcast hash join on the list id (no cross join): ~25% of the
+    * corpus is touched, at m=8 lookups per pair. */
+  def q119IvfPqAnn(s: SparkSession, dir: String): DataFrame = {
+    val c = quantized(s, dir)
+    val q = c.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("query_vec").as("qvec"))
+    Similarity.ivfPqTopK(c, q, k = 5, numCentroids = 16, nprobe = 4,
+        ks = 16, m = 8, dim = 64, shortlist = 50)
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "q97_semantic_dedup" -> q97SemanticDedup _,
     "q113_heavy_hitters" -> q113HeavyHitters _,
+    "q119_ivfpq_ann" -> q119IvfPqAnn _,
     "q111_funnel_ann" -> q111FunnelAnn _,
     "q112_hybrid_rrf" -> q112HybridRrf _,
     "q103_truncated_ann" -> q103TruncatedAnn _,
@@ -468,6 +484,65 @@ object ScaleOps {
   private def qualitySql = Extended.qualitySql
 
   val oracles: Map[String, String] = Map(
+    "q119_ivfpq_ann" ->
+      s"""WITH e AS (SELECT vec_id, $qv AS v FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, v FROM e
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |assign AS (SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_dot_product(e.v, c.v) /
+         |               sqrt(list_dot_product(c.v, c.v)) DESC, c.cid) AS rn
+         |    FROM e, cent c) WHERE rn = 1),
+         |probe AS (SELECT query_id, cid FROM (
+         |    SELECT q.vec_id AS query_id, c.cid, ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_dot_product(q.v, c.v) /
+         |               sqrt(list_dot_product(c.v, c.v)) DESC, c.cid) AS rn
+         |    FROM e q, cent c WHERE q.vec_id % 10 = 0) WHERE rn <= 4),
+         |pqc AS (SELECT ROW_NUMBER() OVER (
+         |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS k, v
+         |  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |sub AS (SELECT c.k, j.j, c.v[j.j*8+1 : j.j*8+8] AS cv,
+         |    list_dot_product(c.v[j.j*8+1 : j.j*8+8],
+         |                     c.v[j.j*8+1 : j.j*8+8]) AS cn2
+         |  FROM pqc c, generate_series(0, 7) j(j)),
+         |codes AS (SELECT vec_id, j, k AS code FROM (
+         |  SELECT e.vec_id, s.j, s.k,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id, s.j
+         |      ORDER BY s.cn2 - 2 * list_dot_product(e.v[s.j*8+1 : s.j*8+8], s.cv),
+         |        s.k) rn
+         |  FROM e, sub s) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id % 10 = 0),
+         |dt AS (SELECT q.query_id, s.j, s.k,
+         |    CAST(list_dot_product(q.v[s.j*8+1 : s.j*8+8], q.v[s.j*8+1 : s.j*8+8])
+         |      - 2 * list_dot_product(q.v[s.j*8+1 : s.j*8+8], s.cv)
+         |      + s.cn2 AS BIGINT) AS d
+         |  FROM q, sub s),
+         |cand AS (SELECT p.query_id, a.vec_id
+         |  FROM probe p JOIN assign a ON a.cid = p.cid
+         |  WHERE a.vec_id != p.query_id),
+         |scored AS (SELECT cand.query_id, cand.vec_id,
+         |    CAST(SUM(dt.d) AS BIGINT) AS approx_dist
+         |  FROM cand
+         |  JOIN codes c ON c.vec_id = cand.vec_id
+         |  JOIN dt ON dt.query_id = cand.query_id
+         |    AND dt.j = c.j AND dt.k = c.code
+         |  GROUP BY 1, 2),
+         |short AS (SELECT query_id, vec_id, approx_dist FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY approx_dist, vec_id) AS arank
+         |  FROM scored) WHERE arank <= 50),
+         |rr AS (SELECT s.query_id, s.vec_id, s.approx_dist,
+         |    CAST(list_dot_product(cv.v, cv.v)
+         |      - 2 * list_dot_product(cv.v, qv.v)
+         |      + list_dot_product(qv.v, qv.v) AS BIGINT) AS l2_dist
+         |  FROM short s
+         |  JOIN e cv ON cv.vec_id = s.vec_id
+         |  JOIN e qv ON qv.vec_id = s.query_id)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, l2_dist, approx_dist
+         |FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY l2_dist, vec_id) AS rank
+         |  FROM rr) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q113_heavy_hitters" ->
       """WITH toks AS (
         |  SELECT unnest(regexp_split_to_array(lower(trim(text)), ' +')) AS item
