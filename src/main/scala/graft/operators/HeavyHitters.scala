@@ -61,4 +61,37 @@ object HeavyHitters {
       .crossJoin(broadcast(sketch.select(col("n"))))
       .filter(col("freq").cast("double") >= lit(minSupport) * col("n"))
   }
+
+  /** Per-group frequent items: all (group, item) pairs where the item
+    * reaches minSupport·n_group WITHIN its group — "top tokens per
+    * language". Same two-pass funnel with the sketch keyed by group
+    * (bounded state per group per task is exactly why the sketch is
+    * an aggregate), candidates semi-joined on (group, item), support
+    * measured against the GROUP's stream length. Output: (group,
+    * item, freq, n), unordered.
+    *
+    * The broadcast candidate list is |groups|·capacity rows — fine
+    * for enum-like groups (languages, sources); for high-cardinality
+    * groups flip the semi-join to a shuffle join (same semantics,
+    * one more keyed exchange). */
+  def frequentItemsByGroup(df: DataFrame, groupCol: String, itemCol: String,
+                           minSupport: Double, capacity: Int = 1024): DataFrame = {
+    require(minSupport > 1.0 / (capacity + 1),
+      f"lossless guarantee requires minSupport > 1/(capacity+1): " +
+        f"got minSupport=$minSupport%.6f, capacity=$capacity")
+    require(minSupport <= 1.0, s"minSupport must be a fraction, got $minSupport")
+    val src = df.select(col(groupCol).as("group"), col(itemCol).as("item"))
+      .filter(col("item").isNotNull && col("group").isNotNull)
+    val sketch = src.groupBy("group").agg(
+      call_function("graft_mg_sketch", col("item"), lit(capacity)).as("sk"),
+      count(lit(1)).as("n"))
+    val candidates = sketch
+      .select(col("group"), explode(col("sk")).as("c"))
+      .select(col("group"), col("c.item").as("item"))
+    src.join(broadcast(candidates), Seq("group", "item"), "leftsemi")
+      .groupBy("group", "item")
+      .agg(count(lit(1)).as("freq"))
+      .join(broadcast(sketch.select(col("group"), col("n"))), "group")
+      .filter(col("freq").cast("double") >= lit(minSupport) * col("n"))
+  }
 }

@@ -442,10 +442,25 @@ object ScaleOps {
       .orderBy("query_id", "rank")
   }
 
+  /** Grouped frequent items: top tokens PER LANGUAGE via the same
+    * lossless sketch-then-recount funnel, keyed by group — per-group
+    * sketch state stays ≤1024 pairs per task regardless of corpus
+    * size, and support is measured against each language's own token
+    * count. */
+  def q120GroupedHh(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("item"))
+    graft.operators.HeavyHitters
+      .frequentItemsByGroup(toks, "lang", "item", minSupport = 0.004, capacity = 1024)
+      .withColumnRenamed("group", "lang")
+      .orderBy(col("lang"), col("freq").desc, col("item"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q97_semantic_dedup" -> q97SemanticDedup _,
     "q113_heavy_hitters" -> q113HeavyHitters _,
     "q119_ivfpq_ann" -> q119IvfPqAnn _,
+    "q120_grouped_hh" -> q120GroupedHh _,
     "q111_funnel_ann" -> q111FunnelAnn _,
     "q112_hybrid_rrf" -> q112HybridRrf _,
     "q103_truncated_ann" -> q103TruncatedAnn _,
@@ -543,6 +558,17 @@ object ScaleOps {
          |  SELECT *, ROW_NUMBER() OVER (
          |    PARTITION BY query_id ORDER BY l2_dist, vec_id) AS rank
          |  FROM rr) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q120_grouped_hh" ->
+      """WITH toks AS (
+        |  SELECT lang,
+        |    unnest(regexp_split_to_array(lower(trim(text)), ' +')) AS item
+        |  FROM documents),
+        |tot AS (SELECT lang, COUNT(*) AS n FROM toks GROUP BY 1)
+        |SELECT t.lang, t.item, COUNT(*) AS freq, tot.n
+        |FROM toks t JOIN tot ON tot.lang = t.lang
+        |GROUP BY t.lang, t.item, tot.n
+        |HAVING CAST(COUNT(*) AS DOUBLE) >= 0.004 * tot.n
+        |ORDER BY t.lang, freq DESC, t.item""".stripMargin,
     "q113_heavy_hitters" ->
       """WITH toks AS (
         |  SELECT unnest(regexp_split_to_array(lower(trim(text)), ' +')) AS item

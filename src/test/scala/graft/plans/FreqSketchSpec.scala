@@ -63,6 +63,30 @@ class FreqSketchSpec extends SparkSpec {
     assert(r13 == exact, "result must not depend on input partitioning")
   }
 
+  test("grouped frequentItems is exact per group and partition-invariant") {
+    // two groups with DIFFERENT hot keys and different sizes, so a
+    // group-blind funnel would mix supports across groups
+    val df = spark.range(0, 30000)
+      .select(
+        when(col("id") % 3 === 0, lit("g1")).otherwise(lit("g2")).as("grp"),
+        when(col("id") % 7 === 0, concat(lit("hot"), col("id") % 2))
+          .otherwise(concat(lit("tail"), col("id"))).as("item"))
+    val support = 0.02
+    val exact = df.groupBy("grp", "item").agg(count(lit(1)).as("freq"))
+      .join(df.groupBy("grp").agg(count(lit(1)).as("n")), "grp")
+      .filter(col("freq").cast("double") >= lit(support) * col("n"))
+      .select(col("grp"), col("item"), col("freq"))
+      .as[(String, String, Long)].collect().toSet
+    def run(parts: Int) =
+      HeavyHitters.frequentItemsByGroup(df.repartition(parts), "grp", "item",
+          support, capacity = 128)
+        .select(col("group"), col("item"), col("freq"))
+        .as[(String, String, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture must produce per-group heavy hitters")
+    assert(run(1) == exact)
+    assert(run(13) == exact)
+  }
+
   test("frequentItems rejects a support below the lossless bound") {
     val e = intercept[IllegalArgumentException] {
       HeavyHitters.frequentItems(zipf, "item", minSupport = 0.0001, capacity = 256)
