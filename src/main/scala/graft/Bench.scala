@@ -14,6 +14,15 @@ import org.apache.spark.sql.SparkSession
   *     interference in a single-shot run; a median over 3 runs is
   *     robust to one hiccup while keeping the suite under a few
   *     minutes at sf0.1.
+  *   - Round-4 measured caveat: HOST throughput drifts over a long
+  *     session (identical isolated queries measured 1.6x slower an
+  *     hour apart; suite totals drifted 48->63 s across four runs of
+  *     near-identical code). Interleaved full-suite passes were tried
+  *     and rejected: they do not beat the drift either (it is
+  *     monotone, not transient) and they forfeit the warm-cache
+  *     locality a rerun legitimately has. Cross-ROUND comparisons
+  *     should therefore weigh per-query ratios against same-run
+  *     neighbors, not absolute seconds.
   *   - The JSON metric line is printed AFTER spark.stop(), as the
   *     very last stdout line, so the driver's tail-parser always
   *     sees it (BENCH_r03 recorded parsed:null because shutdown

@@ -94,6 +94,43 @@ class FreqSketchSpec extends SparkSpec {
     assert(e.getMessage.contains("lossless"))
   }
 
+  test("randomized: buffers honor the MG bound under arbitrary splits and merge orders") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(42)
+    (1 to 50).foreach { _ =>
+      val cap = 4 + rnd.nextInt(29) // 4..32
+      val agg = MisraGriesAgg(BoundReference(0, StringType, nullable = true), cap)
+      // skewed stream: a few hot keys + a wide tail, length 200..2000
+      val n = 200 + rnd.nextInt(1801)
+      val stream = Seq.fill(n) {
+        if (rnd.nextBoolean()) s"hot${rnd.nextInt(3)}" else s"t${rnd.nextInt(500)}"
+      }
+      val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      // split into 1..8 random chunks, one buffer each, merge in order
+      val chunks = stream.grouped(1 + rnd.nextInt(math.max(1, n / (1 + rnd.nextInt(8))))).toSeq
+      val merged = chunks.map { chunk =>
+        val b = agg.createAggregationBuffer()
+        chunk.foreach(s => agg.update(b, InternalRow(UTF8String.fromString(s))))
+        // exercise the spill path on a random subset of buffers
+        if (rnd.nextBoolean()) agg.deserialize(agg.serialize(b)) else b
+      }.reduce(agg.merge)
+      assert(merged.size <= cap, s"buffer exceeded capacity $cap")
+      val slack = n.toDouble / (cap + 1)
+      merged.forEach { (k, lb) =>
+        val t = exact(k.toString)
+        assert(lb <= t, s"${k.toString}: lb $lb overcounts true $t (cap $cap, n $n)")
+        assert(t - lb <= slack, s"${k.toString}: undercount ${t - lb} > bound $slack")
+      }
+      exact.collect { case (item, t) if t > slack =>
+        assert(merged.containsKey(UTF8String.fromString(item)),
+          s"heavy item $item (count $t > $slack) missing after merges (cap $cap)")
+      }
+    }
+  }
+
   test("sketch state survives serialization (buffer spill path) byte-exactly") {
     val agg = MisraGriesAgg(org.apache.spark.sql.catalyst.expressions.Literal("x"), 8)
     val buf = agg.createAggregationBuffer()
