@@ -175,4 +175,33 @@ object MicroBatchIngest {
           .parquet(path)
       }
       .start()
+
+  /** Streaming upsert sink — the Iceberg "streaming MERGE" pattern:
+    * every micro-batch keep-latest-merges into a SnapshotTable
+    * version (Pipeline.mergeSnapshot), so the table always serves
+    * the latest row per key AND every micro-batch commit is
+    * time-travelable / expirable / rollback-able. Replay-safe by
+    * CONTENT, not by commit: an at-least-once redelivery re-merges
+    * to the identical row set (keep-latest is idempotent — pinned by
+    * spec), though it does append a new snapshot version, which
+    * expire() reaps like any other. At 100 TB the merge rewrite is
+    * the cost: pair with partition-scoped tables (one snapshot table
+    * per coarse partition) so each micro-batch rewrites only the
+    * partitions it touches. */
+  def startUpsertSink(updates: DataFrame, path: String, checkpoint: String,
+                      keyCols: Seq[String], versionCol: String,
+                      triggerSecs: Int = 300): StreamingQuery =
+    updates.writeStream
+      .trigger(Trigger.ProcessingTime(s"$triggerSecs seconds"))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // skip empty batches: an empty merge would commit a no-op
+        // version on every idle trigger
+        if (!batch.isEmpty) {
+          graft.telecom.Pipeline.mergeSnapshot(
+            batch.sparkSession, batch, path, keyCols, versionCol)
+        }
+        ()
+      }
+      .start()
 }

@@ -17,6 +17,36 @@ class StreamingIngestSpec extends SparkSpec {
     StructField("event_ts", StringType),
     StructField("duration_seconds", LongType)))
 
+  test("streaming upsert sink: micro-batches merge as snapshot versions, replay is a content no-op") {
+    import graft.sources.SnapshotTable
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("upsert-sink").toString
+    val mem = MemoryStream[(String, Long, String)]
+    val q = MicroBatchIngest.startUpsertSink(
+      mem.toDF().toDF("id", "v", "payload"),
+      s"$dir/tbl", s"$dir/ckpt", Seq("id"), "v", triggerSecs = 1)
+    def table = SnapshotTable.read(spark, s"$dir/tbl")
+      .as[(String, Long, String)].collect().sortBy(_._1).toSeq
+    try {
+      mem.addData(("k1", 1L, "a"), ("k2", 1L, "b"))
+      q.processAllAvailable()
+      assert(table === Seq(("k1", 1L, "a"), ("k2", 1L, "b")))
+      // batch 2 updates k1 and inserts k3 → keep-latest upsert
+      mem.addData(("k1", 2L, "a2"), ("k3", 1L, "c"))
+      q.processAllAvailable()
+      assert(table === Seq(("k1", 2L, "a2"), ("k2", 1L, "b"), ("k3", 1L, "c")))
+      // at-least-once redelivery of batch 2's rows: content no-op
+      mem.addData(("k1", 2L, "a2"), ("k3", 1L, "c"))
+      q.processAllAvailable()
+      assert(table === Seq(("k1", 2L, "a2"), ("k2", 1L, "b"), ("k3", 1L, "c")))
+    } finally q.stop()
+    // every micro-batch commit is a time-travelable version
+    val v1 = SnapshotTable.readVersion(spark, s"$dir/tbl", 1)
+      .as[(String, Long, String)].collect().sortBy(_._1).toSeq
+    assert(v1 === Seq(("k1", 1L, "a"), ("k2", 1L, "b")))
+    assert(SnapshotTable.snapshots(s"$dir/tbl").length === 3)
+  }
+
   test("micro-batch ingest: JSON stream lands as partitioned parquet with provenance") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("bronze-ingest").toString
