@@ -94,6 +94,27 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, path).count() === 8000)
   }
 
+  test("zone map over Morton-clustered files prunes on BOTH dimensions") {
+    import graft.operators.Zorder
+    val path = tmp()
+    // 64x64 uniform grid; z-order clustering gives each of 16 files a
+    // compact 2-D tile, so BOTH x and y get tight per-file ranges —
+    // a 1-D range clustering would stripe on x and never prune on y
+    val grid = spark.range(0, 4096)
+      .select((col("id") % 64).cast("double").as("x"),
+        floor(col("id") / 64).cast("double").as("y"))
+    val clustered = Zorder.cluster(grid, Seq("x", "y"), numPartitions = 16)
+    SnapshotTable.commitWithStats(spark, clustered, path, Seq("x", "y"), nowMs = 1000)
+    val (keptX, prunedX) = SnapshotTable.pruneFiles(path, "x", 10.0, 20.0)
+    val (keptY, prunedY) = SnapshotTable.pruneFiles(path, "y", 10.0, 20.0)
+    assert(prunedX.nonEmpty, "x-range must skip files under z-order clustering")
+    assert(prunedY.nonEmpty, "y-range must ALSO skip files — the z-order point")
+    info(s"16 files: x-range keeps ${keptX.size}, y-range keeps ${keptY.size}")
+    // pruned reads stay lossless on both dims
+    assert(SnapshotTable.readPruned(spark, path, "y", 10.0, 20.0).count() === 11 * 64)
+    assert(SnapshotTable.readPruned(spark, path, "x", 10.0, 20.0).count() === 11 * 64)
+  }
+
   test("zone map: files without stats (all-null column) are never pruned; empty overlap keeps schema") {
     val path = tmp()
     val df = spark.range(0, 100)
