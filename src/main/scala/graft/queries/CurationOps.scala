@@ -176,7 +176,44 @@ object CurationOps {
       .orderBy("doc_id")
   }
 
+  /** Exact proportional quota apportionment (largest-remainder /
+    * Hamilton method): allocate a FIXED total budget of documents
+    * across sources proportionally to their sizes — floor shares
+    * first, then the leftover seats go to the largest fractional
+    * remainders — so the picks sum to EXACTLY the budget (q102's
+    * temperature mixture is the probabilistic cousin; this is the
+    * deterministic "give me exactly N docs" contract). All
+    * apportionment math is integer (DIV/MOD) — no float shares to
+    * disagree across engines. The per-source pick is the q78 idiom
+    * (rank by md5(doc_id) within source); the literal budget bound
+    * keeps that window a WindowGroupLimit, and the apportionment
+    * windows/crosses run over the |sources|-row aggregate, never the
+    * corpus. */
+  def q124QuotaApportion(s: SparkSession, dir: String): DataFrame = {
+    val budget = 200L
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+      md5(col("doc_id").cast("string")).as("sample_key"))
+    val counts = d.groupBy("source").agg(count(lit(1)).as("n"))
+    val shares = counts.crossJoin(counts.agg(sum(col("n")).as("total")))
+      .withColumn("base", expr(s"($budget * n) DIV total"))
+      .withColumn("rem", expr(s"($budget * n) % total"))
+    val ranked = shares.withColumn("rk",
+      row_number().over(Window.orderBy(col("rem").desc, col("source"))))
+    val alloc = ranked
+      .crossJoin(ranked.agg((lit(budget) - sum(col("base"))).as("leftover")))
+      .withColumn("alloc",
+        col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+      .select("source", "alloc")
+    val wp = Window.partitionBy("source").orderBy(col("sample_key"), col("doc_id"))
+    d.join(broadcast(alloc), "source")
+      .withColumn("pick_rank", row_number().over(wp))
+      .filter(col("pick_rank") <= budget && col("pick_rank") <= col("alloc"))
+      .select(col("doc_id"), col("source"), col("alloc"), col("pick_rank"))
+      .orderBy("source", "pick_rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q124_quota_apportion" -> q124QuotaApportion _,
     "q78_stratified_sample" -> q78StratifiedSample _,
     "q79_weighted_sample" -> q79WeightedSample _,
     "q59_token_packing" -> q59TokenPacking _,
@@ -188,6 +225,32 @@ object CurationOps {
   private val tokensSql = "regexp_split_to_array(lower(trim(text)), ' +')"
 
   val oracles: Map[String, String] = Map(
+    "q124_quota_apportion" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS sample_key
+        |  FROM documents),
+        |c AS (SELECT source, COUNT(*) AS n FROM d GROUP BY 1),
+        |a0 AS (
+        |  SELECT source, n,
+        |    (200 * n) // t.total AS base, (200 * n) % t.total AS rem
+        |  FROM c, (SELECT SUM(n) AS total FROM c) t),
+        |r AS (
+        |  SELECT source, base, rem,
+        |    ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+        |  FROM a0),
+        |alloc AS (
+        |  SELECT source,
+        |    CAST(base + CASE WHEN rk <= l.leftover THEN 1 ELSE 0 END
+        |      AS BIGINT) AS alloc
+        |  FROM r, (SELECT 200 - SUM(base) AS leftover FROM r) l),
+        |ranked AS (
+        |  SELECT d.doc_id, d.source, a.alloc,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY d.source
+        |      ORDER BY d.sample_key, d.doc_id) AS INTEGER) AS pick_rank
+        |  FROM d JOIN alloc a ON a.source = d.source)
+        |SELECT doc_id, source, alloc, pick_rank
+        |FROM ranked WHERE pick_rank <= alloc
+        |ORDER BY source, pick_rank""".stripMargin,
     "q78_stratified_sample" ->
       """WITH keyed AS (
         |  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS sample_key

@@ -119,7 +119,41 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Leakage-guarded train/val/test split: near-dup CLUSTERS (q77's
+    * connected components) are the atomic assignment unit, so a
+    * document and its near-duplicates can never straddle a
+    * train/test boundary — the contamination q63 measures after the
+    * fact, prevented here at split time. Assignment is a
+    * deterministic md5 fraction of the GROUP id (cluster label for
+    * clustered docs, the doc's own id otherwise): 80/10/10 in
+    * expectation, reproducible by any engine with no RNG state, and
+    * growing the corpus never reassigns an existing group. Cost =
+    * the q77 clustering plus one keyed join of the (dup-rate-bounded)
+    * label set back onto the corpus. */
+  def q122LeakageSplit(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val sigs = Dedup.minhashSignatures(d, "doc_id", "text", k = 16, shingleN = 3)
+    val cand = Dedup.lshCandidatePairs(sigs, "doc_id", bands = 4, rowsPerBand = 4)
+    val pairs = Dedup.verifyJaccard(cand, d, "doc_id", "text", shingleN = 3)
+      .filter(col("jaccard") >= 0.2)
+      .select("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+    // frac(md5(group_id)): first 12 hex digits are exact in doubles
+    // cross-engine — the q79 sampling idiom applied to groups
+    val u = conv(substring(md5(col("group_id").cast("string")), 1, 12), 16, 10)
+      .cast("double") / lit(math.pow(16.0, 12.0))
+    d.select("doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split",
+        when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test"))
+      .select("doc_id", "group_id", "split")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q122_leakage_split" -> q122LeakageSplit _,
     "q86_incremental_dedup" -> q86IncrementalDedup _,
     "q93_dedup_corpus" -> q93DedupCorpus _,
     "q46_minhash_neardup" -> q46MinhashNearDup _,
@@ -337,6 +371,31 @@ object DedupOps {
          |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
          |  id = cluster_id AS is_survivor
          |FROM lab ORDER BY cluster_id, doc_id""".stripMargin,
+    // same clustering kernel as q77, then group-keyed md5 split
+    // assignment (the q79 fraction idiom over group ids)
+    "q122_leakage_split" ->
+      s"""WITH RECURSIVE $tokHashCte,
+         |$shinglesCte,
+         |$sigBandedCtes,
+         |cpairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id),
+         |$ccReachCtes,
+         |lab AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         |g AS (
+         |  SELECT d.doc_id, COALESCE(lab.cluster_id, d.doc_id) AS group_id
+         |  FROM documents d LEFT JOIN lab ON lab.id = d.doc_id),
+         |u AS (
+         |  SELECT doc_id, group_id,
+         |    CAST(CAST('0x' || substr(md5(CAST(group_id AS VARCHAR)), 1, 12)
+         |      AS BIGINT) AS DOUBLE) / 281474976710656.0 AS frac
+         |  FROM g)
+         |SELECT doc_id, group_id,
+         |  CASE WHEN frac < 0.8 THEN 'train'
+         |       WHEN frac < 0.9 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM u ORDER BY doc_id""".stripMargin,
     "q47_simhash_fingerprint" ->
       s"""WITH $tokHashCte,
          |$simhashCte

@@ -456,8 +456,46 @@ object ScaleOps {
       .orderBy(col("lang"), col("freq").desc, col("item"))
   }
 
+  /** Incremental rollup maintenance: the nightly-job shape that keeps
+    * a (event_type, day) rollup current WITHOUT re-aggregating
+    * history. History partials (standing in for the stored rollup
+    * table) and the new day's partials are each one partition-pruned
+    * scan + keyed partial aggregate; the merge is a keyed sum/min/max
+    * over partials — every aggregate here is chosen mergeable (count,
+    * decimal sum, min, max; avg DERIVED from sum/count post-merge;
+    * distinct-counts would need the q76 KMV sketch, by design). At
+    * 100 TB the history side is the already-materialized rollup (a
+    * few rows per key), so the job's cost is the delta partition
+    * scan, not the corpus. The oracle recomputes the rollup from the
+    * full table in one pass — equality IS the merge-algebra theorem.
+    * Sums stay DECIMAL through the merge (double partial sums would
+    * not re-associate exactly). */
+  def q123IncrementalRollup(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("2024-12-01").cast("date")
+    val ev = Tables.events(s, dir).select(
+      col("event_type"), col("ts").cast("date").as("event_date"),
+      col("value").cast("decimal(18,2)").as("v"))
+    def partials(df: DataFrame): DataFrame = df
+      .groupBy("event_type", "event_date")
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).as("vsum"),
+        min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+    val stored = partials(ev.filter(col("event_date") < cutoff))
+    val delta = partials(ev.filter(col("event_date") >= cutoff))
+    stored.unionByName(delta)
+      .groupBy("event_type", "event_date")
+      .agg(sum(col("cnt")).as("cnt"), sum(col("vsum")).as("vsum"),
+        min(col("vmin")).as("vmin"), max(col("vmax")).as("vmax"))
+      .select(col("event_type"), col("event_date"), col("cnt"),
+        col("vsum").cast("double").as("value_sum"),
+        (col("vsum").cast("double") / col("cnt")).cast("double").as("value_avg"),
+        col("vmin").cast("double").as("value_min"),
+        col("vmax").cast("double").as("value_max"))
+      .orderBy("event_type", "event_date")
+  }
+
   val queries: Map[String, Q] = Map(
     "q97_semantic_dedup" -> q97SemanticDedup _,
+    "q123_incremental_rollup" -> q123IncrementalRollup _,
     "q113_heavy_hitters" -> q113HeavyHitters _,
     "q119_ivfpq_ann" -> q119IvfPqAnn _,
     "q120_grouped_hh" -> q120GroupedHh _,
@@ -499,6 +537,16 @@ object ScaleOps {
   private def qualitySql = Extended.qualitySql
 
   val oracles: Map[String, String] = Map(
+    "q123_incremental_rollup" ->
+      """SELECT event_type, CAST(ts AS DATE) AS event_date,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |    AS DOUBLE) AS value_avg,
+        |  CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_min,
+        |  CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_max
+        |FROM events GROUP BY 1, 2
+        |ORDER BY event_type, event_date""".stripMargin,
     "q119_ivfpq_ann" ->
       s"""WITH e AS (SELECT vec_id, $qv AS v FROM embeddings),
          |cent AS (SELECT vec_id AS cid, v FROM e

@@ -183,9 +183,37 @@ object Temporal {
       .orderBy("user_id")
   }
 
+  /** First-order Markov transition matrix over per-user event
+    * timelines: LAG on the user-keyed window pairs each event with
+    * its predecessor, then (prev, next) counts and per-prev rates.
+    * The window partitions by user — no global sort — and both
+    * post-window aggregates are bounded by the squared event-type
+    * alphabet, so the expensive shuffle is the one keyed window at
+    * any corpus size. Ties in ts are broken by event_id so the LAG
+    * sequence (hence the counts) is deterministic. */
+  def q121MarkovTransitions(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val trans = ev.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("transitions"))
+    // the rate window runs over the |types|^2-row aggregate, not the
+    // corpus — partition skew is bounded by the alphabet, not n
+    val wp = Window.partitionBy("prev_type")
+    trans
+      .withColumn("prev_total", sum(col("transitions")).over(wp))
+      .withColumn("transition_rate",
+        (col("transitions").cast("double") / col("prev_total")).cast("double"))
+      .orderBy("prev_type", "next_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "q12_date_spine" -> q12DateSpine _,
     "q116_funnel" -> q116Funnel _,
+    "q121_markov_transitions" -> q121MarkovTransitions _,
     "q13_asof_join" -> q13AsofJoin _,
     "q16_datetime_parts" -> q16DatetimeParts _,
     "q19_monthly_rollup" -> q19MonthlyRollup _,
@@ -195,6 +223,23 @@ object Temporal {
   )
 
   val oracles: Map[String, String] = Map(
+    "q121_markov_transitions" ->
+      """WITH t AS (
+        |  SELECT user_id,
+        |    LAG(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type,
+        |    event_type AS next_type
+        |  FROM events),
+        |c AS (
+        |  SELECT prev_type, next_type, COUNT(*) AS transitions
+        |  FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, transitions,
+        |  CAST(SUM(transitions) OVER (PARTITION BY prev_type) AS BIGINT)
+        |    AS prev_total,
+        |  CAST(CAST(transitions AS DOUBLE)
+        |    / CAST(SUM(transitions) OVER (PARTITION BY prev_type) AS BIGINT)
+        |    AS DOUBLE) AS transition_rate
+        |FROM c ORDER BY prev_type, next_type""".stripMargin,
     "q116_funnel" ->
       """WITH s AS (
         |  SELECT user_id,

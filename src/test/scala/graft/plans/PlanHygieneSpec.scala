@@ -57,6 +57,11 @@ class PlanHygieneSpec extends SparkSpec {
     // sketch-pair cross: |groups|^2 rows of k-hash summaries, both
     // sides post-aggregation (3 statuses here)
     "q82_kmv_overlap" -> "cross join of per-group sketch summaries",
+    // Hamilton apportionment over the |sources|-row count aggregate:
+    // the remainder-rank window and the 1-row total/leftover crosses
+    // all run post-aggregation; the corpus-sized work is one keyed
+    // WindowGroupLimit pick
+    "q124_quota_apportion" -> "apportionment math over |sources|-row aggregate",
   )
 
   private def offenders(plan: SparkPlan): Seq[String] = plan.collect {
