@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // default sized for local[32] parity with the driver's bench JVM
+  // (BENCH_r03 tail shows a 53 GiB block manager there): at 8g a
+  // 32-thread suite run GC-thrashes — q105 measured 39 s under the
+  // 8g default vs 9.6 s at 64g in the same minute. The box has
+  // 128 GiB; this is a cap, not an allocation.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

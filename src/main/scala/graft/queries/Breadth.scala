@@ -369,7 +369,47 @@ object Breadth {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Spatial radius self-join with grid blocking: points land in
+    * r-sized cells, one side probes its 3×3 cell neighborhood (a
+    * 9-offset explode), so candidate generation is an equi-join on
+    * the cell key — never all-pairs — and the exact distance test
+    * runs only inside neighborhoods. Lossless by construction:
+    * dist ≤ r ⟹ |Δlat| ≤ r ∧ |Δlon| ≤ r ⟹ cell indices differ by ≤ 1
+    * per axis (GridJoinSpec pins grid ≡ brute force). Distance is
+    * planar degrees — the small-area approximation; q30 carries the
+    * spherical haversine scalar. Coordinates are synthesized from
+    * keys, the q30 convention. At 100 TB this is the
+    * tower-neighborhood / co-location join: cost scales with 9× the
+    * per-cell density, output with local density — both independent
+    * of total corpus extent. */
+  def q125RadiusJoin(s: SparkSession, dir: String): DataFrame = {
+    val r = 0.15
+    val pts = Tables.customer(s, dir).select(
+      col("c_custkey").as("id"),
+      ((col("c_custkey") % 1000).cast("double") / 100.0).as("lat"),
+      ((col("c_custkey") * 7 % 1000).cast("double") / 100.0).as("lon"))
+    val cells = pts
+      .withColumn("cx", floor(col("lon") / r))
+      .withColumn("cy", floor(col("lat") / r))
+    val offsets = (-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
+      struct((col("cx") + dx).as("cx"), (col("cy") + dy).as("cy"))))
+    val probes = cells
+      .select(col("id").as("id_a"), col("lat").as("lat_a"),
+        col("lon").as("lon_a"), explode(array(offsets: _*)).as("cell"))
+      .select(col("id_a"), col("lat_a"), col("lon_a"),
+        col("cell.cx").as("cx"), col("cell.cy").as("cy"))
+    val dist = sqrt(
+      (col("lat_a") - col("lat")) * (col("lat_a") - col("lat")) +
+        (col("lon_a") - col("lon")) * (col("lon_a") - col("lon")))
+    probes.join(cells, Seq("cx", "cy"))
+      .filter(col("id_a") < col("id") && dist <= r)
+      .select(col("id_a"), col("id").as("id_b"),
+        round(dist, 6).as("dist_deg"))
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q125_radius_join" -> q125RadiusJoin _,
     "q95_value_range_frame" -> q95ValueRangeFrame _,
     "q117_basket_pairs" -> q117BasketPairs _,
     "q118_cohort_retention" -> q118CohortRetention _,
@@ -389,6 +429,21 @@ object Breadth {
   )
 
   val oracles: Map[String, String] = Map(
+    // brute-force all-pairs reference: fine at oracle scale, and
+    // equality with it IS the grid's losslessness claim
+    "q125_radius_join" ->
+      """WITH p AS (
+        |  SELECT c_custkey AS id,
+        |    CAST(c_custkey % 1000 AS DOUBLE) / 100.0 AS lat,
+        |    CAST(c_custkey * 7 % 1000 AS DOUBLE) / 100.0 AS lon
+        |  FROM customer)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  ROUND(sqrt((a.lat - b.lat) * (a.lat - b.lat)
+        |           + (a.lon - b.lon) * (a.lon - b.lon)), 6) AS dist_deg
+        |FROM p a JOIN p b ON a.id < b.id
+        |WHERE sqrt((a.lat - b.lat) * (a.lat - b.lat)
+        |         + (a.lon - b.lon) * (a.lon - b.lon)) <= 0.15
+        |ORDER BY id_a, id_b""".stripMargin,
     "q117_basket_pairs" ->
       """WITH d AS (
         |  SELECT DISTINCT l_orderkey AS order_id, l_partkey FROM lineitem)

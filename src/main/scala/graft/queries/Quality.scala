@@ -260,7 +260,37 @@ object Quality {
         expr("percentile(vs, 0.95)").as("p95_est"))
   }
 
+  /** Sketch ROLLUP — re-aggregation without re-scan: weekly distinct
+    * users estimated by MERGING each week's daily KMV sketches
+    * (flatten + distinct + sort + take-k = the exact min-k union;
+    * collect_list gathers ≤7 bounded arrays per week). Because the
+    * week's k smallest hashes are each among their own day's k
+    * smallest, the merged sketch is IDENTICAL to a sketch built
+    * directly from the week's rows — the oracle computes that direct
+    * weekly min-k in SQL and the estimates hash-match exactly. This
+    * is the dashboard pattern at 100 TB: persist tiny daily sketches,
+    * answer any-window distinct-count queries from sketch algebra
+    * alone (q82 is the set-overlap face of the same algebra). */
+  def q126SketchRollup(s: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val ev = Tables.events(s, dir).select(
+      date_trunc("week", col("ts")).cast("date").as("week"),
+      col("ts").cast("date").as("day"),
+      md5(col("user_id").cast("string")).as("h"))
+    val daily = ev.groupBy("week", "day")
+      .agg(call_function("graft_kmv", col("h"), lit(k)).as("sketch"))
+    daily.groupBy("week")
+      .agg(count(lit(1)).as("days_merged"),
+        slice(array_sort(array_distinct(flatten(collect_list(col("sketch"))))),
+          1, k).as("merged"))
+      .select(col("week"), col("days_merged"),
+        size(col("merged")).cast("long").as("sketch_size"),
+        kmvEst(col("merged"), k).cast("double").as("weekly_users_est"))
+      .orderBy("week")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q126_sketch_rollup" -> q126SketchRollup _,
     "q17_conditional_agg" -> q17ConditionalAgg _,
     "q76_kmv_distinct" -> q76KmvDistinct _,
     "q82_kmv_overlap" -> q82KmvOverlap _,
@@ -282,6 +312,31 @@ object Quality {
        |                / 281474976710656.0) END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // direct weekly min-k — merged-daily equals this exactly (min-k
+    // union is lossless), which is the whole claim under test
+    "q126_sketch_rollup" ->
+      """WITH dh AS (
+        |  SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS week,
+        |    CAST(ts AS DATE) AS day, md5(CAST(user_id AS VARCHAR)) AS h
+        |  FROM events),
+        |days AS (
+        |  SELECT week, COUNT(DISTINCT day) AS days_merged FROM dh GROUP BY 1),
+        |ranked AS (
+        |  SELECT week, h,
+        |    ROW_NUMBER() OVER (PARTITION BY week ORDER BY h) AS rn
+        |  FROM (SELECT DISTINCT week, h FROM dh)),
+        |agg AS (
+        |  SELECT week, MAX(CASE WHEN rn = 256 THEN h END) AS kth,
+        |    LEAST(COUNT(*), 256) AS sketch_size
+        |  FROM ranked GROUP BY week)
+        |SELECT a.week, d.days_merged,
+        |  CAST(a.sketch_size AS BIGINT) AS sketch_size,
+        |  CAST(CASE WHEN a.sketch_size < 256 THEN a.sketch_size
+        |       ELSE 255.0 / (CAST(CAST('0x' || substr(a.kth, 1, 12) AS BIGINT)
+        |                     AS DOUBLE) / 281474976710656.0)
+        |       END AS DOUBLE) AS weekly_users_est
+        |FROM agg a JOIN days d ON d.week = a.week
+        |ORDER BY a.week""".stripMargin,
     "q85_sample_quantiles" ->
       """WITH m AS (
         |  SELECT l_extendedprice AS v,
