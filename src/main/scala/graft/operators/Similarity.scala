@@ -135,6 +135,41 @@ object Similarity {
     else -greatest(scored: _*).getField("n")
   }
 
+  /** Nearest centroid by L2 (argmin ‖v−c‖² = argmin ‖c‖² − 2v·c; the
+    * ‖v‖² term is constant per row). The residual-coding assignment:
+    * [[ivfAssignExpr]]'s cosine rule is scale-invariant and can pick
+    * an angularly-close but L2-FAR centroid, which would inflate the
+    * residuals PQ codes must then capture. Ties → smallest cid. */
+  def ivfAssignL2Expr(spark: SparkSession, vec: Column,
+                      cents: Array[(Long, Array[Long])]): Column = {
+    val scored = cents.map { case (cid, cv) =>
+      val d = (lit(cv.map(x => x * x).sum) -
+        lit(2L) * dotFast(spark, vec, array(cv.map(lit(_)): _*))).cast("double")
+      struct((-d).as("s"), lit(-cid).as("n")) // greatest ⇒ min distance
+    }
+    if (scored.length == 1) lit(cents.head._1)
+    else -greatest(scored: _*).getField("n")
+  }
+
+  /** Top-nprobe centroid lists per query by ascending L2 — the probe
+    * rule matching [[ivfAssignL2Expr]]'s geometry. */
+  def ivfProbesL2(queries: DataFrame, cents: Array[(Long, Array[Long])],
+                  nprobe: Int): DataFrame = {
+    val sp = queries.sparkSession
+    import sp.implicits._
+    val centDf = cents.toSeq
+      .map { case (cid, cv) => (cid, cv.toSeq, cv.map(x => x * x).sum) }
+      .toDF("cid", "cvec", "cn2")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("_pdist").asc, col("cid").asc)
+    queries.crossJoin(broadcast(centDf))
+      .withColumn("_pdist",
+        (col("cn2") - lit(2L) * dotFast(sp, col("qvec"), col("cvec"))).cast("double"))
+      .withColumn("_prank", row_number().over(w))
+      .filter(col("_prank") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("cid"))
+  }
+
   /** Top-nprobe centroid lists per query (queries are the small,
     * broadcast-bounded side; |Q|·k probe scoring is negligible). */
   def ivfProbes(queries: DataFrame, cents: Array[(Long, Array[Long])],
@@ -293,6 +328,91 @@ object Similarity {
     val wa = Window.partitionBy("query_id")
       .orderBy(col("approx_dist").asc, col("vec_id").asc)
     val cands = coded.join(broadcast(probeTables), "cid")
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("approx_dist", adcDist(m))
+      .withColumn("_arank", row_number().over(wa))
+      .filter(col("_arank") <= shortlist)
+      .select("query_id", "vec_id", "approx_dist")
+    exactL2Rerank(cands, corpus, queries, k)
+  }
+
+  /** IVF-PQ on RESIDUALS — the canonical FAISS IVFADC form of
+    * [[ivfPqTopK]] (Jégou et al. 2011 §IV-A): each vector is PQ-coded
+    * as its OFFSET from its coarse centroid (v − c_cid), an EXACT
+    * decomposition ‖q−v‖² = ‖(q−c)−(v−c)‖² within each list, with
+    * L2 (not cosine) coarse assignment so every vector joins the
+    * list minimizing the residual the codes must capture. The price
+    * is per-(query, probed-list) distance tables — the effective
+    * query against list `cid` is (q − c_cid) — so the broadcast
+    * grows from |Q| to |Q|·nprobe table rows; the scan side is
+    * unchanged (cid + m codes per vector, one projection). All
+    * arithmetic stays integer-exact, so the DuckDB oracle replays
+    * training, encoding, ADC, and re-rank bit-for-bit.
+    *
+    * MEASURED caveat (SimilaritySpec, sf0.001): residual codes do
+    * NOT beat raw codes on this corpus — full-probe (pure code
+    * quality) raw 0.60 vs residual 0.54 recall@5. Residual coding
+    * wins only when the coarse quantizer actually shrinks residuals;
+    * the nearest of 16 stateless-draw centroids in 64 dims barely
+    * does (nearest-of-16 random anchors ≈ a random anchor), so the
+    * raw draw's cluster prior outweighs residualization. At corpus
+    * scale — numCentroids ≈ √n, Lloyd-trained — residual variance
+    * drops far below raw variance and IVFADC is the right default;
+    * the operator is here for that regime, measured honestly in
+    * this one. */
+  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                        numCentroids: Int, nprobe: Int,
+                        ks: Int, m: Int, dim: Int, shortlist: Int): DataFrame = {
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    val subDim = dim / m
+    val cents = ivfCentroids(corpus, numCentroids)
+    val centDf = cents.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
+      .toDF("cid", "cvec")
+    // L2 assignment, NOT the cosine assignment q119/q75 use: the ADC
+    // distance decomposes as ||(q−c) − (v−c)||² only when v joined
+    // the list that MINIMIZES its L2 residual — cosine assignment
+    // (scale-invariant) can hand a vector to an angularly-close but
+    // L2-far centroid, inflating the very residuals the codes must
+    // capture (FAISS trains/assigns its coarse quantizer in L2 for
+    // exactly this reason)
+    val res = corpus
+      .withColumn("cid", ivfAssignL2Expr(sp, col("query_vec"), cents))
+      .join(broadcast(centDf), "cid")
+      .withColumn("rvec", zip_with(col("query_vec"), col("cvec"), (a, b) => a - b))
+    // PQ codebooks trained on the residual frame. The draw is SALTED
+    // ('r' prefix): the plain md5 order would pick exactly the rows
+    // that became coarse centroids — whose residuals are all ZERO
+    // (every centroid row assigns to itself), collapsing the whole
+    // codebook to 16 zero vectors and the ADC scores to per-query
+    // constants (measured: recall fell to 0.33). The salt draws a
+    // disjoint uniform sample of real residuals.
+    val pickedRes = res
+      .orderBy(md5(concat(lit("r"), col("vec_id").cast("string"))), col("vec_id"))
+      .limit(ks).select("rvec").collect()
+      .map(_.getSeq[Long](0).toArray)
+    val sub = Array.tabulate(m, ks) { (j, kk) =>
+      val cv = pickedRes(kk).slice(j * subDim, (j + 1) * subDim)
+      (cv, cv.map(x => x * x).sum)
+    }
+    val coded = res.select(
+      col("vec_id") +: col("cid") +:
+        (0 until m).map(j => pqCodeExpr(col("rvec"), sub, subDim, j).as(s"c$j")): _*)
+    // per-(query, probed list) residual query → per-pair ADC tables
+    def distTable(j: Int): Column = {
+      val qj = slice(col("rqvec"), j * subDim + 1, subDim)
+      transform(pqCbLit(sub, j), e =>
+        (dotQ(qj, qj) - lit(2L) * dotQ(qj, e.getField("cv")) +
+          e.getField("n")).cast("long"))
+    }
+    val probeTables = ivfProbesL2(queries, cents, nprobe)
+      .join(broadcast(centDf), "cid")
+      .withColumn("rqvec", zip_with(col("qvec"), col("cvec"), (a, b) => a - b))
+      .select(col("query_id") +: col("cid") +:
+        (0 until m).map(j => distTable(j).as(s"dt$j")): _*)
+    val wa = Window.partitionBy("query_id")
+      .orderBy(col("approx_dist").asc, col("vec_id").asc)
+    val cands = coded.join(broadcast(probeTables), Seq("cid"))
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("approx_dist", adcDist(m))
       .withColumn("_arank", row_number().over(wa))

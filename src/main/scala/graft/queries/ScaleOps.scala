@@ -442,6 +442,22 @@ object ScaleOps {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-PQ on residuals (Similarity.ivfPqResidualTopK): identical
+    * serving shape and scan budget to q119 — 4 of 16 lists, 8-byte
+    * codes, 50 re-ranked — but the codes quantize each vector's
+    * OFFSET from its coarse centroid (FAISS's canonical IVFADC), so
+    * the same code budget resolves much finer and recall rises at
+    * equal cost (measured in SimilaritySpec against q119's raw-coded
+    * variant). */
+  def q127IvfPqResidual(s: SparkSession, dir: String): DataFrame = {
+    val c = quantized(s, dir)
+    val q = c.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("query_vec").as("qvec"))
+    Similarity.ivfPqResidualTopK(c, q, k = 5, numCentroids = 16, nprobe = 4,
+        ks = 16, m = 8, dim = 64, shortlist = 50)
+      .orderBy("query_id", "rank")
+  }
+
   /** Grouped frequent items: top tokens PER LANGUAGE via the same
     * lossless sketch-then-recount funnel, keyed by group — per-group
     * sketch state stays ≤1024 pairs per task regardless of corpus
@@ -498,6 +514,7 @@ object ScaleOps {
     "q123_incremental_rollup" -> q123IncrementalRollup _,
     "q113_heavy_hitters" -> q113HeavyHitters _,
     "q119_ivfpq_ann" -> q119IvfPqAnn _,
+    "q127_ivfpq_residual" -> q127IvfPqResidual _,
     "q120_grouped_hh" -> q120GroupedHh _,
     "q111_funnel_ann" -> q111FunnelAnn _,
     "q112_hybrid_rrf" -> q112HybridRrf _,
@@ -588,6 +605,75 @@ object ScaleOps {
          |  FROM cand
          |  JOIN codes c ON c.vec_id = cand.vec_id
          |  JOIN dt ON dt.query_id = cand.query_id
+         |    AND dt.j = c.j AND dt.k = c.code
+         |  GROUP BY 1, 2),
+         |short AS (SELECT query_id, vec_id, approx_dist FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY approx_dist, vec_id) AS arank
+         |  FROM scored) WHERE arank <= 50),
+         |rr AS (SELECT s.query_id, s.vec_id, s.approx_dist,
+         |    CAST(list_dot_product(cv.v, cv.v)
+         |      - 2 * list_dot_product(cv.v, qv.v)
+         |      + list_dot_product(qv.v, qv.v) AS BIGINT) AS l2_dist
+         |  FROM short s
+         |  JOIN e cv ON cv.vec_id = s.vec_id
+         |  JOIN e qv ON qv.vec_id = s.query_id)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, l2_dist, approx_dist
+         |FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY l2_dist, vec_id) AS rank
+         |  FROM rr) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // q119's oracle with the residual refinement: codes and ADC
+    // tables are computed against (vector − assigned centroid) /
+    // (query − probed centroid); everything else is identical
+    "q127_ivfpq_residual" ->
+      s"""WITH e AS (SELECT vec_id, $qv AS v FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, v FROM e
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |assign AS (SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_dot_product(c.v, c.v)
+         |        - 2 * list_dot_product(e.v, c.v) ASC, c.cid) AS rn
+         |    FROM e, cent c) WHERE rn = 1),
+         |probe AS (SELECT query_id, cid FROM (
+         |    SELECT q.vec_id AS query_id, c.cid, ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_dot_product(c.v, c.v)
+         |        - 2 * list_dot_product(q.v, c.v) ASC, c.cid) AS rn
+         |    FROM e q, cent c WHERE q.vec_id % 10 = 0) WHERE rn <= 4),
+         |res AS (SELECT e.vec_id, a.cid,
+         |    list_transform(generate_series(1, 64), i -> e.v[i] - c.v[i]) AS r
+         |  FROM e JOIN assign a ON a.vec_id = e.vec_id
+         |  JOIN cent c ON c.cid = a.cid),
+         |pqc AS (SELECT ROW_NUMBER() OVER (
+         |    ORDER BY md5('r' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS k, r AS v
+         |  FROM res ORDER BY md5('r' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |sub AS (SELECT c.k, j.j, c.v[j.j*8+1 : j.j*8+8] AS cv,
+         |    list_dot_product(c.v[j.j*8+1 : j.j*8+8],
+         |                     c.v[j.j*8+1 : j.j*8+8]) AS cn2
+         |  FROM pqc c, generate_series(0, 7) j(j)),
+         |codes AS (SELECT vec_id, cid, j, k AS code FROM (
+         |  SELECT r.vec_id, r.cid, s.j, s.k,
+         |    ROW_NUMBER() OVER (PARTITION BY r.vec_id, s.j
+         |      ORDER BY s.cn2 - 2 * list_dot_product(r.r[s.j*8+1 : s.j*8+8], s.cv),
+         |        s.k) rn
+         |  FROM res r, sub s) WHERE rn = 1),
+         |rq AS (SELECT p.query_id, p.cid,
+         |    list_transform(generate_series(1, 64), i -> q.v[i] - c.v[i]) AS r
+         |  FROM probe p JOIN e q ON q.vec_id = p.query_id
+         |  JOIN cent c ON c.cid = p.cid),
+         |dt AS (SELECT rq.query_id, rq.cid, s.j, s.k,
+         |    CAST(list_dot_product(rq.r[s.j*8+1 : s.j*8+8], rq.r[s.j*8+1 : s.j*8+8])
+         |      - 2 * list_dot_product(rq.r[s.j*8+1 : s.j*8+8], s.cv)
+         |      + s.cn2 AS BIGINT) AS d
+         |  FROM rq, sub s),
+         |cand AS (SELECT p.query_id, a.vec_id, a.cid
+         |  FROM probe p JOIN assign a ON a.cid = p.cid
+         |  WHERE a.vec_id != p.query_id),
+         |scored AS (SELECT cand.query_id, cand.vec_id,
+         |    CAST(SUM(dt.d) AS BIGINT) AS approx_dist
+         |  FROM cand
+         |  JOIN codes c ON c.vec_id = cand.vec_id
+         |  JOIN dt ON dt.query_id = cand.query_id AND dt.cid = cand.cid
          |    AND dt.j = c.j AND dt.k = c.code
          |  GROUP BY 1, 2),
          |short AS (SELECT query_id, vec_id, approx_dist FROM (

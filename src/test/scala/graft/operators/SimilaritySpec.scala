@@ -128,6 +128,53 @@ class SimilaritySpec extends SparkSpec {
     assert(run(7) == r1, "IVF-PQ result must not depend on input partitioning")
   }
 
+  test("residual IVF-PQ (IVFADC): recall measured vs raw codes, partition-invariant") {
+    val c2 = quantized.withColumn("_n2c",
+      Similarity.dotQ(col("query_vec"), col("query_vec")))
+    val q2 = queries.withColumn("_n2q", Similarity.dotQ(col("qvec"), col("qvec")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("l2").asc, col("vec_id").asc)
+    val exact = c2.crossJoin(broadcast(q2))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("l2", col("_n2c") - lit(2L) *
+        Similarity.dotQ(col("query_vec"), col("qvec")) + col("_n2q"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame) = {
+      val got = df.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    // FULL probe (all 16 lists) isolates pure CODE quality; the
+    // production budget (4 of 16) adds the coarse pruning ceiling
+    // (IVF-flat at that budget measures ~0.53). Measured finding,
+    // recorded in the operator's scaladoc: residual codes do NOT
+    // beat raw codes on THIS corpus (the nearest of 16 stateless-
+    // draw centroids in 64 dims barely shrinks residuals, so the
+    // raw draw's cluster prior wins) — the numbers are reported
+    // here and sanity-bounded, not asserted as a residual victory.
+    val rawFull = recallOf(Similarity.ivfPqTopK(quantized, queries,
+      k = 5, numCentroids = 16, nprobe = 16, ks = 16, m = 8, dim = 64, shortlist = 50))
+    val resFull = recallOf(Similarity.ivfPqResidualTopK(quantized, queries,
+      k = 5, numCentroids = 16, nprobe = 16, ks = 16, m = 8, dim = 64, shortlist = 50))
+    info(f"full-probe (code quality only): raw $rawFull%.3f, residual $resFull%.3f")
+    val raw = recallOf(Similarity.ivfPqTopK(quantized, queries,
+      k = 5, numCentroids = 16, nprobe = 4, ks = 16, m = 8, dim = 64, shortlist = 50))
+    def res(parts: Int) = Similarity.ivfPqResidualTopK(
+      quantized.repartition(parts), queries,
+      k = 5, numCentroids = 16, nprobe = 4, ks = 16, m = 8, dim = 64, shortlist = 50)
+    val r1 = res(2)
+    val residual = recallOf(r1)
+    info(f"IVF-PQ recall@5 at nprobe=4: raw $raw%.3f, residual $residual%.3f " +
+      f"(same 25%% scan, 8 lookups/pair)")
+    // residual ADC must stay a working index (same order of quality
+    // as raw), even where it does not win
+    assert(resFull >= 0.4 && residual >= 0.3,
+      f"residual ADC collapsed: full $resFull%.3f, nprobe4 $residual%.3f")
+    assert(res(7).select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+      == r1.select("query_id", "vec_id").as[(Long, Long)].collect().toSet,
+      "residual IVF-PQ result must not depend on input partitioning")
+  }
+
   test("truncated-dim shortlist recall vs brute-force cosine (16 of 64 dims)") {
     val bf = Similarity.bruteForceTopK(quantized, queries, k = 5)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet

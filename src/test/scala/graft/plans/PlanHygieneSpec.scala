@@ -33,6 +33,8 @@ class PlanHygieneSpec extends SparkSpec {
     "q75_ivf_ann" -> "query x codebook probe scoring (|Q|*k rows)",
     // same probe stage; the ADC candidate stage is a hash join on cid
     "q119_ivfpq_ann" -> "query x codebook probe scoring (|Q|*k rows)",
+    // residual variant of q119 — identical probe stage
+    "q127_ivfpq_residual" -> "query x codebook probe scoring (|Q|*k rows)",
     // PQ-ADC scan: broadcast query distance tables vs corpus codes —
     // the compressed form of q49's bounded-query-set brute force
     "q101_pq_ann" -> "ADC scan (broadcast query dist tables vs codes)",
