@@ -289,8 +289,30 @@ object Quality {
       .orderBy("week")
   }
 
+  /** Exact median WITHOUT a global sort: the two-pass histogram
+    * funnel ([[graft.operators.ExactQuantile]]) — a bounded bucket
+    * histogram locates the middle ranks, then the rank lookup scans
+    * ONLY the located bucket (TakeOrdered of the local offset + MAX;
+    * no window, no corpus-wide exchange). q23's percentile() is the
+    * small-group form; this is its corpus-scale path. EAGER at build
+    * time like q98/q105: both passes run as driver actions during
+    * DataFrame construction. The interpolated median derives from
+    * exact middle-rank CENTS at the end, so the double is identical
+    * cross-engine. */
+  def q128ExactMedian(s: SparkSession, dir: String): DataFrame = {
+    val cents = (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    val (n, midSum, midCount) =
+      graft.operators.ExactQuantile.medianCents(Tables.lineitem(s, dir), cents)
+    import s.implicits._
+    Seq((n, midSum)).toDF("n", "mid_sum_cents")
+      .select(col("n"), col("mid_sum_cents"),
+        (col("mid_sum_cents").cast("double") /
+          lit(midCount * 100).cast("double")).as("median_price"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q126_sketch_rollup" -> q126SketchRollup _,
+    "q128_exact_median" -> q128ExactMedian _,
     "q17_conditional_agg" -> q17ConditionalAgg _,
     "q76_kmv_distinct" -> q76KmvDistinct _,
     "q82_kmv_overlap" -> q82KmvOverlap _,
@@ -312,6 +334,18 @@ object Quality {
        |                / 281474976710656.0) END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the oracle takes the global-sort road the query refuses: rank
+    // every row, pick the middle(s) — equality proves the funnel
+    "q128_exact_median" ->
+      """WITH v AS (
+        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM lineitem),
+        |r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn,
+        |        COUNT(*) OVER () AS n FROM v),
+        |mids AS (SELECT n, x FROM r WHERE rn = (n+1)//2 OR rn = (n+2)//2)
+        |SELECT MAX(n) AS n, CAST(SUM(x) AS BIGINT) AS mid_sum_cents,
+        |  CAST(CAST(SUM(x) AS DOUBLE) / (COUNT(*) * 100) AS DOUBLE) AS median_price
+        |FROM mids""".stripMargin,
     // direct weekly min-k — merged-daily equals this exactly (min-k
     // union is lossless), which is the whole claim under test
     "q126_sketch_rollup" ->
