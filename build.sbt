@@ -32,4 +32,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 8g default vs 9.6 s at 64g in the same minute. The box has
   // 128 GiB; this is a cap, not an allocation.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // 128 queries x whole-stage-codegen'd plans x 3 bench reps overflow
+  // the 240 MB default JIT code cache mid-suite — the signature is a
+  // query measuring several x slower in-suite than isolated minutes
+  // apart (q119: 5.9 s in-suite, 1.7 s isolated on identical code)
+  "-XX:ReservedCodeCacheSize=512m",
 )
