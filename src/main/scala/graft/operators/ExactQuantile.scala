@@ -58,4 +58,52 @@ object ExactQuantile {
     }.sum
     (n, midSum, ranks.size)
   }
+
+  /** Per-GROUP nearest-rank quantiles with the same funnel: pass 1 is
+    * one (group, bucket) histogram scan (bounded: |groups|·|buckets|
+    * rows to the driver); the driver walks each group's cumulative
+    * sum to (bucket, offset-within-bucket) per requested percentile;
+    * pass 2 is ONE scan pruned to the located (group, bucket) pairs
+    * by a broadcast join, ranked only WITHIN each (group, bucket,
+    * pct) partition — offsets are bucket-relative, so different
+    * percentiles landing in different (or the same) buckets of one
+    * group never disturb each other. Nearest-rank definition
+    * (k = max(1, ⌈p·n⌉)): the emitted value is an actual data value,
+    * exact in cents. Nulls are excluded (they have no rank). */
+  def groupedQuantiles(df: DataFrame, groupCol: String, cents: Column,
+                       ps: Seq[(String, Double)],
+                       bucketCents: Long = 100000L): DataFrame = {
+    val sp = df.sparkSession
+    import sp.implicits._
+    val vals = df.select(col(groupCol).as("g"), cents.as("v"))
+      .filter(col("v").isNotNull)
+    val hist = vals
+      .groupBy(col("g"), (col("v") / bucketCents).cast("long").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (g, rows) =>
+        g -> rows.map(r => (r._2, r._3)).sortBy(_._1)
+      }
+    val lookup = hist.toSeq.flatMap { case (g, buckets) =>
+      val n = buckets.map(_._2).sum
+      ps.map { case (pct, p) =>
+        val k = math.max(1L, math.ceil(p * n).toLong)
+        var cum = 0L
+        var i = 0
+        while (i < buckets.length && cum + buckets(i)._2 < k) {
+          cum += buckets(i)._2; i += 1
+        }
+        (g, buckets(i)._1, pct, (k - cum).toInt, n)
+      }
+    }.toDF("g", "b", "pct", "local_k", "n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g", "b", "pct").orderBy(col("v").asc)
+    vals.withColumn("b", (col("v") / bucketCents).cast("long"))
+      .join(broadcast(lookup), Seq("g", "b"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === col("local_k"))
+      .select(col("g").as(groupCol), col("pct"), col("n"),
+        col("v").as("value_cents"))
+      .orderBy(groupCol, "pct")
+  }
 }

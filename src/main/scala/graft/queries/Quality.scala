@@ -310,9 +310,25 @@ object Quality {
           lit(midCount * 100).cast("double")).as("median_price"))
   }
 
+  /** Exact PER-GROUP percentiles at scale — q128's histogram funnel,
+    * grouped: nearest-rank p50/p95 of event value per event_type in
+    * two passes (a (group, bucket) histogram, then ONE scan pruned to
+    * the located buckets and ranked only within (group, bucket,
+    * pct)). No global or per-group full sort anywhere — q37's
+    * percentile() is the small-group form this replaces at corpus
+    * scale. EAGER at build time like q128: pass 1 collects the
+    * bounded histogram while the DataFrame is constructed; pass 2
+    * stays lazy. */
+  def q129GroupedPercentiles(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ExactQuantile.groupedQuantiles(
+      Tables.events(s, dir), "event_type",
+      (col("value").cast("decimal(18,2)") * 100).cast("long"),
+      Seq("p50" -> 0.5, "p95" -> 0.95))
+
   val queries: Map[String, Q] = Map(
     "q126_sketch_rollup" -> q126SketchRollup _,
     "q128_exact_median" -> q128ExactMedian _,
+    "q129_grouped_pct_funnel" -> q129GroupedPercentiles _,
     "q17_conditional_agg" -> q17ConditionalAgg _,
     "q76_kmv_distinct" -> q76KmvDistinct _,
     "q82_kmv_overlap" -> q82KmvOverlap _,
@@ -334,6 +350,21 @@ object Quality {
        |                / 281474976710656.0) END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the windowed nearest-rank road the query refuses to take
+    "q129_grouped_pct_funnel" ->
+      """WITH v AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT event_type, x,
+        |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x) AS rn,
+        |        COUNT(*) OVER (PARTITION BY event_type) AS n FROM v)
+        |SELECT event_type, 'p50' AS pct, n, x AS value_cents FROM r
+        |WHERE rn = GREATEST(1, CAST(ceil(0.5 * n) AS BIGINT))
+        |UNION ALL
+        |SELECT event_type, 'p95' AS pct, n, x AS value_cents FROM r
+        |WHERE rn = GREATEST(1, CAST(ceil(0.95 * n) AS BIGINT))
+        |ORDER BY event_type, pct""".stripMargin,
     // the oracle takes the global-sort road the query refuses: rank
     // every row, pick the middle(s) — equality proves the funnel
     "q128_exact_median" ->

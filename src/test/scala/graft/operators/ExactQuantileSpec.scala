@@ -30,6 +30,26 @@ class ExactQuantileSpec extends SparkSpec {
     check(Seq(1L, 1000000L), 10L)             // sparse extremes
   }
 
+  test("grouped funnel quantiles equal the per-group nearest-rank definition") {
+    val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+    val got = ExactQuantile.groupedQuantiles(Tables.events(spark, sfDir),
+        "event_type", cents, Seq("p50" -> 0.5, "p95" -> 0.95))
+      .select("event_type", "pct", "value_cents")
+      .as[(String, String, Long)].collect().toSet
+    val byGroup = Tables.events(spark, sfDir)
+      .select(col("event_type"), cents.as("v")).filter(col("v").isNotNull)
+      .as[(String, Long)].collect().groupBy(_._1)
+      .map { case (g, rows) => g -> rows.map(_._2).sorted }
+    val expect = byGroup.flatMap { case (g, sorted) =>
+      Seq("p50" -> 0.5, "p95" -> 0.95).map { case (pct, p) =>
+        val k = math.max(1L, math.ceil(p * sorted.length).toLong)
+        (g, pct, sorted((k - 1).toInt))
+      }
+    }.toSet
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
   test("q128's funnel equals the sorted lineitem median at sf0.001") {
     val cents = (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
     val li = Tables.lineitem(spark, sfDir)
