@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.operators.Skyline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -408,7 +409,61 @@ object Breadth {
       .orderBy("id_a", "id_b")
   }
 
+  /** 2-D Pareto frontier (skyline) of events — earliest-and-highest:
+    * an event survives iff no other event is at-or-before it in time
+    * with at-or-above value (strict somewhere). Both dimensions are
+    * unbounded-cardinality, so this is the genuine distributed-skyline
+    * case: [[graft.operators.Skyline]] runs one keyed per-timestamp
+    * max, the PrefixSum-style two-phase running max over the
+    * aggregate, and one keyed join back — no global window anywhere
+    * (the oracle's unpartitioned cummax window is exactly the plan
+    * shape the operator exists to avoid). */
+  def q132Skyline(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+    Skyline.paretoMinMax(ev, "ts_us", "value")
+      .orderBy("ts_us", "event_id")
+  }
+
+  /** PageRank over the customer→supplier purchase graph, 3 unrolled
+    * iterations in FIXED-POINT integer arithmetic: ranks are BIGINT
+    * units of 10⁻¹² (r₀ = 10¹²), each step is
+    * r' = 0.15 + 0.85·Σ r/outdeg computed as integer DIV — every
+    * operation is exact, order-independent, and bit-reproducible in
+    * any engine (double PageRank would hash-diverge on summation
+    * order alone). Per iteration: one keyed join (rank → edge src)
+    * and one keyed aggregate (sum over incoming edges of dst) — the
+    * standard message-passing shape; iteration count is a constant,
+    * edges are deduped once up front, and nothing ever leaves the
+    * executors. */
+  def q135PageRank(s: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
+      .distinct()
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val e2 = edges.join(outdeg, "src")
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    var ranks = nodes.withColumn("r", lit(1000000000000L))
+    for (_ <- 1 to 3) {
+      val contrib = e2.join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          expr("((r * 85) DIV 100) DIV outdeg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("in_mass"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(150000000000L) + coalesce(col("in_mass"), lit(0L))).as("r"))
+    }
+    ranks.select(col("node").as("node_id"), col("r").as("rank_fp"))
+      .orderBy("node_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q132_skyline" -> q132Skyline _,
+    "q135_pagerank" -> q135PageRank _,
     "q125_radius_join" -> q125RadiusJoin _,
     "q95_value_range_frame" -> q95ValueRangeFrame _,
     "q117_basket_pairs" -> q117BasketPairs _,
@@ -429,6 +484,44 @@ object Breadth {
   )
 
   val oracles: Map[String, String] = Map(
+    "q132_skyline" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events),
+        |pt AS (SELECT ts_us, MAX(value) AS mv FROM e GROUP BY 1),
+        |pm AS (
+        |  SELECT ts_us, mv,
+        |    MAX(mv) OVER (ORDER BY ts_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_lt
+        |  FROM pt)
+        |SELECT e.ts_us, e.event_id, e.user_id, e.value
+        |FROM e JOIN pm ON pm.ts_us = e.ts_us
+        |WHERE e.value = pm.mv AND (pm.m_lt IS NULL OR e.value > pm.m_lt)
+        |ORDER BY e.ts_us, e.event_id""".stripMargin,
+    "q135_pagerank" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT o.o_custkey AS src, l.l_suppkey AS dst
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+        |nodes AS (SELECT src AS node FROM edges
+        |          UNION SELECT dst FROM edges),
+        |r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM nodes),
+        |c1 AS (SELECT e.dst, SUM(((r.r * 85) // 100) // o.outdeg) AS m
+        |       FROM edges e JOIN outdeg o USING (src)
+        |       JOIN r0 r ON r.node = e.src GROUP BY 1),
+        |r1 AS (SELECT n.node, CAST(150000000000 + COALESCE(c.m, 0) AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN c1 c ON c.dst = n.node),
+        |c2 AS (SELECT e.dst, SUM(((r.r * 85) // 100) // o.outdeg) AS m
+        |       FROM edges e JOIN outdeg o USING (src)
+        |       JOIN r1 r ON r.node = e.src GROUP BY 1),
+        |r2 AS (SELECT n.node, CAST(150000000000 + COALESCE(c.m, 0) AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN c2 c ON c.dst = n.node),
+        |c3 AS (SELECT e.dst, SUM(((r.r * 85) // 100) // o.outdeg) AS m
+        |       FROM edges e JOIN outdeg o USING (src)
+        |       JOIN r2 r ON r.node = e.src GROUP BY 1),
+        |r3 AS (SELECT n.node, CAST(150000000000 + COALESCE(c.m, 0) AS BIGINT) AS r
+        |       FROM nodes n LEFT JOIN c3 c ON c.dst = n.node)
+        |SELECT node AS node_id, r AS rank_fp FROM r3
+        |ORDER BY node_id""".stripMargin,
     // brute-force all-pairs reference: fine at oracle scale, and
     // equality with it IS the grid's losslessness claim
     "q125_radius_join" ->

@@ -212,8 +212,43 @@ object CurationOps {
       .orderBy("source", "pick_rank")
   }
 
+  /** Priority sampling (Duffield–Lund–Thorup 2007): weighted sampling
+    * WITHOUT replacement with an unbiased subset-sum estimator —
+    * priority = weight / u with u a deterministic md5 uniform, keep
+    * the top-k priorities per source, and estimate each kept item's
+    * weight as max(weight, τ) where τ is the (k+1)-th priority. The
+    * E-S exponential-race scheme needs ln(u) (transcendental — not
+    * bit-reproducible across engines); priority sampling's key is a
+    * single exact DOUBLE division of integers, so any engine
+    * reproduces the identical sample AND the identical estimates.
+    * Per-source top-k is a WindowGroupLimit (no global sort); at any
+    * corpus size the only shuffle is the source-keyed rank. */
+  def q131PrioritySample(s: SparkSession, dir: String): DataFrame = {
+    val k = 25
+    // u in (0,1]: +1 on the 48-bit md5 prefix avoids u=0 (division
+    // blow-up); all values exact in doubles
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+      .cast("double") + 1.0) / lit(math.pow(16.0, 12.0))
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        greatest(col("n_chars"), lit(1L)).as("weight"))
+      .withColumn("priority", col("weight").cast("double") / u)
+    val wp = Window.partitionBy("source")
+      .orderBy(col("priority").desc, col("doc_id"))
+    val ranked = d.withColumn("pick_rank", row_number().over(wp))
+    val tau = ranked.filter(col("pick_rank") === k + 1)
+      .select(col("source"), col("priority").as("tau"))
+    ranked.filter(col("pick_rank") <= k)
+      .join(broadcast(tau), Seq("source"), "left")
+      .select(col("source"), col("doc_id"), col("weight"), col("pick_rank"),
+        greatest(col("weight").cast("double"), coalesce(col("tau"), lit(0.0)))
+          .as("est_weight"))
+      .orderBy("source", "pick_rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "q124_quota_apportion" -> q124QuotaApportion _,
+    "q131_priority_sample" -> q131PrioritySample _,
     "q78_stratified_sample" -> q78StratifiedSample _,
     "q79_weighted_sample" -> q79WeightedSample _,
     "q59_token_packing" -> q59TokenPacking _,
@@ -225,6 +260,25 @@ object CurationOps {
   private val tokensSql = "regexp_split_to_array(lower(trim(text)), ' +')"
 
   val oracles: Map[String, String] = Map(
+    "q131_priority_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(greatest(n_chars, 1) AS BIGINT) AS weight,
+        |    CAST(greatest(n_chars, 1) AS DOUBLE) /
+        |      ((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+        |          AS BIGINT) AS DOUBLE) + 1.0) / 281474976710656.0) AS priority
+        |  FROM documents),
+        |r AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (
+        |      PARTITION BY source ORDER BY priority DESC, doc_id)
+        |    AS INTEGER) AS pick_rank
+        |  FROM d),
+        |tau AS (SELECT source, priority AS tau FROM r WHERE pick_rank = 26)
+        |SELECT r.source, r.doc_id, r.weight, r.pick_rank,
+        |  greatest(CAST(r.weight AS DOUBLE), COALESCE(t.tau, 0.0)) AS est_weight
+        |FROM r LEFT JOIN tau t ON t.source = r.source
+        |WHERE r.pick_rank <= 25
+        |ORDER BY r.source, r.pick_rank""".stripMargin,
     "q124_quota_apportion" ->
       """WITH d AS (
         |  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS sample_key

@@ -3,7 +3,9 @@ package graft.queries
 import graft.Tables
 import graft.functions.Funcs._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Data-quality / observability surface (SURVEY.md §2.4 A6-A12, §2.8
   * F23-F26; reference pipeline_observability.py + dbt tests + GX
@@ -325,7 +327,81 @@ object Quality {
       (col("value").cast("decimal(18,2)") * 100).cast("long"),
       Seq("p50" -> 0.5, "p95" -> 0.95))
 
+  /** Robust outlier detection via MAD (median absolute deviation) —
+    * the distribution-free cousin of q20's z-score monitor: flag
+    * |x − median| > 3·1.4826·MAD (1.4826 rescales MAD to σ under
+    * normality). Composes the q128 histogram funnel TWICE — once for
+    * the median, once for the median of deviations — so there is no
+    * global sort at either level; deviations are kept integral in
+    * HALF-cents (|2v − 2·median| — 2·median is integral whether the
+    * median interpolates or not), so the second funnel's histogram
+    * keys and comparisons are exact. The final median/MAD doubles are
+    * integer ratios with power-of-two denominators (÷2, ÷4) — exact
+    * in binary, so the flag threshold is bit-identical cross-engine.
+    * EAGER at build time like q128 (both funnel passes are driver
+    * actions during construction). */
+  def q134MadOutliers(s: SparkSession, dir: String): DataFrame = {
+    val centsExpr = (col("value").cast("decimal(18,2)") * 100).cast("long")
+    val base = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), centsExpr.as("v"))
+    val (_, midSum, midCount) =
+      graft.operators.ExactQuantile.medianCents(base, col("v"))
+    val med = midSum.toDouble / midCount
+    val med2 = if (midCount == 2) midSum else 2 * midSum
+    val dev = base.withColumn("dev2", abs(col("v") * 2 - lit(med2)))
+    val (_, midSum2, midCount2) =
+      graft.operators.ExactQuantile.medianCents(dev, col("dev2"))
+    val madCents = midSum2.toDouble / (2.0 * midCount2)
+    base.select(col("event_id"), col("user_id"), col("v").as("value_cents"),
+        lit(med).as("median_cents"), lit(madCents).as("mad_cents"),
+        abs(col("v").cast("double") - lit(med)).as("abs_dev_cents"))
+      .withColumn("is_outlier",
+        col("abs_dev_cents") > (lit(3.0) * lit(1.4826)) * lit(madCents))
+      .orderBy("event_id")
+  }
+
+  /** Chi-square independence test between two categorical columns
+    * (lang × source) — the statistical drift monitor behind "did the
+    * crawl mix shift?": observed cell counts vs expected
+    * rowTotal·colTotal/N, χ² = Σ(n−e)²/e with dof
+    * (|rows|−1)(|cols|−1). One keyed groupBy builds the contingency
+    * table; the marginal windows run over the |langs|·|sources|-row
+    * aggregate (alphabet-bounded, q121's argument), and the two
+    * 1-row-aggregate cross joins are the q07/q124 idiom. Per-cell
+    * contributions are rounded to 6 dp and summed as DECIMAL so the
+    * χ² total is order-independent and bit-identical cross-engine. */
+  def q137ChiSquare(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(s, dir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("observed"))
+    val wl = Window.partitionBy("lang")
+    val ws = Window.partitionBy("source")
+    val marg = cells
+      .withColumn("row_total", sum(col("observed")).over(wl))
+      .withColumn("col_total", sum(col("observed")).over(ws))
+    val tot = cells.agg(
+      sum(col("observed")).as("n_total"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"))
+    val scored = marg.crossJoin(tot)
+      .withColumn("expected",
+        (col("row_total") * col("col_total")).cast("double") /
+          col("n_total").cast("double"))
+      .withColumn("contrib",
+        round((col("observed").cast("double") - col("expected")) *
+          (col("observed").cast("double") - col("expected")) / col("expected"), 6)
+          .cast(DecimalType(18, 6)))
+    scored
+      .crossJoin(scored.agg(sum(col("contrib")).as("chi2_sum")))
+      .select(col("lang"), col("source"), col("observed"),
+        col("expected"), col("contrib").cast("double").as("cell_chi2"),
+        col("chi2_sum").cast("double").as("chi2_total"),
+        ((col("n_langs") - 1) * (col("n_sources") - 1)).as("dof"))
+      .orderBy("lang", "source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q134_mad_outliers" -> q134MadOutliers _,
+    "q137_chi_square" -> q137ChiSquare _,
     "q126_sketch_rollup" -> q126SketchRollup _,
     "q128_exact_median" -> q128ExactMedian _,
     "q129_grouped_pct_funnel" -> q129GroupedPercentiles _,
@@ -350,6 +426,55 @@ object Quality {
        |                / 281474976710656.0) END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q137_chi_square" ->
+      """WITH cells AS (
+        |  SELECT lang, source, COUNT(*) AS observed
+        |  FROM documents GROUP BY 1, 2),
+        |marg AS (
+        |  SELECT *,
+        |    SUM(observed) OVER (PARTITION BY lang) AS row_total,
+        |    SUM(observed) OVER (PARTITION BY source) AS col_total
+        |  FROM cells),
+        |tot AS (
+        |  SELECT SUM(observed) AS n_total,
+        |    COUNT(DISTINCT lang) AS n_langs,
+        |    COUNT(DISTINCT source) AS n_sources
+        |  FROM cells),
+        |scored AS (
+        |  SELECT m.lang, m.source, m.observed,
+        |    CAST(m.row_total * m.col_total AS DOUBLE)
+        |      / CAST(t.n_total AS DOUBLE) AS expected,
+        |    t.n_langs, t.n_sources
+        |  FROM marg m, tot t),
+        |c2 AS (
+        |  SELECT *,
+        |    CAST(round((CAST(observed AS DOUBLE) - expected)
+        |      * (CAST(observed AS DOUBLE) - expected) / expected, 6)
+        |      AS DECIMAL(18,6)) AS contrib
+        |  FROM scored)
+        |SELECT c2.lang, c2.source, c2.observed, c2.expected,
+        |  CAST(c2.contrib AS DOUBLE) AS cell_chi2,
+        |  CAST(s.chi2_sum AS DOUBLE) AS chi2_total,
+        |  CAST((c2.n_langs - 1) * (c2.n_sources - 1) AS BIGINT) AS dof
+        |FROM c2, (SELECT SUM(contrib) AS chi2_sum FROM c2) s
+        |ORDER BY c2.lang, c2.source""".stripMargin,
+    "q134_mad_outliers" ->
+      """WITH v AS (
+        |  SELECT event_id, user_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events),
+        |m AS (SELECT median(v) AS med FROM v),
+        |d AS (SELECT v.*, abs(2 * v.v - CAST(2 * m.med AS BIGINT)) AS dev2
+        |      FROM v, m),
+        |m2 AS (SELECT median(dev2) AS mad2 FROM d)
+        |SELECT d.event_id, d.user_id, d.v AS value_cents,
+        |  m.med AS median_cents,
+        |  m2.mad2 / 2.0 AS mad_cents,
+        |  abs(CAST(d.v AS DOUBLE) - m.med) AS abs_dev_cents,
+        |  abs(CAST(d.v AS DOUBLE) - m.med)
+        |    > (3.0 * 1.4826) * (m2.mad2 / 2.0) AS is_outlier
+        |FROM d, m, m2
+        |ORDER BY d.event_id""".stripMargin,
     // the windowed nearest-rank road the query refuses to take
     "q129_grouped_pct_funnel" ->
       """WITH v AS (

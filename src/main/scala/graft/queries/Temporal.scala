@@ -210,8 +210,66 @@ object Temporal {
       .orderBy("prev_type", "next_type")
   }
 
+  /** Time-series gap-fill + forward-fill (LOCF): densify each user's
+    * daily value series onto the calendar spine, then carry the last
+    * observation forward over the gaps. The dense grid is GENERATED
+    * (explode of a bounded date sequence per user — no join, no
+    * cartesian plan), the series join is one keyed shuffle on
+    * (user, day), and the fill window partitions by user — at any
+    * corpus size the only per-row costs are one generator, one
+    * keyed join, and one keyed window. Days before a user's first
+    * observation stay NULL (nothing to carry). */
+  def q130GapFill(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+      .agg(dsum(col("value")).as("daily_value"))
+    val dense = daily.select("user_id").distinct()
+      .withColumn("day",
+        explode(expr(
+          "sequence(to_date('2024-01-01'), to_date('2024-01-30'), interval 1 day)")))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dense.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("filled_value",
+        last(col("daily_value"), ignoreNulls = true).over(w))
+      .withColumn("is_observed", col("daily_value").isNotNull)
+      .orderBy("user_id", "day")
+  }
+
+  /** Time-weighted average (TWA) per user — the right mean for
+    * irregularly-sampled series (a value held for 3 hours must weigh
+    * 3× one held for 1 hour): each event's value is held until the
+    * next event (step interpolation), TWA = Σ value·duration / Σ
+    * duration. One keyed LEAD window builds the step segments; the
+    * weighted sums are kept INTEGRAL (cents × microseconds — bounded
+    * by ~5·10¹⁶ per user-month, well inside BIGINT) so the aggregate
+    * is exact and order-independent; the single final division is the
+    * only double op. The last event of each user has no successor and
+    * carries zero duration (standard TWA-until-last-observation). */
+  def q136TimeWeightedAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val seg = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("v_cents"))
+      .withColumn("next_us", lead(col("ts_us"), 1).over(w))
+      .withColumn("dur_us", coalesce(col("next_us") - col("ts_us"), lit(0L)))
+    seg.groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("dur_us")).as("span_us"),
+        sum(col("v_cents") * col("dur_us")).as("weighted_sum"))
+      .withColumn("twa_cents",
+        when(col("span_us") > 0,
+          (col("weighted_sum").cast("double") / col("span_us").cast("double"))
+            .cast("double")))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q12_date_spine" -> q12DateSpine _,
+    "q130_gap_fill" -> q130GapFill _,
+    "q136_time_weighted_avg" -> q136TimeWeightedAvg _,
     "q116_funnel" -> q116Funnel _,
     "q121_markov_transitions" -> q121MarkovTransitions _,
     "q13_asof_join" -> q13AsofJoin _,
@@ -223,6 +281,41 @@ object Temporal {
   )
 
   val oracles: Map[String, String] = Map(
+    "q136_time_weighted_avg" ->
+      """WITH seg AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v_cents,
+        |    COALESCE(LEAD(epoch_us(ts)) OVER (
+        |        PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |      - epoch_us(ts), 0) AS dur_us
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(dur_us) AS BIGINT) AS span_us,
+        |  CAST(SUM(v_cents * dur_us) AS BIGINT) AS weighted_sum,
+        |  CASE WHEN SUM(dur_us) > 0 THEN
+        |    CAST(CAST(SUM(v_cents * dur_us) AS DOUBLE)
+        |      / CAST(SUM(dur_us) AS DOUBLE) AS DOUBLE) END AS twa_cents
+        |FROM seg GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+    "q130_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS daily_value
+        |  FROM events GROUP BY 1, 2),
+        |dense AS (
+        |  SELECT u.user_id, s.day
+        |  FROM (SELECT DISTINCT user_id FROM events) u
+        |  CROSS JOIN (
+        |    SELECT CAST(unnest(generate_series(DATE '2024-01-01',
+        |      DATE '2024-01-30', INTERVAL 1 DAY)) AS DATE) AS day) s)
+        |SELECT d.user_id, d.day, dl.daily_value,
+        |  last_value(dl.daily_value IGNORE NULLS) OVER (
+        |    PARTITION BY d.user_id ORDER BY d.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+        |  dl.daily_value IS NOT NULL AS is_observed
+        |FROM dense d
+        |LEFT JOIN daily dl ON dl.user_id = d.user_id AND dl.day = d.day
+        |ORDER BY d.user_id, d.day""".stripMargin,
     "q121_markov_transitions" ->
       """WITH t AS (
         |  SELECT user_id,

@@ -4,6 +4,7 @@ import graft.Tables
 import graft.operators.TextAnalysis._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Text-analysis queries over the documents table: token counting,
   * language-ID, quality scoring, fingerprinting, n-gram Jaccard —
@@ -103,7 +104,45 @@ object TextOps {
       .orderBy("doc_a")
   }
 
+  /** Bigram language-model quality scoring (the CCNet/Wenzek-style
+    * LM-perplexity filter, self-trained): estimate p(w₂|w₁) =
+    * C(w₁w₂)/C(w₁) from the corpus itself, then score each document
+    * by its mean bigram log-probability — low scores flag
+    * unnatural/boilerplate text. Model training is two keyed counts
+    * (bigram, unigram); scoring joins each document's bigrams to the
+    * model — every shuffle is keyed by gram strings, never documents.
+    * Cross-engine exactness: each ln is rounded to 6 dp (the q56
+    * TF-IDF precedent) and then summed as DECIMAL — decimal addition
+    * is exact and order-independent, so the per-doc sum cannot
+    * hash-diverge on aggregation order the way a double sum would. */
+  def q133BigramLm(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val bi = t.select(col("doc_id"),
+      explode(wordNgrams(col("toks"), 2)).as("bigram"))
+    val uni = t.select(explode(col("toks")).as("w1"))
+    val biModel = bi.groupBy("bigram").agg(count(lit(1)).as("c_bi"))
+    val uniModel = uni.groupBy("w1").agg(count(lit(1)).as("c_uni"))
+    val scored = bi
+      .join(biModel, "bigram")
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .join(uniModel, "w1")
+      .withColumn("logp",
+        round(log(col("c_bi").cast("double") / col("c_uni").cast("double")), 6)
+          .cast(DecimalType(18, 6)))
+    val perDoc = scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("logp")).as("sum_logp"))
+    Tables.documents(s, dir).select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        (col("sum_logp").cast("double") / col("n_bigrams"))
+          .cast("double").as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q133_bigram_lm" -> q133BigramLm _,
     "q40_token_stats" -> q40TokenStats _,
     "q41_lang_id" -> q41LangId _,
     "q42_quality_score" -> q42QualityScore _,
@@ -118,6 +157,28 @@ object TextOps {
     s"len(regexp_extract_all($expr, '$re'))"
 
   val oracles: Map[String, String] = Map(
+    "q133_bigram_lm" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |bi AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks), 1)),
+         |    i -> array_to_string(toks[i:i+1], ' '))) AS bigram FROM t),
+         |uni AS (SELECT unnest(toks) AS w1 FROM t),
+         |bm AS (SELECT bigram, COUNT(*) AS c_bi FROM bi GROUP BY 1),
+         |um AS (SELECT w1, COUNT(*) AS c_uni FROM uni GROUP BY 1),
+         |scored AS (
+         |  SELECT b.doc_id,
+         |    CAST(round(ln(CAST(bm.c_bi AS DOUBLE) / CAST(um.c_uni AS DOUBLE)), 6)
+         |      AS DECIMAL(18,6)) AS logp
+         |  FROM bi b
+         |  JOIN bm USING (bigram)
+         |  JOIN um ON um.w1 = string_split(b.bigram, ' ')[1]),
+         |a AS (SELECT doc_id, COUNT(*) AS n_bigrams, SUM(logp) AS sum_logp
+         |      FROM scored GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(a.n_bigrams, 0) AS n_bigrams,
+         |  CAST(CAST(a.sum_logp AS DOUBLE) / a.n_bigrams AS DOUBLE) AS avg_logprob
+         |FROM documents d LEFT JOIN a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "q40_token_stats" ->
       s"""SELECT doc_id,
          |  CAST(length(text) AS INTEGER) AS char_count,

@@ -64,6 +64,10 @@ class PlanHygieneSpec extends SparkSpec {
     // all run post-aggregation; the corpus-sized work is one keyed
     // WindowGroupLimit pick
     "q124_quota_apportion" -> "apportionment math over |sources|-row aggregate",
+    // contingency-table math over the |langs|·|sources|-row cell
+    // aggregate: the 1-row totals cross and the chi2-sum cross both
+    // run post-aggregation (q07's idiom); marginal windows are keyed
+    "q137_chi_square" -> "totals crosses over the bounded cell aggregate",
   )
 
   private def offenders(plan: SparkPlan): Seq[String] = plan.collect {
