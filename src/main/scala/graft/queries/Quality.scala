@@ -399,9 +399,41 @@ object Quality {
       .orderBy("lang", "source")
   }
 
+  /** Equi-depth (equal-count) histogram — the binning CBO statistics
+    * and feature engineering both need: quartile cut points come from
+    * the q129 grouped funnel (nearest-rank, no global sort — q38 is
+    * the equi-WIDTH cousin whose buckets come free), then ONE scan
+    * labels rows and aggregates per-bucket stats. The cut points are
+    * 3 driver-side integers shipped as literals; everything else is a
+    * keyed aggregate. Bucket populations differ from n/4 only by the
+    * mass of duplicate values pinned at a cut point — exact by
+    * construction, not approximately-equal. */
+  def q138EquiDepthHist(s: SparkSession, dir: String): DataFrame = {
+    val cents = (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    val src = Tables.lineitem(s, dir).select(lit("all").as("g"), cents.as("v"))
+    val cuts = graft.operators.ExactQuantile.groupedQuantiles(
+        src, "g", col("v"), Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
+      .collect().map(r => r.getAs[String]("pct") -> r.getAs[Long]("value_cents"))
+      .toMap
+    src.withColumn("bucket",
+        when(col("v") <= cuts("p25"), "b1")
+          .when(col("v") <= cuts("p50"), "b2")
+          .when(col("v") <= cuts("p75"), "b3")
+          .otherwise("b4"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min(col("v")).as("min_cents"), max(col("v")).as("max_cents"),
+        sum(col("v")).as("sum_cents"))
+      .withColumn("p25_cents", lit(cuts("p25")))
+      .withColumn("p50_cents", lit(cuts("p50")))
+      .withColumn("p75_cents", lit(cuts("p75")))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, Q] = Map(
     "q134_mad_outliers" -> q134MadOutliers _,
     "q137_chi_square" -> q137ChiSquare _,
+    "q138_equidepth_hist" -> q138EquiDepthHist _,
     "q126_sketch_rollup" -> q126SketchRollup _,
     "q128_exact_median" -> q128ExactMedian _,
     "q129_grouped_pct_funnel" -> q129GroupedPercentiles _,
@@ -426,6 +458,29 @@ object Quality {
        |                / 281474976710656.0) END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q138_equidepth_hist" ->
+      """WITH v AS (
+        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM lineitem),
+        |r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn,
+        |             COUNT(*) OVER () AS n FROM v),
+        |cuts AS (SELECT
+        |  MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(0.25 * n) AS BIGINT))
+        |      THEN v END) AS p25,
+        |  MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(0.50 * n) AS BIGINT))
+        |      THEN v END) AS p50,
+        |  MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(0.75 * n) AS BIGINT))
+        |      THEN v END) AS p75
+        |  FROM r)
+        |SELECT
+        |  CASE WHEN v.v <= c.p25 THEN 'b1' WHEN v.v <= c.p50 THEN 'b2'
+        |       WHEN v.v <= c.p75 THEN 'b3' ELSE 'b4' END AS bucket,
+        |  COUNT(*) AS n, MIN(v.v) AS min_cents, MAX(v.v) AS max_cents,
+        |  CAST(SUM(v.v) AS BIGINT) AS sum_cents,
+        |  c.p25 AS p25_cents, c.p50 AS p50_cents, c.p75 AS p75_cents
+        |FROM v, cuts c
+        |GROUP BY 1, c.p25, c.p50, c.p75
+        |ORDER BY bucket""".stripMargin,
     "q137_chi_square" ->
       """WITH cells AS (
         |  SELECT lang, source, COUNT(*) AS observed
