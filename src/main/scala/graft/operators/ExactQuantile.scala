@@ -59,6 +59,44 @@ object ExactQuantile {
     (n, midSum, ranks.size)
   }
 
+  /** WEIGHTED median with the same funnel: each row occupies `weight`
+    * rank slots, and the (lower) weighted median is the smallest
+    * value whose cumulative weight reaches k = (W+1)/2. Pass 1
+    * histograms SUM(weight) per bucket (bounded, driver-walked);
+    * pass 2 scans ONLY the located bucket with a running weight sum
+    * and takes MIN(v) at the crossing — deterministic even under
+    * value ties, because the crossing can only land inside a tie
+    * group whose v is unique. The within-bucket window is
+    * unpartitioned but runs over one pruned bucket, not the corpus
+    * (same boundedness as medianCents' TakeOrdered). Rows with
+    * non-positive weight are excluded (they occupy no rank slots).
+    * Returns (totalWeight, k, medianCents). */
+  def weightedMedianCents(df: DataFrame, cents: Column, weight: Column,
+                          bucketCents: Long = 100000L): (Long, Long, Long) = {
+    val vals = df.select(cents.as("v"), weight.cast("long").as("w"))
+      .filter(col("w") > 0)
+    val hist = vals.groupBy((col("v") / bucketCents).cast("long").as("b"))
+      .agg(sum(col("w")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val total = hist.map(_._2).sum
+    require(total > 0, "weighted median of an empty or zero-weight relation")
+    val k = (total + 1) / 2
+    var cum = 0L
+    var i = 0
+    while (i < hist.length && cum + hist(i)._2 < k) { cum += hist(i)._2; i += 1 }
+    val bucket = hist(i)._1
+    val localK = k - cum
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val med = vals.filter((col("v") / bucketCents).cast("long") === bucket)
+      .withColumn("cw", sum(col("w")).over(w))
+      .filter(col("cw") >= localK)
+      .agg(min(col("v"))).head.getLong(0)
+    (total, k, med)
+  }
+
   /** Per-GROUP nearest-rank quantiles with the same funnel: pass 1 is
     * one (group, bucket) histogram scan (bounded: |groups|·|buckets|
     * rows to the driver); the driver walks each group's cumulative

@@ -430,10 +430,60 @@ object Quality {
       .orderBy("bucket")
   }
 
+  /** Per-group OLS trend line (volume trending up or down?) — the
+    * regression cousin of q20's z-score and q106's EWMA: daily counts
+    * per event_type regressed on the day index in closed form,
+    * slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²). All five moments are
+    * BIGINT-exact (order-independent integer sums — the only doubles
+    * are the two final divisions and one multiply, written
+    * identically in the oracle), so a distributed aggregation can't
+    * hash-diverge the way per-point double regression would. Two
+    * keyed shuffles: the (type, day) rollup, then the |types|-row
+    * moment aggregate. */
+  def q139TrendLine(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).as("x"))
+      .agg(count(lit(1)).as("y"))
+    daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("slope",
+        ((col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .cast("double"))
+      .withColumn("intercept",
+        ((col("sy").cast("double") - col("slope") * col("sx").cast("double")) /
+          col("n_days").cast("double")).cast("double"))
+      .orderBy("event_type")
+  }
+
+  /** Quantity-weighted median unit price — "the typical price a unit
+    * actually sold at", where a 50-unit line outweighs a 1-unit line
+    * 50:1. The funnel's weighted extension
+    * ([[graft.operators.ExactQuantile.weightedMedianCents]]): a
+    * SUM(weight) bucket histogram locates the weighted rank
+    * k = (W+1)/2, then one bucket-pruned scan finds the crossing
+    * value. EAGER at build time like q128. The only unpartitioned
+    * window runs inside the single located bucket (allowlisted with
+    * that bound). */
+  def q140WeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val (total, k, med) = graft.operators.ExactQuantile.weightedMedianCents(
+      Tables.lineitem(s, dir),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"),
+      col("l_quantity").cast("long"))
+    import s.implicits._
+    Seq((total, k, med)).toDF("total_weight", "k", "weighted_median_cents")
+  }
+
   val queries: Map[String, Q] = Map(
     "q134_mad_outliers" -> q134MadOutliers _,
     "q137_chi_square" -> q137ChiSquare _,
     "q138_equidepth_hist" -> q138EquiDepthHist _,
+    "q139_trend_line" -> q139TrendLine _,
+    "q140_weighted_median" -> q140WeightedMedian _,
     "q126_sketch_rollup" -> q126SketchRollup _,
     "q128_exact_median" -> q128ExactMedian _,
     "q129_grouped_pct_funnel" -> q129GroupedPercentiles _,
@@ -458,6 +508,40 @@ object Quality {
        |                / 281474976710656.0) END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q140_weighted_median" ->
+      """WITH v AS (
+        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |    CAST(l_quantity AS BIGINT) AS w
+        |  FROM lineitem WHERE CAST(l_quantity AS BIGINT) > 0),
+        |t AS (SELECT CAST(SUM(w) AS BIGINT) AS total_weight FROM v),
+        |r AS (SELECT v, SUM(w) OVER (ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+        |      FROM v)
+        |SELECT t.total_weight, (t.total_weight + 1) // 2 AS k,
+        |  (SELECT MIN(r.v) FROM r, t WHERE r.cw >= (t.total_weight + 1) // 2)
+        |    AS weighted_median_cents
+        |FROM t""".stripMargin,
+    "q139_trend_line" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+        |    COUNT(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, COUNT(*) AS n_days,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM daily GROUP BY 1),
+        |sl AS (
+        |  SELECT *,
+        |    CAST(CAST(n_days * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n_days * sxx - sx * sx AS DOUBLE) AS DOUBLE) AS slope
+        |  FROM m)
+        |SELECT event_type, n_days, sx, sy, sxy, sxx, slope,
+        |  CAST((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+        |    / CAST(n_days AS DOUBLE) AS DOUBLE) AS intercept
+        |FROM sl ORDER BY event_type""".stripMargin,
     "q138_equidepth_hist" ->
       """WITH v AS (
         |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
