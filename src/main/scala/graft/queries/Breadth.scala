@@ -461,9 +461,82 @@ object Breadth {
       .orderBy("node_id")
   }
 
+  /** Join-size estimation by uniform KEY sampling (the CBO pre-flight
+    * every planner wants before committing to a join strategy):
+    * |A ⋈_k A| = Σ_k c_k², estimated from the keys whose md5 lands in
+    * a 1/16 slice, scaled by 16 — key-sampling (not row-sampling)
+    * keeps the per-key quadratic term unbiased. Here the estimate and
+    * the ground truth come out of ONE aggregate pass (conditional
+    * sums over the same key-count frame), so the comparison costs
+    * nothing extra and the ratio column measures the estimator
+    * honestly. Deterministic: md5 slice, integer sums, one double
+    * division. */
+  def q141JoinSizeEst(s: SparkSession, dir: String): DataFrame = {
+    val p = 16
+    val inSample =
+      conv(substring(md5(col("k").cast("string")), 1, 12), 16, 10)
+        .cast("long") % p === 0
+    Tables.lineitem(s, dir).select(col("l_partkey").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("c"))
+      .agg(
+        sum(col("c") * col("c")).as("actual_pairs"),
+        sum(when(inSample, 1L).otherwise(0L)).as("sampled_keys"),
+        sum(when(inSample, col("c") * col("c")).otherwise(0L))
+          .as("sample_pairs"))
+      .select(col("sampled_keys"), col("sample_pairs"),
+        (col("sample_pairs") * p).as("estimated_pairs"),
+        col("actual_pairs"),
+        ((col("sample_pairs") * p).cast("double") /
+          col("actual_pairs").cast("double")).cast("double").as("est_ratio"))
+  }
+
+  /** Anti-entropy reconciliation between two table versions by BUCKET
+    * CHECKSUM — the way 100 TB replicas are compared without a row
+    * diff: each version aggregates (count, Σ row-signature) per
+    * hash bucket; only buckets whose summaries differ are dirty, and
+    * a row-level drill-down (q90's CDC diff) then reads JUST those
+    * buckets. Signatures are 48-bit md5 prefixes over canonical
+    * cents-exact fields summed as BIGINT (order-independent,
+    * collision-safe at Σ-level for reconciliation purposes); the
+    * whole compare shuffles |buckets| summary rows, never data. */
+  def q142BucketReconcile(s: SparkSession, dir: String): DataFrame = {
+    val nb = 64
+    val o = Tables.orders(s, dir).select(col("o_orderkey").as("order_id"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        .as("price_cents"),
+      col("o_orderstatus").as("status"))
+    val v1 = o.filter(col("order_id") % 97 =!= 0)
+    val v2 = o.filter(col("order_id") % 89 =!= 0)
+      .withColumn("price_cents",
+        when(col("order_id") % 61 === 0, col("price_cents") + 100L)
+          .otherwise(col("price_cents")))
+    def summarize(df: DataFrame) = df
+      .withColumn("bucket", pmod(col("order_id"), lit(nb)))
+      .withColumn("row_sig",
+        conv(substring(md5(concat_ws("|", col("order_id"),
+          col("price_cents"), col("status"))), 1, 12), 16, 10).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum(col("row_sig")).as("sig"))
+    val b1 = summarize(v1)
+      .select(col("bucket"), col("n").as("n_v1"), col("sig").as("sig_v1"))
+    val b2 = summarize(v2)
+      .select(col("bucket"), col("n").as("n_v2"), col("sig").as("sig_v2"))
+    b1.join(b2, Seq("bucket"), "full")
+      .select(col("bucket"),
+        coalesce(col("n_v1"), lit(0L)).as("n_v1"),
+        coalesce(col("n_v2"), lit(0L)).as("n_v2"),
+        coalesce(col("sig_v1"), lit(0L)).as("sig_v1"),
+        coalesce(col("sig_v2"), lit(0L)).as("sig_v2"))
+      .withColumn("dirty",
+        col("n_v1") =!= col("n_v2") || col("sig_v1") =!= col("sig_v2"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, Q] = Map(
     "q132_skyline" -> q132Skyline _,
     "q135_pagerank" -> q135PageRank _,
+    "q141_join_size_est" -> q141JoinSizeEst _,
+    "q142_bucket_reconcile" -> q142BucketReconcile _,
     "q125_radius_join" -> q125RadiusJoin _,
     "q95_value_range_frame" -> q95ValueRangeFrame _,
     "q117_basket_pairs" -> q117BasketPairs _,
@@ -484,6 +557,51 @@ object Breadth {
   )
 
   val oracles: Map[String, String] = Map(
+    "q141_join_size_est" ->
+      """WITH c AS (
+        |  SELECT l_partkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1),
+        |m AS (
+        |  SELECT
+        |    CAST(SUM(c * c) AS BIGINT) AS actual_pairs,
+        |    CAST(SUM(CASE WHEN CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 12)
+        |        AS BIGINT) % 16 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS sampled_keys,
+        |    CAST(SUM(CASE WHEN CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 12)
+        |        AS BIGINT) % 16 = 0 THEN c * c ELSE 0 END) AS BIGINT) AS sample_pairs
+        |  FROM c)
+        |SELECT sampled_keys, sample_pairs,
+        |  CAST(sample_pairs * 16 AS BIGINT) AS estimated_pairs, actual_pairs,
+        |  CAST(CAST(sample_pairs * 16 AS DOUBLE) / CAST(actual_pairs AS DOUBLE)
+        |    AS DOUBLE) AS est_ratio
+        |FROM m""".stripMargin,
+    "q142_bucket_reconcile" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS order_id,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS price_cents,
+        |    o_orderstatus AS status
+        |  FROM orders),
+        |v1 AS (SELECT * FROM o WHERE order_id % 97 != 0),
+        |v2 AS (SELECT order_id,
+        |         CASE WHEN order_id % 61 = 0 THEN price_cents + 100
+        |              ELSE price_cents END AS price_cents, status
+        |       FROM o WHERE order_id % 89 != 0),
+        |b1 AS (
+        |  SELECT order_id % 64 AS bucket, COUNT(*) AS n_v1,
+        |    CAST(SUM(CAST('0x' || substr(md5(order_id || '|' || price_cents
+        |      || '|' || status), 1, 12) AS BIGINT)) AS BIGINT) AS sig_v1
+        |  FROM v1 GROUP BY 1),
+        |b2 AS (
+        |  SELECT order_id % 64 AS bucket, COUNT(*) AS n_v2,
+        |    CAST(SUM(CAST('0x' || substr(md5(order_id || '|' || price_cents
+        |      || '|' || status), 1, 12) AS BIGINT)) AS BIGINT) AS sig_v2
+        |  FROM v2 GROUP BY 1)
+        |SELECT COALESCE(b1.bucket, b2.bucket) AS bucket,
+        |  COALESCE(n_v1, 0) AS n_v1, COALESCE(n_v2, 0) AS n_v2,
+        |  COALESCE(sig_v1, 0) AS sig_v1, COALESCE(sig_v2, 0) AS sig_v2,
+        |  COALESCE(n_v1, 0) != COALESCE(n_v2, 0)
+        |    OR COALESCE(sig_v1, 0) != COALESCE(sig_v2, 0) AS dirty
+        |FROM b1 FULL JOIN b2 ON b1.bucket = b2.bucket
+        |ORDER BY bucket""".stripMargin,
     "q132_skyline" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events),
