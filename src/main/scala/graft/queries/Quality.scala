@@ -478,7 +478,61 @@ object Quality {
     Seq((total, k, med)).toDF("total_weight", "k", "weighted_median_cents")
   }
 
+  /** DAU / trailing-28-day MAU stickiness, EXACT at scale: the naive
+    * "distinct users over a sliding 28-day window per day" either
+    * re-scans 28× or holds per-day user sets; instead each (user,
+    * day) activity row CONTRIBUTES to the 28 target days it is
+    * visible from (a bounded explode — constant 28× blow-up of the
+    * deduped activity frame, generated scan-side), and the MAU is one
+    * keyed distinct count per target day. Same trick as q130's
+    * generated spine: never a join, never per-day state. */
+  def q144Stickiness(s: SparkSession, dir: String): DataFrame = {
+    val au = Tables.events(s, dir)
+      .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+    val dau = au.groupBy("day").agg(countDistinct(col("user_id")).as("dau"))
+    val mau = au
+      .withColumn("target_day",
+        explode(expr("sequence(day, date_add(day, 27), interval 1 day)")))
+      .groupBy(col("target_day").as("day"))
+      .agg(countDistinct(col("user_id")).as("mau_28d"))
+    dau.join(mau, "day")
+      .withColumn("stickiness",
+        (col("dau").cast("double") / col("mau_28d").cast("double"))
+          .cast("double"))
+      .orderBy("day")
+  }
+
+  /** Benford first-digit audit over order amounts — the forensic DQ
+    * gate for fabricated numbers: observed leading-digit shares vs
+    * the Benford expectation log₁₀(1+1/d). The nine expected shares
+    * are 6-dp literals (identical text in both engines — no runtime
+    * transcendental), the observed share is one exact division, and
+    * the whole query is a 9-row aggregate plus the q07-idiom 1-row
+    * total cross. */
+  def q145Benford(s: SparkSession, dir: String): DataFrame = {
+    val benford = Seq(0.301030, 0.176091, 0.124939, 0.096910, 0.079181,
+      0.066947, 0.057992, 0.051153, 0.045757)
+    val cents = (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    val counts = Tables.orders(s, dir)
+      .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+      .filter(col("digit").between(1, 9))
+      .groupBy("digit").agg(count(lit(1)).as("observed"))
+    val expected = benford.zipWithIndex
+      .foldLeft(lit(null).cast("double")) { case (acc, (p, i)) =>
+        when(col("digit") === i + 1, lit(p)).otherwise(acc)
+      }
+    counts.crossJoin(counts.agg(sum(col("observed")).as("total")))
+      .withColumn("share",
+        (col("observed").cast("double") / col("total").cast("double"))
+          .cast("double"))
+      .withColumn("expected_share", expected)
+      .withColumn("abs_dev", abs(col("share") - col("expected_share")))
+      .orderBy("digit")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q144_stickiness" -> q144Stickiness _,
+    "q145_benford" -> q145Benford _,
     "q134_mad_outliers" -> q134MadOutliers _,
     "q137_chi_square" -> q137ChiSquare _,
     "q138_equidepth_hist" -> q138EquiDepthHist _,
@@ -508,6 +562,44 @@ object Quality {
        |                / 281474976710656.0) END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q144_stickiness" ->
+      """WITH au AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM au GROUP BY 1),
+        |contrib AS (
+        |  SELECT user_id, CAST(unnest(generate_series(day,
+        |    day + INTERVAL 27 DAY, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM au),
+        |mau AS (SELECT day, COUNT(DISTINCT user_id) AS mau_28d
+        |        FROM contrib GROUP BY 1)
+        |SELECT d.day, d.dau, m.mau_28d,
+        |  CAST(CAST(d.dau AS DOUBLE) / CAST(m.mau_28d AS DOUBLE) AS DOUBLE)
+        |    AS stickiness
+        |FROM dau d JOIN mau m USING (day)
+        |ORDER BY d.day""".stripMargin,
+    "q145_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM orders),
+        |c AS (SELECT digit, COUNT(*) AS observed FROM d
+        |      WHERE digit BETWEEN 1 AND 9 GROUP BY 1),
+        |t AS (SELECT CAST(SUM(observed) AS BIGINT) AS total FROM c)
+        |SELECT c.digit, c.observed, t.total,
+        |  CAST(CAST(c.observed AS DOUBLE) / CAST(t.total AS DOUBLE) AS DOUBLE)
+        |    AS share,
+        |  CAST(CASE c.digit WHEN 1 THEN 0.301030 WHEN 2 THEN 0.176091
+        |    WHEN 3 THEN 0.124939 WHEN 4 THEN 0.096910 WHEN 5 THEN 0.079181
+        |    WHEN 6 THEN 0.066947 WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153
+        |    ELSE 0.045757 END AS DOUBLE) AS expected_share,
+        |  abs(CAST(CAST(c.observed AS DOUBLE) / CAST(t.total AS DOUBLE)
+        |      AS DOUBLE)
+        |    - CAST(CASE c.digit WHEN 1 THEN 0.301030 WHEN 2 THEN 0.176091
+        |        WHEN 3 THEN 0.124939 WHEN 4 THEN 0.096910 WHEN 5 THEN 0.079181
+        |        WHEN 6 THEN 0.066947 WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153
+        |        ELSE 0.045757 END AS DOUBLE)) AS abs_dev
+        |FROM c, t
+        |ORDER BY c.digit""".stripMargin,
     "q140_weighted_median" ->
       """WITH v AS (
         |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,

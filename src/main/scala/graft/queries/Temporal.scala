@@ -266,10 +266,47 @@ object Temporal {
       .orderBy("user_id")
   }
 
+  /** Merged-interval coverage per user (union length of overlapping
+    * activity windows) — the islands-and-gaps shape behind "total
+    * active time": each event opens a 10-minute window; overlapping
+    * windows merge into islands (a new island starts where start >
+    * running max of prior ends — one keyed LAG/cummax window), and
+    * the answer is Σ island spans. Two keyed windows + one keyed
+    * aggregate; nothing global. The within-island span is
+    * last-end − first-start computed per island key, exact in µs. */
+  def q143IntervalUnion(s: SparkSession, dir: String): DataFrame = {
+    val winUs = 600L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy(col("s_us"), col("event_id"))
+    val iv = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("s_us"))
+      .withColumn("e_us", col("s_us") + winUs)
+      // running max of PRIOR ends: an interval starts a new island
+      // iff its start exceeds everything seen before it
+      .withColumn("prev_max_end",
+        max(col("e_us")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        (col("prev_max_end").isNull ||
+          col("s_us") > col("prev_max_end")).cast("int"))
+      .withColumn("island",
+        sum(col("new_island")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    iv.groupBy("user_id", "island")
+      .agg(min(col("s_us")).as("island_start"),
+        max(col("e_us")).as("island_end"),
+        count(lit(1)).as("n_events"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("n_events")).as("n_events"),
+        sum(col("island_end") - col("island_start")).as("covered_us"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q12_date_spine" -> q12DateSpine _,
     "q130_gap_fill" -> q130GapFill _,
     "q136_time_weighted_avg" -> q136TimeWeightedAvg _,
+    "q143_interval_union" -> q143IntervalUnion _,
     "q116_funnel" -> q116Funnel _,
     "q121_markov_transitions" -> q121MarkovTransitions _,
     "q13_asof_join" -> q13AsofJoin _,
@@ -281,6 +318,33 @@ object Temporal {
   )
 
   val oracles: Map[String, String] = Map(
+    "q143_interval_union" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS s_us,
+        |    epoch_us(ts) + 600000000 AS e_us
+        |  FROM events),
+        |m AS (
+        |  SELECT *,
+        |    MAX(e_us) OVER (PARTITION BY user_id ORDER BY s_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
+        |  FROM iv),
+        |f AS (
+        |  SELECT *, CASE WHEN prev_max_end IS NULL OR s_us > prev_max_end
+        |    THEN 1 ELSE 0 END AS new_island FROM m),
+        |g AS (
+        |  SELECT *, SUM(new_island) OVER (
+        |      PARTITION BY user_id ORDER BY s_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM f),
+        |isl AS (
+        |  SELECT user_id, island, MIN(s_us) AS island_start,
+        |    MAX(e_us) AS island_end, COUNT(*) AS n_events
+        |  FROM g GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS n_islands,
+        |  CAST(SUM(n_events) AS BIGINT) AS n_events,
+        |  CAST(SUM(island_end - island_start) AS BIGINT) AS covered_us
+        |FROM isl GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
     "q136_time_weighted_avg" ->
       """WITH seg AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,

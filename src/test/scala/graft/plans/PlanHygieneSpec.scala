@@ -68,6 +68,8 @@ class PlanHygieneSpec extends SparkSpec {
     // aggregate: the 1-row totals cross and the chi2-sum cross both
     // run post-aggregation (q07's idiom); marginal windows are keyed
     "q137_chi_square" -> "totals crosses over the bounded cell aggregate",
+    // 1-row total cross over the 9-digit aggregate (q07 idiom)
+    "q145_benford" -> "1-row total cross over the 9-digit aggregate",
   )
 
   private def offenders(plan: SparkPlan): Seq[String] = plan.collect {
