@@ -152,7 +152,46 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Asymmetric CONTAINMENT dedup — the quote/subset detector that
+    * symmetric Jaccard misses: a short document fully embedded in a
+    * long one scores containment(a→b) = |Tₐ∩T_b|/|Tₐ| ≈ 1 while its
+    * Jaccard stays tiny. Candidates come from shared word 8-grams
+    * (verbatim containment of ≥8 tokens guarantees a shared gram)
+    * restricted to RARE grams (2–5 docs) so per-gram pair fan-out is
+    * ≤ 25 at any corpus size; pairs sharing only corpus-common grams
+    * are the symmetric near-dup family's job (q46/q47). Shuffles are
+    * keyed by gram strings and pair keys; token arrays travel only
+    * for surviving candidates. */
+  def q146Containment(s: SparkSession, dir: String): DataFrame = {
+    val n = 8
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+    val grams = t.select(col("doc_id"),
+        explode(TextAnalysis.wordNgrams(col("toks"), n)).as("gram"))
+      .distinct()
+    val rare = grams.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd").between(2, 5)).select("gram")
+    val cand = grams.join(rare, "gram")
+    val pairs = cand.select(col("gram"), col("doc_id").as("doc_a"))
+      .join(cand.select(col("gram"), col("doc_id").as("doc_b")), "gram")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val ta = t.select(col("doc_id").as("doc_a"),
+      array_distinct(col("toks")).as("ta"))
+    val tb = t.select(col("doc_id").as("doc_b"), col("toks").as("tb"))
+    pairs.join(ta, "doc_a").join(tb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(col("ta")).as("tokens_a"),
+        size(array_intersect(col("ta"), col("tb"))).as("overlap"))
+      .withColumn("containment",
+        (col("overlap").cast("double") / col("tokens_a")).cast("double"))
+      .filter(col("containment") >= 0.8)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q146_containment" -> q146Containment _,
     "q122_leakage_split" -> q122LeakageSplit _,
     "q86_incremental_dedup" -> q86IncrementalDedup _,
     "q93_dedup_corpus" -> q93DedupCorpus _,
@@ -272,6 +311,34 @@ object DedupOps {
        |  FROM tok)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q146_containment" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), ' +') AS toks
+        |  FROM documents),
+        |g0 AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(toks) - 6, 1)),
+        |      i -> array_to_string(toks[i:i+7], ' '))) AS gram FROM t),
+        |g AS (SELECT DISTINCT doc_id, gram FROM g0),
+        |rare AS (SELECT gram FROM g GROUP BY gram
+        |         HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 5),
+        |cand AS (SELECT g.* FROM g JOIN rare USING (gram)),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM cand a JOIN cand b
+        |    ON a.gram = b.gram AND a.doc_id != b.doc_id),
+        |v AS (
+        |  SELECT p.doc_a, p.doc_b,
+        |    CAST(len(list_distinct(ta.toks)) AS INTEGER) AS tokens_a,
+        |    CAST(len(list_filter(list_distinct(ta.toks),
+        |      x -> list_contains(tb.toks, x))) AS INTEGER) AS overlap
+        |  FROM pairs p
+        |  JOIN t ta ON ta.doc_id = p.doc_a
+        |  JOIN t tb ON tb.doc_id = p.doc_b)
+        |SELECT doc_a, doc_b, tokens_a, overlap,
+        |  CAST(CAST(overlap AS DOUBLE) / tokens_a AS DOUBLE) AS containment
+        |FROM v
+        |WHERE CAST(overlap AS DOUBLE) / tokens_a >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // MinHash(16) h_i(x) = (a_i·x32 + b_i) mod p with the exact Scala
     // coefficients; LSH bands are compared by CONTENT (band-slice
     // equality) — Spark buckets on murmur3 of the slice, which is

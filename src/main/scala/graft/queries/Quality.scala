@@ -410,7 +410,11 @@ object Quality {
     * construction, not approximately-equal. */
   def q138EquiDepthHist(s: SparkSession, dir: String): DataFrame = {
     val cents = (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    // three consumers scan this frame (histogram pass, pruned rank
+    // lookup, final labeling aggregate) — persist the 2-column
+    // projection once; Bench/Verify sweep leaked blocks per query
     val src = Tables.lineitem(s, dir).select(lit("all").as("g"), cents.as("v"))
+      .persist()
     val cuts = graft.operators.ExactQuantile.groupedQuantiles(
         src, "g", col("v"), Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
       .collect().map(r => r.getAs[String]("pct") -> r.getAs[Long]("value_cents"))
