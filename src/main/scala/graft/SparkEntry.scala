@@ -25,6 +25,7 @@ object SparkEntry {
     q.CurationOps.queries,
     q.Breadth.queries,
     q.ScaleOps.queries,
+    q.GraphOps.queries,
   )
   private def oracleModules: Seq[Map[String, String]] = Seq(
     q.Relational.oracles,
@@ -40,6 +41,7 @@ object SparkEntry {
     q.CurationOps.oracles,
     q.Breadth.oracles,
     q.ScaleOps.oracles,
+    q.GraphOps.oracles,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -241,11 +241,17 @@ object DedupOps {
       |  SELECT doc_id, b.band_idx, sig[b.band_idx*4+1 : b.band_idx*4+4] AS band
       |  FROM sig, (SELECT unnest(generate_series(0,3)) AS band_idx) b)""".stripMargin
 
-  /** Jaccard-verify (≥ 0.2) over `cpairs` + symmetric edges +
-    * recursive reachability — the connected-component tail shared by
-    * the q77/q93/q105 oracles (reads the `cpairs` and `sh` CTEs
-    * defined upstream; same one-copy doctrine as sigBandedCtes). */
-  private[queries] val ccReachCtes =
+  /** Unfiltered within-corpus LSH candidate pairs (id_a < id_b) from
+    * `banded` — shared by the q77 and q147 oracles. */
+  private[queries] val cpairsCte =
+    """cpairs AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM banded a JOIN banded b
+      |    ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** Jaccard-verify (≥ 0.2) of `cpairs` against the `sh` shingle sets
+    * — the edge set of the near-dup graph (q77/q93/q105/q147). */
+  private[queries] val verifiedCte =
     """verified AS (
       |  SELECT p.id_a, p.id_b
       |  FROM cpairs p
@@ -253,7 +259,14 @@ object DedupOps {
       |  JOIN sh sb ON sb.doc_id = p.id_b
       |  WHERE CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
       |      / (len(sa.sh) + len(sb.sh)
-      |         - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) >= 0.2),
+      |         - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))) >= 0.2)""".stripMargin
+
+  /** `verified` + symmetric edges + recursive reachability — the
+    * connected-component tail shared by the q77/q93/q105 oracles
+    * (reads the `cpairs` and `sh` CTEs defined upstream; same
+    * one-copy doctrine as sigBandedCtes). */
+  private[queries] val ccReachCtes =
+    s"""$verifiedCte,
       |edges AS (
       |  SELECT id_a AS src, id_b AS dst FROM verified
       |  UNION ALL SELECT id_b, id_a FROM verified),
@@ -428,10 +441,7 @@ object DedupOps {
       s"""WITH RECURSIVE $tokHashCte,
          |$shinglesCte,
          |$sigBandedCtes,
-         |cpairs AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM banded a JOIN banded b
-         |    ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id),
+         |$cpairsCte,
          |$ccReachCtes,
          |lab AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
          |SELECT id AS doc_id, cluster_id,
@@ -444,10 +454,7 @@ object DedupOps {
       s"""WITH RECURSIVE $tokHashCte,
          |$shinglesCte,
          |$sigBandedCtes,
-         |cpairs AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM banded a JOIN banded b
-         |    ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id),
+         |$cpairsCte,
          |$ccReachCtes,
          |lab AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
          |g AS (

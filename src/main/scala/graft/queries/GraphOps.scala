@@ -1,0 +1,76 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Triangles}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over pipeline-derived graphs. The reference ships
+  * no graph operators; these extend its dedup/curation family with the
+  * standard distributed-graph diagnostics (connected components live
+  * in [[graft.operators.Dedup]]; triangle counting here).
+  */
+object GraphOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Triangle census of the VERIFIED near-dup graph (q77's edge set:
+    * MinHash-LSH candidates, Jaccard ≥ 0.2) — the graph-shape
+    * diagnostic a dedup pipeline runs on its own candidate graph.
+    * Triangles measure how clique-like duplicate clusters are: a
+    * chain-shaped cluster (A~B~C but A≁C) is usually a drifting
+    * template, while a triangle-dense cluster is a true copy family —
+    * the ratio `triangles / max_wedges` (exact integers here; the
+    * division is left to the reader) is the local clustering
+    * coefficient.
+    *
+    * Scale: the edge set is sparse by LSH construction; the census
+    * itself is [[Triangles.census]] — degree-ordered orientation, so
+    * the wedge join is bounded E^{3/2} with no skewed reducer, and
+    * every step is a keyed join/agg (see the operator's scaladoc).
+    */
+  def q147TriangleCensus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val sigs = Dedup.minhashSignatures(d, "doc_id", "text", k = 16, shingleN = 3)
+    val cand = Dedup.lshCandidatePairs(sigs, "doc_id", bands = 4, rowsPerBand = 4)
+    val edges = Dedup.verifyJaccard(cand, d, "doc_id", "text", shingleN = 3)
+      .filter(col("jaccard") >= 0.2)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    Triangles.census(edges)
+      .select(col("node").as("doc_id"), col("degree"), col("triangles"),
+        (col("degree") * (col("degree") - 1) / 2).cast("bigint").as("max_wedges"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q147_triangle_census" -> q147TriangleCensus _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q147_triangle_census" ->
+      s"""WITH ${DedupOps.tokHashCte},
+         |${DedupOps.shinglesCte},
+         |${DedupOps.sigBandedCtes},
+         |${DedupOps.cpairsCte},
+         |${DedupOps.verifiedCte},
+         |deg AS (
+         |  SELECT node, COUNT(*) AS deg FROM (
+         |    SELECT id_a AS node FROM verified
+         |    UNION ALL SELECT id_b FROM verified) GROUP BY 1),
+         |tri AS (
+         |  SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+         |  FROM verified e1
+         |  JOIN verified e2 ON e2.id_a = e1.id_b
+         |  JOIN verified e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
+         |pn AS (
+         |  SELECT node, COUNT(*) AS tri FROM (
+         |    SELECT a AS node FROM tri
+         |    UNION ALL SELECT b FROM tri
+         |    UNION ALL SELECT c FROM tri) GROUP BY 1)
+         |SELECT deg.node AS doc_id, CAST(deg.deg AS BIGINT) AS degree,
+         |  CAST(COALESCE(pn.tri, 0) AS BIGINT) AS triangles,
+         |  CAST(deg.deg * (deg.deg - 1) // 2 AS BIGINT) AS max_wedges
+         |FROM deg LEFT JOIN pn ON pn.node = deg.node
+         |ORDER BY doc_id""".stripMargin,
+  )
+}
