@@ -534,7 +534,47 @@ object Quality {
       .orderBy("digit")
   }
 
+  /** CUSUM change-point monitor (Page's cumulative-sum test): per
+    * user, fold daily event counts in day order through
+    * S_i = max(0, S_{i-1} + x_i − k) with allowance k = 3, flagging
+    * days where S ≥ h = 5 — the sequential drift detector next to
+    * q20's batch z-score and q106's EWMA. Integer state end-to-end
+    * (counts and allowance are BIGINTs), so both engines' folds agree
+    * exactly with no float tolerance. The per-day series is
+    * re-derived per index by prefix folds (q106's oracle idiom, now
+    * on both sides): quadratic in n_days, but n_days is bounded by
+    * the CALENDAR span, not the data volume — at 100 TB the shape is
+    * still two keyed aggs plus scan-speed array work. */
+  def q148Cusum(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val arr = daily.groupBy("user_id")
+      .agg(array_sort(collect_list(struct(col("day"), col("cnt")))).as("a"))
+    val ser = arr.select(col("user_id"),
+        transform(col("a"), x => x.getField("day")).as("ds"),
+        transform(sequence(lit(1), size(col("a"))), i =>
+          aggregate(
+            slice(transform(col("a"), x => x.getField("cnt")), lit(1), i),
+            lit(0L),
+            (acc, x) => greatest(lit(0L), acc + x - lit(3L)))).as("series"))
+    val alarmIdx = filter(sequence(lit(1), size(col("series"))),
+      i => element_at(col("series"), i) >= lit(5L))
+    ser.select(col("user_id"),
+        size(col("series")).as("n_days"),
+        array_max(col("series")).as("cusum_max"),
+        size(filter(col("series"), v => v >= lit(5L))).as("alarm_days"),
+        // formatted string, not DATE: a NULL date canonicalizes as
+        // NaT on the oracle side but None here (q66's precedent)
+        when(size(alarmIdx) > 0,
+          date_format(element_at(col("ds"), element_at(alarmIdx, 1)),
+            "yyyy-MM-dd"))
+          .otherwise(lit(null).cast("string")).as("first_alarm_day"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q148_cusum" -> q148Cusum _,
     "q144_stickiness" -> q144Stickiness _,
     "q145_benford" -> q145Benford _,
     "q134_mad_outliers" -> q134MadOutliers _,
@@ -566,6 +606,29 @@ object Quality {
        |                / 281474976710656.0) END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q148_cusum" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |arr AS (
+        |  SELECT user_id, list(CAST(cnt AS BIGINT) ORDER BY day) AS xs,
+        |    list(day ORDER BY day) AS ds
+        |  FROM daily GROUP BY 1),
+        |ser AS (
+        |  SELECT user_id, ds,
+        |    list_transform(range(1, len(xs) + 1), i ->
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT), xs[1:i]),
+        |        (a, b) -> greatest(CAST(0 AS BIGINT), a + b - 3))) AS series
+        |  FROM arr)
+        |SELECT user_id, CAST(len(series) AS INTEGER) AS n_days,
+        |  CAST(list_aggregate(series, 'max') AS BIGINT) AS cusum_max,
+        |  CAST(len(list_filter(series, v -> v >= 5)) AS INTEGER) AS alarm_days,
+        |  CASE WHEN len(list_filter(range(1, len(series) + 1),
+        |      i -> series[i] >= 5)) > 0
+        |    THEN strftime(ds[list_filter(range(1, len(series) + 1),
+        |      i -> series[i] >= 5)[1]], '%Y-%m-%d')
+        |    ELSE NULL END AS first_alarm_day
+        |FROM ser ORDER BY user_id""".stripMargin,
     "q144_stickiness" ->
       """WITH au AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
