@@ -534,6 +534,52 @@ object Quality {
       .orderBy("digit")
   }
 
+  /** HyperLogLog register sketch (Flajolet et al. 2007), made
+    * deterministic end-to-end so the oracle can replay it bit-exact:
+    * 48-bit md5-prefix hash (the house q131/q141 slice), top 6 bits
+    * pick one of m = 64 registers, the register keeps the max
+    * "leading-zero rank" of the remaining 42 bits (computed as
+    * 43 − len(bin(w)) — both engines' bin() drops leading zeros),
+    * and the raw HLL estimate is α₆₄·m²/Σ2^(−r). Every 2^(−r) is an
+    * exact dyadic double and the 64-term sum spans < 53 bits, so the
+    * sum is EXACT regardless of aggregation order — the whole
+    * estimate is reproducible across engines and partitionings with
+    * no float tolerance. The raw estimate is emitted uncorrected
+    * (no linear-counting branch — that needs ln) next to the exact
+    * count, which is the honest way to show sketch error.
+    *
+    * Scale: this is THE cardinality sketch for 100 TB — the shuffle
+    * carries 64 (bucket, max-rank) rows total, and registers merge by
+    * max (the rollup shape q126 demonstrates for KMV). */
+  def q149HllRegisters(s: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(col("o_custkey").cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    val rank = when(col("w") === 0L, lit(43L))
+      .otherwise((lit(43) - length(bin(col("w")))).cast("long"))
+    val regs = Tables.orders(s, dir)
+      .select(shiftright(h, 42).as("bucket"),
+        h.bitwiseAND(lit((1L << 42) - 1)).as("w"))
+      .select(col("bucket"), rank.as("rank"))
+      .groupBy("bucket").agg(max(col("rank")).as("r"))
+    val grid = s.range(64).select(col("id").as("bucket"))
+    val agg = grid.join(regs, Seq("bucket"), "left")
+      .select(coalesce(col("r"), lit(0L)).as("r"))
+      .agg(count(lit(1)).as("m"),
+        sum(when(col("r") === 0L, 1L).otherwise(0L)).as("empty_buckets"),
+        max(col("r")).as("max_register"),
+        sum(pow(lit(0.5), col("r"))).cast("double").as("sum_inv"))
+    val exact = Tables.orders(s, dir)
+      .agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+    agg.crossJoin(exact) // two 1-row aggregates — q07's idiom
+      .withColumn("hll_estimate",
+        (lit(0.709) * lit(64.0) * lit(64.0) / col("sum_inv")).cast("double"))
+      .withColumn("est_ratio",
+        (col("hll_estimate") / col("exact_distinct").cast("double"))
+          .cast("double"))
+      .select("m", "empty_buckets", "max_register", "sum_inv",
+        "exact_distinct", "hll_estimate", "est_ratio")
+  }
+
   /** CUSUM change-point monitor (Page's cumulative-sum test): per
     * user, fold daily event counts in day order through
     * S_i = max(0, S_{i-1} + x_i − k) with allowance k = 3, flagging
@@ -575,6 +621,7 @@ object Quality {
 
   val queries: Map[String, Q] = Map(
     "q148_cusum" -> q148Cusum _,
+    "q149_hll_registers" -> q149HllRegisters _,
     "q144_stickiness" -> q144Stickiness _,
     "q145_benford" -> q145Benford _,
     "q134_mad_outliers" -> q134MadOutliers _,
@@ -606,6 +653,33 @@ object Quality {
        |                / 281474976710656.0) END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q149_hll_registers" ->
+      """WITH h AS (
+        |  SELECT CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12)
+        |    AS BIGINT) AS h
+        |  FROM orders),
+        |rk AS (
+        |  SELECT h // 4398046511104 AS bucket,
+        |    CASE WHEN h % 4398046511104 = 0 THEN 43
+        |      ELSE 43 - length(bin(h % 4398046511104)) END AS rank
+        |  FROM h),
+        |regs AS (SELECT bucket, MAX(rank) AS r FROM rk GROUP BY 1),
+        |grid AS (SELECT unnest(range(0, 64)) AS bucket),
+        |fullr AS (
+        |  SELECT COALESCE(r, 0) AS r FROM grid LEFT JOIN regs USING (bucket)),
+        |agg AS (
+        |  SELECT COUNT(*) AS m,
+        |    CAST(SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS empty_buckets,
+        |    CAST(MAX(r) AS BIGINT) AS max_register,
+        |    CAST(SUM(POW(0.5, r)) AS DOUBLE) AS sum_inv
+        |  FROM fullr),
+        |ex AS (SELECT COUNT(DISTINCT o_custkey) AS exact_distinct FROM orders)
+        |SELECT m, empty_buckets, max_register, sum_inv, exact_distinct,
+        |  CAST(0.709 * 64.0 * 64.0 / sum_inv AS DOUBLE) AS hll_estimate,
+        |  CAST((0.709 * 64.0 * 64.0 / sum_inv)
+        |    / CAST(exact_distinct AS DOUBLE) AS DOUBLE) AS est_ratio
+        |FROM agg, ex""".stripMargin,
     "q148_cusum" ->
       """WITH daily AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS cnt

@@ -70,6 +70,9 @@ class PlanHygieneSpec extends SparkSpec {
     "q137_chi_square" -> "totals crosses over the bounded cell aggregate",
     // 1-row total cross over the 9-digit aggregate (q07 idiom)
     "q145_benford" -> "1-row total cross over the 9-digit aggregate",
+    // 64-register summary crossed with the 1-row exact count (q07
+    // idiom); both sides post-aggregation
+    "q149_hll_registers" -> "1-row register-summary x exact-count cross",
   )
 
   private def offenders(plan: SparkPlan): Seq[String] = plan.collect {
