@@ -302,7 +302,56 @@ object Temporal {
       .orderBy("user_id")
   }
 
+  /** U-shaped (position-based) multi-touch attribution: each purchase
+    * closes a "journey" of the touch events since the user's previous
+    * purchase, and the conversion's 10,000 basis points of credit
+    * split 40% to the first touch, 40% to the last, 20% across the
+    * middles — the marketing-analytics op downstream of q116's funnel.
+    * Credit stays INTEGER: the middle pot divides by `n−2` with the
+    * remainder going one bp each to the earliest middles (q124's
+    * largest-remainder determinism, applied positionally), so per-
+    * journey credit sums to exactly 10,000 and engines cannot drift.
+    * Journeys with no touches (back-to-back purchases) credit nobody.
+    *
+    * Scale shape: both windows are keyed by user (journey index is a
+    * preceding-rows purchase count; position/size by (user, journey))
+    * — no global sort anywhere, and the final rollup is bounded by
+    * the channel alphabet. */
+  def q150Attribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val wPrev = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tagged = ev.withColumn("journey",
+      coalesce(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .over(wPrev), lit(0L)))
+    val closed = tagged.filter(col("event_type") === "purchase")
+      .select("user_id", "journey").distinct()
+    val touches = tagged.filter(col("event_type") =!= "purchase")
+      .join(closed, Seq("user_id", "journey"))
+    val wj = Window.partitionBy("user_id", "journey")
+      .orderBy(col("ts_us"), col("event_id"))
+    val credited = touches
+      .withColumn("pos", row_number().over(wj))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("user_id", "journey")))
+      .withColumn("credit_bps",
+        when(col("n") === 1, lit(10000L))
+          .when(col("n") === 2, lit(5000L))
+          .when(col("pos") === 1 || col("pos") === col("n"), lit(4000L))
+          .otherwise(expr(
+            "2000 DIV (n - 2) + CASE WHEN pos - 1 <= 2000 % (n - 2) THEN 1 ELSE 0 END")
+            .cast("long")))
+    credited.groupBy(col("event_type").as("channel"))
+      .agg(count(lit(1)).as("touches"),
+        countDistinct(col("user_id"), col("journey")).as("journeys_touched"),
+        sum(col("credit_bps")).as("credit_bps"))
+      .orderBy("channel")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q150_attribution" -> q150Attribution _,
     "q12_date_spine" -> q12DateSpine _,
     "q130_gap_fill" -> q130GapFill _,
     "q136_time_weighted_avg" -> q136TimeWeightedAvg _,
@@ -318,6 +367,38 @@ object Temporal {
   )
 
   val oracles: Map[String, String] = Map(
+    "q150_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |tagged AS (
+        |  SELECT *, COALESCE(SUM(CASE WHEN event_type = 'purchase'
+        |      THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS journey
+        |  FROM ev),
+        |closed AS (
+        |  SELECT DISTINCT user_id, journey FROM tagged
+        |  WHERE event_type = 'purchase'),
+        |touches AS (
+        |  SELECT t.* FROM tagged t JOIN closed c USING (user_id, journey)
+        |  WHERE t.event_type != 'purchase'),
+        |pos AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, journey
+        |      ORDER BY ts_us, event_id) AS pos,
+        |    COUNT(*) OVER (PARTITION BY user_id, journey) AS n
+        |  FROM touches)
+        |SELECT event_type AS channel,
+        |  CAST(COUNT(*) AS BIGINT) AS touches,
+        |  CAST(COUNT(DISTINCT (user_id, journey)) AS BIGINT)
+        |    AS journeys_touched,
+        |  CAST(SUM(CASE WHEN n = 1 THEN 10000 WHEN n = 2 THEN 5000
+        |    WHEN pos = 1 OR pos = n THEN 4000
+        |    ELSE 2000 // (n - 2)
+        |      + CASE WHEN pos - 1 <= 2000 % (n - 2) THEN 1 ELSE 0 END
+        |    END) AS BIGINT) AS credit_bps
+        |FROM pos GROUP BY 1 ORDER BY 1""".stripMargin,
     "q143_interval_union" ->
       """WITH iv AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS s_us,
