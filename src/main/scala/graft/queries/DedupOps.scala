@@ -190,7 +190,64 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** EXACT all-pairs set-similarity self-join via prefix filtering
+    * (Bayardo et al., WWW'07 "Scaling Up All Pairs Similarity
+    * Search" / SSJoin): every doc pair with 3-gram-shingle Jaccard
+    * ≥ 0.5, with NO approximation — the recall-lossless alternative
+    * to q46's MinHash-LSH. Shingles are globally ordered by
+    * (document frequency, shingle); a doc of n shingles explodes only
+    * its n − ⌈t·n⌉ + 1 RAREST shingles (its "prefix"), and two docs
+    * can reach Jaccard ≥ t only if their prefixes share a shingle —
+    * so the candidate join blocks on rare shingles instead of
+    * comparing all O(n²) pairs, and the exact verify runs on
+    * candidates only.
+    *
+    * The oracle is deliberately ALGORITHM-INDEPENDENT brute force
+    * (all 125k pairs at sf0.01): a hash match certifies the prefix
+    * filter dropped zero true pairs, not merely that both engines
+    * ran the same clever plan.
+    *
+    * Scale: df-ordered prefixes block on the rare end of the Zipf
+    * curve, so bucket sizes stay small exactly where volume is
+    * large; candidate verification is a keyed join on (doc_a, doc_b).
+    * The df table is a shuffle bounded by the shingle vocabulary. */
+  def q151SimilarityJoin(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+    val sh = toks.select(col("doc_id"),
+        array_distinct(transform(
+          sequence(lit(1), greatest(size(col("toks")) - 2, lit(1))),
+          i => concat_ws(" ", slice(col("toks"), i, lit(3))))).as("sset"))
+      .persist()
+    val ex = sh.select(col("doc_id"), explode(col("sset")).as("g"))
+    val dfc = ex.groupBy("g").agg(count(lit(1)).as("df"))
+    val ordered = ex.join(dfc, "g")
+      .groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(struct(col("df"), col("g")))),
+        x => x.getField("g")).as("og"))
+    val pref = ordered
+      .withColumn("plen", expr("size(og) - (size(og) + 1) DIV 2 + 1"))
+      .select(col("doc_id"), explode(slice(col("og"), lit(1), col("plen"))).as("g"))
+    val cand = pref.select(col("doc_id").as("doc_a"), col("g"))
+      .join(pref.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sset").as("sa")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sset").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        inter.cast("bigint").as("intersection_size"),
+        (size(col("sa")) + size(col("sb")) - inter).cast("bigint").as("union_size"))
+      .withColumn("jaccard",
+        (col("intersection_size").cast("double") / col("union_size"))
+          .cast("double"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q151_similarity_join" -> q151SimilarityJoin _,
     "q146_containment" -> q146Containment _,
     "q122_leakage_split" -> q122LeakageSplit _,
     "q86_incremental_dedup" -> q86IncrementalDedup _,
@@ -324,6 +381,28 @@ object DedupOps {
        |  FROM tok)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q151_similarity_join" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), ' +') AS toks
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(toks) - 2, 1) + 1),
+        |      i -> array_to_string(toks[i:i+2], ' '))) AS sset
+        |  FROM t),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.sset, b.sset)) AS BIGINT)
+        |      AS intersection_size,
+        |    CAST(len(a.sset) + len(b.sset)
+        |      - len(list_intersect(a.sset, b.sset)) AS BIGINT) AS union_size
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, intersection_size, union_size,
+        |  CAST(CAST(intersection_size AS DOUBLE) / union_size AS DOUBLE)
+        |    AS jaccard
+        |FROM p
+        |WHERE CAST(intersection_size AS DOUBLE) / union_size >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q146_containment" ->
       """WITH t AS (SELECT doc_id,
         |    regexp_split_to_array(lower(trim(text)), ' +') AS toks
