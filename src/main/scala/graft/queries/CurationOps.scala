@@ -246,7 +246,27 @@ object CurationOps {
       .orderBy("source", "pick_rank")
   }
 
+  /** Systematic (every k-th) sampling per stratum in hash order:
+    * order each language's docs by (md5(doc_id), doc_id) and keep
+    * ranks 1, k+1, 2k+1, … with k = 10. Unlike q53's mod-hash
+    * Bernoulli sample (binomially-sized), the systematic pick returns
+    * EXACTLY ⌈n_s/k⌉ docs per stratum — quota-exact with no separate
+    * quota pass — and the hash order decorrelates the pick from
+    * ingest order. One window per stratum key; no global sort. */
+  def q152SystematicSample(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("rn", row_number().over(w))
+      .filter((col("rn") - 1) % 10 === 0)
+      .withColumn("sample_idx", expr("CAST((rn - 1) DIV 10 AS BIGINT)"))
+      .select("lang", "doc_id", "sample_idx")
+      .orderBy("lang", "sample_idx")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q152_systematic_sample" -> q152SystematicSample _,
     "q124_quota_apportion" -> q124QuotaApportion _,
     "q131_priority_sample" -> q131PrioritySample _,
     "q78_stratified_sample" -> q78StratifiedSample _,
@@ -260,6 +280,17 @@ object CurationOps {
   private val tokensSql = "regexp_split_to_array(lower(trim(text)), ' +')"
 
   val oracles: Map[String, String] = Map(
+    "q152_systematic_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+        |  FROM h)
+        |SELECT lang, doc_id, CAST((rn - 1) // 10 AS BIGINT) AS sample_idx
+        |FROM r WHERE (rn - 1) % 10 = 0
+        |ORDER BY lang, sample_idx""".stripMargin,
     "q131_priority_sample" ->
       """WITH d AS (
         |  SELECT doc_id, source,

@@ -580,6 +580,89 @@ object Quality {
         "exact_distinct", "hll_estimate", "est_ratio")
   }
 
+  /** Seasonal anomaly monitor: daily volumes judged against their own
+    * DAY-OF-WEEK baseline, the deseasonalized upgrade of q20's global
+    * z-score (a Sunday lull is only anomalous vs other Sundays).
+    * The anomaly FLAG is decided in exact integer arithmetic —
+    * 4·(n·x − Σx)²·(n−1) > 9·n·(n·Σx² − (Σx)²) is |x − μ| > 1.5σ with
+    * every division cleared (1.5σ, not 2σ: day-of-week strata have
+    * n ≈ 4–5 observations, and a sample z is bounded by √(n−1) — a
+    * 2σ gate could mathematically never fire) — so the gate cannot
+    * float-drift between engines; μ and z are also emitted as doubles (identical formula
+    * both sides) for reporting. Strata with n < 3 observations are
+    * excluded (no meaningful variance). Scale shape: two keyed aggs
+    * — (type, day) then (type, dow) — and a broadcast-sized join
+    * back; nothing global. */
+  def q153SeasonalAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("dow", dayofweek(col("day")))
+    val stats = daily.groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("n"), sum(col("cnt")).as("sx"),
+        sum(col("cnt") * col("cnt")).as("sx2"))
+      .filter(col("n") >= 3)
+    daily.join(stats, Seq("event_type", "dow"))
+      .withColumn("mean_cnt",
+        (col("sx").cast("double") / col("n").cast("double")).cast("double"))
+      .withColumn("z",
+        ((col("cnt").cast("double") - col("mean_cnt")) /
+          sqrt((col("n") * col("sx2") - col("sx") * col("sx")).cast("double") /
+            (col("n") * (col("n") - 1)).cast("double"))).cast("double"))
+      .withColumn("is_anomaly",
+        lit(4) * (col("n") * col("cnt") - col("sx")) *
+          (col("n") * col("cnt") - col("sx")) * (col("n") - 1) >
+          lit(9) * col("n") * (col("n") * col("sx2") - col("sx") * col("sx")))
+      .select("event_type", "day", "dow", "cnt", "mean_cnt", "z", "is_anomaly")
+      .orderBy("event_type", "day")
+  }
+
+  /** Grouped HLL rollup — q149's registers made MERGEABLE, the whole
+    * point of the sketch at 100 TB: per-segment register tables and
+    * the 'ALL' row obtained by merging them (register-wise MAX, never
+    * re-reading the data). Because max-of-maxes equals the global
+    * max, the merged estimate is bit-identical to a direct global
+    * sketch — the rollup shape q126 demonstrates for KMV, here for
+    * HLL. Deterministic for the q149 reasons (dyadic-exact Σ2^−r). */
+  def q154HllRollup(s: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(col("c_custkey").cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    val rank = when(col("w") === 0L, lit(43L))
+      .otherwise((lit(43) - length(bin(col("w")))).cast("long"))
+    val cust = Tables.customer(s, dir)
+    val segRegs = cust
+      .select(col("c_mktsegment").as("segment"),
+        shiftright(h, 42).as("bucket"),
+        h.bitwiseAND(lit((1L << 42) - 1)).as("w"))
+      .select(col("segment"), col("bucket"), rank.as("rank"))
+      .groupBy("segment", "bucket").agg(max(col("rank")).as("r"))
+    val merged = segRegs.groupBy("bucket").agg(max(col("r")).as("r"))
+      .select(lit("ALL").as("segment"), col("bucket"), col("r"))
+    val regs = segRegs.select("segment", "bucket", "r").unionAll(merged)
+    val grid = cust.select(col("c_mktsegment").as("segment")).distinct()
+      .unionAll(cust.limit(1).select(lit("ALL").as("segment")))
+      .select(col("segment"),
+        explode(sequence(lit(0L), lit(63L))).as("bucket"))
+    val est = grid.join(regs, Seq("segment", "bucket"), "left")
+      .select(col("segment"), coalesce(col("r"), lit(0L)).as("r"))
+      .groupBy("segment")
+      .agg(sum(when(col("r") === 0L, 1L).otherwise(0L)).as("empty_buckets"),
+        sum(pow(lit(0.5), col("r"))).cast("double").as("sum_inv"))
+      .withColumn("hll_estimate",
+        (lit(0.709) * lit(64.0) * lit(64.0) / col("sum_inv")).cast("double"))
+    val exact = cust
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(countDistinct(col("c_custkey")).as("exact_distinct"))
+      .unionAll(cust.agg(countDistinct(col("c_custkey")).as("ed"))
+        .select(lit("ALL").as("segment"), col("ed").as("exact_distinct")))
+    est.join(exact, "segment")
+      .select(col("segment"), col("empty_buckets"), col("sum_inv"),
+        col("exact_distinct"), col("hll_estimate"),
+        (col("hll_estimate") / col("exact_distinct").cast("double"))
+          .cast("double").as("est_ratio"))
+      .orderBy("segment")
+  }
+
   /** CUSUM change-point monitor (Page's cumulative-sum test): per
     * user, fold daily event counts in day order through
     * S_i = max(0, S_{i-1} + x_i − k) with allowance k = 3, flagging
@@ -622,6 +705,8 @@ object Quality {
   val queries: Map[String, Q] = Map(
     "q148_cusum" -> q148Cusum _,
     "q149_hll_registers" -> q149HllRegisters _,
+    "q153_seasonal_anomaly" -> q153SeasonalAnomaly _,
+    "q154_hll_rollup" -> q154HllRollup _,
     "q144_stickiness" -> q144Stickiness _,
     "q145_benford" -> q145Benford _,
     "q134_mad_outliers" -> q134MadOutliers _,
@@ -653,6 +738,67 @@ object Quality {
        |                / 281474976710656.0) END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q153_seasonal_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |d2 AS (SELECT *, dayofweek(day) + 1 AS dow FROM daily),
+        |stats AS (
+        |  SELECT event_type, dow, COUNT(*) AS n, SUM(cnt) AS sx,
+        |    SUM(cnt * cnt) AS sx2
+        |  FROM d2 GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+        |SELECT d2.event_type, d2.day, CAST(d2.dow AS INTEGER) AS dow, cnt,
+        |  CAST(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS DOUBLE) AS mean_cnt,
+        |  CAST((CAST(cnt AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)
+        |           / CAST(n * (n - 1) AS DOUBLE)) AS DOUBLE) AS z,
+        |  4 * (n * cnt - sx) * (n * cnt - sx) * (n - 1)
+        |    > 9 * n * (n * sx2 - sx * sx) AS is_anomaly
+        |FROM d2 JOIN stats
+        |  ON stats.event_type = d2.event_type AND stats.dow = d2.dow
+        |ORDER BY d2.event_type, d2.day""".stripMargin,
+    "q154_hll_rollup" ->
+      """WITH h AS (
+        |  SELECT c_mktsegment AS segment,
+        |    CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12)
+        |      AS BIGINT) AS h
+        |  FROM customer),
+        |rk AS (
+        |  SELECT segment, h // 4398046511104 AS bucket,
+        |    CASE WHEN h % 4398046511104 = 0 THEN 43
+        |      ELSE 43 - length(bin(h % 4398046511104)) END AS rank
+        |  FROM h),
+        |segregs AS (
+        |  SELECT segment, bucket, MAX(rank) AS r FROM rk GROUP BY 1, 2),
+        |allregs AS (
+        |  SELECT 'ALL' AS segment, bucket, MAX(r) AS r FROM segregs GROUP BY 2),
+        |regs AS (SELECT * FROM segregs UNION ALL SELECT * FROM allregs),
+        |grid AS (
+        |  SELECT segment, unnest(range(0, 64)) AS bucket FROM (
+        |    SELECT DISTINCT c_mktsegment AS segment FROM customer
+        |    UNION ALL SELECT 'ALL')),
+        |fullr AS (
+        |  SELECT g.segment, COALESCE(regs.r, 0) AS r
+        |  FROM grid g LEFT JOIN regs
+        |    ON regs.segment = g.segment AND regs.bucket = g.bucket),
+        |est AS (
+        |  SELECT segment,
+        |    CAST(SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS empty_buckets,
+        |    CAST(SUM(POW(0.5, r)) AS DOUBLE) AS sum_inv
+        |  FROM fullr GROUP BY 1),
+        |ex AS (
+        |  SELECT c_mktsegment AS segment,
+        |    COUNT(DISTINCT c_custkey) AS exact_distinct
+        |  FROM customer GROUP BY 1
+        |  UNION ALL
+        |  SELECT 'ALL', COUNT(DISTINCT c_custkey) FROM customer)
+        |SELECT e.segment, empty_buckets, sum_inv, exact_distinct,
+        |  CAST(0.709 * 64.0 * 64.0 / sum_inv AS DOUBLE) AS hll_estimate,
+        |  CAST((0.709 * 64.0 * 64.0 / sum_inv)
+        |    / CAST(exact_distinct AS DOUBLE) AS DOUBLE) AS est_ratio
+        |FROM est e JOIN ex ON ex.segment = e.segment
+        |ORDER BY 1""".stripMargin,
     "q149_hll_registers" ->
       """WITH h AS (
         |  SELECT CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12)
