@@ -444,9 +444,12 @@ object Breadth {
       .select(col("o_custkey").as("src"), col("l_suppkey").as("dst"))
       .distinct()
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val e2 = edges.join(outdeg, "src")
+    // the loop re-references e2 and nodes every iteration; without a
+    // persist the final plan recomputes the orders⋈lineitem distinct
+    // 3× for e2 plus 4× for nodes (Verify/Bench sweep leaked blocks)
+    val e2 = edges.join(outdeg, "src").persist()
     val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
+      .union(edges.select(col("dst").as("node"))).distinct().persist()
     var ranks = nodes.withColumn("r", lit(1000000000000L))
     for (_ <- 1 to 3) {
       val contrib = e2.join(ranks.withColumnRenamed("node", "src"), "src")

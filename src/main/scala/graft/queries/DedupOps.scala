@@ -227,10 +227,16 @@ object DedupOps {
         x => x.getField("g")).as("og"))
     val pref = ordered
       .withColumn("plen", expr("size(og) - (size(og) + 1) DIV 2 + 1"))
-      .select(col("doc_id"), explode(slice(col("og"), lit(1), col("plen"))).as("g"))
-    val cand = pref.select(col("doc_id").as("doc_a"), col("g"))
-      .join(pref.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
-      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_id"), size(col("og")).as("n"),
+        explode(slice(col("og"), lit(1), col("plen"))).as("g"))
+    // length filter (the other half of the PPJoin bound): J ≥ t
+    // forces t·|a| ≤ |b|, so size-incompatible bucket-mates are
+    // dropped before the distinct and the verify join ever see them
+    val cand = pref.select(col("doc_id").as("doc_a"), col("n").as("na"), col("g"))
+      .join(pref.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("g")),
+        Seq("g"))
+      .filter(col("doc_a") < col("doc_b") &&
+        col("na") <= col("nb") * 2 && col("nb") <= col("na") * 2)
       .select("doc_a", "doc_b").distinct()
     val inter = size(array_intersect(col("sa"), col("sb")))
     cand
