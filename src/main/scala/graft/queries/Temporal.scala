@@ -350,7 +350,69 @@ object Temporal {
       .orderBy("channel")
   }
 
+  /** Three-step strict-order funnel with PER-STEP deadlines (q116's
+    * two-step funnel generalized): first signup → first click within
+    * 7 days OF THE SIGNUP → first purchase within 7 days OF THAT
+    * CLICK. Each step is a conditional-min aggregation keyed by user
+    * joined forward — the min-chaining idiom — so the whole funnel is
+    * |steps| keyed aggs and joins, never a per-event window, and
+    * adding a step adds one agg+join, not a pass over raw events. */
+  def q155FunnelSteps(s: SparkSession, dir: String): DataFrame = {
+    val week = 7L * 86400L * 1000000L
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    val s1 = ev.groupBy("user_id")
+      .agg(min(when(col("event_type") === "signup", col("ts_us"))).as("signup_us"))
+      .filter(col("signup_us").isNotNull)
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id")
+      .filter(col("ts_us") >= col("signup_us") &&
+        col("ts_us") <= col("signup_us") + week)
+      .groupBy("user_id").agg(min(col("ts_us")).as("click_us"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id")
+      .filter(col("ts_us") >= col("click_us") &&
+        col("ts_us") <= col("click_us") + week)
+      .groupBy("user_id").agg(min(col("ts_us")).as("purchase_us"))
+    s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+      .select(col("user_id"), col("signup_us"), col("click_us"),
+        col("purchase_us"),
+        (when(col("purchase_us").isNotNull, 3)
+          .when(col("click_us").isNotNull, 2)
+          .otherwise(1)).as("reached_step"))
+      .orderBy("user_id")
+  }
+
+  /** Behavioral sequence mining over per-user event strings: encode
+    * each user's timeline as a string of event initials (ordered by
+    * ts with event_id tie-break) and pattern-match with regexes —
+    * "error immediately before purchase", "view→click" adjacency,
+    * longest error streak. The encode is one keyed agg (the string is
+    * bounded by a user's event count); every pattern after that is
+    * scan-speed string work, the cheap way to ask ordered-adjacency
+    * questions that would otherwise need self-joins per pattern. */
+  def q156SequencePatterns(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("c")).as("e"))
+    val seqd = ev.groupBy("user_id")
+      .agg(concat_ws("", transform(array_sort(collect_list(col("e"))),
+        x => x.getField("c"))).as("seq"))
+    val runs = regexp_extract_all(col("seq"), lit("e+"), lit(0))
+    seqd.select(col("user_id"),
+        length(col("seq")).as("seq_len"),
+        regexp_count(col("seq"), lit("ep")).as("n_error_then_purchase"),
+        regexp_count(col("seq"), lit("vc")).as("n_view_then_click"),
+        coalesce(array_max(transform(runs, r => length(r))), lit(0))
+          .as("longest_error_run"),
+        col("seq").startsWith("s").as("starts_with_signup"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q155_funnel_steps" -> q155FunnelSteps _,
+    "q156_sequence_patterns" -> q156SequencePatterns _,
     "q150_attribution" -> q150Attribution _,
     "q12_date_spine" -> q12DateSpine _,
     "q130_gap_fill" -> q130GapFill _,
@@ -367,6 +429,52 @@ object Temporal {
   )
 
   val oracles: Map[String, String] = Map(
+    "q155_funnel_steps" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |s1 AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'signup' THEN ts_us END) AS signup_us
+        |  FROM ev GROUP BY 1
+        |  HAVING MIN(CASE WHEN event_type = 'signup' THEN ts_us END)
+        |    IS NOT NULL),
+        |s2 AS (
+        |  SELECT e.user_id, MIN(e.ts_us) AS click_us
+        |  FROM ev e JOIN s1 ON s1.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts_us >= s1.signup_us
+        |    AND e.ts_us <= s1.signup_us + 604800000000
+        |  GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, MIN(e.ts_us) AS purchase_us
+        |  FROM ev e JOIN s2 ON s2.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts_us >= s2.click_us
+        |    AND e.ts_us <= s2.click_us + 604800000000
+        |  GROUP BY 1)
+        |SELECT s1.user_id, signup_us, click_us, purchase_us,
+        |  CAST(CASE WHEN purchase_us IS NOT NULL THEN 3
+        |    WHEN click_us IS NOT NULL THEN 2 ELSE 1 END AS INTEGER)
+        |    AS reached_step
+        |FROM s1
+        |LEFT JOIN s2 ON s2.user_id = s1.user_id
+        |LEFT JOIN s3 ON s3.user_id = s1.user_id
+        |ORDER BY s1.user_id""".stripMargin,
+    "q156_sequence_patterns" ->
+      """WITH sq AS (
+        |  SELECT user_id,
+        |    string_agg(substr(event_type, 1, 1), ''
+        |      ORDER BY epoch_us(ts), event_id) AS seq
+        |  FROM events GROUP BY 1)
+        |SELECT user_id,
+        |  CAST(length(seq) AS INTEGER) AS seq_len,
+        |  CAST(len(regexp_extract_all(seq, 'ep')) AS INTEGER)
+        |    AS n_error_then_purchase,
+        |  CAST(len(regexp_extract_all(seq, 'vc')) AS INTEGER)
+        |    AS n_view_then_click,
+        |  CAST(COALESCE(list_aggregate(list_transform(
+        |    regexp_extract_all(seq, 'e+'), x -> length(x)), 'max'), 0)
+        |    AS INTEGER) AS longest_error_run,
+        |  seq LIKE 's%' AS starts_with_signup
+        |FROM sq ORDER BY user_id""".stripMargin,
     "q150_attribution" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
