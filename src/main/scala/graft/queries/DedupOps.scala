@@ -211,13 +211,17 @@ object DedupOps {
     * curve, so bucket sizes stay small exactly where volume is
     * large; candidate verification is a keyed join on (doc_a, doc_b).
     * The df table is a shuffle bounded by the shingle vocabulary. */
+  /** Distinct 3-gram shingle STRINGS from a `toks` column — the
+    * plain-text counterpart of Dedup.shingleHashes (q151/q158). */
+  private def shingleSetCol =
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(col("toks")) - 2, lit(1))),
+      i => concat_ws(" ", slice(col("toks"), i, lit(3)))))
+
   def q151SimilarityJoin(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-    val sh = toks.select(col("doc_id"),
-        array_distinct(transform(
-          sequence(lit(1), greatest(size(col("toks")) - 2, lit(1))),
-          i => concat_ws(" ", slice(col("toks"), i, lit(3))))).as("sset"))
+    val sh = toks.select(col("doc_id"), shingleSetCol.as("sset"))
       .persist()
     val ex = sh.select(col("doc_id"), explode(col("sset")).as("g"))
     val dfc = ex.groupBy("g").agg(count(lit(1)).as("df"))
@@ -252,8 +256,40 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** SOURCE-level vocabulary overlap matrix: pairwise Jaccard between
+    * each source's distinct 3-gram shingle vocabulary — the corpus
+    * diagnostic that catches one source mirroring another (high
+    * overlap ⇒ cross-source dedup or provenance work) before any
+    * doc-level pass runs. Computed the scalable way: explode to
+    * (source, shingle), distinct, self-join per shingle — a shingle
+    * shared by k sources fans out to C(k,2) ≤ C(|sources|,2) pair
+    * rows, so the hot-key bound is the SOURCE alphabet, not corpus
+    * size — then one |sources|²-row aggregate. */
+  def q158SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val sv = Tables.documents(s, dir)
+      .select(col("source"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("source"), explode(shingleSetCol).as("g"))
+      .distinct()
+    val tot = sv.groupBy("source").agg(count(lit(1)).as("vocab"))
+    val shared = sv.select(col("source").as("source_a"), col("g"))
+      .join(sv.select(col("source").as("source_b"), col("g")), Seq("g"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("shared"))
+    shared
+      .join(tot.select(col("source").as("source_a"), col("vocab").as("vocab_a")),
+        "source_a")
+      .join(tot.select(col("source").as("source_b"), col("vocab").as("vocab_b")),
+        "source_b")
+      .withColumn("jaccard", (col("shared").cast("double") /
+        (col("vocab_a") + col("vocab_b") - col("shared")).cast("double"))
+        .cast("double"))
+      .select("source_a", "source_b", "vocab_a", "vocab_b", "shared", "jaccard")
+      .orderBy("source_a", "source_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "q151_similarity_join" -> q151SimilarityJoin _,
+    "q158_source_overlap" -> q158SourceOverlap _,
     "q146_containment" -> q146Containment _,
     "q122_leakage_split" -> q122LeakageSplit _,
     "q86_incremental_dedup" -> q86IncrementalDedup _,
@@ -387,6 +423,30 @@ object DedupOps {
        |  FROM tok)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q158_source_overlap" ->
+      """WITH t AS (SELECT source,
+        |    regexp_split_to_array(lower(trim(text)), ' +') AS toks
+        |  FROM documents),
+        |sv AS (SELECT DISTINCT source,
+        |    unnest(list_distinct(list_transform(
+        |      range(1, greatest(len(toks) - 2, 1) + 1),
+        |      i -> array_to_string(toks[i:i+2], ' ')))) AS g
+        |  FROM t),
+        |tot AS (SELECT source, COUNT(*) AS vocab FROM sv GROUP BY 1),
+        |sh AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    COUNT(*) AS shared
+        |  FROM sv a JOIN sv b ON a.g = b.g AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, ta.vocab AS vocab_a, tb.vocab AS vocab_b,
+        |  shared,
+        |  CAST(CAST(shared AS DOUBLE)
+        |    / CAST(ta.vocab + tb.vocab - shared AS DOUBLE) AS DOUBLE)
+        |    AS jaccard
+        |FROM sh
+        |JOIN tot ta ON ta.source = sh.source_a
+        |JOIN tot tb ON tb.source = sh.source_b
+        |ORDER BY source_a, source_b""".stripMargin,
     "q151_similarity_join" ->
       """WITH t AS (SELECT doc_id,
         |    regexp_split_to_array(lower(trim(text)), ' +') AS toks

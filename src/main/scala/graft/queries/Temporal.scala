@@ -410,7 +410,50 @@ object Temporal {
       .orderBy("user_id")
   }
 
+  /** Linear interpolation over daily gaps — q130's LOCF upgraded to
+    * the two-sided fill an analyst actually wants for metrics that
+    * trend: each missing day takes the straight line between its
+    * nearest observed neighbors. prev/next observation and their days
+    * come from two keyed ignoreNulls windows (backward `last`,
+    * forward `first`); the lerp itself is kept EXACT-rational —
+    * integer cents × integer day spans, with ONE double division at
+    * the end written identically in the oracle — so interpolated
+    * values cannot float-drift. Edge days with only one neighbor
+    * stay null (no extrapolation). */
+  def q157Interpolate(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+      // NOT dsum: dsum's trailing double cast would make the ×100 a
+      // float op (16.31 → 1630.999… → truncates); stay decimal
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100).cast("long")
+        .as("cents"))
+    val dense = daily.select("user_id").distinct()
+      .withColumn("day",
+        explode(expr(
+          "sequence(to_date('2024-01-01'), to_date('2024-01-30'), interval 1 day)")))
+    val wb = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsDay = when(col("cents").isNotNull, col("day"))
+    val g = dense.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("pv", last(col("cents"), ignoreNulls = true).over(wb))
+      .withColumn("pd", last(obsDay, ignoreNulls = true).over(wb))
+      .withColumn("nv", first(col("cents"), ignoreNulls = true).over(wf))
+      .withColumn("nd", first(obsDay, ignoreNulls = true).over(wf))
+    g.select(col("user_id"), col("day"),
+        col("cents").isNotNull.as("is_observed"),
+        when(col("cents").isNotNull, col("cents").cast("double") / 100.0)
+          .when(col("pv").isNotNull && col("nv").isNotNull,
+            (col("pv") * datediff(col("nd"), col("day")) +
+              col("nv") * datediff(col("day"), col("pd"))).cast("double") /
+              (datediff(col("nd"), col("pd")) * 100).cast("double"))
+          .otherwise(lit(null).cast("double")).as("filled_value"))
+      .orderBy("user_id", "day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q157_interpolate" -> q157Interpolate _,
     "q155_funnel_steps" -> q155FunnelSteps _,
     "q156_sequence_patterns" -> q156SequencePatterns _,
     "q150_attribution" -> q150Attribution _,
@@ -429,6 +472,39 @@ object Temporal {
   )
 
   val oracles: Map[String, String] = Map(
+    "q157_interpolate" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |dense AS (
+        |  SELECT u.user_id, s.day
+        |  FROM (SELECT DISTINCT user_id FROM events) u
+        |  CROSS JOIN (
+        |    SELECT CAST(unnest(generate_series(DATE '2024-01-01',
+        |      DATE '2024-01-30', INTERVAL 1 DAY)) AS DATE) AS day) s),
+        |g AS (
+        |  SELECT d.user_id, d.day, dl.cents,
+        |    last_value(dl.cents IGNORE NULLS) OVER wb AS pv,
+        |    last_value(CASE WHEN dl.cents IS NOT NULL THEN d.day END
+        |      IGNORE NULLS) OVER wb AS pd,
+        |    first_value(dl.cents IGNORE NULLS) OVER wf AS nv,
+        |    first_value(CASE WHEN dl.cents IS NOT NULL THEN d.day END
+        |      IGNORE NULLS) OVER wf AS nd
+        |  FROM dense d
+        |  LEFT JOIN daily dl ON dl.user_id = d.user_id AND dl.day = d.day
+        |  WINDOW wb AS (PARTITION BY d.user_id ORDER BY d.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wf AS (PARTITION BY d.user_id ORDER BY d.day
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, day, cents IS NOT NULL AS is_observed,
+        |  CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE) / 100.0
+        |    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+        |      CAST(pv * datediff('day', day, nd)
+        |        + nv * datediff('day', pd, day) AS DOUBLE)
+        |      / CAST(datediff('day', pd, nd) * 100 AS DOUBLE)
+        |    ELSE NULL END AS filled_value
+        |FROM g ORDER BY user_id, day""".stripMargin,
     "q155_funnel_steps" ->
       """WITH ev AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
