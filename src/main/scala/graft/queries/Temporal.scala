@@ -6,6 +6,7 @@ import graft.operators.AsofJoin
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Temporal operators: date spine (F16), as-of join (J7), calendar
   * functions (F10-F14), monthly rollups (A5), trailing averages (A6).
@@ -452,8 +453,61 @@ object Temporal {
       .orderBy("user_id", "day")
   }
 
+  /** Behavioral diversity score: Shannon entropy of each user's
+    * event-type distribution, H = −Σ p·ln p. Cross-engine exact via
+    * the q133 idiom taken one step further: each term is rounded to
+    * 6 dp and summed as DECIMAL(18,6) — decimal addition is exact
+    * and order-independent, so per-user entropy cannot drift on
+    * aggregation order (a plain double Σ over even 5 terms could).
+    * Two keyed aggs, alphabet-bounded inner rows. */
+  def q160Entropy(s: SparkSession, dir: String): DataFrame = {
+    val cnts = Tables.events(s, dir)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+    val tot = cnts.groupBy("user_id")
+      .agg(sum(col("c")).as("n_events"), count(lit(1)).as("n_types"))
+    cnts.join(tot, "user_id")
+      .withColumn("p",
+        (col("c").cast("double") / col("n_events").cast("double")))
+      .withColumn("term",
+        round(col("p") * round(log(col("p")), 6), 6).cast(DecimalType(18, 6)))
+      .groupBy("user_id")
+      .agg(max(col("n_events")).as("n_events"),
+        max(col("n_types")).as("n_types"),
+        (-sum(col("term"))).cast("double").as("entropy"))
+      .orderBy("user_id")
+  }
+
+  /** Cadence profile: exact min / median / max gap between a user's
+    * consecutive events. Gaps come from one user-keyed LAG; the
+    * median is exact integer selection on the per-user sorted gap
+    * array (bounded by the user's event count — no funnel needed at
+    * per-entity scale), with the even case taking the FLOOR average
+    * of the two middle gaps so everything stays BIGINT. */
+  def q161MedianGap(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val gaps = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .select(col("user_id"), (col("ts_us") - col("prev_us")).as("gap_us"))
+    gaps.groupBy("user_id")
+      .agg(sort_array(collect_list(col("gap_us"))).as("g"))
+      .select(col("user_id"),
+        size(col("g")).as("n_gaps"),
+        element_at(col("g"), 1).as("min_gap_us"),
+        element_at(col("g"), size(col("g"))).as("max_gap_us"),
+        expr("""CAST(CASE WHEN size(g) % 2 = 1
+          THEN element_at(g, CAST((size(g) + 1) DIV 2 AS INT))
+          ELSE (element_at(g, CAST(size(g) DIV 2 AS INT))
+            + element_at(g, CAST(size(g) DIV 2 + 1 AS INT))) DIV 2
+          END AS BIGINT)""").as("median_gap_us"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q157_interpolate" -> q157Interpolate _,
+    "q160_entropy" -> q160Entropy _,
+    "q161_median_gap" -> q161MedianGap _,
     "q155_funnel_steps" -> q155FunnelSteps _,
     "q156_sequence_patterns" -> q156SequencePatterns _,
     "q150_attribution" -> q150Attribution _,
@@ -472,6 +526,40 @@ object Temporal {
   )
 
   val oracles: Map[String, String] = Map(
+    "q160_entropy" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT user_id, SUM(c) AS n_events, COUNT(*) AS n_types
+        |  FROM c GROUP BY 1),
+        |terms AS (
+        |  SELECT c.user_id, t.n_events, t.n_types,
+        |    CAST(round(
+        |      (CAST(c.c AS DOUBLE) / CAST(t.n_events AS DOUBLE))
+        |      * round(ln(CAST(c.c AS DOUBLE) / CAST(t.n_events AS DOUBLE)), 6),
+        |      6) AS DECIMAL(18, 6)) AS term
+        |  FROM c JOIN t ON t.user_id = c.user_id)
+        |SELECT user_id, CAST(MAX(n_events) AS BIGINT) AS n_events,
+        |  CAST(MAX(n_types) AS BIGINT) AS n_types,
+        |  CAST(-SUM(term) AS DOUBLE) AS entropy
+        |FROM terms GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "q161_median_gap" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |gp AS (
+        |  SELECT user_id, ts_us - lag(ts_us) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id) AS gap
+        |  FROM ev),
+        |arr AS (
+        |  SELECT user_id, list(gap ORDER BY gap) AS g
+        |  FROM gp WHERE gap IS NOT NULL GROUP BY 1)
+        |SELECT user_id, CAST(len(g) AS INTEGER) AS n_gaps,
+        |  g[1] AS min_gap_us, g[len(g)] AS max_gap_us,
+        |  CAST(CASE WHEN len(g) % 2 = 1 THEN g[(len(g) + 1) // 2]
+        |    ELSE (g[len(g) // 2] + g[len(g) // 2 + 1]) // 2
+        |  END AS BIGINT) AS median_gap_us
+        |FROM arr ORDER BY user_id""".stripMargin,
     "q157_interpolate" ->
       """WITH daily AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day,

@@ -141,7 +141,37 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Pointwise mutual information over within-document token
+    * co-occurrence — the collocation detector next to q133's bigram
+    * LM (PMI measures association regardless of adjacency; the LM
+    * only sees adjacent pairs). pmi = ln(c_ab·N / (c_a·c_b)) with
+    * the ln rounded to 6 dp (the q56/q133 cross-engine idiom). The
+    * pair explosion is bounded by max-doc-length² per document —
+    * shuffle keys are token pairs, and the c_ab ≥ 5 support filter
+    * keeps the output at collocation scale. N (corpus size) is an
+    * EAGER driver count at build time, q98/q105-style. */
+  def q159Pmi(s: SparkSession, dir: String): DataFrame = {
+    val nDocs = Tables.documents(s, dir).count()
+    val ex = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+    val cTok = ex.groupBy("tok").agg(count(lit(1)).as("c_tok"))
+    val pairs = ex.select(col("doc_id"), col("tok").as("tok_a"))
+      .join(ex.select(col("doc_id"), col("tok").as("tok_b")), Seq("doc_id"))
+      .filter(col("tok_a") < col("tok_b"))
+      .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 5)
+    pairs
+      .join(cTok.select(col("tok").as("tok_a"), col("c_tok").as("c_a")), "tok_a")
+      .join(cTok.select(col("tok").as("tok_b"), col("c_tok").as("c_b")), "tok_b")
+      .withColumn("pmi",
+        round(log((col("c_ab") * nDocs).cast("double") /
+          (col("c_a") * col("c_b")).cast("double")), 6).cast("double"))
+      .select("tok_a", "tok_b", "c_a", "c_b", "c_ab", "pmi")
+      .orderBy("tok_a", "tok_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q159_pmi" -> q159Pmi _,
     "q133_bigram_lm" -> q133BigramLm _,
     "q40_token_stats" -> q40TokenStats _,
     "q41_lang_id" -> q41LangId _,
@@ -157,6 +187,26 @@ object TextOps {
     s"len(regexp_extract_all($expr, '$re'))"
 
   val oracles: Map[String, String] = Map(
+    "q159_pmi" ->
+      """WITH ex AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_distinct(
+        |      regexp_split_to_array(lower(trim(text)), ' +'))) AS tok
+        |  FROM documents),
+        |ct AS (SELECT tok, COUNT(*) AS c_tok FROM ex GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |p AS (
+        |  SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS c_ab
+        |  FROM ex a JOIN ex b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+        |SELECT tok_a, tok_b, ca.c_tok AS c_a, cb.c_tok AS c_b, c_ab,
+        |  CAST(round(ln(CAST(c_ab * n_docs AS DOUBLE)
+        |    / CAST(ca.c_tok * cb.c_tok AS DOUBLE)), 6) AS DOUBLE) AS pmi
+        |FROM p
+        |JOIN ct ca ON ca.tok = p.tok_a
+        |JOIN ct cb ON cb.tok = p.tok_b
+        |CROSS JOIN n
+        |ORDER BY tok_a, tok_b""".stripMargin,
     "q133_bigram_lm" ->
       s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
          |bi AS (
