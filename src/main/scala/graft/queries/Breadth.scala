@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.Skyline
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -535,7 +535,54 @@ object Breadth {
       .orderBy("bucket")
   }
 
+  /** RFM customer segmentation: per-customer recency / frequency /
+    * monetary, each scored 1–5 by its EXACT corpus quintile, then a
+    * coarse segment label. The quintile cut points come from three
+    * [[graft.operators.ExactQuantile.groupedQuantiles]] funnels
+    * (nearest-rank k = max(1, ⌈p·n⌉), the q129/q138 machinery — no
+    * global sort, no unpartitioned ntile, which is how a naive RFM
+    * is usually written and exactly what the plan police bans) and
+    * ship as 12 literals in the scoring CASE. EAGER at build time
+    * like q138: the three funnel passes run driver actions. Recency
+    * is reversed (smaller = better). */
+  def q163Rfm(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("customer_id"))
+      .agg(
+        datediff(lit("2001-09-01").cast("date"),
+          max(col("o_orderdate").cast("date"))).cast("long").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        (sum(col("o_totalprice").cast("decimal(18,2)")) * 100).cast("long")
+          .as("monetary_cents"))
+      .persist()
+    def cuts(c: String, bucket: Long): Map[String, Long] =
+      graft.operators.ExactQuantile.groupedQuantiles(
+          cust.select(lit("all").as("g"), col(c).as("v")), "g", col("v"),
+          Seq("p20" -> 0.2, "p40" -> 0.4, "p60" -> 0.6, "p80" -> 0.8), bucket)
+        .collect()
+        .map(r => r.getAs[String]("pct") -> r.getAs[Long]("value_cents")).toMap
+    val rc = cuts("recency_days", 30L)
+    val fc = cuts("frequency", 5L)
+    val mc = cuts("monetary_cents", 100000L)
+    def score(c: Column, m: Map[String, Long]): Column =
+      when(c <= m("p20"), 1).when(c <= m("p40"), 2).when(c <= m("p60"), 3)
+        .when(c <= m("p80"), 4).otherwise(5)
+    cust
+      .withColumn("r_score", lit(6) - score(col("recency_days"), rc))
+      .withColumn("f_score", score(col("frequency"), fc))
+      .withColumn("m_score", score(col("monetary_cents"), mc))
+      .withColumn("segment",
+        when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4,
+          "champion")
+          .when(col("r_score") >= 4 && col("f_score") <= 2, "new_or_returning")
+          .when(col("r_score") <= 2 && col("f_score") >= 4, "at_risk_loyal")
+          .when(col("r_score") <= 2 && col("f_score") <= 2, "hibernating")
+          .otherwise("core"))
+      .orderBy("customer_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q163_rfm" -> q163Rfm _,
     "q132_skyline" -> q132Skyline _,
     "q135_pagerank" -> q135PageRank _,
     "q141_join_size_est" -> q141JoinSizeEst _,
@@ -560,6 +607,78 @@ object Breadth {
   )
 
   val oracles: Map[String, String] = Map(
+    "q163_rfm" ->
+      """WITH cust AS (
+        |  SELECT o_custkey AS customer_id,
+        |    CAST(datediff('day', CAST(MAX(o_orderdate) AS DATE),
+        |      DATE '2001-09-01') AS BIGINT) AS recency_days,
+        |    COUNT(*) AS frequency,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |      AS monetary_cents
+        |  FROM orders GROUP BY 1),
+        |nn AS (SELECT COUNT(*) AS n FROM cust),
+        |rcut AS (
+        |  SELECT
+        |    MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.2 * n) AS BIGINT))
+        |      THEN v END) AS c20,
+        |    MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.4 * n) AS BIGINT))
+        |      THEN v END) AS c40,
+        |    MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.6 * n) AS BIGINT))
+        |      THEN v END) AS c60,
+        |    MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.8 * n) AS BIGINT))
+        |      THEN v END) AS c80
+        |  FROM (SELECT recency_days AS v,
+        |    ROW_NUMBER() OVER (ORDER BY recency_days) AS rn FROM cust), nn),
+        |fcut AS (
+        |  SELECT
+        |    MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.2 * n) AS BIGINT))
+        |      THEN v END) AS c20,
+        |    MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.4 * n) AS BIGINT))
+        |      THEN v END) AS c40,
+        |    MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.6 * n) AS BIGINT))
+        |      THEN v END) AS c60,
+        |    MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.8 * n) AS BIGINT))
+        |      THEN v END) AS c80
+        |  FROM (SELECT frequency AS v,
+        |    ROW_NUMBER() OVER (ORDER BY frequency) AS rn FROM cust), nn),
+        |mcut AS (
+        |  SELECT
+        |    MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.2 * n) AS BIGINT))
+        |      THEN v END) AS c20,
+        |    MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.4 * n) AS BIGINT))
+        |      THEN v END) AS c40,
+        |    MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.6 * n) AS BIGINT))
+        |      THEN v END) AS c60,
+        |    MAX(CASE WHEN rn = greatest(1, CAST(ceil(0.8 * n) AS BIGINT))
+        |      THEN v END) AS c80
+        |  FROM (SELECT monetary_cents AS v,
+        |    ROW_NUMBER() OVER (ORDER BY monetary_cents) AS rn FROM cust), nn),
+        |scored AS (
+        |  SELECT c.customer_id, c.recency_days, c.frequency, c.monetary_cents,
+        |    CAST(6 - (CASE WHEN recency_days <= r.c20 THEN 1
+        |      WHEN recency_days <= r.c40 THEN 2
+        |      WHEN recency_days <= r.c60 THEN 3
+        |      WHEN recency_days <= r.c80 THEN 4 ELSE 5 END) AS INTEGER)
+        |      AS r_score,
+        |    CAST(CASE WHEN frequency <= f.c20 THEN 1
+        |      WHEN frequency <= f.c40 THEN 2
+        |      WHEN frequency <= f.c60 THEN 3
+        |      WHEN frequency <= f.c80 THEN 4 ELSE 5 END AS INTEGER) AS f_score,
+        |    CAST(CASE WHEN monetary_cents <= m.c20 THEN 1
+        |      WHEN monetary_cents <= m.c40 THEN 2
+        |      WHEN monetary_cents <= m.c60 THEN 3
+        |      WHEN monetary_cents <= m.c80 THEN 4 ELSE 5 END AS INTEGER)
+        |      AS m_score
+        |  FROM cust c CROSS JOIN rcut r CROSS JOIN fcut f CROSS JOIN mcut m)
+        |SELECT customer_id, recency_days, frequency, monetary_cents,
+        |  r_score, f_score, m_score,
+        |  CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+        |      THEN 'champion'
+        |    WHEN r_score >= 4 AND f_score <= 2 THEN 'new_or_returning'
+        |    WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk_loyal'
+        |    WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+        |    ELSE 'core' END AS segment
+        |FROM scored ORDER BY customer_id""".stripMargin,
     "q141_join_size_est" ->
       """WITH c AS (
         |  SELECT l_partkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1),

@@ -663,6 +663,44 @@ object Quality {
       .orderBy("segment")
   }
 
+  /** TRAILING-window z-score gate — the reference's actual 14-day
+    * volume monitor shape (pipeline_observability.py's z > 3 over a
+    * 14-day history), upgraded from q20's all-history baseline: each
+    * day is judged against the 14 days STRICTLY BEFORE it (RANGE
+    * −14..−1 on the day ordinal, keyed by event_type — no global
+    * window), so the gate adapts to drift and never peeks at the
+    * day it is judging. Baseline moments are integer window sums;
+    * the 3σ flag is the exact-integer clearing
+    * (n·x − Σx)²·(n−1) > 9·n·(nΣx² − (Σx)²); z is NULL when the
+    * baseline variance is 0 (a 0/0 NaN would be engine-dependent);
+    * days with fewer than 3 baseline days are excluded. */
+  def q162TrailingZ(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("ord", datediff(col("day"), lit("2024-01-01").cast("date")))
+    val w = Window.partitionBy("event_type").orderBy("ord").rangeBetween(-14, -1)
+    daily
+      .withColumn("n", count(col("cnt")).over(w))
+      .withColumn("sx", sum(col("cnt")).over(w))
+      .withColumn("sx2", sum(col("cnt") * col("cnt")).over(w))
+      .filter(col("n") >= 3)
+      .withColumn("mean_cnt",
+        (col("sx").cast("double") / col("n").cast("double")).cast("double"))
+      .withColumn("z",
+        when(col("n") * col("sx2") - col("sx") * col("sx") > 0,
+          ((col("cnt").cast("double") - col("mean_cnt")) /
+            sqrt((col("n") * col("sx2") - col("sx") * col("sx")).cast("double") /
+              (col("n") * (col("n") - 1)).cast("double"))).cast("double"))
+          .otherwise(lit(null).cast("double")))
+      .withColumn("is_anomaly",
+        (col("n") * col("cnt") - col("sx")) * (col("n") * col("cnt") - col("sx")) *
+          (col("n") - 1) > lit(9) * col("n") *
+          (col("n") * col("sx2") - col("sx") * col("sx")))
+      .select("event_type", "day", "cnt", "n", "mean_cnt", "z", "is_anomaly")
+      .orderBy("event_type", "day")
+  }
+
   /** CUSUM change-point monitor (Page's cumulative-sum test): per
     * user, fold daily event counts in day order through
     * S_i = max(0, S_{i-1} + x_i − k) with allowance k = 3, flagging
@@ -707,6 +745,7 @@ object Quality {
     "q149_hll_registers" -> q149HllRegisters _,
     "q153_seasonal_anomaly" -> q153SeasonalAnomaly _,
     "q154_hll_rollup" -> q154HllRollup _,
+    "q162_trailing_z" -> q162TrailingZ _,
     "q144_stickiness" -> q144Stickiness _,
     "q145_benford" -> q145Benford _,
     "q134_mad_outliers" -> q134MadOutliers _,
@@ -738,6 +777,29 @@ object Quality {
        |                / 281474976710656.0) END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q162_trailing_z" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt,
+        |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS ord
+        |  FROM events GROUP BY 1, 2, 4),
+        |wd AS (
+        |  SELECT event_type, day, cnt,
+        |    COUNT(cnt) OVER w AS n, SUM(cnt) OVER w AS sx,
+        |    SUM(cnt * cnt) OVER w AS sx2
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ord
+        |    RANGE BETWEEN 14 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, day, cnt, n,
+        |  CAST(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS DOUBLE) AS mean_cnt,
+        |  CASE WHEN n * sx2 - sx * sx > 0 THEN
+        |    CAST((CAST(cnt AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)
+        |        / CAST(n * (n - 1) AS DOUBLE)) AS DOUBLE)
+        |  ELSE NULL END AS z,
+        |  (n * cnt - sx) * (n * cnt - sx) * (n - 1)
+        |    > 9 * n * (n * sx2 - sx * sx) AS is_anomaly
+        |FROM wd WHERE n >= 3
+        |ORDER BY event_type, day""".stripMargin,
     "q153_seasonal_anomaly" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
