@@ -229,10 +229,13 @@ object DedupOps {
       .groupBy("doc_id")
       .agg(transform(array_sort(collect_list(struct(col("df"), col("g")))),
         x => x.getField("g")).as("og"))
+    // both sides of the candidate self-join read this — persist, or
+    // the df-join + collect-sort pipeline runs twice
     val pref = ordered
       .withColumn("plen", expr("size(og) - (size(og) + 1) DIV 2 + 1"))
       .select(col("doc_id"), size(col("og")).as("n"),
         explode(slice(col("og"), lit(1), col("plen"))).as("g"))
+      .persist()
     // length filter (the other half of the PPJoin bound): J ≥ t
     // forces t·|a| ≤ |b|, so size-incompatible bucket-mates are
     // dropped before the distinct and the verify join ever see them
