@@ -701,6 +701,43 @@ object Quality {
       .orderBy("event_type", "day")
   }
 
+  /** Poisson bootstrap 95% CI for the mean event value — THE
+    * distributed bootstrap (each row draws its replicate weight
+    * independently as Poisson(1), so no global multinomial
+    * coordination is needed; Chamandy et al., "Estimating Uncertainty
+    * for Massive Data Streams"). Made deterministic: the uniform is a
+    * 48-bit md5 slice of (event_id, replicate), mapped through a
+    * 6-dp-literal Poisson(1) inverse-CDF ladder; each replicate mean
+    * is an EXACT integer pair (Σw·cents, Σw) with one double
+    * division, and the CI is nearest-rank selection over the 40
+    * sorted replicate means. One scan fanned out ×40 by an explode
+    * (not a join), 40 aggregation groups, driver-sized tail. */
+  def q165BootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_id"),
+      (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val rep = ev.select(col("event_id"), col("cents"),
+      explode(sequence(lit(0), lit(39))).as("rep"))
+    val u = conv(substring(md5(concat_ws("|", col("event_id"), col("rep"))),
+      1, 12), 16, 10).cast("long").cast("double") / lit(281474976710656.0)
+    val w = when(u < 0.367879, 0).when(u < 0.735759, 1)
+      .when(u < 0.919699, 2).when(u < 0.981012, 3)
+      .when(u < 0.996340, 4).when(u < 0.999406, 5).otherwise(6)
+    val means = rep.select(col("rep"), col("cents"), w.as("w"))
+      .groupBy("rep")
+      .agg(sum(col("w") * col("cents")).as("wx"), sum(col("w")).as("wsum"))
+      .select((col("wx").cast("double") /
+        (col("wsum") * 100).cast("double")).as("mean_b"))
+      .agg(sort_array(collect_list(col("mean_b"))).as("ms"))
+    val point = ev.agg(count(lit(1)).as("n_rows"),
+      (sum(col("cents")).cast("double") /
+        (count(lit(1)) * 100).cast("double")).as("point_mean"))
+    point.crossJoin(means) // two 1-row aggregates — q07's idiom
+      .select(col("n_rows"), col("point_mean"),
+        size(col("ms")).as("n_replicates"),
+        element_at(col("ms"), 1).as("ci_low"),
+        element_at(col("ms"), 39).as("ci_high"))
+  }
+
   /** CUSUM change-point monitor (Page's cumulative-sum test): per
     * user, fold daily event counts in day order through
     * S_i = max(0, S_{i-1} + x_i − k) with allowance k = 3, flagging
@@ -746,6 +783,7 @@ object Quality {
     "q153_seasonal_anomaly" -> q153SeasonalAnomaly _,
     "q154_hll_rollup" -> q154HllRollup _,
     "q162_trailing_z" -> q162TrailingZ _,
+    "q165_bootstrap_ci" -> q165BootstrapCi _,
     "q144_stickiness" -> q144Stickiness _,
     "q145_benford" -> q145Benford _,
     "q134_mad_outliers" -> q134MadOutliers _,
@@ -777,6 +815,38 @@ object Quality {
        |                / 281474976710656.0) END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q165_bootstrap_ci" ->
+      """WITH ev AS (
+        |  SELECT event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |rep AS (
+        |  SELECT event_id, cents, unnest(range(0, 40)) AS rep FROM ev),
+        |wu AS (
+        |  SELECT cents, rep,
+        |    CAST(CAST('0x' || substr(md5(event_id || '|' || rep), 1, 12)
+        |      AS BIGINT) AS DOUBLE) / 281474976710656.0 AS u
+        |  FROM rep),
+        |w2 AS (
+        |  SELECT rep, cents,
+        |    CASE WHEN u < 0.367879 THEN 0 WHEN u < 0.735759 THEN 1
+        |      WHEN u < 0.919699 THEN 2 WHEN u < 0.981012 THEN 3
+        |      WHEN u < 0.996340 THEN 4 WHEN u < 0.999406 THEN 5
+        |      ELSE 6 END AS w
+        |  FROM wu),
+        |m AS (
+        |  SELECT rep, CAST(SUM(w * cents) AS DOUBLE)
+        |    / CAST(SUM(w) * 100 AS DOUBLE) AS mean_b
+        |  FROM w2 GROUP BY 1),
+        |arr AS (SELECT list(mean_b ORDER BY mean_b) AS ms FROM m),
+        |pt AS (
+        |  SELECT COUNT(*) AS n_rows,
+        |    CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) * 100 AS DOUBLE)
+        |      AS point_mean
+        |  FROM ev)
+        |SELECT n_rows, point_mean, CAST(len(ms) AS INTEGER) AS n_replicates,
+        |  CAST(ms[1] AS DOUBLE) AS ci_low, CAST(ms[39] AS DOUBLE) AS ci_high
+        |FROM pt, arr""".stripMargin,
     "q162_trailing_z" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt,

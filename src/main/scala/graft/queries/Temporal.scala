@@ -504,8 +504,44 @@ object Temporal {
       .orderBy("user_id")
   }
 
+  /** Holt linear (double-exponential) forecast, α = β = 1/2: per
+    * event type, fold the day-ordered daily counts through
+    * l_i = (x_i + l_{i-1} + b_{i-1})/2,
+    * b_i = (b_{i-1} + l_i − l_{i-1})/2 (init l₁ = x₁, b₁ = 0) and
+    * emit level/trend/next-day forecast — the trend-aware member of
+    * the q106 recursive family. Cross-engine parity holds because
+    * BOTH engines run the IDENTICAL sequential fold over the same
+    * day-sorted array (list_reduce ↔ aggregate), so even where the
+    * halvings outrun the 53-bit mantissa the roundings are the same
+    * IEEE operations in the same order. Scale shape: two keyed aggs,
+    * then scan-speed array work bounded by the calendar span. */
+  def q164HoltForecast(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val arr = daily.groupBy("event_type")
+      .agg(array_sort(collect_list(struct(col("day"), col("cnt")))).as("a"))
+      .select(col("event_type"),
+        transform(col("a"), x => x.getField("cnt").cast("double")).as("xs"))
+    arr.select(col("event_type"), size(col("xs")).as("n_days"),
+        aggregate(
+          slice(col("xs"), lit(2), size(col("xs")) - 1),
+          struct(element_at(col("xs"), 1).as("l"), lit(0.0).as("b")),
+          (acc, x) => struct(
+            ((x + acc.getField("l") + acc.getField("b")) / 2).as("l"),
+            ((acc.getField("b") +
+              (x + acc.getField("l") + acc.getField("b")) / 2 -
+              acc.getField("l")) / 2).as("b"))).as("st"))
+      .select(col("event_type"), col("n_days"),
+        col("st.l").cast("double").as("level"),
+        col("st.b").cast("double").as("trend"),
+        (col("st.l") + col("st.b")).cast("double").as("forecast_next"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "q157_interpolate" -> q157Interpolate _,
+    "q164_holt_forecast" -> q164HoltForecast _,
     "q160_entropy" -> q160Entropy _,
     "q161_median_gap" -> q161MedianGap _,
     "q155_funnel_steps" -> q155FunnelSteps _,
@@ -526,6 +562,25 @@ object Temporal {
   )
 
   val oracles: Map[String, String] = Map(
+    "q164_holt_forecast" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |arr AS (
+        |  SELECT event_type, list(CAST(cnt AS DOUBLE) ORDER BY day) AS xs
+        |  FROM daily GROUP BY 1),
+        |f AS (
+        |  SELECT event_type, len(xs) AS n_days,
+        |    list_reduce(
+        |      list_prepend([xs[1], CAST(0 AS DOUBLE)],
+        |        list_transform(xs[2:], v -> [v])),
+        |      (acc, x) -> [(x[1] + acc[1] + acc[2]) / 2,
+        |        (acc[2] + (x[1] + acc[1] + acc[2]) / 2 - acc[1]) / 2]) AS st
+        |  FROM arr)
+        |SELECT event_type, CAST(n_days AS INTEGER) AS n_days,
+        |  CAST(st[1] AS DOUBLE) AS level, CAST(st[2] AS DOUBLE) AS trend,
+        |  CAST(st[1] + st[2] AS DOUBLE) AS forecast_next
+        |FROM f ORDER BY event_type""".stripMargin,
     "q160_entropy" ->
       """WITH c AS (
         |  SELECT user_id, event_type, COUNT(*) AS c

@@ -73,6 +73,9 @@ class PlanHygieneSpec extends SparkSpec {
     // 64-register summary crossed with the 1-row exact count (q07
     // idiom); both sides post-aggregation
     "q149_hll_registers" -> "1-row register-summary x exact-count cross",
+    // point aggregate x sorted replicate-means array (q07 idiom);
+    // both sides 1 row, the 40-replicate fan-out itself is an explode
+    "q165_bootstrap_ci" -> "1-row point x replicate-means cross",
   )
 
   private def offenders(plan: SparkPlan): Seq[String] = plan.collect {
