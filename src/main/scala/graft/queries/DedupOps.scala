@@ -290,9 +290,52 @@ object DedupOps {
       .orderBy("source_a", "source_b")
   }
 
+  /** LSH recall audit — the q46 MinHash-LSH pipeline measured against
+    * EXACT ground truth, per similarity bucket, next to the
+    * theoretical banding S-curve 1 − (1 − s⁴)⁴. Ground truth is the
+    * complete pair set at Jaccard ≥ 0.05 (low enough to populate the
+    * curve's low-recall shoulder — this corpus's pairs above 0.2 are
+    * all near-identical), found by shared-shingle
+    * blocking (complete: J > 0 requires ≥ 1 common shingle; hot
+    * shingles are df-bounded — max 25 docs/shingle at sf0.1 — so
+    * bucket joins stay tiny) + exact verify. Precision is 1 by
+    * construction (q46 verifies exactly), so the interesting column
+    * is per-bucket recall vs theory — the honest sketch-quality
+    * number a curation pipeline should publish (q127's
+    * measured-findings doctrine, applied to LSH). */
+  def q166LshRecall(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val exsh = Dedup.shingleSets(d, "doc_id", "text", shingleN = 3)
+      .select(col("doc_id"), explode(col("_shingles")).as("g"))
+    val truePairs = exsh.select(col("doc_id").as("id_a"), col("g"))
+      .join(exsh.select(col("doc_id").as("id_b"), col("g")), Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val truth = Dedup.verifyJaccard(truePairs, d, "doc_id", "text", shingleN = 3)
+      .filter(col("jaccard") >= 0.05)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val sigs = Dedup.minhashSignatures(d, "doc_id", "text", k = 16, shingleN = 3)
+    val lsh = Dedup.lshCandidatePairs(sigs, "doc_id", bands = 4, rowsPerBand = 4)
+      .withColumn("caught", lit(1L))
+    val sMid = (col("bucket").cast("double") * 0.1 + 0.05)
+    val theory = round(lit(1.0) - pow(lit(1.0) - pow(sMid, 4.0), 4.0), 6)
+    truth.join(lsh, Seq("id_a", "id_b"), "left")
+      .withColumn("bucket",
+        least(floor(col("jaccard") / 0.1).cast("int"), lit(9)))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("caught"), lit(0L))).as("n_caught"))
+      .withColumn("recall",
+        (col("n_caught").cast("double") / col("n_true").cast("double"))
+          .cast("double"))
+      .withColumn("theoretical_recall", theory.cast("double"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, Q] = Map(
     "q151_similarity_join" -> q151SimilarityJoin _,
     "q158_source_overlap" -> q158SourceOverlap _,
+    "q166_lsh_recall" -> q166LshRecall _,
     "q146_containment" -> q146Containment _,
     "q122_leakage_split" -> q122LeakageSplit _,
     "q86_incremental_dedup" -> q86IncrementalDedup _,
@@ -426,6 +469,43 @@ object DedupOps {
        |  FROM tok)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q166_lsh_recall" ->
+      s"""WITH $tokHashCte,
+         |$shinglesCte,
+         |$sigBandedCtes,
+         |$cpairsCte,
+         |exsh AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         |tp AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM exsh a JOIN exsh b ON a.g = b.g AND a.doc_id < b.doc_id),
+         |truth AS (
+         |  SELECT p.id_a, p.id_b,
+         |    CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))
+         |      AS DOUBLE)
+         |      / (len(sa.sh) + len(sb.sh)
+         |         - len(list_filter(sa.sh, x -> list_contains(sb.sh, x))))
+         |      AS jaccard
+         |  FROM tp p
+         |  JOIN sh sa ON sa.doc_id = p.id_a
+         |  JOIN sh sb ON sb.doc_id = p.id_b),
+         |t2 AS (SELECT id_a, id_b, jaccard FROM truth WHERE jaccard >= 0.05),
+         |jj AS (
+         |  SELECT t2.jaccard,
+         |    CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS caught
+         |  FROM t2 LEFT JOIN cpairs c
+         |    ON c.id_a = t2.id_a AND c.id_b = t2.id_b),
+         |bk AS (
+         |  SELECT least(CAST(floor(jaccard / 0.1) AS INTEGER), 9) AS bucket,
+         |    caught
+         |  FROM jj)
+         |SELECT CAST(bucket AS INTEGER) AS bucket, COUNT(*) AS n_true,
+         |  CAST(SUM(caught) AS BIGINT) AS n_caught,
+         |  CAST(CAST(SUM(caught) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |    AS DOUBLE) AS recall,
+         |  CAST(round(1.0 - pow(1.0
+         |    - pow(CAST(bucket AS DOUBLE) * 0.1 + 0.05, 4.0), 4.0), 6)
+         |    AS DOUBLE) AS theoretical_recall
+         |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q158_source_overlap" ->
       """WITH t AS (SELECT source,
         |    regexp_split_to_array(lower(trim(text)), ' +') AS toks
