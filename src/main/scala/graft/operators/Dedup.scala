@@ -232,10 +232,19 @@ object Dedup {
                     textCol: String, shingleN: Int = 3): DataFrame = {
     val sets = shingleSets(df, idCol, textCol, shingleN)
       .select(col(idCol).as("_vid"), col("_shingles").as("_set"))
+    // shingle arrays are sorted-distinct by construction, so the
+    // intersection count can come from the native zero-allocation
+    // merge scan (plans/IntersectSizeSorted) when the graft extension
+    // is loaded; bare sessions fall back to the built-in (identical
+    // result, per-row hash set + materialized intersection)
+    val interSize =
+      if (pairs.sparkSession.catalog.functionExists("graft_intersect_size"))
+        call_function("graft_intersect_size", col("set_a"), col("set_b"))
+      else size(array_intersect(col("set_a"), col("set_b")))
     pairs
       .join(sets.withColumnRenamed("_vid", "id_a").withColumnRenamed("_set", "set_a"), "id_a")
       .join(sets.withColumnRenamed("_vid", "id_b").withColumnRenamed("_set", "set_b"), "id_b")
-      .withColumn("intersection_size", size(array_intersect(col("set_a"), col("set_b"))))
+      .withColumn("intersection_size", interSize)
       .withColumn("union_size",
         size(col("set_a")) + size(col("set_b")) - col("intersection_size"))
       .withColumn("jaccard",

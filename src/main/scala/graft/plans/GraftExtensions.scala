@@ -16,6 +16,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProductLong].getName, "graft_dot_long"),
       (children: Seq[Expression]) => DotProductLong(children.head, children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_intersect_size"),
+      new ExpressionInfo(classOf[IntersectSizeSorted].getName, "graft_intersect_size"),
+      (children: Seq[Expression]) => IntersectSizeSorted(children.head, children(1))))
+    ext.injectFunction((
       new FunctionIdentifier("graft_kmv"),
       new ExpressionInfo(classOf[KmvSketchAgg].getName, "graft_kmv"),
       (children: Seq[Expression]) => {
