@@ -738,6 +738,48 @@ object Quality {
         element_at(col("ms"), 39).as("ci_high"))
   }
 
+  /** Two-proportion A/B z-test on conversion (user made ≥ 15
+    * purchases — "has any purchase" is degenerate in this corpus:
+    * every user has one, pooled p = 1, variance 0),
+    * arms = user_id parity: the experiment-analysis member of the
+    * statistics family (q137 χ², q165 bootstrap). The whole test is
+    * ONE user-level aggregate folded to a single row by conditional
+    * sums — no cross join, no second scan. z uses the pooled-variance
+    * formula written identically in the oracle; the 2σ significance
+    * flag clears every denominator into exact integers:
+    * (c₁n₂ − c₂n₁)²·N > 4·C·(N−C)·n₁·n₂  ⟺  z² > 4; z itself is
+    * NULL when the pooled variance is 0 (all or none converted). */
+  def q168AbTest(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        >= 15, 1L).otherwise(0L).as("converted"))
+      .withColumn("arm", (col("user_id") % 2).cast("int"))
+    val a = users.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 0, col("converted")).otherwise(0L)).as("conv_a"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === 1, col("converted")).otherwise(0L)).as("conv_b"))
+    val n = col("n_a") + col("n_b")
+    val c = col("conv_a") + col("conv_b")
+    val pPool = c.cast("double") / n.cast("double")
+    a.withColumn("rate_a",
+        (col("conv_a").cast("double") / col("n_a").cast("double")).cast("double"))
+      .withColumn("rate_b",
+        (col("conv_b").cast("double") / col("n_b").cast("double")).cast("double"))
+      .withColumn("z",
+        when(c > 0 && c < n,
+          ((col("rate_a") - col("rate_b")) /
+            sqrt(pPool * (lit(1.0) - pPool) *
+              (lit(1.0) / col("n_a").cast("double") +
+                lit(1.0) / col("n_b").cast("double")))).cast("double"))
+          .otherwise(lit(null).cast("double")))
+      .withColumn("significant_2sigma",
+        (col("conv_a") * col("n_b") - col("conv_b") * col("n_a")) *
+          (col("conv_a") * col("n_b") - col("conv_b") * col("n_a")) * n >
+          lit(4L) * c * (n - c) * col("n_a") * col("n_b"))
+  }
+
   /** CUSUM change-point monitor (Page's cumulative-sum test): per
     * user, fold daily event counts in day order through
     * S_i = max(0, S_{i-1} + x_i − k) with allowance k = 3, flagging
@@ -784,6 +826,7 @@ object Quality {
     "q154_hll_rollup" -> q154HllRollup _,
     "q162_trailing_z" -> q162TrailingZ _,
     "q165_bootstrap_ci" -> q165BootstrapCi _,
+    "q168_ab_test" -> q168AbTest _,
     "q144_stickiness" -> q144Stickiness _,
     "q145_benford" -> q145Benford _,
     "q134_mad_outliers" -> q134MadOutliers _,
@@ -815,6 +858,41 @@ object Quality {
        |                / 281474976710656.0) END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q168_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1
+        |      ELSE 0 END) >= 15 THEN 1 ELSE 0 END AS converted,
+        |    user_id % 2 AS arm
+        |  FROM events GROUP BY 1),
+        |agg AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT)
+        |      AS conv_a,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT)
+        |      AS conv_b
+        |  FROM u)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  CAST(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS DOUBLE)
+        |    AS rate_a,
+        |  CAST(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS DOUBLE)
+        |    AS rate_b,
+        |  CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b
+        |  THEN CAST((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |      - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |    / sqrt(
+        |      (CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |      * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+        |          / CAST(n_a + n_b AS DOUBLE))
+        |      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+        |    AS DOUBLE) ELSE NULL END AS z,
+        |  (conv_a * n_b - conv_b * n_a) * (conv_a * n_b - conv_b * n_a)
+        |      * (n_a + n_b)
+        |    > 4 * (conv_a + conv_b) * (n_a + n_b - conv_a - conv_b)
+        |      * n_a * n_b AS significant_2sigma
+        |FROM agg""".stripMargin,
     "q165_bootstrap_ci" ->
       """WITH ev AS (
         |  SELECT event_id,

@@ -170,8 +170,37 @@ object TextOps {
       .orderBy("tok_a", "tok_b")
   }
 
+  /** Token-frequency surge detector between corpus halves (doc_id
+    * parity plays the before/after batch, q109's split): tokens whose
+    * SHARE of the second half at least doubled vs the first, flagged
+    * in exact integer arithmetic (c₂·T₁ > 2·c₁·T₂ — the rate ratio
+    * with denominators cleared), with a ≥ 20 total-support floor.
+    * The vocabulary-drift monitor a continual-ingestion pipeline
+    * runs next to q109's embedding drift. T₁/T₂ are EAGER driver
+    * scalars (q159's idiom); everything else is one token-keyed
+    * agg. */
+  def q167TokenSurge(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select((col("doc_id") % 2).as("half"), explode(tokens(col("text"))).as("tok"))
+    val totals = toks.groupBy("half").agg(count(lit(1)).as("t"))
+      .collect().map(r => r.getAs[Long]("half") -> r.getAs[Long]("t")).toMap
+    val (t1, t2) = (totals(0L), totals(1L))
+    toks.groupBy("tok")
+      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("c_first"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("c_second"))
+      .filter(col("c_first") + col("c_second") >= 20)
+      .withColumn("share_first",
+        (col("c_first").cast("double") / lit(t1.toDouble)).cast("double"))
+      .withColumn("share_second",
+        (col("c_second").cast("double") / lit(t2.toDouble)).cast("double"))
+      .withColumn("surged",
+        col("c_second") * lit(t1) > lit(2L) * col("c_first") * lit(t2))
+      .orderBy("tok")
+  }
+
   val queries: Map[String, Q] = Map(
     "q159_pmi" -> q159Pmi _,
+    "q167_token_surge" -> q167TokenSurge _,
     "q133_bigram_lm" -> q133BigramLm _,
     "q40_token_stats" -> q40TokenStats _,
     "q41_lang_id" -> q41LangId _,
@@ -187,6 +216,33 @@ object TextOps {
     s"len(regexp_extract_all($expr, '$re'))"
 
   val oracles: Map[String, String] = Map(
+    "q167_token_surge" ->
+      """WITH tk AS (
+        |  SELECT doc_id % 2 AS half,
+        |    unnest(regexp_split_to_array(lower(trim(text)), ' +')) AS tok
+        |  FROM documents),
+        |tt AS (
+        |  SELECT
+        |    SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS t1,
+        |    SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS t2
+        |  FROM tk),
+        |c AS (
+        |  SELECT tok,
+        |    CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c_first,
+        |    CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c_second
+        |  FROM tk GROUP BY 1
+        |  HAVING SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END)
+        |    + SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) >= 20)
+        |SELECT tok, c_first, c_second,
+        |  CAST(CAST(c_first AS DOUBLE) / CAST(t1 AS DOUBLE) AS DOUBLE)
+        |    AS share_first,
+        |  CAST(CAST(c_second AS DOUBLE) / CAST(t2 AS DOUBLE) AS DOUBLE)
+        |    AS share_second,
+        |  c_second * t1 > 2 * c_first * t2 AS surged
+        |FROM c, tt
+        |ORDER BY tok""".stripMargin,
     "q159_pmi" ->
       """WITH ex AS (
         |  SELECT DISTINCT doc_id,
