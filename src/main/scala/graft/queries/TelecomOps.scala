@@ -4,6 +4,7 @@ import java.sql.Timestamp
 import graft.telecom._
 import graft.streaming.FraudDetection
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Telecom medallion-pipeline queries over the deterministic seeded
@@ -171,7 +172,70 @@ object TelecomOps {
     Silver.quarantineCalls(bronzeCalls(s, dir))
       .orderBy("_kafka_offset")
 
+  /** Erlang-B blocking probability per tower — THE telecom capacity
+    * metric (the reference monitors load%; a capacity planner wants
+    * blocked-call probability). Busy-hour offered load E = max over
+    * hours of Σ duration/3600; B(E, m) comes from the standard
+    * recurrence B_k = E·B_{k−1}/(k + E·B_{k−1}), B₀ = 1, folded over
+    * k = 1..8 channels — both engines run the identical 8-step
+    * sequential fold (aggregate ↔ list_reduce), so the doubles agree
+    * bit-for-bit (q164's argument). Shapes: the hourly rollup and
+    * per-tower max are keyed aggs; the fold is scan-speed. */
+  def q169ErlangBlocking(s: SparkSession, dir: String): DataFrame = {
+    val sc = Silver.silverCalls(bronzeCalls(s, dir))
+    val hourly = sc
+      .groupBy(col("tower_id"), date_trunc("hour", col("call_start_ts")).as("hour"))
+      .agg(sum(col("duration_seconds")).as("secs"))
+      .withColumn("erlangs", col("secs").cast("double") / 3600.0)
+    val busy = hourly.groupBy("tower_id")
+      .agg(max(col("erlangs")).as("busy_hour_erlangs"),
+        sum(col("secs")).as("total_secs"))
+    val e = col("busy_hour_erlangs")
+    val b = aggregate(sequence(lit(1), lit(8)), lit(1.0),
+      (acc, k) => e * acc / (k.cast("double") + e * acc))
+    busy.withColumn("channels", lit(8))
+      .withColumn("blocking_prob", b.cast("double"))
+      .withColumn("meets_2pct_gate", col("blocking_prob") <= 0.02)
+      .select("tower_id", "busy_hour_erlangs", "total_secs", "channels",
+        "blocking_prob", "meets_2pct_gate")
+      .orderBy("tower_id")
+  }
+
+  /** Peak concurrent calls per tower (max simultaneous channel
+    * occupancy) by the sweep-line idiom: ±1 deltas at call start/end,
+    * NETTED per (tower, instant) first — so the running sum orders by
+    * strictly unique timestamps and window-tie nondeterminism cannot
+    * exist — then a keyed running sum and its max. A call ending at t
+    * and one starting at t net to zero (no overlap at boundaries),
+    * which nets the same running max as end-before-start. All keyed
+    * windows; nothing global. */
+  def q170PeakConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val sc = Silver.silverCalls(bronzeCalls(s, dir))
+      .select(col("tower_id"),
+        unix_micros(col("call_start_ts")).as("s_us"),
+        (unix_micros(col("call_start_ts")) +
+          col("duration_seconds") * 1000000L).as("e_us"))
+    val deltas = sc.select(col("tower_id"), col("s_us").as("ts_us"), lit(1L).as("d"))
+      .unionAll(sc.select(col("tower_id"), col("e_us").as("ts_us"), lit(-1L).as("d")))
+      .groupBy("tower_id", "ts_us").agg(sum(col("d")).as("net"))
+    val w = Window.partitionBy("tower_id").orderBy("ts_us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = deltas.withColumn("conc", sum(col("net")).over(w))
+      .withColumn("pk", max(col("conc")).over(Window.partitionBy("tower_id")))
+    val peaks = run.filter(col("conc") === col("pk"))
+      .groupBy("tower_id")
+      .agg(max(col("pk")).as("peak_concurrent"), min(col("ts_us")).as("peak_us"))
+    val counts = sc.groupBy("tower_id").agg(count(lit(1)).as("n_calls"))
+    counts.join(peaks, "tower_id")
+      .select(col("tower_id"), col("n_calls"), col("peak_concurrent"),
+        date_format(timestamp_micros(col("peak_us")), "yyyy-MM-dd HH:mm:ss")
+          .as("peak_at"))
+      .orderBy("tower_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q169_erlang_blocking" -> q169ErlangBlocking _,
+    "q170_peak_concurrency" -> q170PeakConcurrency _,
     "q60_tower_hourly" -> q60TowerHourly _,
     "q61_customer_monthly" -> q61CustomerMonthly _,
     "q62_fraud_alerts" -> q62FraudAlerts _,
@@ -201,6 +265,66 @@ object TelecomOps {
        |  WHERE _rn = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q169_erlang_blocking" ->
+      s"""WITH bc AS (SELECT * FROM read_parquet('$FixtureDir/calls_n20000/*.parquet')),
+         |${silverCallsSql(
+             """tower_id,
+               |    CAST(call_start_timestamp AS TIMESTAMP) AS call_start_ts,
+               |    duration_seconds""".stripMargin)},
+         |h AS (
+         |  SELECT tower_id, date_trunc('hour', call_start_ts) AS hour,
+         |    CAST(SUM(duration_seconds) AS BIGINT) AS secs
+         |  FROM sc GROUP BY 1, 2),
+         |b AS (
+         |  SELECT tower_id,
+         |    MAX(CAST(secs AS DOUBLE) / 3600.0) AS busy_hour_erlangs,
+         |    CAST(SUM(secs) AS BIGINT) AS total_secs
+         |  FROM h GROUP BY 1),
+         |f AS (
+         |  SELECT *, list_reduce(
+         |    list_prepend(CAST(1.0 AS DOUBLE),
+         |      list_transform(range(1, 9), k -> CAST(k AS DOUBLE))),
+         |    (acc, k) -> busy_hour_erlangs * acc
+         |      / (k + busy_hour_erlangs * acc)) AS bp
+         |  FROM b)
+         |SELECT tower_id, busy_hour_erlangs, total_secs,
+         |  CAST(8 AS INTEGER) AS channels,
+         |  CAST(bp AS DOUBLE) AS blocking_prob,
+         |  bp <= 0.02 AS meets_2pct_gate
+         |FROM f ORDER BY tower_id""".stripMargin,
+    "q170_peak_concurrency" ->
+      s"""WITH bc AS (SELECT * FROM read_parquet('$FixtureDir/calls_n20000/*.parquet')),
+         |${silverCallsSql(
+             """tower_id,
+               |    CAST(call_start_timestamp AS TIMESTAMP) AS call_start_ts,
+               |    duration_seconds""".stripMargin)},
+         |iv AS (
+         |  SELECT tower_id, epoch_us(call_start_ts) AS s_us,
+         |    epoch_us(call_start_ts) + duration_seconds * 1000000 AS e_us
+         |  FROM sc),
+         |deltas AS (
+         |  SELECT tower_id, ts_us, CAST(SUM(d) AS BIGINT) AS net FROM (
+         |    SELECT tower_id, s_us AS ts_us, 1 AS d FROM iv
+         |    UNION ALL SELECT tower_id, e_us, -1 FROM iv)
+         |  GROUP BY 1, 2),
+         |run AS (
+         |  SELECT tower_id, ts_us,
+         |    SUM(net) OVER (PARTITION BY tower_id ORDER BY ts_us
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+         |  FROM deltas),
+         |pk AS (
+         |  SELECT tower_id, ts_us, conc,
+         |    MAX(conc) OVER (PARTITION BY tower_id) AS pk
+         |  FROM run),
+         |peaks AS (
+         |  SELECT tower_id, CAST(MAX(pk) AS BIGINT) AS peak_concurrent,
+         |    MIN(ts_us) AS peak_us
+         |  FROM pk WHERE conc = pk GROUP BY 1),
+         |cn AS (SELECT tower_id, COUNT(*) AS n_calls FROM iv GROUP BY 1)
+         |SELECT cn.tower_id, n_calls, peak_concurrent,
+         |  strftime(make_timestamp(peak_us), '%Y-%m-%d %H:%M:%S') AS peak_at
+         |FROM cn JOIN peaks ON peaks.tower_id = cn.tower_id
+         |ORDER BY cn.tower_id""".stripMargin,
     "q81_quarantine" ->
       s"""WITH bc AS (SELECT * FROM read_parquet('$FixtureDir/calls_n20000/*.parquet'))
          |SELECT event_id, caller_msisdn, tower_id, duration_seconds, _kafka_offset,
