@@ -819,7 +819,95 @@ object Quality {
       .orderBy("user_id")
   }
 
+  /** Exact ROC-AUC (≡ Mann–Whitney U, tie-corrected) of "activity
+    * predicts conversion": per-user score = event count, label =
+    * ≥ 15 purchases (q168's metric). The naive formulation ranks all
+    * users through one global sort window; here AUC is computed from
+    * the per-distinct-score histogram — group by score (keyed
+    * shuffle, |distinct scores| rows), distributed prefix sum of
+    * positives in score order ([[graft.operators.PrefixSum]], no
+    * single-task window), then one commutative integer aggregation
+    * over the DIScordant direction (positives at or below each
+    * negative), subtracted from the pair total:
+    *   2·U = 2·n_pos·n_neg − Σ_s neg_s · (2·cumpos_{≤s} − pos_s)
+    * which handles ties exactly (each tied pair contributes ½ —
+    * RankStatsSpec pins this against all-pairs brute force; the
+    * first cut summed the wrong direction and the oracle could not
+    * see it, since both engines shared the formula). All integer
+    * until the two final divisions, so the oracle hash is exact:
+    * auc_bp by integer division, auc by one double division written
+    * identically in both engines. */
+  def q171Auc(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("score"),
+        countIf(col("event_type") === "purchase").as("purchases"))
+      .select(col("score"),
+        when(col("purchases") >= 15, 1).otherwise(0).as("label"))
+    val byScore = users.groupBy(col("score"))
+      .agg(countIf(col("label") === 1).as("pos"),
+        countIf(col("label") === 0).as("neg"))
+    val cum = graft.operators.PrefixSum
+      .withRunningSum(byScore, "score", "pos", "cum_pos")
+    cum.agg(
+        sum(col("pos")).as("n_pos"),
+        sum(col("neg")).as("n_neg"),
+        sum(col("neg") * (col("cum_pos") * 2 - col("pos"))).as("d2"))
+      .select(col("n_pos"), col("n_neg"),
+        expr("2 * n_pos * n_neg - d2").as("u_stat_x2"))
+      .select(col("n_pos"), col("n_neg"), col("u_stat_x2"),
+        expr("u_stat_x2 * 5000 DIV (n_pos * n_neg)").as("auc_bp"),
+        (col("u_stat_x2").cast("double") /
+          (col("n_pos").cast("double") * col("n_neg").cast("double") * 2.0))
+          .as("auc"))
+  }
+
+  /** Exact Gini coefficient of per-customer revenue concentration —
+    * the Lorenz-curve statistic a curation pipeline uses to audit
+    * how skewed a source mix is. Same scale shape as q171: revenue
+    * is exact integer cents (per-row DECIMAL→cents BEFORE the sum,
+    * q157's lesson), grouped by distinct cents value, positives
+    * prefix-summed distributedly, and the rank-weighted sum uses the
+    * tie-invariant closed form (ranks r+1..r+cnt for a tied block):
+    *   2·S1 = Σ_v cents_v · (2·cnt_v·r_v + cnt_v·(cnt_v+1)),
+    *   Gini = (2·S1 − (n+1)·T) / (n·T).
+    * The basis-point step runs in DECIMAL(38,0) (it exceeds 2⁶³
+    * already at sf0.1); the three sums stay BIGINT, which holds to
+    * ~sf10 (S1 ≲ n²·maxcents) — beyond that they upgrade to
+    * DECIMAL(38,0) with the same plan. */
+  def q172Gini(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long")).as("cents"))
+    val byV = cust.groupBy(col("cents")).agg(count(lit(1)).as("cnt"))
+    val cum = graft.operators.PrefixSum
+      .withRunningSum(byV, "cents", "cnt", "cum_cnt")
+    cum.agg(
+        sum(col("cnt")).as("n"),
+        sum(col("cents") * col("cnt")).as("total_cents"),
+        sum(col("cents") *
+          (col("cnt") * (col("cum_cnt") - col("cnt")) * 2 +
+            col("cnt") * (col("cnt") + 1))).as("s1_x2"))
+      .select(col("n"), col("total_cents"),
+        // the ×10000 pushes past 9.2e18 already at sf0.1, so the
+        // basis-point arithmetic runs in DECIMAL(38,0) (HUGEINT on
+        // the oracle side); the three sums themselves stay BIGINT
+        expr("""CAST((CAST(s1_x2 AS DECIMAL(38,0))
+                 - (CAST(n AS DECIMAL(38,0)) + 1)
+                   * CAST(total_cents AS DECIMAL(38,0))) * 10000
+                DIV (CAST(n AS DECIMAL(38,0))
+                     * CAST(total_cents AS DECIMAL(38,0)))
+                AS BIGINT)""").as("gini_bp"),
+        ((col("s1_x2").cast("double") -
+          (col("n") + 1).cast("double") * col("total_cents").cast("double")) /
+          (col("n").cast("double") * col("total_cents").cast("double")))
+          .as("gini"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q171_auc" -> q171Auc _,
+    "q172_gini" -> q172Gini _,
     "q148_cusum" -> q148Cusum _,
     "q149_hll_registers" -> q149HllRegisters _,
     "q153_seasonal_anomaly" -> q153SeasonalAnomaly _,
@@ -858,6 +946,59 @@ object Quality {
        |                / 281474976710656.0) END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q171_auc" ->
+      """WITH u AS (
+        |  SELECT user_id, COUNT(*) AS score,
+        |    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1
+        |      ELSE 0 END) >= 15 THEN 1 ELSE 0 END AS label
+        |  FROM events GROUP BY 1),
+        |s AS (
+        |  SELECT score,
+        |    SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS pos,
+        |    SUM(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS neg
+        |  FROM u GROUP BY 1),
+        |c AS (
+        |  SELECT score, pos, neg, SUM(pos) OVER (ORDER BY score) AS cum_pos
+        |  FROM s),
+        |a AS (
+        |  SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+        |    CAST(SUM(neg) AS BIGINT) AS n_neg,
+        |    CAST(2 * SUM(pos) * SUM(neg)
+        |      - SUM(neg * (2 * cum_pos - pos)) AS BIGINT) AS u_stat_x2
+        |  FROM c)
+        |SELECT n_pos, n_neg, u_stat_x2,
+        |  CAST(u_stat_x2 * 5000 // (n_pos * n_neg) AS BIGINT) AS auc_bp,
+        |  CAST(CAST(u_stat_x2 AS DOUBLE)
+        |    / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE) * 2.0)
+        |    AS DOUBLE) AS auc
+        |FROM a""".stripMargin,
+    "q172_gini" ->
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |    SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |byv AS (SELECT cents, COUNT(*) AS cnt FROM cust GROUP BY 1),
+        |c AS (
+        |  SELECT cents, cnt, SUM(cnt) OVER (ORDER BY cents) AS cum_cnt
+        |  FROM byv),
+        |a AS (
+        |  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+        |    CAST(SUM(cents * cnt) AS BIGINT) AS total_cents,
+        |    CAST(SUM(cents * (2 * cnt * (cum_cnt - cnt) + cnt * (cnt + 1)))
+        |      AS BIGINT) AS s1_x2
+        |  FROM c)
+        |SELECT n, total_cents,
+        |  CAST((CAST(s1_x2 AS HUGEINT)
+        |      - (CAST(n AS HUGEINT) + 1) * CAST(total_cents AS HUGEINT))
+        |    * 10000
+        |    // (CAST(n AS HUGEINT) * CAST(total_cents AS HUGEINT))
+        |    AS BIGINT) AS gini_bp,
+        |  CAST((CAST(s1_x2 AS DOUBLE)
+        |      - CAST(n + 1 AS DOUBLE) * CAST(total_cents AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(total_cents AS DOUBLE))
+        |    AS DOUBLE) AS gini
+        |FROM a""".stripMargin,
     "q168_ab_test" ->
       """WITH u AS (
         |  SELECT user_id,

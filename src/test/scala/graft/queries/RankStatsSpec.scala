@@ -1,0 +1,59 @@
+package graft.queries
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** The rank statistics (q171 AUC, q172 Gini) are computed WITHOUT a
+  * global sort — score-histogram + distributed prefix sum. These
+  * specs pin each against the definitional brute force on the same
+  * fixture tables: AUC as the mean pairwise concordance over every
+  * (positive, negative) pair, Gini as the classic sorted-rank
+  * formula. Agreement proves the closed-form tie handling, not just
+  * internal consistency.
+  */
+class RankStatsSpec extends SparkSpec {
+
+  test("q171: histogram AUC equals brute-force pairwise concordance") {
+    val row = Quality.q171Auc(spark, sfDir).head()
+    val users = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("score"),
+        sum(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("purch"))
+      .collect()
+      .map(r => (r.getLong(1), if (r.getLong(2) >= 15) 1 else 0))
+    val pos = users.filter(_._2 == 1).map(_._1)
+    val neg = users.filter(_._2 == 0).map(_._1)
+    assert(pos.nonEmpty && neg.nonEmpty, "fixture must have both classes")
+    // 2·U = Σ over pairs: 2 if pos>neg, 1 if tie, 0 otherwise
+    val u2 = (for (p <- pos; n <- neg)
+      yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+    assert(row.getAs[Long]("u_stat_x2") === u2)
+    assert(row.getAs[Long]("n_pos") === pos.length.toLong)
+    assert(row.getAs[Long]("n_neg") === neg.length.toLong)
+    val auc = u2.toDouble / (2.0 * pos.length * neg.length)
+    assert(math.abs(row.getAs[Double]("auc") - auc) < 1e-12)
+    assert(row.getAs[Long]("auc_bp") === u2 * 5000 / (pos.length.toLong * neg.length))
+  }
+
+  test("q172: funnel Gini equals the sorted-rank formula") {
+    val row = Quality.q172Gini(spark, sfDir).head()
+    val cents = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice")
+        .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+        .cast("long")).as("cents"))
+      .collect().map(_.getLong(1)).sorted
+    val n = cents.length.toLong
+    val total = cents.sum
+    val s1 = cents.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+    val gini = (2.0 * s1 - (n + 1).toDouble * total) / (n.toDouble * total)
+    assert(row.getAs[Long]("n") === n)
+    assert(row.getAs[Long]("total_cents") === total)
+    // double parity is near-exact (different summation order driver-side)
+    assert(math.abs(row.getAs[Double]("gini") - gini) < 1e-9)
+    val bp = ((BigInt(2) * BigInt(s1) - BigInt(n + 1) * BigInt(total)) * 10000 /
+      (BigInt(n) * BigInt(total))).toLong
+    assert(row.getAs[Long]("gini_bp") === bp)
+  }
+}
