@@ -539,7 +539,64 @@ object Temporal {
       .orderBy("event_type")
   }
 
+  /** Holt–Winters additive seasonal forecast (α = β = γ = 1/2,
+    * period 7): the seasonal member of the q106/q164 recursive-fold
+    * family. Init from the first week (l₀ = week mean, b₀ = 0,
+    * sᵢ = xᵢ − l₀), then fold days 8..n through
+    *   l_t = ((x − s_{t−7}) + (l + b)) / 2
+    *   b_t = ((l_t − l) + b) / 2
+    *   s_t = ((x − l_t) + s_{t−7}) / 2
+    * carried as a struct(l, b, i, s[7]) accumulator whose seasonal
+    * slot cycles with the day counter. Cross-engine parity is q164's
+    * argument: BOTH engines run the identical sequential fold
+    * (aggregate ↔ list_reduce) with identically-parenthesised IEEE
+    * arithmetic, so every rounding matches bit-for-bit. Scale shape:
+    * two keyed aggs, then scan-speed array work bounded by the
+    * calendar span (30 days here) — never a per-event shuffle. */
+  def q173HoltWinters(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val arr = daily.groupBy("event_type")
+      .agg(array_sort(collect_list(struct(col("day"), col("cnt")))).as("a"))
+      .select(col("event_type"),
+        transform(col("a"), x => x.getField("cnt").cast("double")).as("xs"))
+      .filter(size(col("xs")) >= 8)
+    val withInit = arr
+      .withColumn("l0",
+        aggregate(slice(col("xs"), 1, 7), lit(0.0), (a, x) => a + x) / 7.0)
+      .withColumn("s0", transform(slice(col("xs"), 1, 7), x => x - col("l0")))
+    val folded = withInit.select(
+      col("event_type"), size(col("xs")).as("n_days"),
+      aggregate(
+        slice(col("xs"), lit(8), size(col("xs")) - 7),
+        struct(col("l0").as("l"), lit(0.0).as("b"), lit(7).as("i"),
+          col("s0").as("s")),
+        (acc, x) => {
+          val l = acc.getField("l"); val b = acc.getField("b")
+          val i = acc.getField("i"); val sArr = acc.getField("s")
+          val slot = (i % 7) + 1
+          val sOld = element_at(sArr, slot)
+          val lNew = ((x - sOld) + (l + b)) / 2.0
+          val bNew = ((lNew - l) + b) / 2.0
+          val sNew = ((x - lNew) + sOld) / 2.0
+          struct(lNew.as("l"), bNew.as("b"), (i + 1).as("i"),
+            concat(slice(sArr, lit(1), slot - 1), array(sNew),
+              slice(sArr, slot + 1, lit(7) - slot)).as("s"))
+        }).as("st"))
+    folded.select(col("event_type"), col("n_days"),
+        col("st.l").cast("double").as("level"),
+        col("st.b").cast("double").as("trend"),
+        element_at(col("st.s"), (col("st.i") % 7) + 1).cast("double")
+          .as("seasonal_next"),
+        ((col("st.l") + col("st.b")) +
+          element_at(col("st.s"), (col("st.i") % 7) + 1)).cast("double")
+          .as("forecast_next"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q173_holt_winters" -> q173HoltWinters _,
     "q157_interpolate" -> q157Interpolate _,
     "q164_holt_forecast" -> q164HoltForecast _,
     "q160_entropy" -> q160Entropy _,
@@ -562,6 +619,46 @@ object Temporal {
   )
 
   val oracles: Map[String, String] = Map(
+    "q173_holt_winters" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |arr AS (
+        |  SELECT event_type, list(CAST(cnt AS DOUBLE) ORDER BY day) AS xs
+        |  FROM daily GROUP BY 1 HAVING len(list(cnt)) >= 8),
+        |ini AS (
+        |  SELECT event_type, xs, len(xs) AS n_days,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), xs[1:7]),
+        |      (a, b) -> a + b) / 7.0 AS l0
+        |  FROM arr),
+        |f AS (
+        |  SELECT event_type, n_days,
+        |    list_reduce(
+        |      list_prepend(
+        |        list_concat([l0, CAST(0 AS DOUBLE), CAST(7 AS DOUBLE)],
+        |          list_transform(xs[1:7], v -> v - l0)),
+        |        list_transform(xs[8:], v -> [v])),
+        |      (acc, x) -> list_concat(
+        |        [((x[1] - acc[4 + (CAST(acc[3] AS INTEGER) % 7)])
+        |            + (acc[1] + acc[2])) / 2,
+        |         ((((x[1] - acc[4 + (CAST(acc[3] AS INTEGER) % 7)])
+        |              + (acc[1] + acc[2])) / 2 - acc[1]) + acc[2]) / 2,
+        |         acc[3] + 1],
+        |        list_transform(range(0, 7), j ->
+        |          CASE WHEN j = CAST(acc[3] AS INTEGER) % 7
+        |          THEN ((x[1] - ((x[1]
+        |                - acc[4 + (CAST(acc[3] AS INTEGER) % 7)])
+        |              + (acc[1] + acc[2])) / 2)
+        |            + acc[4 + (CAST(acc[3] AS INTEGER) % 7)]) / 2
+        |          ELSE acc[4 + j] END))) AS fs
+        |  FROM ini)
+        |SELECT event_type, CAST(n_days AS INTEGER) AS n_days,
+        |  CAST(fs[1] AS DOUBLE) AS level, CAST(fs[2] AS DOUBLE) AS trend,
+        |  CAST(fs[4 + (CAST(fs[3] AS INTEGER) % 7)] AS DOUBLE)
+        |    AS seasonal_next,
+        |  CAST((fs[1] + fs[2]) + fs[4 + (CAST(fs[3] AS INTEGER) % 7)]
+        |    AS DOUBLE) AS forecast_next
+        |FROM f ORDER BY event_type""".stripMargin,
     "q164_holt_forecast" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
