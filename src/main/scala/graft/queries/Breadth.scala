@@ -581,7 +581,53 @@ object Breadth {
       .orderBy("customer_id")
   }
 
+  /** Item-item collaborative similarity (co-occurrence cosine) — the
+    * classic "customers also bought" neighborhood model. Extends
+    * q117's order-blocked pair counting with per-item popularity
+    * normalisation: sim(a,b) = cooc / √(n_a·n_b), then top-5
+    * neighbours per item via a keyed window (WindowGroupLimit — no
+    * global sort). Scale: the pair join is blocked on the order key
+    * (pairs bounded by lines-per-order, never corpus-quadratic), the
+    * popularity join is item-keyed, and cosine is one identically-
+    * written double expression (√ is correctly-rounded IEEE in both
+    * engines, so the hash compare is exact). The cooc ≥ 2 support
+    * floor is A-priori's pruning — at 100 TB it also caps the
+    * neighbourhood fan-out before the window. */
+  def q174ItemCosine(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("order_id"), col("l_partkey"))
+      .distinct()
+    val pop = d.groupBy(col("l_partkey").as("item"))
+      .agg(count(lit(1)).as("n_item"))
+    val a = d.select(col("order_id"), col("l_partkey").as("part_a"))
+    val b = d.select(col("order_id"), col("l_partkey").as("part_b"))
+    val cooc = a.join(b, Seq("order_id"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("cooc"))
+      .filter(col("cooc") >= 2)
+    val sym = cooc.select(col("part_a").as("item"),
+        col("part_b").as("other"), col("cooc"))
+      .unionAll(cooc.select(col("part_b").as("item"),
+        col("part_a").as("other"), col("cooc")))
+    val scored = sym
+      .join(pop, "item")
+      .join(pop.select(col("item").as("other"),
+        col("n_item").as("n_other")), "other")
+      .withColumn("sim",
+        (col("cooc").cast("double") /
+          sqrt((col("n_item") * col("n_other")).cast("double")))
+          .cast("double"))
+    val w = Window.partitionBy("item")
+      .orderBy(col("sim").desc, col("cooc").desc, col("other"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("item", "rank", "other", "cooc", "n_item", "n_other", "sim")
+      .orderBy("item", "rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q174_item_cosine" -> q174ItemCosine _,
     "q163_rfm" -> q163Rfm _,
     "q132_skyline" -> q132Skyline _,
     "q135_pagerank" -> q135PageRank _,
@@ -607,6 +653,36 @@ object Breadth {
   )
 
   val oracles: Map[String, String] = Map(
+    "q174_item_cosine" ->
+      """WITH d AS (
+        |  SELECT DISTINCT l_orderkey AS order_id, l_partkey FROM lineitem),
+        |pop AS (
+        |  SELECT l_partkey AS item, COUNT(*) AS n_item FROM d GROUP BY 1),
+        |cooc AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |    COUNT(*) AS cooc
+        |  FROM d a JOIN d b USING (order_id)
+        |  WHERE a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |sym AS (
+        |  SELECT part_a AS item, part_b AS other, cooc FROM cooc
+        |  UNION ALL
+        |  SELECT part_b AS item, part_a AS other, cooc FROM cooc),
+        |scored AS (
+        |  SELECT s.item, s.other, s.cooc,
+        |    p1.n_item AS n_item, p2.n_item AS n_other,
+        |    CAST(CAST(s.cooc AS DOUBLE)
+        |      / sqrt(CAST(p1.n_item * p2.n_item AS DOUBLE)) AS DOUBLE) AS sim
+        |  FROM sym s
+        |  JOIN pop p1 ON s.item = p1.item
+        |  JOIN pop p2 ON s.other = p2.item),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY item
+        |    ORDER BY sim DESC, cooc DESC, other) AS rank
+        |  FROM scored)
+        |SELECT item, CAST(rank AS INTEGER) AS rank, other, cooc,
+        |  n_item, n_other, sim
+        |FROM r WHERE rank <= 5 ORDER BY item, rank""".stripMargin,
     "q163_rfm" ->
       """WITH cust AS (
         |  SELECT o_custkey AS customer_id,

@@ -905,7 +905,52 @@ object Quality {
           .as("gini"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift test: each language's
+    * document-length distribution against the English reference —
+    * the distribution-shift monitor a curation pipeline runs per
+    * source before mixing. Exact: both ECDFs are step functions with
+    * jumps only at pooled distinct lengths, so the sup is attained
+    * at an inclusive evaluation over the value grid, and the
+    * statistic is kept as the cross-multiplied integer
+    *   ks_num = max_v |cum_l(v)·n_ref − cum_ref(v)·n_l|
+    * with one final double division. Scale shape: one doc-scan
+    * groupBy (lang, length), then everything runs on the
+    * (|distinct lengths| × |langs|) grid — bounded by the length
+    * domain, not the corpus — with per-lang cumulative counts from a
+    * LANG-KEYED window (no unpartitioned sort anywhere). */
+  def q175KsDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val counts = docs.groupBy(col("lang"), col("n_chars"))
+      .agg(count(lit(1)).as("cnt"))
+    val values = counts.select("n_chars").distinct()
+    val langs = counts.select("lang").distinct()
+    val grid = values.crossJoin(broadcast(langs))
+      .join(counts, Seq("lang", "n_chars"), "left")
+      .na.fill(0L, Seq("cnt"))
+    val w = Window.partitionBy("lang").orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n_lang",
+        sum(col("cnt")).over(Window.partitionBy("lang")))
+    val ref = cum.filter(col("lang") === "en")
+      .select(col("n_chars"), col("cum").as("cum_ref"),
+        col("n_lang").as("n_ref"))
+    cum.filter(col("lang") =!= "en")
+      .join(ref, "n_chars")
+      .groupBy(col("lang"))
+      .agg(max(col("n_lang")).as("n_lang"), max(col("n_ref")).as("n_ref"),
+        max(abs(col("cum") * col("n_ref") - col("cum_ref") * col("n_lang")))
+          .as("ks_num"))
+      .select(col("lang"), col("n_lang"), col("n_ref"), col("ks_num"),
+        (col("ks_num").cast("double") /
+          (col("n_lang").cast("double") * col("n_ref").cast("double")))
+          .as("ks"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q175_ks_drift" -> q175KsDrift _,
     "q171_auc" -> q171Auc _,
     "q172_gini" -> q172Gini _,
     "q148_cusum" -> q148Cusum _,
@@ -946,6 +991,35 @@ object Quality {
        |                / 281474976710656.0) END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q175_ks_drift" ->
+      """WITH counts AS (
+        |  SELECT lang, n_chars, COUNT(*) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT l.lang, v.n_chars, COALESCE(c.cnt, 0) AS cnt
+        |  FROM (SELECT DISTINCT n_chars FROM counts) v
+        |  CROSS JOIN (SELECT DISTINCT lang FROM counts) l
+        |  LEFT JOIN counts c ON c.lang = l.lang AND c.n_chars = v.n_chars),
+        |cum AS (
+        |  SELECT lang, n_chars,
+        |    SUM(cnt) OVER (PARTITION BY lang ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY lang) AS n_lang
+        |  FROM grid),
+        |ref AS (
+        |  SELECT n_chars, cum AS cum_ref, n_lang AS n_ref
+        |  FROM cum WHERE lang = 'en')
+        |SELECT c.lang, CAST(MAX(c.n_lang) AS BIGINT) AS n_lang,
+        |  CAST(MAX(r.n_ref) AS BIGINT) AS n_ref,
+        |  CAST(MAX(abs(c.cum * r.n_ref - r.cum_ref * c.n_lang)) AS BIGINT)
+        |    AS ks_num,
+        |  CAST(CAST(MAX(abs(c.cum * r.n_ref - r.cum_ref * c.n_lang))
+        |      AS DOUBLE)
+        |    / (CAST(MAX(c.n_lang) AS DOUBLE) * CAST(MAX(r.n_ref) AS DOUBLE))
+        |    AS DOUBLE) AS ks
+        |FROM cum c JOIN ref r USING (n_chars)
+        |WHERE c.lang <> 'en'
+        |GROUP BY c.lang ORDER BY c.lang""".stripMargin,
     "q171_auc" ->
       """WITH u AS (
         |  SELECT user_id, COUNT(*) AS score,

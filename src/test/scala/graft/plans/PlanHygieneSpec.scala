@@ -76,6 +76,10 @@ class PlanHygieneSpec extends SparkSpec {
     // point aggregate x sorted replicate-means array (q07 idiom);
     // both sides 1 row, the 40-replicate fan-out itself is an explode
     "q165_bootstrap_ci" -> "1-row point x replicate-means cross",
+    // ECDF grid: distinct-lengths aggregate x the |langs| dim (5
+    // rows broadcast) — bounded by the length domain and the lang
+    // set, never the corpus (q137's cell-grid idiom)
+    "q175_ks_drift" -> "value-grid cross vs |langs|-row dim",
   )
 
   private def offenders(plan: SparkPlan): Seq[String] = plan.collect {
