@@ -949,7 +949,56 @@ object Quality {
       .orderBy("lang")
   }
 
+  /** Isotonic (monotone) calibration of conversion probability
+    * against activity score — PAV's output computed through the
+    * closed minimax form, which is join/window-shaped instead of a
+    * sequential pool-merge loop:
+    *   f_i = max_{j≤i} min_{k≥i} avg(y over scores j..k).
+    * Everything runs on the ≤|distinct scores| aggregate (49 rows
+    * here): the j≤k interval grid is the bounded quadratic, interval
+    * means come from integer prefix sums (one double division each),
+    * the inner min is a j-KEYED suffix-min window, the outer max one
+    * keyed agg. The two index/prefix windows run unpartitioned over
+    * the driver-sized score aggregate (q25's allowlisted idiom).
+    * IsotonicSpec pins the result against an independent sequential
+    * PAV loop — same defence as RankStatsSpec. */
+  def q177Isotonic(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("score"),
+        countIf(col("event_type") === "purchase").as("purchases"))
+      .select(col("score"),
+        when(col("purchases") >= 15, 1L).otherwise(0L).as("label"))
+    val byScore = users.groupBy("score")
+      .agg(count(lit(1)).as("w"), sum(col("label")).as("ysum"))
+    val wi = Window.orderBy("score")
+    val idx = byScore
+      .withColumn("i", row_number().over(wi))
+      .withColumn("cum_s", sum(col("ysum")).over(wi))
+      .withColumn("cum_w", sum(col("w")).over(wi))
+      .withColumn("prev_s", col("cum_s") - col("ysum"))
+      .withColumn("prev_w", col("cum_w") - col("w"))
+    val j = idx.select(col("i").as("j"), col("prev_s"), col("prev_w"))
+    val k = idx.select(col("i").as("k"), col("cum_s"), col("cum_w"))
+    val grid = j.crossJoin(k).filter(col("j") <= col("k"))
+      .withColumn("a",
+        (col("cum_s") - col("prev_s")).cast("double") /
+          (col("cum_w") - col("prev_w")).cast("double"))
+    val suff = Window.partitionBy("j").orderBy(col("k").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fitted = grid
+      .withColumn("m", min(col("a")).over(suff))
+      .groupBy(col("k").as("i"))
+      .agg(max(col("m")).as("fitted"))
+    idx.join(fitted, "i")
+      .select(col("score"), col("w"), col("ysum"),
+        (col("ysum").cast("double") / col("w").cast("double")).as("rate"),
+        col("fitted").cast("double").as("fitted"))
+      .orderBy("score")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q177_isotonic" -> q177Isotonic _,
     "q175_ks_drift" -> q175KsDrift _,
     "q171_auc" -> q171Auc _,
     "q172_gini" -> q172Gini _,
@@ -991,6 +1040,37 @@ object Quality {
        |                / 281474976710656.0) END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q177_isotonic" ->
+      """WITH u AS (
+        |  SELECT user_id, COUNT(*) AS score,
+        |    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1
+        |      ELSE 0 END) >= 15 THEN 1 ELSE 0 END AS label
+        |  FROM events GROUP BY 1),
+        |bs AS (SELECT score, COUNT(*) AS w, SUM(label) AS ysum
+        |  FROM u GROUP BY 1),
+        |idx AS (
+        |  SELECT score, w, ysum,
+        |    ROW_NUMBER() OVER (ORDER BY score) AS i,
+        |    SUM(ysum) OVER (ORDER BY score) AS cum_s,
+        |    SUM(w) OVER (ORDER BY score) AS cum_w
+        |  FROM bs),
+        |i2 AS (SELECT *, cum_s - ysum AS prev_s, cum_w - w AS prev_w
+        |  FROM idx),
+        |grid AS (
+        |  SELECT j.i AS j, k.i AS k,
+        |    CAST(k.cum_s - j.prev_s AS DOUBLE)
+        |      / CAST(k.cum_w - j.prev_w AS DOUBLE) AS a
+        |  FROM i2 j, i2 k WHERE j.i <= k.i),
+        |sm AS (
+        |  SELECT j, k, MIN(a) OVER (PARTITION BY j ORDER BY k DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+        |  FROM grid),
+        |f AS (SELECT k AS i, MAX(m) AS fitted FROM sm GROUP BY 1)
+        |SELECT i2.score, i2.w, CAST(i2.ysum AS BIGINT) AS ysum,
+        |  CAST(CAST(i2.ysum AS DOUBLE) / CAST(i2.w AS DOUBLE) AS DOUBLE)
+        |    AS rate,
+        |  CAST(f.fitted AS DOUBLE) AS fitted
+        |FROM i2 JOIN f ON i2.i = f.i ORDER BY i2.score""".stripMargin,
     "q175_ks_drift" ->
       """WITH counts AS (
         |  SELECT lang, n_chars, COUNT(*) AS cnt

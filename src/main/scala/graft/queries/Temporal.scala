@@ -595,7 +595,44 @@ object Temporal {
       .orderBy("event_type")
   }
 
+  /** Theil–Sen robust trend: per event type, the MEDIAN of all
+    * pairwise daily-count slopes — the outlier-proof alternative to
+    * q139's OLS line (one wild day moves OLS, not the pairwise
+    * median). The pair join is keyed by event type and the daily
+    * aggregate is bounded by the calendar span (30 days → ≤435 pairs
+    * per type), so the quadratic stays post-aggregation — the same
+    * containment argument as q117. Median = exact integer selection
+    * on the per-type sorted slope array (q161's idiom), slopes one
+    * identically-written double division each; the even case
+    * averages the two middle slopes. */
+  def q176TheilSen(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("d", datediff(col("day"), lit("2024-01-01").cast("date")))
+    val a = daily.select(col("event_type"), col("d").as("d1"),
+      col("cnt").as("y1"))
+    val b = daily.select(col("event_type"), col("d").as("d2"),
+      col("cnt").as("y2"))
+    val slopes = a.join(b, Seq("event_type"))
+      .filter(col("d1") < col("d2"))
+      .select(col("event_type"),
+        ((col("y2") - col("y1")).cast("double") /
+          (col("d2") - col("d1")).cast("double")).as("slope"))
+    slopes.groupBy("event_type")
+      .agg(sort_array(collect_list(col("slope"))).as("sl"))
+      .select(col("event_type"),
+        size(col("sl")).as("n_pairs"),
+        expr("""CAST(CASE WHEN size(sl) % 2 = 1
+          THEN element_at(sl, CAST((size(sl) + 1) DIV 2 AS INT))
+          ELSE (element_at(sl, CAST(size(sl) DIV 2 AS INT))
+            + element_at(sl, CAST(size(sl) DIV 2 + 1 AS INT))) / 2.0
+          END AS DOUBLE)""").as("slope_per_day"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q176_theil_sen" -> q176TheilSen _,
     "q173_holt_winters" -> q173HoltWinters _,
     "q157_interpolate" -> q157Interpolate _,
     "q164_holt_forecast" -> q164HoltForecast _,
@@ -619,6 +656,27 @@ object Temporal {
   )
 
   val oracles: Map[String, String] = Map(
+    "q176_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt,
+        |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d
+        |  FROM events GROUP BY 1, 2),
+        |slopes AS (
+        |  SELECT a.event_type,
+        |    CAST(CAST(b.cnt - a.cnt AS DOUBLE)
+        |      / CAST(b.d - a.d AS DOUBLE) AS DOUBLE) AS slope
+        |  FROM daily a JOIN daily b USING (event_type)
+        |  WHERE a.d < b.d),
+        |arr AS (
+        |  SELECT event_type, list(slope ORDER BY slope) AS sl
+        |  FROM slopes GROUP BY 1)
+        |SELECT event_type, CAST(len(sl) AS INTEGER) AS n_pairs,
+        |  CAST(CASE WHEN len(sl) % 2 = 1
+        |    THEN sl[CAST((len(sl) + 1) // 2 AS INTEGER)]
+        |    ELSE (sl[CAST(len(sl) // 2 AS INTEGER)]
+        |      + sl[CAST(len(sl) // 2 + 1 AS INTEGER)]) / 2.0
+        |    END AS DOUBLE) AS slope_per_day
+        |FROM arr ORDER BY event_type""".stripMargin,
     "q173_holt_winters" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt

@@ -80,6 +80,10 @@ class PlanHygieneSpec extends SparkSpec {
     // rows broadcast) — bounded by the length domain and the lang
     // set, never the corpus (q137's cell-grid idiom)
     "q175_ks_drift" -> "value-grid cross vs |langs|-row dim",
+    // PAV-minimax interval grid: |distinct scores|² pairs (≤49² here)
+    // plus the index/prefix windows, ALL over the driver-sized score
+    // aggregate (q25's idiom) — bounded by the score domain
+    "q177_isotonic" -> "interval grid + windows over score aggregate",
   )
 
   private def offenders(plan: SparkPlan): Seq[String] = plan.collect {
