@@ -997,7 +997,49 @@ object Quality {
       .orderBy("score")
   }
 
+  /** Exact Spearman rank correlation between per-user activity and
+    * purchase count — monotone-association monitoring without a
+    * global sort. Tie-averaged ranks come from each variable's
+    * score-HISTOGRAM: rank2(v) = 2·cum_below(v) + cnt(v) + 1 (twice
+    * the average rank, so ranks stay integer), with the cumulative
+    * from the distributed prefix sum; users pick their ranks up via
+    * two value-keyed joins, and ρ is Pearson on the integer 2×ranks
+    * — five integer sums, exact until the final double expression.
+    * Long arithmetic holds while 4n³ < 2⁶³ (n ≲ 10⁶ users); past
+    * that the moment sums upgrade to DECIMAL(38,0), same plan. */
+  def q178Spearman(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("sa"),
+        countIf(col("event_type") === "purchase").as("sb"))
+    def rank2(valCol: String): DataFrame = {
+      val h = users.groupBy(col(valCol)).agg(count(lit(1)).as("cnt"))
+      graft.operators.PrefixSum.withRunningSum(h, valCol, "cnt", "cum")
+        .select(col(valCol),
+          (col("cum") * 2 - col("cnt") * 2 + col("cnt") + 1)
+            .as(s"r2_$valCol"))
+    }
+    val ranked = users
+      .join(rank2("sa"), "sa")
+      .join(rank2("sb"), "sb")
+    ranked.agg(
+        count(lit(1)).as("n"),
+        sum(col("r2_sa")).as("sx"), sum(col("r2_sb")).as("sy"),
+        sum(col("r2_sa") * col("r2_sa")).as("sxx"),
+        sum(col("r2_sb") * col("r2_sb")).as("syy"),
+        sum(col("r2_sa") * col("r2_sb")).as("sxy"))
+      .select(col("n"),
+        expr("n * sxy - sx * sy").as("cov_num"),
+        expr("n * sxx - sx * sx").as("var_x"),
+        expr("n * syy - sy * sy").as("var_y"))
+      .withColumn("rho",
+        col("cov_num").cast("double") /
+          (sqrt(col("var_x").cast("double")) *
+            sqrt(col("var_y").cast("double"))))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q178_spearman" -> q178Spearman _,
     "q177_isotonic" -> q177Isotonic _,
     "q175_ks_drift" -> q175KsDrift _,
     "q171_auc" -> q171Auc _,
@@ -1040,6 +1082,38 @@ object Quality {
        |                / 281474976710656.0) END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q178_spearman" ->
+      """WITH u AS (
+        |  SELECT user_id, COUNT(*) AS sa,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS sb
+        |  FROM events GROUP BY 1),
+        |ha AS (SELECT sa, COUNT(*) AS cnt FROM u GROUP BY 1),
+        |ra AS (
+        |  SELECT sa, 2 * SUM(cnt) OVER (ORDER BY sa) - 2 * cnt + cnt + 1
+        |    AS r2_sa
+        |  FROM ha),
+        |hb AS (SELECT sb, COUNT(*) AS cnt FROM u GROUP BY 1),
+        |rb AS (
+        |  SELECT sb, 2 * SUM(cnt) OVER (ORDER BY sb) - 2 * cnt + cnt + 1
+        |    AS r2_sb
+        |  FROM hb),
+        |j AS (
+        |  SELECT r2_sa, r2_sb FROM u
+        |  JOIN ra USING (sa) JOIN rb USING (sb)),
+        |a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(r2_sa) AS BIGINT) AS sx,
+        |    CAST(SUM(r2_sb) AS BIGINT) AS sy,
+        |    CAST(SUM(r2_sa * r2_sa) AS BIGINT) AS sxx,
+        |    CAST(SUM(r2_sb * r2_sb) AS BIGINT) AS syy,
+        |    CAST(SUM(r2_sa * r2_sb) AS BIGINT) AS sxy
+        |  FROM j)
+        |SELECT n, n * sxy - sx * sy AS cov_num,
+        |  n * sxx - sx * sx AS var_x, n * syy - sy * sy AS var_y,
+        |  CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |       * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS DOUBLE) AS rho
+        |FROM a""".stripMargin,
     "q177_isotonic" ->
       """WITH u AS (
         |  SELECT user_id, COUNT(*) AS score,

@@ -92,7 +92,56 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  /** log2(rank+1) DCG discounts, rank 1..5, computed ONCE in Scala
+    * and shared verbatim with the oracle string (Double.toString
+    * round-trips, so DuckDB parses the identical double) — the
+    * log2-between-engines trap (different libm last-ulps) never
+    * arises because neither engine calls log at query time. */
+  private val dcgDiscounts: IndexedSeq[Double] =
+    (1 to 5).map(i => math.log(i + 1.0) / math.log(2.0))
+
+  /** Retrieval-quality evaluation of the SRP-LSH path against the
+    * exact baseline, per query: reciprocal rank of the true nearest
+    * neighbour in the ANN list, and nDCG@5 with exact-cosine gains —
+    * the metric sheet a retrieval stack publishes next to q166's
+    * recall curve. Both ranked lists come from the already-oracled
+    * q49/q50 machinery; DCG folds run over rank-sorted ≤5-element
+    * arrays (deterministic summation order, q164's idiom), so every
+    * double is bit-identical cross-engine. Scale: composition of two
+    * bounded-query-set scans + keyed joins; the metric math is
+    * per-query scan-speed array work. */
+  def q179RetrievalEval(s: SparkSession, dir: String): DataFrame = {
+    val exact = q49CosineTopK(s, dir)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
+    val ann = q50AnnTopK(s, dir)
+    val disc = array(dcgDiscounts.map(lit): _*)
+    def dcg(df: DataFrame, out: String): DataFrame =
+      df.groupBy("query_id").agg(
+        aggregate(
+          sort_array(collect_list(struct(col("rank"), col("cosine")))),
+          lit(0.0),
+          (a, x) => a + x.getField("cosine") /
+            element_at(disc, x.getField("rank"))).as(out))
+    val idcg = dcg(exact, "idcg")
+    val adcg = dcg(ann, "dcg")
+    val top1 = exact.filter(col("rank") === 1)
+      .select(col("query_id"), col("vec_id"))
+    val rr = top1
+      .join(ann.select(col("query_id"), col("vec_id"),
+        col("rank").as("hit_rank")), Seq("query_id", "vec_id"), "left")
+      .select(col("query_id"),
+        coalesce(lit(1.0) / col("hit_rank"), lit(0.0)).as("rr"))
+    idcg.join(adcg, Seq("query_id"), "left").join(rr, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("rr"), lit(0.0)).as("rr"),
+        coalesce(col("dcg"), lit(0.0)).as("dcg"),
+        col("idcg"),
+        (coalesce(col("dcg"), lit(0.0)) / col("idcg")).as("ndcg"))
+      .orderBy("query_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q179_retrieval_eval" -> q179RetrievalEval _,
     "q49_cosine_topk" -> q49CosineTopK _,
     "q80_multiprobe_ann" -> q80MultiprobeAnn _,
     "q50_ann_topk" -> q50AnnTopK _,
@@ -100,6 +149,10 @@ object SimilarityOps {
     "q52_embedding_neardup" -> q52EmbeddingNearDup _,
     "q75_ivf_ann" -> q75IvfAnn _,
   )
+
+  /** Double.toString round-trips, so these literals parse back to
+    * the identical doubles Spark uses via lit(). */
+  private val discList: String = dcgDiscounts.mkString(", ")
 
   private val qv =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS DOUBLE))"
@@ -115,6 +168,74 @@ object SimilarityOps {
       .mkString(",\n  ")
 
   val oracles: Map[String, String] = Map(
+    "q179_retrieval_eval" ->
+      s"""WITH planes(p, s) AS (VALUES
+         |  $planesValues),
+         |e AS (SELECT vec_id, $qv AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qvec FROM e
+         |  WHERE vec_id % 10 = 0),
+         |exact AS (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM (
+         |    SELECT q.query_id, c.vec_id,
+         |      CAST(list_dot_product(q.qvec, c.v) /
+         |        sqrt(list_dot_product(q.qvec, q.qvec)
+         |          * list_dot_product(c.v, c.v)) AS DOUBLE) AS cosine
+         |    FROM q, e c WHERE c.vec_id != q.query_id)),
+         |ex5 AS (SELECT * FROM exact WHERE rank <= 5),
+         |sigs AS (
+         |  SELECT e.vec_id, pl.p // 4 AS band,
+         |    CAST(SUM(CASE WHEN list_dot_product(e.v,
+         |        list_transform(pl.s, x -> CAST(x AS DOUBLE))) > 0
+         |      THEN 1 << (pl.p % 4) ELSE 0 END) AS BIGINT) AS bkey
+         |  FROM e, planes pl GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT qs.vec_id AS query_id, c.vec_id
+         |  FROM sigs c JOIN sigs qs ON c.band = qs.band AND c.bkey = qs.bkey
+         |  WHERE qs.vec_id % 10 = 0 AND c.vec_id != qs.vec_id),
+         |ann5 AS (
+         |  SELECT * FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+         |    FROM (
+         |      SELECT cand.query_id, cand.vec_id,
+         |        CAST(list_dot_product(cv.v, qv2.v) /
+         |          sqrt(list_dot_product(qv2.v, qv2.v)
+         |            * list_dot_product(cv.v, cv.v)) AS DOUBLE) AS cosine
+         |      FROM cand
+         |      JOIN e cv ON cv.vec_id = cand.vec_id
+         |      JOIN e qv2 ON qv2.vec_id = cand.query_id))
+         |  WHERE rank <= 5),
+         |idcgv AS (
+         |  SELECT query_id,
+         |    list_reduce(list_prepend([0.0, 0.0],
+         |      list([cosine, CAST(rank AS DOUBLE)] ORDER BY rank)),
+         |      (a, x) -> [a[1] + x[1] / (CAST([$discList] AS DOUBLE[]))
+         |        [CAST(x[2] AS INTEGER)], 0.0])[1] AS idcg
+         |  FROM ex5 GROUP BY query_id),
+         |dcgv AS (
+         |  SELECT query_id,
+         |    list_reduce(list_prepend([0.0, 0.0],
+         |      list([cosine, CAST(rank AS DOUBLE)] ORDER BY rank)),
+         |      (a, x) -> [a[1] + x[1] / (CAST([$discList] AS DOUBLE[]))
+         |        [CAST(x[2] AS INTEGER)], 0.0])[1] AS dcg
+         |  FROM ann5 GROUP BY query_id),
+         |rrv AS (
+         |  SELECT t.query_id,
+         |    COALESCE(CAST(1.0 AS DOUBLE) / a.rank, CAST(0.0 AS DOUBLE))
+         |      AS rr
+         |  FROM (SELECT query_id, vec_id FROM exact WHERE rank = 1) t
+         |  LEFT JOIN ann5 a
+         |    ON a.query_id = t.query_id AND a.vec_id = t.vec_id)
+         |SELECT i.query_id, COALESCE(r.rr, 0.0) AS rr,
+         |  CAST(COALESCE(d.dcg, 0.0) AS DOUBLE) AS dcg,
+         |  CAST(i.idcg AS DOUBLE) AS idcg,
+         |  CAST(COALESCE(d.dcg, 0.0) / i.idcg AS DOUBLE) AS ndcg
+         |FROM idcgv i
+         |LEFT JOIN dcgv d USING (query_id)
+         |LEFT JOIN rrv r USING (query_id)
+         |ORDER BY i.query_id""".stripMargin,
     "q50_ann_topk" ->
       s"""WITH planes(p, s) AS (VALUES
          |  $planesValues),

@@ -80,6 +80,9 @@ class PlanHygieneSpec extends SparkSpec {
     // rows broadcast) — bounded by the length domain and the lang
     // set, never the corpus (q137's cell-grid idiom)
     "q175_ks_drift" -> "value-grid cross vs |langs|-row dim",
+    // composes q49's exact baseline — the same bounded-query-set
+    // broadcast scan; the metric math itself is keyed
+    "q179_retrieval_eval" -> "exact-baseline scan (bounded query set)",
     // PAV-minimax interval grid: |distinct scores|² pairs (≤49² here)
     // plus the index/prefix windows, ALL over the driver-sized score
     // aggregate (q25's idiom) — bounded by the score domain

@@ -36,6 +36,38 @@ class RankStatsSpec extends SparkSpec {
     assert(row.getAs[Long]("auc_bp") === u2 * 5000 / (pos.length.toLong * neg.length))
   }
 
+  test("q178: histogram-rank Spearman equals direct tie-averaged ranks") {
+    val row = Quality.q178Spearman(spark, sfDir).head()
+    val users = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("sa"),
+        sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("sb"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    def ranks(xs: Array[Long]): Array[Double] = {
+      val sorted = xs.zipWithIndex.sortBy(_._1)
+      val out = new Array[Double](xs.length)
+      var i = 0
+      while (i < sorted.length) {
+        var j = i
+        while (j + 1 < sorted.length && sorted(j + 1)._1 == sorted(i)._1) j += 1
+        val avg = (i + j + 2) / 2.0 // 1-based average rank of the tie block
+        for (k <- i to j) out(sorted(k)._2) = avg
+        i = j + 1
+      }
+      out
+    }
+    val ra = ranks(users.map(_._1)); val rb = ranks(users.map(_._2))
+    val n = users.length
+    val ma = ra.sum / n; val mb = rb.sum / n
+    val cov = ra.zip(rb).map { case (x, y) => (x - ma) * (y - mb) }.sum
+    val va = ra.map(x => (x - ma) * (x - ma)).sum
+    val vb = rb.map(y => (y - mb) * (y - mb)).sum
+    val rho = cov / math.sqrt(va * vb)
+    assert(row.getAs[Long]("n") === n.toLong)
+    assert(math.abs(row.getAs[Double]("rho") - rho) < 1e-9,
+      s"rho ${row.getAs[Double]("rho")} vs brute $rho")
+  }
+
   test("q172: funnel Gini equals the sorted-rank formula") {
     val row = Quality.q172Gini(spark, sfDir).head()
     val cents = Tables.orders(spark, sfDir)
