@@ -1038,7 +1038,46 @@ object Quality {
             sqrt(col("var_y").cast("double"))))
   }
 
+  /** Kendall τ-b between per-user activity and purchase count — the
+    * concordance twin of q178's Spearman. All pair counting runs on
+    * the JOINT (sa, sb) cell histogram: concordant/discordant sums
+    * are a cell-grid self-join (bounded by the two score domains,
+    * ~49×25 cells — post-aggregation quadratic, q137's idiom) and
+    * the tie corrections come from the two marginal histograms.
+    * Exact integers through τ's numerator and both tie-corrected
+    * denominator factors; one final double expression. */
+  def q180KendallTau(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("sa"),
+        countIf(col("event_type") === "purchase").as("sb"))
+    val cells = users.groupBy("sa", "sb").agg(count(lit(1)).as("nc"))
+    val c1 = cells.select(col("sa").as("a1"), col("sb").as("b1"),
+      col("nc").as("n1"))
+    val c2 = cells.select(col("sa").as("a2"), col("sb").as("b2"),
+      col("nc").as("n2"))
+    val pairs = c1.join(c2, col("a1") < col("a2"))
+    val cd = pairs.agg(
+      sum(when(col("b1") < col("b2"), col("n1") * col("n2"))
+        .otherwise(0L)).as("concordant"),
+      sum(when(col("b1") > col("b2"), col("n1") * col("n2"))
+        .otherwise(0L)).as("discordant"))
+    val ta = cells.groupBy("sa").agg(sum(col("nc")).as("t"))
+      .agg(sum(expr("t * (t - 1) DIV 2")).as("ties_a"),
+        sum(col("t")).as("n"))
+    val tb = cells.groupBy("sb").agg(sum(col("nc")).as("t"))
+      .agg(sum(expr("t * (t - 1) DIV 2")).as("ties_b"))
+    cd.crossJoin(ta).crossJoin(tb)
+      .withColumn("n0", expr("n * (n - 1) DIV 2"))
+      .select(col("n"), col("concordant"), col("discordant"),
+        col("ties_a"), col("ties_b"),
+        ((col("concordant") - col("discordant")).cast("double") /
+          sqrt(((col("n0") - col("ties_a")) * (col("n0") - col("ties_b")))
+            .cast("double"))).as("tau_b"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q180_kendall_tau" -> q180KendallTau _,
     "q178_spearman" -> q178Spearman _,
     "q177_isotonic" -> q177Isotonic _,
     "q175_ks_drift" -> q175KsDrift _,
@@ -1082,6 +1121,32 @@ object Quality {
        |                / 281474976710656.0) END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q180_kendall_tau" ->
+      """WITH u AS (
+        |  SELECT user_id, COUNT(*) AS sa,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS sb
+        |  FROM events GROUP BY 1),
+        |cells AS (SELECT sa, sb, COUNT(*) AS nc FROM u GROUP BY 1, 2),
+        |cd AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN c1.sb < c2.sb THEN c1.nc * c2.nc
+        |      ELSE 0 END) AS BIGINT) AS concordant,
+        |    CAST(SUM(CASE WHEN c1.sb > c2.sb THEN c1.nc * c2.nc
+        |      ELSE 0 END) AS BIGINT) AS discordant
+        |  FROM cells c1 JOIN cells c2 ON c1.sa < c2.sa),
+        |ta AS (
+        |  SELECT CAST(SUM(t * (t - 1) // 2) AS BIGINT) AS ties_a,
+        |    CAST(SUM(t) AS BIGINT) AS n
+        |  FROM (SELECT SUM(nc) AS t FROM cells GROUP BY sa)),
+        |tb AS (
+        |  SELECT CAST(SUM(t * (t - 1) // 2) AS BIGINT) AS ties_b
+        |  FROM (SELECT SUM(nc) AS t FROM cells GROUP BY sb))
+        |SELECT n, concordant, discordant, ties_a, ties_b,
+        |  CAST(CAST(concordant - discordant AS DOUBLE)
+        |    / sqrt(CAST((n * (n - 1) // 2 - ties_a)
+        |        * (n * (n - 1) // 2 - ties_b) AS DOUBLE)) AS DOUBLE)
+        |    AS tau_b
+        |FROM cd, ta, tb""".stripMargin,
     "q178_spearman" ->
       """WITH u AS (
         |  SELECT user_id, COUNT(*) AS sa,

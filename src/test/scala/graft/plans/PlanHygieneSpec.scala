@@ -83,6 +83,10 @@ class PlanHygieneSpec extends SparkSpec {
     // composes q49's exact baseline — the same bounded-query-set
     // broadcast scan; the metric math itself is keyed
     "q179_retrieval_eval" -> "exact-baseline scan (bounded query set)",
+    // joint-histogram cell-grid self-join (~49×25 cells squared),
+    // post-aggregation and bounded by the two score domains, plus
+    // the 1-row C/D x ties crosses (q07 idiom)
+    "q180_kendall_tau" -> "cell-grid pair join over joint histogram",
     // PAV-minimax interval grid: |distinct scores|² pairs (≤49² here)
     // plus the index/prefix windows, ALL over the driver-sized score
     // aggregate (q25's idiom) — bounded by the score domain

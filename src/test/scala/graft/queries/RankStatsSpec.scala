@@ -68,6 +68,32 @@ class RankStatsSpec extends SparkSpec {
       s"rho ${row.getAs[Double]("rho")} vs brute $rho")
   }
 
+  test("q180: cell-grid Kendall tau-b equals all-pairs brute force") {
+    val row = Quality.q180KendallTau(spark, sfDir).head()
+    val users = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("sa"),
+        sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("sb"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    var conc = 0L; var disc = 0L; var tiesA = 0L; var tiesB = 0L
+    for (i <- users.indices; j <- (i + 1) until users.length) {
+      val (a1, b1) = users(i); val (a2, b2) = users(j)
+      if (a1 == a2) tiesA += 1
+      if (b1 == b2) tiesB += 1
+      if (a1 != a2 && b1 != b2) {
+        if ((a1 < a2) == (b1 < b2)) conc += 1 else disc += 1
+      }
+    }
+    assert(row.getAs[Long]("concordant") === conc)
+    assert(row.getAs[Long]("discordant") === disc)
+    assert(row.getAs[Long]("ties_a") === tiesA)
+    assert(row.getAs[Long]("ties_b") === tiesB)
+    val n = users.length.toLong; val n0 = n * (n - 1) / 2
+    val tau = (conc - disc).toDouble /
+      math.sqrt(((n0 - tiesA) * (n0 - tiesB)).toDouble)
+    assert(math.abs(row.getAs[Double]("tau_b") - tau) < 1e-12)
+  }
+
   test("q172: funnel Gini equals the sorted-rank formula") {
     val row = Quality.q172Gini(spark, sfDir).head()
     val cents = Tables.orders(spark, sfDir)
