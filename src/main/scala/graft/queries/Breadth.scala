@@ -594,9 +594,12 @@ object Breadth {
     * floor is A-priori's pruning — at 100 TB it also caps the
     * neighbourhood fan-out before the window. */
   def q174ItemCosine(s: SparkSession, dir: String): DataFrame = {
+    // read by pop + both pair-join sides: persist or the scan+distinct
+    // runs three times (q135's iterative-lineage lesson)
     val d = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("order_id"), col("l_partkey"))
       .distinct()
+      .persist()
     val pop = d.groupBy(col("l_partkey").as("item"))
       .agg(count(lit(1)).as("n_item"))
     val a = d.select(col("order_id"), col("l_partkey").as("part_a"))
