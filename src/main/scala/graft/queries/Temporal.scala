@@ -631,7 +631,78 @@ object Temporal {
       .orderBy("event_type")
   }
 
+  /** Autocorrelation function of daily event volume, lags 1..7 per
+    * event type — the seasonality diagnostic behind q153/q173's
+    * period-7 choice. One keyed shuffle builds the daily series; the
+    * lag fan-out is an explode(1..7) joined back on (type, day+lag)
+    * — a keyed equi-join, 7× the 30-row aggregate, bounded by the
+    * calendar span. Pearson r per (type, lag) from six BIGINT moment
+    * sums over the matched pairs (the sample shrinks with lag, and
+    * both engines see the identical pair set), double only in the
+    * final expression. */
+  def q181Acf(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("d", datediff(col("day"), lit("2024-01-01").cast("date")))
+    val lagged = daily
+      .withColumn("lag", explode(array((1 to 7).map(lit): _*)))
+      .select(col("event_type"), (col("d") + col("lag")).as("d2"),
+        col("lag"), col("cnt").as("x"))
+    val pairs = lagged.join(
+      daily.select(col("event_type"), col("d").as("d2"),
+        col("cnt").as("y")),
+      Seq("event_type", "d2"))
+    pairs.groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("event_type"), col("lag"), col("n"),
+        expr("""CAST(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+              / sqrt(CAST((n * sxx - sx * sx) * (n * syy - sy * sy)
+                AS DOUBLE))
+            ELSE NULL END AS DOUBLE)""").as("acf"))
+      .orderBy("event_type", "lag")
+  }
+
+  /** Lead–lag cross-correlation: clicks vs purchases daily volume at
+    * offsets −7..7 — "purchases trail clicks by how many days?".
+    * Same bounded lag fan-out as q181, negative offsets included;
+    * the lag with max |r| is read off the 15-row output. */
+  def q182LeadLag(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("d", datediff(col("day"), lit("2024-01-01").cast("date")))
+    val x = daily.filter(col("event_type") === "click")
+      .select(col("d"), col("cnt").as("x"))
+    val y = daily.filter(col("event_type") === "purchase")
+      .select(col("d").as("dy"), col("cnt").as("y"))
+    val fan = x.withColumn("lag", explode(array((-7 to 7).map(lit): _*)))
+      .select((col("d") + col("lag")).as("dy"), col("lag"), col("x"))
+    fan.join(y, Seq("dy"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("lag"), col("n"),
+        expr("""CAST(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+              / sqrt(CAST((n * sxx - sx * sx) * (n * syy - sy * sy)
+                AS DOUBLE))
+            ELSE NULL END AS DOUBLE)""").as("xcorr"))
+      .orderBy("lag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q181_acf" -> q181Acf _,
+    "q182_lead_lag" -> q182LeadLag _,
     "q176_theil_sen" -> q176TheilSen _,
     "q173_holt_winters" -> q173HoltWinters _,
     "q157_interpolate" -> q157Interpolate _,
@@ -656,6 +727,58 @@ object Temporal {
   )
 
   val oracles: Map[String, String] = Map(
+    "q181_acf" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt,
+        |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d
+        |  FROM events GROUP BY 1, 2),
+        |fan AS (
+        |  SELECT event_type, d + l AS d2, l AS lag, cnt AS x
+        |  FROM daily, (SELECT unnest(range(1, 8)) AS l)),
+        |pairs AS (
+        |  SELECT f.event_type, f.lag, f.x, dd.cnt AS y
+        |  FROM fan f JOIN daily dd
+        |    ON dd.event_type = f.event_type AND dd.d = f.d2),
+        |m AS (
+        |  SELECT event_type, lag, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy
+        |  FROM pairs GROUP BY 1, 2)
+        |SELECT event_type, CAST(lag AS INTEGER) AS lag, n,
+        |  CAST(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+        |    THEN CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / sqrt(CAST((n * sxx - sx * sx) * (n * syy - sy * sy)
+        |        AS DOUBLE))
+        |    ELSE NULL END AS DOUBLE) AS acf
+        |FROM m ORDER BY event_type, lag""".stripMargin,
+    "q182_lead_lag" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt,
+        |    datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase') GROUP BY 1, 2),
+        |x AS (SELECT d, cnt AS x FROM daily WHERE event_type = 'click'),
+        |y AS (SELECT d AS dy, cnt AS y FROM daily
+        |  WHERE event_type = 'purchase'),
+        |fan AS (
+        |  SELECT d + l AS dy, l AS lag, x
+        |  FROM x, (SELECT unnest(range(-7, 8)) AS l)),
+        |m AS (
+        |  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy
+        |  FROM fan JOIN y USING (dy) GROUP BY 1)
+        |SELECT CAST(lag AS INTEGER) AS lag, n,
+        |  CAST(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+        |    THEN CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / sqrt(CAST((n * sxx - sx * sx) * (n * syy - sy * sy)
+        |        AS DOUBLE))
+        |    ELSE NULL END AS DOUBLE) AS xcorr
+        |FROM m ORDER BY lag""".stripMargin,
     "q176_theil_sen" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt,

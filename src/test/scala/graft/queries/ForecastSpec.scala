@@ -27,6 +27,30 @@ class ForecastSpec extends SparkSpec {
     (l, b, s(i % 7))
   }
 
+  test("q181: joined-lag ACF equals the direct shifted-series Pearson") {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("event_type", "day")
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (t, rows) => t -> rows.map(_.getLong(2).toDouble) }
+    val out = Temporal.q181Acf(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getAs[Double]("acf"))
+      .toMap
+    for ((t, xs) <- daily; lag <- 1 to 3) {
+      val a = xs.dropRight(lag); val b = xs.drop(lag)
+      val n = a.length
+      val ma = a.sum / n; val mb = b.sum / n
+      val cov = a.zip(b).map { case (p, q) => (p - ma) * (q - mb) }.sum
+      val va = a.map(p => (p - ma) * (p - ma)).sum
+      val vb = b.map(q => (q - mb) * (q - mb)).sum
+      val r = cov / math.sqrt(va * vb)
+      assert(math.abs(out((t, lag)) - r) < 1e-9,
+        s"acf($t, $lag): ${out((t, lag))} vs $r")
+    }
+  }
+
   test("q173: struct-fold equals the scalar reference loop, per type") {
     val daily = Tables.events(spark, sfDir)
       .groupBy(col("event_type"), col("ts").cast("date").as("day"))
