@@ -140,7 +140,77 @@ object SimilarityOps {
       .orderBy("query_id")
   }
 
+  /** Per-label centroid SUM vectors as exact integers: explode to
+    * (label, dim, val) — q109's keyed shuffle shape, n·d rows —
+    * then one (label, dim) aggregation and re-assembly in dim order.
+    * Cosine against the SUM equals cosine against the mean (scale
+    * invariance), so no division ever touches the vector. */
+  private def labelSums(c: DataFrame): DataFrame = {
+    c.select(col("label"), posexplode(col("query_vec")).as(Seq("pos", "v")))
+      .groupBy("label", "pos").agg(sum(col("v")).as("sv"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("sv")))).as("a"))
+      .select(col("label"),
+        transform(col("a"), x => x.getField("sv")).as("svec"))
+  }
+
+  /** Label-noise detection: the 5 vectors per label FARTHEST (lowest
+    * cosine) from their own label's centroid — the mislabeled-
+    * embedding audit a curation pipeline runs before training on
+    * weak labels. Centroid sums stay integer (labelSums); cosine is
+    * sqrt-separated (√‖v‖²·√‖S‖², NOT √(‖v‖²·‖S‖²) — the product
+    * form overflows past 2⁵³ already at modest label sizes) so every
+    * double is one identical IEEE expression. Scale: n·d keyed
+    * shuffle + broadcast of |labels| sum vectors + keyed bottom-5
+    * window. ‖S‖² holds in BIGINT while n·max|v| < 3·10⁹ per label
+    * (~10⁶ vectors at milli-quantization); beyond that the dim sums
+    * upgrade to DECIMAL. */
+  def q183LabelOutliers(s: SparkSession, dir: String): DataFrame = {
+    val c = quantized(s, dir)
+    val sums = labelSums(c)
+    val scored = c.join(broadcast(sums), "label")
+      .withColumn("cos_centroid",
+        Similarity.dotQ(col("query_vec"), col("svec")).cast("double") /
+          (sqrt(Similarity.dotQ(col("query_vec"), col("query_vec"))
+            .cast("double")) *
+            sqrt(Similarity.dotQ(col("svec"), col("svec")).cast("double"))))
+    val w = Window.partitionBy("label")
+      .orderBy(col("cos_centroid"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("label"), col("rank"), col("vec_id"),
+        col("cos_centroid").cast("double").as("cos_centroid"))
+      .orderBy("label", "rank")
+  }
+
+  /** Per-label embedding diversity WITHOUT materialising pairs: mean
+    * pairwise dot = (‖Σv‖² − Σ‖v‖²) / (n·(n−1)) — the norm identity
+    * turns an O(n²) statistic into one n·d pass plus the integer
+    * centroid sums. All terms exact BIGINT (vectors are near unit
+    * norm, so the dot scale reads as cosine); only the final mean
+    * divides. The audit that catches a collapsed (all-same) or
+    * over-dispersed source before it trains. */
+  def q184EmbeddingDiversity(s: SparkSession, dir: String): DataFrame = {
+    val c = quantized(s, dir)
+    val perVec = c.select(col("label"),
+      Similarity.dotQ(col("query_vec"), col("query_vec")).as("n2"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), sum(col("n2")).as("sum_norm2"))
+    val sums = labelSums(c)
+      .select(col("label"),
+        Similarity.dotQ(col("svec"), col("svec")).as("centroid_norm2"))
+    perVec.join(sums, "label")
+      .select(col("label"), col("n"), col("sum_norm2"),
+        col("centroid_norm2"),
+        (col("centroid_norm2") - col("sum_norm2")).as("pair_dot_num"),
+        ((col("centroid_norm2") - col("sum_norm2")).cast("double") /
+          (col("n") * (col("n") - 1)).cast("double")).as("mean_pair_dot"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q183_label_outliers" -> q183LabelOutliers _,
+    "q184_embedding_diversity" -> q184EmbeddingDiversity _,
     "q179_retrieval_eval" -> q179RetrievalEval _,
     "q49_cosine_topk" -> q49CosineTopK _,
     "q80_multiprobe_ann" -> q80MultiprobeAnn _,
@@ -168,6 +238,49 @@ object SimilarityOps {
       .mkString(",\n  ")
 
   val oracles: Map[String, String] = Map(
+    "q183_label_outliers" ->
+      s"""WITH e AS (SELECT vec_id, label, $qv AS v FROM embeddings),
+         |sums AS (
+         |  SELECT label, pos, SUM(v[pos]) AS sv
+         |  FROM e, (SELECT unnest(range(1, 65)) AS pos) p
+         |  GROUP BY 1, 2),
+         |svec AS (SELECT label, list(sv ORDER BY pos) AS s
+         |  FROM sums GROUP BY 1),
+         |scored AS (
+         |  SELECT e.vec_id, e.label,
+         |    CAST(list_dot_product(e.v, s.s)
+         |      / (sqrt(list_dot_product(e.v, e.v))
+         |         * sqrt(list_dot_product(s.s, s.s))) AS DOUBLE)
+         |      AS cos_centroid
+         |  FROM e JOIN svec s USING (label))
+         |SELECT label, CAST(rank AS INTEGER) AS rank, vec_id,
+         |  cos_centroid
+         |FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY label ORDER BY cos_centroid, vec_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5 ORDER BY label, rank""".stripMargin,
+    "q184_embedding_diversity" ->
+      s"""WITH e AS (SELECT vec_id, label, $qv AS v FROM embeddings),
+         |sums AS (
+         |  SELECT label, pos, SUM(v[pos]) AS sv
+         |  FROM e, (SELECT unnest(range(1, 65)) AS pos) p
+         |  GROUP BY 1, 2),
+         |svec AS (SELECT label, list(sv ORDER BY pos) AS s
+         |  FROM sums GROUP BY 1),
+         |pv AS (
+         |  SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(list_dot_product(v, v)) AS BIGINT) AS sum_norm2
+         |  FROM e GROUP BY 1),
+         |cn AS (
+         |  SELECT label, CAST(list_dot_product(s, s) AS BIGINT)
+         |    AS centroid_norm2
+         |  FROM svec)
+         |SELECT label, n, sum_norm2, centroid_norm2,
+         |  centroid_norm2 - sum_norm2 AS pair_dot_num,
+         |  CAST(CAST(centroid_norm2 - sum_norm2 AS DOUBLE)
+         |    / CAST(n * (n - 1) AS DOUBLE) AS DOUBLE) AS mean_pair_dot
+         |FROM pv JOIN cn USING (label) ORDER BY label""".stripMargin,
     "q179_retrieval_eval" ->
       s"""WITH planes(p, s) AS (VALUES
          |  $planesValues),
