@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.Similarity
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -208,7 +208,55 @@ object SimilarityOps {
       .orderBy("label")
   }
 
+  /** Density-based outlier detection: each vector's 5th-nearest-
+    * neighbour cosine (the kNN-distance density score), with
+    * neighbours drawn from the SRP-LSH buckets — vectors in sparse
+    * regions have few bucket-mates and a low 5th-NN cosine, and
+    * bucket emptiness is itself the strongest sparsity signal (n_nn
+    * carries it; absent vectors surface via the left join with
+    * n_nn = 0). Unlike q50 this is SELF-kNN, so the index join is
+    * the SYMMETRIC bucket equi-join — no broadcast side; the whole
+    * corpus cannot be broadcast at 100 TB. Top-20 sparsest by
+    * (n_nn, knn5_cos NULLS FIRST, vec_id) — fully tie-broken. */
+  def q185DensityOutliers(s: SparkSession, dir: String): DataFrame = {
+    val c = quantized(s, dir)
+    val ps = Similarity.planes(32, 64)
+    val dot = Similarity.dotFast(s, _: Column, _: Column)
+    val keys = c.select(col("vec_id"),
+        posexplode(Similarity.srpBandKeys(col("query_vec"), ps, 8, 4, dot)))
+      .select(col("vec_id"), col("pos").as("band"), col("col").as("bkey"))
+    val cand = keys
+      .join(keys.select(col("vec_id").as("nb_id"), col("band"),
+        col("bkey")), Seq("band", "bkey"))
+      .filter(col("vec_id") =!= col("nb_id"))
+      .select("vec_id", "nb_id").distinct()
+    val c2 = c.select(col("vec_id"), col("query_vec"),
+      dot(col("query_vec"), col("query_vec")).as("_n2"))
+    val scored = cand
+      .join(c2.select(col("vec_id"), col("query_vec").as("va"),
+        col("_n2").as("n2a")), "vec_id")
+      .join(c2.select(col("vec_id").as("nb_id"),
+        col("query_vec").as("vb"), col("_n2").as("n2b")), "nb_id")
+      .withColumn("cosine",
+        dot(col("va"), col("vb")).cast("double") /
+          sqrt((col("n2a") * col("n2b")).cast("double")))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cosine").desc, col("nb_id"))
+    val knn = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_nn"),
+        when(count(lit(1)) === 5, min(col("cosine"))).as("knn5_cos"))
+    c.select(col("vec_id"))
+      .join(knn, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("n_nn"), lit(0L)).as("n_nn"),
+        col("knn5_cos").cast("double").as("knn5_cos"))
+      .orderBy(col("n_nn"), col("knn5_cos").asc_nulls_first, col("vec_id"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q185_density_outliers" -> q185DensityOutliers _,
     "q183_label_outliers" -> q183LabelOutliers _,
     "q184_embedding_diversity" -> q184EmbeddingDiversity _,
     "q179_retrieval_eval" -> q179RetrievalEval _,
@@ -238,6 +286,44 @@ object SimilarityOps {
       .mkString(",\n  ")
 
   val oracles: Map[String, String] = Map(
+    "q185_density_outliers" ->
+      s"""WITH planes(p, s) AS (VALUES
+         |  $planesValues),
+         |e AS (SELECT vec_id, $qv AS v FROM embeddings),
+         |sigs AS (
+         |  SELECT e.vec_id, pl.p // 4 AS band,
+         |    CAST(SUM(CASE WHEN list_dot_product(e.v,
+         |        list_transform(pl.s, x -> CAST(x AS DOUBLE))) > 0
+         |      THEN 1 << (pl.p % 4) ELSE 0 END) AS BIGINT) AS bkey
+         |  FROM e, planes pl GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id, b.vec_id AS nb_id
+         |  FROM sigs a JOIN sigs b ON a.band = b.band AND a.bkey = b.bkey
+         |  WHERE a.vec_id != b.vec_id),
+         |scored AS (
+         |  SELECT cand.vec_id, cand.nb_id,
+         |    CAST(list_dot_product(va.v, vb.v) /
+         |      sqrt(list_dot_product(va.v, va.v)
+         |        * list_dot_product(vb.v, vb.v)) AS DOUBLE) AS cosine
+         |  FROM cand
+         |  JOIN e va ON va.vec_id = cand.vec_id
+         |  JOIN e vb ON vb.vec_id = cand.nb_id),
+         |r5 AS (
+         |  SELECT * FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY vec_id ORDER BY cosine DESC, nb_id) AS rank
+         |    FROM scored)
+         |  WHERE rank <= 5),
+         |knn AS (
+         |  SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_nn,
+         |    CASE WHEN COUNT(*) = 5 THEN MIN(cosine) END AS knn5_cos
+         |  FROM r5 GROUP BY 1)
+         |SELECT ev.vec_id, COALESCE(k.n_nn, 0) AS n_nn,
+         |  CAST(k.knn5_cos AS DOUBLE) AS knn5_cos
+         |FROM (SELECT vec_id FROM embeddings) ev
+         |LEFT JOIN knn k USING (vec_id)
+         |ORDER BY n_nn, knn5_cos ASC NULLS FIRST, ev.vec_id
+         |LIMIT 20""".stripMargin,
     "q183_label_outliers" ->
       s"""WITH e AS (SELECT vec_id, label, $qv AS v FROM embeddings),
          |sums AS (
