@@ -198,7 +198,33 @@ object TextOps {
       .orderBy("tok")
   }
 
+  /** Vocabulary-growth (Heaps) curve: cumulative distinct vocabulary
+    * vs cumulative token volume in doc_id order — the corpus-health
+    * curve that flattens when a crawl starts re-reading itself. A
+    * token's first appearance is one token-keyed MIN(doc_id)
+    * aggregation (never a distinct-over-prefix per point); per-doc
+    * token and new-token counts then ride TWO distributed prefix
+    * sums ([[graft.operators.PrefixSum]]). Output thinned to every
+    * 20th doc. All integers; no measure ever divides. */
+  def q186VocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val perDoc = toks.groupBy("doc_id").agg(count(lit(1)).as("tok_cnt"))
+    val firstSeen = toks.groupBy("term").agg(min(col("doc_id")).as("fd"))
+      .groupBy(col("fd").as("doc_id")).agg(count(lit(1)).as("new_cnt"))
+    val base = perDoc.join(firstSeen, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("new_cnt"))
+    val c1 = graft.operators.PrefixSum
+      .withRunningSum(base, "doc_id", "tok_cnt", "cum_tokens")
+    val c2 = graft.operators.PrefixSum
+      .withRunningSum(c1, "doc_id", "new_cnt", "cum_vocab")
+    c2.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id"), col("cum_tokens"), col("cum_vocab"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q186_vocab_growth" -> q186VocabGrowth _,
     "q159_pmi" -> q159Pmi _,
     "q167_token_surge" -> q167TokenSurge _,
     "q133_bigram_lm" -> q133BigramLm _,
@@ -216,6 +242,27 @@ object TextOps {
     s"len(regexp_extract_all($expr, '$re'))"
 
   val oracles: Map[String, String] = Map(
+    "q186_vocab_growth" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), ' +')) AS term
+        |  FROM documents),
+        |per_doc AS (SELECT doc_id, COUNT(*) AS tok_cnt
+        |  FROM toks GROUP BY 1),
+        |first_seen AS (
+        |  SELECT fd AS doc_id, COUNT(*) AS new_cnt
+        |  FROM (SELECT term, MIN(doc_id) AS fd FROM toks GROUP BY 1)
+        |  GROUP BY 1),
+        |base AS (
+        |  SELECT p.doc_id, p.tok_cnt, COALESCE(f.new_cnt, 0) AS new_cnt
+        |  FROM per_doc p LEFT JOIN first_seen f USING (doc_id))
+        |SELECT doc_id,
+        |  CAST(SUM(tok_cnt) OVER (ORDER BY doc_id) AS BIGINT)
+        |    AS cum_tokens,
+        |  CAST(SUM(new_cnt) OVER (ORDER BY doc_id) AS BIGINT)
+        |    AS cum_vocab
+        |FROM base QUALIFY doc_id % 20 = 0
+        |ORDER BY doc_id""".stripMargin,
     "q167_token_surge" ->
       """WITH tk AS (
         |  SELECT doc_id % 2 AS half,
