@@ -819,6 +819,16 @@ object Quality {
       .orderBy("user_id")
   }
 
+  /** Shared per-user activity aggregation — sa = total events, sb =
+    * purchase count; the "converted" label is sb ≥ 15 (q168's
+    * metric). One definition feeds q171/q177/q178/q180 so the
+    * threshold and grouping cannot drift between the statistics. */
+  private def userActivity(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("sa"),
+        countIf(col("event_type") === "purchase").as("sb"))
+
   /** Exact ROC-AUC (≡ Mann–Whitney U, tie-corrected) of "activity
     * predicts conversion": per-user score = event count, label =
     * ≥ 15 purchases (q168's metric). The naive formulation ranks all
@@ -838,12 +848,9 @@ object Quality {
     * auc_bp by integer division, auc by one double division written
     * identically in both engines. */
   def q171Auc(s: SparkSession, dir: String): DataFrame = {
-    val users = Tables.events(s, dir)
-      .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("score"),
-        countIf(col("event_type") === "purchase").as("purchases"))
-      .select(col("score"),
-        when(col("purchases") >= 15, 1).otherwise(0).as("label"))
+    val users = userActivity(s, dir)
+      .select(col("sa").as("score"),
+        when(col("sb") >= 15, 1).otherwise(0).as("label"))
     val byScore = users.groupBy(col("score"))
       .agg(countIf(col("label") === 1).as("pos"),
         countIf(col("label") === 0).as("neg"))
@@ -963,12 +970,9 @@ object Quality {
     * IsotonicSpec pins the result against an independent sequential
     * PAV loop — same defence as RankStatsSpec. */
   def q177Isotonic(s: SparkSession, dir: String): DataFrame = {
-    val users = Tables.events(s, dir)
-      .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("score"),
-        countIf(col("event_type") === "purchase").as("purchases"))
-      .select(col("score"),
-        when(col("purchases") >= 15, 1L).otherwise(0L).as("label"))
+    val users = userActivity(s, dir)
+      .select(col("sa").as("score"),
+        when(col("sb") >= 15, 1L).otherwise(0L).as("label"))
     val byScore = users.groupBy("score")
       .agg(count(lit(1)).as("w"), sum(col("label")).as("ysum"))
     val wi = Window.orderBy("score")
@@ -1008,10 +1012,9 @@ object Quality {
     * Long arithmetic holds while 4n³ < 2⁶³ (n ≲ 10⁶ users); past
     * that the moment sums upgrade to DECIMAL(38,0), same plan. */
   def q178Spearman(s: SparkSession, dir: String): DataFrame = {
-    val users = Tables.events(s, dir)
-      .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("sa"),
-        countIf(col("event_type") === "purchase").as("sb"))
+    // read by BOTH rank2 funnels and the final join: persist, or the
+    // events scan+agg runs three times (q135's lesson)
+    val users = userActivity(s, dir).persist()
     def rank2(valCol: String): DataFrame = {
       val h = users.groupBy(col(valCol)).agg(count(lit(1)).as("cnt"))
       graft.operators.PrefixSum.withRunningSum(h, valCol, "cnt", "cum")
@@ -1045,12 +1048,11 @@ object Quality {
     * ~49×25 cells — post-aggregation quadratic, q137's idiom) and
     * the tie corrections come from the two marginal histograms.
     * Exact integers through τ's numerator and both tie-corrected
-    * denominator factors; one final double expression. */
+    * denominator factors; the final expression sqrt-separates the
+    * two factors (their product is ~n⁴/4 — int64 dies near 80k
+    * users; the factors alone hold to n0 < 2⁶³). */
   def q180KendallTau(s: SparkSession, dir: String): DataFrame = {
-    val users = Tables.events(s, dir)
-      .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("sa"),
-        countIf(col("event_type") === "purchase").as("sb"))
+    val users = userActivity(s, dir)
     val cells = users.groupBy("sa", "sb").agg(count(lit(1)).as("nc"))
     val c1 = cells.select(col("sa").as("a1"), col("sb").as("b1"),
       col("nc").as("n1"))
@@ -1071,9 +1073,12 @@ object Quality {
       .withColumn("n0", expr("n * (n - 1) DIV 2"))
       .select(col("n"), col("concordant"), col("discordant"),
         col("ties_a"), col("ties_b"),
+        // sqrt-separated (q183's discipline): the factor PRODUCT is
+        // ~n^4/4 and overflows int64 near 80k users; the factors
+        // alone hold to n0 < 2^63
         ((col("concordant") - col("discordant")).cast("double") /
-          sqrt(((col("n0") - col("ties_a")) * (col("n0") - col("ties_b")))
-            .cast("double"))).as("tau_b"))
+          (sqrt((col("n0") - col("ties_a")).cast("double")) *
+            sqrt((col("n0") - col("ties_b")).cast("double")))).as("tau_b"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -1143,9 +1148,9 @@ object Quality {
         |  FROM (SELECT SUM(nc) AS t FROM cells GROUP BY sb))
         |SELECT n, concordant, discordant, ties_a, ties_b,
         |  CAST(CAST(concordant - discordant AS DOUBLE)
-        |    / sqrt(CAST((n * (n - 1) // 2 - ties_a)
-        |        * (n * (n - 1) // 2 - ties_b) AS DOUBLE)) AS DOUBLE)
-        |    AS tau_b
+        |    / (sqrt(CAST(n * (n - 1) // 2 - ties_a AS DOUBLE))
+        |       * sqrt(CAST(n * (n - 1) // 2 - ties_b AS DOUBLE)))
+        |    AS DOUBLE) AS tau_b
         |FROM cd, ta, tb""".stripMargin,
     "q178_spearman" ->
       """WITH u AS (

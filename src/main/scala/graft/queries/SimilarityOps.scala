@@ -203,8 +203,12 @@ object SimilarityOps {
       .select(col("label"), col("n"), col("sum_norm2"),
         col("centroid_norm2"),
         (col("centroid_norm2") - col("sum_norm2")).as("pair_dot_num"),
-        ((col("centroid_norm2") - col("sum_norm2")).cast("double") /
-          (col("n") * (col("n") - 1)).cast("double")).as("mean_pair_dot"))
+        // a single-vector label has no pairs: NULL, not 0/0 (Spark's
+        // ANSI mode aborts on it; DuckDB would emit NaN)
+        when(col("n") > 1,
+          (col("centroid_norm2") - col("sum_norm2")).cast("double") /
+            (col("n") * (col("n") - 1)).cast("double"))
+          .as("mean_pair_dot"))
       .orderBy("label")
   }
 
@@ -364,8 +368,10 @@ object SimilarityOps {
          |  FROM svec)
          |SELECT label, n, sum_norm2, centroid_norm2,
          |  centroid_norm2 - sum_norm2 AS pair_dot_num,
-         |  CAST(CAST(centroid_norm2 - sum_norm2 AS DOUBLE)
-         |    / CAST(n * (n - 1) AS DOUBLE) AS DOUBLE) AS mean_pair_dot
+         |  CASE WHEN n > 1 THEN
+         |    CAST(CAST(centroid_norm2 - sum_norm2 AS DOUBLE)
+         |      / CAST(n * (n - 1) AS DOUBLE) AS DOUBLE)
+         |  END AS mean_pair_dot
          |FROM pv JOIN cn USING (label) ORDER BY label""".stripMargin,
     "q179_retrieval_eval" ->
       s"""WITH planes(p, s) AS (VALUES

@@ -595,6 +595,25 @@ object Temporal {
       .orderBy("event_type")
   }
 
+  /** Shared daily volume series: (event_type, day, cnt, d) with d =
+    * days since the fixed 2024-01-01 epoch. One definition feeds
+    * q176/q181/q182 so the epoch and grouping cannot drift. */
+  private def dailySeries(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("d", datediff(col("day"), lit("2024-01-01").cast("date")))
+
+  /** Pearson r from the six BIGINT moment sums (n, sx, sy, sxx, syy,
+    * sxy), guarded for zero variance — shared by q181/q182 so both
+    * lag statistics use the one formula. */
+  private val pearsonFromMoments =
+    expr("""CAST(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+        THEN CAST(n * sxy - sx * sy AS DOUBLE)
+          / sqrt(CAST((n * sxx - sx * sx) * (n * syy - sy * sy)
+            AS DOUBLE))
+        ELSE NULL END AS DOUBLE)""")
+
   /** Theil–Sen robust trend: per event type, the MEDIAN of all
     * pairwise daily-count slopes — the outlier-proof alternative to
     * q139's OLS line (one wild day moves OLS, not the pairwise
@@ -606,10 +625,7 @@ object Temporal {
     * identically-written double division each; the even case
     * averages the two middle slopes. */
   def q176TheilSen(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(s, dir)
-      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("d", datediff(col("day"), lit("2024-01-01").cast("date")))
+    val daily = dailySeries(s, dir)
     val a = daily.select(col("event_type"), col("d").as("d1"),
       col("cnt").as("y1"))
     val b = daily.select(col("event_type"), col("d").as("d2"),
@@ -641,10 +657,7 @@ object Temporal {
     * both engines see the identical pair set), double only in the
     * final expression. */
   def q181Acf(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(s, dir)
-      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("d", datediff(col("day"), lit("2024-01-01").cast("date")))
+    val daily = dailySeries(s, dir)
     val lagged = daily
       .withColumn("lag", explode(array((1 to 7).map(lit): _*)))
       .select(col("event_type"), (col("d") + col("lag")).as("d2"),
@@ -660,11 +673,7 @@ object Temporal {
         sum(col("y") * col("y")).as("syy"),
         sum(col("x") * col("y")).as("sxy"))
       .select(col("event_type"), col("lag"), col("n"),
-        expr("""CAST(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
-            THEN CAST(n * sxy - sx * sy AS DOUBLE)
-              / sqrt(CAST((n * sxx - sx * sx) * (n * syy - sy * sy)
-                AS DOUBLE))
-            ELSE NULL END AS DOUBLE)""").as("acf"))
+        pearsonFromMoments.as("acf"))
       .orderBy("event_type", "lag")
   }
 
@@ -673,11 +682,8 @@ object Temporal {
     * Same bounded lag fan-out as q181, negative offsets included;
     * the lag with max |r| is read off the 15-row output. */
   def q182LeadLag(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(s, dir)
+    val daily = dailySeries(s, dir)
       .filter(col("event_type").isin("click", "purchase"))
-      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("d", datediff(col("day"), lit("2024-01-01").cast("date")))
     val x = daily.filter(col("event_type") === "click")
       .select(col("d"), col("cnt").as("x"))
     val y = daily.filter(col("event_type") === "purchase")
@@ -692,11 +698,7 @@ object Temporal {
         sum(col("y") * col("y")).as("syy"),
         sum(col("x") * col("y")).as("sxy"))
       .select(col("lag"), col("n"),
-        expr("""CAST(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
-            THEN CAST(n * sxy - sx * sy AS DOUBLE)
-              / sqrt(CAST((n * sxx - sx * sx) * (n * syy - sy * sy)
-                AS DOUBLE))
-            ELSE NULL END AS DOUBLE)""").as("xcorr"))
+        pearsonFromMoments.as("xcorr"))
       .orderBy("lag")
   }
 

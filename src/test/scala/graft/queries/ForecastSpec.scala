@@ -27,27 +27,84 @@ class ForecastSpec extends SparkSpec {
     (l, b, s(i % 7))
   }
 
-  test("q181: joined-lag ACF equals the direct shifted-series Pearson") {
+  test("q181: joined-lag ACF equals the direct day-paired Pearson") {
+    // pair by CALENDAR DAY, exactly as the query's d+lag join does —
+    // an index-shifted series would silently assume gap-free days
     val daily = Tables.events(spark, sfDir)
       .groupBy(col("event_type"), col("ts").cast("date").as("day"))
       .agg(count(lit(1)).as("cnt"))
-      .orderBy("event_type", "day")
+      .withColumn("d", datediff(col("day"), lit("2024-01-01").cast("date")))
       .collect()
       .groupBy(_.getString(0))
-      .map { case (t, rows) => t -> rows.map(_.getLong(2).toDouble) }
+      .map { case (t, rows) =>
+        t -> rows.map(r => r.getInt(3) -> r.getLong(2).toDouble).toMap }
     val out = Temporal.q181Acf(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getInt(1)) -> r.getAs[Double]("acf"))
       .toMap
-    for ((t, xs) <- daily; lag <- 1 to 3) {
-      val a = xs.dropRight(lag); val b = xs.drop(lag)
-      val n = a.length
-      val ma = a.sum / n; val mb = b.sum / n
-      val cov = a.zip(b).map { case (p, q) => (p - ma) * (q - mb) }.sum
-      val va = a.map(p => (p - ma) * (p - ma)).sum
-      val vb = b.map(q => (q - mb) * (q - mb)).sum
+    for ((t, byDay) <- daily; lag <- 1 to 3) {
+      val pairs = byDay.toSeq.sortBy(_._1).flatMap { case (d, x) =>
+        byDay.get(d + lag).map(y => (x, y))
+      }
+      val n = pairs.length
+      val ma = pairs.map(_._1).sum / n; val mb = pairs.map(_._2).sum / n
+      val cov = pairs.map { case (p, q) => (p - ma) * (q - mb) }.sum
+      val va = pairs.map(p => (p._1 - ma) * (p._1 - ma)).sum
+      val vb = pairs.map(q => (q._2 - mb) * (q._2 - mb)).sum
       val r = cov / math.sqrt(va * vb)
       assert(math.abs(out((t, lag)) - r) < 1e-9,
         s"acf($t, $lag): ${out((t, lag))} vs $r")
+    }
+  }
+
+  test("q182: lead-lag cross-correlation equals day-paired Pearson") {
+    val daily = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("d", datediff(col("day"), lit("2024-01-01").cast("date")))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (t, rows) =>
+        t -> rows.map(r => r.getInt(3) -> r.getLong(2).toDouble).toMap }
+    val clicks = daily("click"); val purch = daily("purchase")
+    val out = Temporal.q182LeadLag(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> Option(r.get(2)).map(_.asInstanceOf[Double]))
+      .toMap
+    for (lag <- -3 to 3) {
+      val pairs = clicks.toSeq.sortBy(_._1).flatMap { case (d, x) =>
+        purch.get(d + lag).map(y => (x, y))
+      }
+      val n = pairs.length
+      val ma = pairs.map(_._1).sum / n; val mb = pairs.map(_._2).sum / n
+      val cov = pairs.map { case (p, q) => (p - ma) * (q - mb) }.sum
+      val va = pairs.map(p => (p._1 - ma) * (p._1 - ma)).sum
+      val vb = pairs.map(q => (q._2 - mb) * (q._2 - mb)).sum
+      val r = cov / math.sqrt(va * vb)
+      assert(math.abs(out(lag).get - r) < 1e-9,
+        s"xcorr($lag): ${out(lag)} vs $r")
+    }
+  }
+
+  test("q176: Theil-Sen equals the literal pairwise-slope median") {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("d", datediff(col("day"), lit("2024-01-01").cast("date")))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (t, rows) =>
+        t -> rows.map(r => (r.getInt(3), r.getLong(2))).sortBy(_._1) }
+    val out = Temporal.q176TheilSen(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("slope_per_day")).toMap
+    for ((t, pts) <- daily) {
+      val slopes = (for {
+        i <- pts.indices; j <- (i + 1) until pts.length
+      } yield (pts(j)._2 - pts(i)._2).toDouble /
+        (pts(j)._1 - pts(i)._1).toDouble).sorted
+      val m = slopes.length
+      val med = if (m % 2 == 1) slopes(m / 2)
+                else (slopes(m / 2 - 1) + slopes(m / 2)) / 2.0
+      assert(math.abs(out(t) - med) < 1e-12, s"$t: ${out(t)} vs $med")
     }
   }
 

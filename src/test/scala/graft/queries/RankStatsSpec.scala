@@ -90,8 +90,35 @@ class RankStatsSpec extends SparkSpec {
     assert(row.getAs[Long]("ties_b") === tiesB)
     val n = users.length.toLong; val n0 = n * (n - 1) / 2
     val tau = (conc - disc).toDouble /
-      math.sqrt(((n0 - tiesA) * (n0 - tiesB)).toDouble)
+      (math.sqrt((n0 - tiesA).toDouble) * math.sqrt((n0 - tiesB).toDouble))
     assert(math.abs(row.getAs[Double]("tau_b") - tau) < 1e-12)
+  }
+
+  test("q175: grid KS equals the direct pooled-ECDF supremum") {
+    val rows = Quality.q175KsDrift(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getAs[Double]("ks")))
+      .toMap
+    val byLang = Tables.documents(spark, sfDir)
+      .select(col("lang"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (l, a) => l -> a.map(_._2).sorted }
+    val ref = byLang("en")
+    for ((lang, xs) <- byLang if lang != "en") {
+      val pooled = (xs ++ ref).distinct.sorted
+      var best = 0L
+      for (v <- pooled) {
+        val cumL = xs.count(_ <= v).toLong
+        val cumR = ref.count(_ <= v).toLong
+        val d = math.abs(cumL * ref.length - cumR * xs.length)
+        if (d > best) best = d
+      }
+      val (nL, nR, ksNum, ks) = rows(lang)
+      assert(nL === xs.length.toLong && nR === ref.length.toLong)
+      assert(ksNum === best, s"$lang: ks_num $ksNum vs brute $best")
+      assert(math.abs(ks - best.toDouble / (nL.toDouble * nR.toDouble))
+        < 1e-12)
+    }
   }
 
   test("q172: funnel Gini equals the sorted-rank formula") {
