@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.Similarity
+import graft.operators.{Pca, Similarity}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -259,7 +259,76 @@ object SimilarityOps {
       .limit(20)
   }
 
+  /** Embedding dimension of the fixtures (TESTDATA.md). */
+  private val Dim = 64
+
+  /** Power-iteration rounds for q188/q189 — at the fixtures' nearly
+    * isotropic spectrum (λ₁/λ₂ ≈ 1.01–1.07) this reaches a Rayleigh
+    * quotient ≥ ~0.98·λ₁ at every SF (PcaSpec pins it vs a Jacobi
+    * eigensolve); the iteration itself is exactly replayed by the
+    * oracle, so correctness never depends on convergence. */
+  private val PowerIters = 120
+
+  /** Exact second-moment cells of the quantized embedding matrix:
+    * one row per upper-triangle dimension pair (d_i ≤ d_j) with
+    * (n, s_i, s_j, s_ij) — the sufficient statistics for covariance,
+    * whitening, and the PCA solve, all BIGINT-exact. Scale: the only
+    * shuffle is bounded by partitions × d² (map-side combine over
+    * the generator output), independent of corpus size. */
+  def q187EmbeddingCov(s: SparkSession, dir: String): DataFrame =
+    Pca.momentCells(quantized(s, dir).select(col("query_vec")),
+        "query_vec", Dim)
+      .orderBy("d_i", "d_j")
+
+  private def topDirection(s: SparkSession, dir: String): Array[Long] = {
+    val cells = Pca.momentCells(quantized(s, dir).select(col("query_vec")),
+        "query_vec", Dim)
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    Pca.fixedPointTopDirection(cells, Dim, PowerIters)
+  }
+
+  /** Dominant principal direction by FIXED-POINT integer power
+    * iteration (Pca.fixedPointTopDirection). Like the IVF codebook
+    * and k-means centroids, this is eager model fitting at build
+    * time: the data-sized moment pass is distributed (q187's plan);
+    * the d×d solve collects d(d+1)/2 cells — a size set by the
+    * embedding width, not the corpus — and loops on the driver. The
+    * oracle replays the identical integer recurrence as an unrolled
+    * CTE chain, so the vector is bit-exact cross-engine. */
+  def q188PcaPower(s: SparkSession, dir: String): DataFrame = {
+    val v = topDirection(s, dir)
+    import s.implicits._
+    v.zipWithIndex.map { case (x, d) => (d.toLong, x) }.toSeq
+      .toDF("dim", "v_fp")
+      .orderBy("dim")
+  }
+
+  /** Projection of every embedding onto q188's principal direction —
+    * the 1-d PCA score a curation pipeline uses for spread/outlier
+    * work. score_fp = Σ qᵢ·vᵢ is an exact integer dot against the
+    * broadcast direction literal (scan-speed, no shuffle at all
+    * before the output sort); `score` normalizes by ‖v‖ in one
+    * double expression written identically in both engines. */
+  def q189PcaProject(s: SparkSession, dir: String): DataFrame = {
+    val v = topDirection(s, dir)
+    val n2 = v.map(x => x * x).sum
+    require(n2 > 0L, "degenerate PCA direction (all-zero)")
+    val vlit = array(v.map(lit): _*)
+    quantized(s, dir)
+      .select(col("vec_id"), col("label"),
+        Similarity.dotQ(col("query_vec"), vlit).as("score_fp"))
+      .withColumn("score",
+        (col("score_fp").cast("double") /
+          sqrt(lit(n2).cast("double"))).cast("double"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q187_embedding_cov" -> q187EmbeddingCov _,
+    "q188_pca_power" -> q188PcaPower _,
+    "q189_pca_project" -> q189PcaProject _,
     "q185_density_outliers" -> q185DensityOutliers _,
     "q183_label_outliers" -> q183LabelOutliers _,
     "q184_embedding_diversity" -> q184EmbeddingDiversity _,
@@ -279,6 +348,43 @@ object SimilarityOps {
   private val qv =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS DOUBLE))"
 
+  /** BIGINT variant of the quantizer for the exact-integer PCA path. */
+  private val qvBig =
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+
+  /** Shared WITH-body for the PCA oracles: quantized vectors →
+    * integer moments → scaled centered covariance → LCG start →
+    * PowerIters unrolled (matvec, renormalize) levels replaying
+    * Pca.fixedPointTopDirection verbatim. Every per-level CTE is
+    * MATERIALIZED: wK is referenced twice (value + max), and
+    * inlining the chain goes exponential without it. DuckDB `//` on
+    * the ABS-decomposed values is the same truncating division the
+    * Scala loop uses, so the integer sequences are identical. */
+  private def pcaPowerCtes: String = {
+    val chain = (1 to PowerIters).map { k =>
+      val prev = if (k == 1) "v0" else s"v${k - 1}"
+      s"""w$k AS MATERIALIZED (SELECT cb.di AS d, CAST(SUM(cb.c * pv.v) AS BIGINT) AS w
+         |  FROM cb JOIN $prev pv ON pv.d = cb.dj GROUP BY 1),
+         |v$k AS MATERIALIZED (SELECT d, CASE WHEN w >= 0 THEN ABS(w) // dv ELSE -(ABS(w) // dv) END AS v
+         |  FROM (SELECT d, w, GREATEST(MAX(ABS(w)) OVER (), 1) // 1000000 + 1 AS dv FROM w$k))""".stripMargin
+    }.mkString(",\n")
+    s"""q AS MATERIALIZED (SELECT vec_id, label, $qvBig AS v FROM embeddings),
+       |m AS MATERIALIZED (SELECT dd.d AS d, CAST(SUM(v[dd.d + 1]) AS BIGINT) AS s, COUNT(*) AS n
+       |  FROM q, range(0, 64) dd(d) GROUP BY 1),
+       |cells AS MATERIALIZED (
+       |  SELECT ii.i AS di, jj.j AS dj, CAST(SUM(v[ii.i + 1] * v[jj.j + 1]) AS BIGINT) AS sij
+       |  FROM q, range(0, 64) ii(i), range(0, 64) jj(j) GROUP BY 1, 2),
+       |cov AS MATERIALIZED (SELECT di, dj, CAST(mi.n * c.sij - mi.s * mj.s AS BIGINT) AS cv
+       |  FROM cells c JOIN m mi ON mi.d = c.di JOIN m mj ON mj.d = c.dj),
+       |cb AS MATERIALIZED (SELECT di, dj, CASE WHEN cv >= 0
+       |    THEN ABS(cv) // ((SELECT MAX(ABS(cv)) FROM cov) // 1000000 + 1)
+       |    ELSE -(ABS(cv) // ((SELECT MAX(ABS(cv)) FROM cov) // 1000000 + 1))
+       |  END AS c FROM cov),
+       |v0 AS (SELECT dd.d AS d, CAST((1103515245 * dd.d + 12345) % 2000001 - 1000000 AS BIGINT) AS v
+       |  FROM range(0, 64) dd(d)),
+       |$chain""".stripMargin
+  }
+
   /** The 32×64 ±1 SRP hyperplane matrix is generated from a fixed
     * seed, so it is a compile-time-known constant — embed it verbatim
     * as a VALUES literal and the oracle replays the exact bucketing:
@@ -290,6 +396,33 @@ object SimilarityOps {
       .mkString(",\n  ")
 
   val oracles: Map[String, String] = Map(
+    "q187_embedding_cov" ->
+      s"""WITH q AS MATERIALIZED (SELECT $qvBig AS v FROM embeddings),
+         |m AS MATERIALIZED (SELECT dd.d AS d, CAST(SUM(v[dd.d + 1]) AS BIGINT) AS s, COUNT(*) AS n
+         |  FROM q, range(0, 64) dd(d) GROUP BY 1),
+         |cells AS MATERIALIZED (
+         |  SELECT ii.i AS d_i, jj.j AS d_j, CAST(SUM(v[ii.i + 1] * v[jj.j + 1]) AS BIGINT) AS s_ij
+         |  FROM q, range(0, 64) ii(i), range(0, 64) jj(j)
+         |  WHERE jj.j >= ii.i GROUP BY 1, 2)
+         |SELECT c.d_i, c.d_j, mi.n AS n, mi.s AS s_i, mj.s AS s_j, c.s_ij
+         |FROM cells c JOIN m mi ON mi.d = c.d_i JOIN m mj ON mj.d = c.d_j
+         |ORDER BY d_i, d_j""".stripMargin,
+    "q188_pca_power" ->
+      s"""WITH $pcaPowerCtes
+         |SELECT CAST(d AS BIGINT) AS dim, v AS v_fp
+         |FROM v$PowerIters ORDER BY dim""".stripMargin,
+    "q189_pca_project" ->
+      s"""WITH $pcaPowerCtes,
+         |proj AS (
+         |  SELECT q.vec_id, q.label,
+         |    CAST(SUM(q.v[t.d + 1] * vec.v) AS BIGINT) AS score_fp
+         |  FROM q, range(0, 64) t(d) JOIN v$PowerIters vec ON vec.d = t.d
+         |  GROUP BY 1, 2),
+         |nrm AS (SELECT CAST(SUM(v * v) AS BIGINT) AS n2 FROM v$PowerIters)
+         |SELECT vec_id, label, score_fp,
+         |  CAST(CAST(score_fp AS DOUBLE)
+         |    / sqrt(CAST((SELECT n2 FROM nrm) AS DOUBLE)) AS DOUBLE) AS score
+         |FROM proj ORDER BY vec_id""".stripMargin,
     "q185_density_outliers" ->
       s"""WITH planes(p, s) AS (VALUES
          |  $planesValues),
