@@ -371,6 +371,21 @@ object Quality {
     * contributions are rounded to 6 dp and summed as DECIMAL so the
     * χ² total is order-independent and bit-identical cross-engine. */
   def q137ChiSquare(s: SparkSession, dir: String): DataFrame = {
+    val scored = chi2Contrib(s, dir)
+    scored
+      .crossJoin(scored.agg(sum(col("contrib")).as("chi2_sum")))
+      .select(col("lang"), col("source"), col("observed"),
+        col("expected"), col("contrib").cast("double").as("cell_chi2"),
+        col("chi2_sum").cast("double").as("chi2_total"),
+        ((col("n_langs") - 1) * (col("n_sources") - 1)).as("dof"))
+      .orderBy("lang", "source")
+  }
+
+  /** q137's χ² cell-contribution frame: contingency counts, marginal
+    * windows over the alphabet-bounded aggregate, expected counts,
+    * and the 6-dp DECIMAL cell contributions (observed cells only —
+    * q191 carries the grid-complete textbook sum). */
+  private def chi2Contrib(s: SparkSession, dir: String): DataFrame = {
     val cells = Tables.documents(s, dir)
       .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("observed"))
     val wl = Window.partitionBy("lang")
@@ -382,7 +397,7 @@ object Quality {
       sum(col("observed")).as("n_total"),
       countDistinct(col("lang")).as("n_langs"),
       countDistinct(col("source")).as("n_sources"))
-    val scored = marg.crossJoin(tot)
+    marg.crossJoin(tot)
       .withColumn("expected",
         (col("row_total") * col("col_total")).cast("double") /
           col("n_total").cast("double"))
@@ -390,13 +405,84 @@ object Quality {
         round((col("observed").cast("double") - col("expected")) *
           (col("observed").cast("double") - col("expected")) / col("expected"), 6)
           .cast(DecimalType(18, 6)))
-    scored
-      .crossJoin(scored.agg(sum(col("contrib")).as("chi2_sum")))
-      .select(col("lang"), col("source"), col("observed"),
-        col("expected"), col("contrib").cast("double").as("cell_chi2"),
-        col("chi2_sum").cast("double").as("chi2_total"),
-        ((col("n_langs") - 1) * (col("n_sources") - 1)).as("dof"))
-      .orderBy("lang", "source")
+  }
+
+  /** Cramér's V — the NORMALIZED effect size on top of χ² (χ² grows
+    * with n even for a fixed association; V = √(χ² / (n·min(r−1,
+    * c−1))) ∈ [0,1] is the number a drift dashboard can threshold
+    * without knowing the corpus size). Unlike q137 — a per-OBSERVED-
+    * cell monitor — the textbook statistic needs the FULL r×c grid:
+    * an unobserved cell contributes its whole expected count
+    * ((0−e)²/e = e), and dropping those understates χ² on sparse
+    * tables. The grid is the cross of the two marginal aggregates
+    * (alphabet-bounded, q190's idiom) left-joined with observed
+    * cells; contributions follow the 6-dp DECIMAL discipline, then
+    * one final sqrt. */
+  def q191CramersV(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(s, dir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("observed"))
+    val byLang = cells.groupBy("lang").agg(sum(col("observed")).as("row_total"))
+    val bySource = cells.groupBy("source").agg(sum(col("observed")).as("col_total"))
+    val tot = cells.agg(sum(col("observed")).as("n_total"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"))
+    byLang.crossJoin(bySource).crossJoin(tot)
+      .join(cells, Seq("lang", "source"), "left")
+      .withColumn("o", coalesce(col("observed"), lit(0L)))
+      .withColumn("expected",
+        (col("row_total") * col("col_total")).cast("double") /
+          col("n_total").cast("double"))
+      .withColumn("contrib",
+        round((col("o").cast("double") - col("expected")) *
+          (col("o").cast("double") - col("expected")) / col("expected"), 6)
+          .cast(DecimalType(18, 6)))
+      .agg(sum(col("contrib")).as("chi2_dec"),
+        max(col("n_total")).as("n_total"),
+        max(col("n_langs")).as("n_langs"),
+        max(col("n_sources")).as("n_sources"))
+      .select(col("chi2_dec").cast("double").as("chi2_total"),
+        col("n_total"),
+        least(col("n_langs") - 1, col("n_sources") - 1).as("dof_min"),
+        sqrt(col("chi2_dec").cast("double") /
+          (col("n_total") * least(col("n_langs") - 1, col("n_sources") - 1))
+            .cast("double")).as("cramers_v"))
+  }
+
+  /** Jensen–Shannon divergence of each source's language mix from
+    * the corpus-wide mix — the bounded, symmetric drift metric
+    * (0 ≤ JSD ≤ ln 2) a crawl-mixture monitor publishes per source;
+    * unlike KL it never blows up on a language a source lacks.
+    * Distribution support is the |sources|·|langs| grid (alphabet-
+    * bounded, q137's argument), built by cross-joining the two
+    * marginal aggregates and left-joining observed cells so absent
+    * (source, lang) pairs contribute their q·ln2 mass. Each ½-term
+    * follows the q160 log discipline — 6-dp-rounded ln, product,
+    * exact /2, 6-dp round, DECIMAL(18,6) sum — so the per-source
+    * total is order-independent and bit-identical cross-engine. */
+  def q190SourceDivergence(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(s, dir)
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c_sl"))
+    val bySource = cells.groupBy("source").agg(sum(col("c_sl")).as("n_s"))
+    val byLang = cells.groupBy("lang").agg(sum(col("c_sl")).as("c_l"))
+    val tot = cells.agg(sum(col("c_sl")).as("n_tot"))
+    val grid = bySource.crossJoin(byLang).crossJoin(tot)
+      .join(cells, Seq("source", "lang"), "left")
+      .withColumn("c_sl", coalesce(col("c_sl"), lit(0L)))
+      .withColumn("p", col("c_sl").cast("double") / col("n_s").cast("double"))
+      .withColumn("q", col("c_l").cast("double") / col("n_tot").cast("double"))
+      .withColumn("m", (col("p") + col("q")) / lit(2.0))
+    grid
+      .withColumn("t_p",
+        when(col("c_sl") > 0,
+          round(col("p") * round(log(col("p") / col("m")), 6) / lit(2.0), 6))
+          .otherwise(lit(0.0)).cast(DecimalType(18, 6)))
+      .withColumn("t_q",
+        round(col("q") * round(log(col("q") / col("m")), 6) / lit(2.0), 6)
+          .cast(DecimalType(18, 6)))
+      .groupBy("source")
+      .agg(max(col("n_s")).as("n_docs"),
+        sum(col("t_p") + col("t_q")).cast("double").as("jsd_nats"))
+      .orderBy("source")
   }
 
   /** Equi-depth (equal-count) histogram — the binning CBO statistics
@@ -1086,6 +1172,8 @@ object Quality {
     "q178_spearman" -> q178Spearman _,
     "q177_isotonic" -> q177Isotonic _,
     "q175_ks_drift" -> q175KsDrift _,
+    "q190_source_divergence" -> q190SourceDivergence _,
+    "q191_cramers_v" -> q191CramersV _,
     "q171_auc" -> q171Auc _,
     "q172_gini" -> q172Gini _,
     "q148_cusum" -> q148Cusum _,
@@ -1593,6 +1681,74 @@ object Quality {
         |FROM v, cuts c
         |GROUP BY 1, c.p25, c.p50, c.p75
         |ORDER BY bucket""".stripMargin,
+    "q191_cramers_v" ->
+      """WITH cells AS (
+        |  SELECT lang, source, COUNT(*) AS observed
+        |  FROM documents GROUP BY 1, 2),
+        |bl AS (SELECT lang, CAST(SUM(observed) AS BIGINT) AS row_total
+        |  FROM cells GROUP BY 1),
+        |bs AS (SELECT source, CAST(SUM(observed) AS BIGINT) AS col_total
+        |  FROM cells GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(observed) AS BIGINT) AS n_total,
+        |    COUNT(DISTINCT lang) AS n_langs,
+        |    COUNT(DISTINCT source) AS n_sources
+        |  FROM cells),
+        |grid AS (
+        |  SELECT bl.lang, bs.source, bl.row_total, bs.col_total,
+        |    t.n_total, t.n_langs, t.n_sources,
+        |    COALESCE(c.observed, 0) AS o
+        |  FROM bl CROSS JOIN bs CROSS JOIN tot t
+        |  LEFT JOIN cells c ON c.lang = bl.lang AND c.source = bs.source),
+        |c2 AS (
+        |  SELECT n_total, n_langs, n_sources,
+        |    CAST(round((CAST(o AS DOUBLE)
+        |        - CAST(row_total * col_total AS DOUBLE) / CAST(n_total AS DOUBLE))
+        |      * (CAST(o AS DOUBLE)
+        |        - CAST(row_total * col_total AS DOUBLE) / CAST(n_total AS DOUBLE))
+        |      / (CAST(row_total * col_total AS DOUBLE) / CAST(n_total AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6)) AS contrib
+        |  FROM grid),
+        |agg AS (
+        |  SELECT SUM(contrib) AS chi2_dec,
+        |    CAST(MAX(n_total) AS BIGINT) AS n_total,
+        |    CAST(MAX(n_langs) AS BIGINT) AS n_langs,
+        |    CAST(MAX(n_sources) AS BIGINT) AS n_sources
+        |  FROM c2)
+        |SELECT CAST(chi2_dec AS DOUBLE) AS chi2_total, n_total,
+        |  CAST(LEAST(n_langs - 1, n_sources - 1) AS BIGINT) AS dof_min,
+        |  CAST(sqrt(CAST(chi2_dec AS DOUBLE)
+        |    / CAST(n_total * LEAST(n_langs - 1, n_sources - 1) AS DOUBLE)) AS DOUBLE)
+        |    AS cramers_v
+        |FROM agg""".stripMargin,
+    "q190_source_divergence" ->
+      """WITH cells AS (
+        |  SELECT source, lang, COUNT(*) AS c_sl
+        |  FROM documents GROUP BY 1, 2),
+        |bs AS (SELECT source, CAST(SUM(c_sl) AS BIGINT) AS n_s FROM cells GROUP BY 1),
+        |bl AS (SELECT lang, CAST(SUM(c_sl) AS BIGINT) AS c_l FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c_sl) AS BIGINT) AS n_tot FROM cells),
+        |grid AS (
+        |  SELECT bs.source, bl.lang, bs.n_s, bl.c_l, t.n_tot,
+        |    COALESCE(c.c_sl, 0) AS c_sl
+        |  FROM bs CROSS JOIN bl CROSS JOIN tot t
+        |  LEFT JOIN cells c ON c.source = bs.source AND c.lang = bl.lang),
+        |pq AS (
+        |  SELECT source, n_s, c_sl,
+        |    CAST(c_sl AS DOUBLE) / CAST(n_s AS DOUBLE) AS p,
+        |    CAST(c_l AS DOUBLE) / CAST(n_tot AS DOUBLE) AS q
+        |  FROM grid),
+        |terms AS (
+        |  SELECT source, n_s,
+        |    CAST(CASE WHEN c_sl > 0
+        |      THEN round(p * round(ln(p / ((p + q) / 2)), 6) / 2, 6)
+        |      ELSE 0 END AS DECIMAL(18,6)) AS t_p,
+        |    CAST(round(q * round(ln(q / ((p + q) / 2)), 6) / 2, 6)
+        |      AS DECIMAL(18,6)) AS t_q
+        |  FROM pq)
+        |SELECT source, MAX(n_s) AS n_docs,
+        |  CAST(SUM(t_p + t_q) AS DOUBLE) AS jsd_nats
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin,
     "q137_chi_square" ->
       """WITH cells AS (
         |  SELECT lang, source, COUNT(*) AS observed

@@ -68,6 +68,11 @@ class PlanHygieneSpec extends SparkSpec {
     // aggregate: the 1-row totals cross and the chi2-sum cross both
     // run post-aggregation (q07's idiom); marginal windows are keyed
     "q137_chi_square" -> "totals crosses over the bounded cell aggregate",
+    // same contingency pass collapsed to one summary row
+    "q191_cramers_v" -> "totals crosses over the bounded cell aggregate",
+    // |sources|×|langs| support grid from the two marginal aggregates
+    // plus the 1-row total cross — all post-aggregation, q137's idiom
+    "q190_source_divergence" -> "marginal-grid crosses (bounded alphabets)",
     // 1-row total cross over the 9-digit aggregate (q07 idiom)
     "q145_benford" -> "1-row total cross over the 9-digit aggregate",
     // 64-register summary crossed with the 1-row exact count (q07
