@@ -116,12 +116,25 @@ object Bench {
     }.mkString("{", ",", "}")
     // failed queries (sentinel -1.0) stay out of the total
     val total = results.map(_._2).filter(_ >= 0).sum
+    val failed = results.count(_._2 < 0)
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
+    // The per-query line has outgrown the driver's tail capture (191
+    // entries truncated BENCH_r04 beyond recovery), so print it first
+    // for the record, then a SHORT summary line LAST — the driver
+    // parses the last line it captures, and this one always fits.
+    val summary =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"nqueries":${results.length},"failed":$failed,"sf":"$sfDir"}"""
+    // Full per-query detail also lands in a repo file (overwritten per
+    // run) so truncated stdout can never lose the per-query record.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"), line + "\n")
+    catch { case t: Throwable => System.err.println(s"[bench] detail write failed: $t") }
     // stop FIRST so no Spark shutdown logging can trail the metric
-    // line on stdout; the driver parses the last line it captures.
+    // lines on stdout; the driver parses the last line it captures.
     try spark.stop() catch { case _: Throwable => () }
     println(line)
+    println(summary)
     System.out.flush()
   }
 }

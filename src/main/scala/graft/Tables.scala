@@ -27,17 +27,24 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
 
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark 4
-    * only reads via spark.sql.legacy.parquet.nanosAsLong=true (set in
-    * Verify/Bench sessions). Normalize to a µs TimestampType here with
-    * integer DIV (ns epochs ~1.7e18 exceed double's 2^53 mantissa, so
-    * float division would corrupt timestamps).
+  /** events.parquet has shipped `ts` under several encodings across
+    * testdata regenerations; normalize them all to a µs TimestampType
+    * in this one place so every downstream query can assume it:
+    *  - TIMESTAMP(NANOS) → LongType under
+    *    spark.sql.legacy.parquet.nanosAsLong=true (set in Verify/Bench
+    *    sessions); integer DIV, because ns epochs ~1.7e18 exceed
+    *    double's 2^53 mantissa and float division would corrupt them.
+    *  - µs TIMESTAMP with isAdjustedToUTC=false → TimestampNTZType;
+    *    the session TZ is pinned to UTC, so a cast to TimestampType is
+    *    value-exact and `unix_micros` matches DuckDB's epoch_us.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

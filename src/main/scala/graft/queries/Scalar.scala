@@ -99,6 +99,67 @@ object Scalar {
       .orderBy("customer_id")
   }
 
+  /** F15: fixed-runTs lineage stamps + relative filters (reference
+    * silver_calls.sql:109, dim_customers.sql:91 use CURRENT_TIMESTAMP;
+    * the deterministic equivalent injects a fixed run timestamp, which
+    * is what makes the stamp oracle-checkable). The relative predicate
+    * (runTs - 730 days) mirrors the reference's incremental-lookback
+    * filters and stays sargable — Catalyst folds the literal interval
+    * so the comparison pushes into the parquet scan.
+    */
+  def q192RunStamp(s: SparkSession, dir: String): DataFrame = {
+    val runTs = lit("2000-03-15 00:00:00").cast("timestamp")
+    Tables.orders(s, dir)
+      .where(col("o_orderdate") >= runTs - expr("INTERVAL 730 DAYS") &&
+        col("o_orderdate") < runTs)
+      .select(
+        col("o_orderkey").as("order_id"),
+        runTs.as("run_ts"),
+        datediff(to_date(runTs), to_date(col("o_orderdate"))).as("age_days"))
+      .withColumn("is_recent", col("age_days") <= 90)
+      .orderBy("order_id")
+  }
+
+  /** F22: ISO-8601 timestamp parsing incl. `Z` → `+00:00` handling
+    * (reference fraud_detection.py:119,231-234 parses both forms).
+    * Round-trips events.ts through both suffix variants and proves
+    * they land on the identical instant; session TZ is UTC so the
+    * epoch comparison is exact.
+    */
+  def q193IsoParse(s: SparkSession, dir: String): DataFrame = {
+    val sec = date_trunc("second", col("ts"))
+    val iso = date_format(sec, "yyyy-MM-dd'T'HH:mm:ss")
+    Tables.events(s, dir)
+      .select(
+        col("event_id"),
+        unix_micros(to_timestamp(concat(iso, lit("Z")))).as("epoch_z"),
+        unix_micros(to_timestamp(concat(iso, lit("+00:00")))).as("epoch_offset"),
+        (unix_micros(to_timestamp(concat(iso, lit("Z")))) === unix_micros(sec))
+          .as("roundtrip_ok"))
+      .orderBy("event_id")
+  }
+
+  /** F24: strftime-format validity gate with `mostly` tolerance
+    * (reference great_expectations_suite.py:78-82 checks
+    * `%Y-%m-%dT%H:%M:%S` at mostly=0.99). A deterministic 1/97 slice
+    * of rows is corrupted (T→space) so the rate genuinely sits between
+    * the 0.99 gate and 1.0; `try_to_timestamp` mirrors DuckDB's
+    * try_strptime null-on-malformed semantics (plain `to_timestamp`
+    * would THROW under ANSI mode, which is on by default in Spark 4).
+    */
+  def q194FormatValidity(s: SparkSession, dir: String): DataFrame = {
+    val iso = date_format(date_trunc("second", col("ts")), "yyyy-MM-dd'T'HH:mm:ss")
+    val candidate = when(col("event_id") % 97 === 0, translate(iso, "T", " "))
+      .otherwise(iso)
+    val valid = try_to_timestamp(candidate, lit("yyyy-MM-dd'T'HH:mm:ss")).isNotNull
+    Tables.events(s, dir)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(valid.cast("long")).as("n_valid"),
+        avg(valid.cast("double")).as("valid_rate"),
+        (avg(valid.cast("double")) >= 0.99).as("gate_mostly_99"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q14_surrogate_key" -> q14SurrogateKey _,
     "q15_masking" -> q15Masking _,
@@ -106,6 +167,9 @@ object Scalar {
     "q27_regex_rates" -> q27RegexRates _,
     "q29_split_part" -> q29SplitPart _,
     "q30_haversine" -> q30Haversine _,
+    "q192_run_stamp" -> q192RunStamp _,
+    "q193_iso_parse" -> q193IsoParse _,
+    "q194_format_validity" -> q194FormatValidity _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -167,5 +231,38 @@ object Scalar {
         |    cos(radians(lat1)) * cos(radians(lat2)) *
         |    pow(sin(radians(lon2 - lon1) / 2), 2))), 4) >= 500.0 AS is_impossible_travel
         |FROM coords ORDER BY customer_id""".stripMargin,
+    "q192_run_stamp" ->
+      """SELECT o_orderkey AS order_id,
+        |  TIMESTAMP '2000-03-15 00:00:00' AS run_ts,
+        |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2000-03-15') AS INTEGER) AS age_days,
+        |  datediff('day', CAST(o_orderdate AS DATE), DATE '2000-03-15') <= 90 AS is_recent
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '2000-03-15 00:00:00' - INTERVAL 730 DAY
+        |  AND o_orderdate < TIMESTAMP '2000-03-15 00:00:00'
+        |ORDER BY order_id""".stripMargin,
+    "q193_iso_parse" ->
+      """WITH s AS (
+        |  SELECT event_id, date_trunc('second', ts) AS sec,
+        |    strftime(date_trunc('second', ts), '%Y-%m-%dT%H:%M:%S') AS iso
+        |  FROM events)
+        |SELECT event_id,
+        |  epoch_us(CAST(iso || 'Z' AS TIMESTAMPTZ)) AS epoch_z,
+        |  epoch_us(CAST(iso || '+00:00' AS TIMESTAMPTZ)) AS epoch_offset,
+        |  epoch_us(CAST(iso || 'Z' AS TIMESTAMPTZ)) = epoch_us(sec) AS roundtrip_ok
+        |FROM s ORDER BY event_id""".stripMargin,
+    "q194_format_validity" ->
+      """WITH s AS (
+        |  SELECT CASE WHEN event_id % 97 = 0
+        |      THEN replace(strftime(date_trunc('second', ts), '%Y-%m-%dT%H:%M:%S'), 'T', ' ')
+        |      ELSE strftime(date_trunc('second', ts), '%Y-%m-%dT%H:%M:%S') END AS cand
+        |  FROM events)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN try_strptime(cand, '%Y-%m-%dT%H:%M:%S') IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+        |  CAST(SUM(CASE WHEN try_strptime(cand, '%Y-%m-%dT%H:%M:%S') IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS valid_rate,
+        |  CAST(SUM(CASE WHEN try_strptime(cand, '%Y-%m-%dT%H:%M:%S') IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) >= 0.99 AS gate_mostly_99
+        |FROM s""".stripMargin,
   )
 }
