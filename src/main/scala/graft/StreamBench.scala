@@ -1,0 +1,87 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.FraudDetection
+import graft.streaming.FraudDetection.CallPing
+
+/** Streaming latency micro-bench for the fraud-detection path
+  * (SURVEY.md ST1-ST3/J9; reference fraud_detection.py claims
+  * "alerts within seconds" — README.md:304). Measures END-TO-END
+  * micro-batch latency: wall time from data arrival (addData) to the
+  * alert landing in the sink (processAllAvailable), which covers
+  * source admission, the keyed-state shuffle, flatMapGroupsWithState
+  * evaluation, state-store commit, and sink write.
+  *
+  * MemoryStream isolates engine latency from broker latency — the
+  * number this reports is the floor a Kafka deployment adds its
+  * produce/fetch RTT on top of. Batches carry a mixed workload
+  * (travel pairs + velocity bursts across many customers) so the
+  * state path, not an empty plan, is what's timed.
+  *
+  * Prints one JSON line: p50/p95/max micro-batch latency + sustained
+  * events/sec, then exits.
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val batches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "50").toInt
+    val custs = 50
+    val eventsPerCustPerBatch = 4 // 200 events/batch
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val mem = MemoryStream[CallPing]
+    val q = FraudDetection.detectStream(mem.toDS())
+      .writeStream.format("memory").queryName("latency_alerts")
+      .outputMode("append").start()
+
+    val t0 = 1704067200000L
+    def batch(b: Int): Seq[CallPing] =
+      (0 until custs).flatMap { c =>
+        (0 until eventsPerCustPerBatch).map { i =>
+          val seq = b * eventsPerCustPerBatch + i
+          // drift coordinates so some pairs trip the travel rule and
+          // the per-customer recent-call list stays populated
+          CallPing(s"C$c", f"e$b%04d$c%03d$i%d",
+            new Timestamp(t0 + (b * 60L + i * 10L) * 1000),
+            lat = (c * 7 + seq * 3) % 170 - 85.0,
+            lon = (c * 13 + seq * 11) % 350 - 175.0,
+            tower_id = s"T${c % 10}")
+        }
+      }
+
+    // warm-up: codegen + state-store init outside the timed window
+    (0 until 5).foreach { b => mem.addData(batch(b)); q.processAllAvailable() }
+
+    val lat = (5 until 5 + batches).map { b =>
+      val data = batch(b)
+      val t = System.nanoTime()
+      mem.addData(data)
+      q.processAllAvailable()
+      (System.nanoTime() - t) / 1e9
+    }.sorted
+    val alerts = spark.table("latency_alerts").count()
+    q.stop()
+
+    def pct(p: Double) = lat(math.min(lat.size - 1, (p * lat.size).toInt))
+    val evPerBatch = custs * eventsPerCustPerBatch
+    val throughput = evPerBatch * batches / lat.sum
+    def fmt(v: Double) = "%.4f".formatLocal(java.util.Locale.ROOT, v)
+    val line =
+      s"""{"metric":"stream_latency","unit":"sec","batches":$batches,"events_per_batch":$evPerBatch,""" +
+      s""""p50":${fmt(pct(0.50))},"p95":${fmt(pct(0.95))},"max":${fmt(lat.last)},""" +
+      s""""events_per_sec":${fmt(throughput)},"alerts":$alerts}"""
+    try spark.stop() catch { case _: Throwable => () }
+    println(line)
+    System.out.flush()
+  }
+}
