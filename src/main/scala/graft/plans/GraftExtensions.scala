@@ -77,6 +77,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BloomFilterAgg(children.head, items, fpp)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_cms"),
+      new ExpressionInfo(classOf[CmsSketchAgg].getName, "graft_cms"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"graft_cms requires (md5_hex, depth literal, width literal), got ${children.length} args")
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        def intLit(e: Expression, what: String): Int = e match {
+          case Literal(v: Int, _) => v
+          case Literal(v: Long, _) =>
+            require(v >= 1 && v <= Int.MaxValue, s"graft_cms $what must fit a positive Int, got $v")
+            v.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_cms $what must be an integer literal, got $other")
+        }
+        CmsSketchAgg(children.head, intLit(children(1), "depth"), intLit(children(2), "width"))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_might_contain"),
       new ExpressionInfo(classOf[BloomMightContain].getName, "graft_might_contain"),
       (children: Seq[Expression]) => {

@@ -509,7 +509,52 @@ object ScaleOps {
       .orderBy("event_type", "event_date")
   }
 
+  /** Count-Min sketch probe counts (plans.CmsSketchAgg): one bounded
+    * 4×512 counter grid per source — elementwise-mergeable, so the
+    * shuffle carries 16 KiB per source per task, never the token
+    * stream — then point estimates for a literal probe list via
+    * min-over-rows lookups whose flat indices FOLD INTO THE PLAN as
+    * constants (probes are literals; no second scan, no join against
+    * the sketch). The exact recount joins in only the probe tokens'
+    * counts (isin-pruned scan) to exhibit the CMS one-sided
+    * guarantee: est >= exact always, over by at most the colliding
+    * mass. Unlike MG (q113), the whole grid is merge-order
+    * DETERMINISTIC, so the oracle rebuilds it cell by cell.
+    */
+  def q195CmsCounts(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.CmsSketchAgg
+    val depth = 4
+    val width = 512
+    val probes = Seq("join", "hash", "scan", "filter", "merge", "column",
+      "spark", "zzz_absent")
+    val toks = Tables.documents(s, dir)
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .where(col("tok") =!= "")
+    val sketches = toks.groupBy("source")
+      .agg(expr(s"graft_cms(md5(tok), $depth, $width)").as("cms"))
+    val probeStructs = probes.map { p =>
+      val h = CmsSketchAgg.md5Hex(p)
+      // element_at is 1-based; row-major flat index i*width + bucket
+      val cells = (0 until depth).map(i =>
+        element_at(col("cms"), i * width + CmsSketchAgg.bucket(h, i, width) + 1))
+      struct(lit(p).as("tok"), least(cells: _*).as("cms_est"))
+    }
+    val ests = sketches
+      .select(col("source"), explode(array(probeStructs: _*)).as("pe"))
+      .select(col("source"), col("pe.tok").as("tok"), col("pe.cms_est").as("cms_est"))
+    val exact = toks.where(col("tok").isin(probes: _*))
+      .groupBy("source", "tok").agg(count(lit(1)).as("exact_count"))
+    ests.join(exact, Seq("source", "tok"), "left")
+      .select(col("source"), col("tok"),
+        coalesce(col("exact_count"), lit(0L)).as("exact_count"),
+        col("cms_est"),
+        (col("cms_est") >= coalesce(col("exact_count"), lit(0L)))
+          .as("never_underestimates"))
+      .orderBy("source", "tok")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q195_cms_counts" -> q195CmsCounts _,
     "q97_semantic_dedup" -> q97SemanticDedup _,
     "q123_incremental_rollup" -> q123IncrementalRollup _,
     "q113_heavy_hitters" -> q113HeavyHitters _,
@@ -554,6 +599,41 @@ object ScaleOps {
   private def qualitySql = Extended.qualitySql
 
   val oracles: Map[String, String] = Map(
+    "q195_cms_counts" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(regexp_split_to_array(lower(trim(text)), ' +')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT source, tok, md5(tok) AS h FROM toks WHERE tok <> ''),
+        |rows_i AS (SELECT * FROM (VALUES (0),(1),(2),(3)) r(i)),
+        |cells AS (
+        |  SELECT source, r.i,
+        |    CAST('0x' || substr(h, 1 + r.i * 6, 6) AS BIGINT) % 512 AS bucket,
+        |    COUNT(*) AS c
+        |  FROM tf CROSS JOIN rows_i r GROUP BY 1, 2, 3),
+        |probes AS (SELECT * FROM (VALUES ('join'),('hash'),('scan'),('filter'),
+        |  ('merge'),('column'),('spark'),('zzz_absent')) p(tok)),
+        |probe_cells AS (
+        |  SELECT p.tok, r.i,
+        |    CAST('0x' || substr(md5(p.tok), 1 + r.i * 6, 6) AS BIGINT) % 512 AS bucket
+        |  FROM probes p CROSS JOIN rows_i r),
+        |srcs AS (SELECT DISTINCT source FROM documents),
+        |est AS (
+        |  SELECT s.source, pc.tok, MIN(COALESCE(c.c, 0)) AS cms_est
+        |  FROM srcs s CROSS JOIN probe_cells pc
+        |  LEFT JOIN cells c
+        |    ON c.source = s.source AND c.i = pc.i AND c.bucket = pc.bucket
+        |  GROUP BY 1, 2),
+        |exact AS (
+        |  SELECT source, tok, COUNT(*) AS exact_count FROM tf
+        |  WHERE tok IN ('join','hash','scan','filter','merge','column','spark','zzz_absent')
+        |  GROUP BY 1, 2)
+        |SELECT e.source, e.tok,
+        |  CAST(COALESCE(x.exact_count, 0) AS BIGINT) AS exact_count,
+        |  CAST(e.cms_est AS BIGINT) AS cms_est,
+        |  e.cms_est >= COALESCE(x.exact_count, 0) AS never_underestimates
+        |FROM est e LEFT JOIN exact x ON x.source = e.source AND x.tok = e.tok
+        |ORDER BY e.source, e.tok""".stripMargin,
     "q123_incremental_rollup" ->
       """SELECT event_type, CAST(ts AS DATE) AS event_date,
         |  COUNT(*) AS cnt,
