@@ -223,7 +223,151 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** BPE merge training (operators.Bpe): 8 rounds of distributed
+    * pair counting over the word-FREQUENCY table (one corpus scan
+    * builds it; every round shuffles vocab-sized pair keys, never
+    * the token stream) with a one-row argmax collect per round. The
+    * output is the learned merge table itself — deterministic via
+    * lexicographic tie-breaks, so DuckDB replays the identical 8
+    * rounds as unrolled materialized CTE levels (the q188 power-
+    * iteration oracle pattern, at depth 8 instead of 120). */
+  /** Shared BPE word-frequency table: one corpus scan, vocab-sized
+    * result (the thing the caller persists for the training rounds). */
+  private def bpeWords(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .where(col("tok").rlike("^[a-z]+$") && length(col("tok")) >= 2)
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .select(graft.operators.Bpe.initialSymbols(col("tok")).as("sym"), col("cnt"))
+
+  def q196BpeMerges(s: SparkSession, dir: String): DataFrame = {
+    val words = bpeWords(s, dir).persist()
+    try {
+      val merges = graft.operators.Bpe.trainMerges(words, rounds = 8)
+      graft.operators.Bpe.mergesDf(s, merges).orderBy("round")
+    } finally words.unpersist(blocking = false)
+  }
+
+  /** BPE ENCODE: train the q196 merge table, then apply it back to
+    * the vocabulary as a chain of 8 codegen'd literal rewrites and
+    * report the resulting top-30 subword frequencies. The encode
+    * chain is the part that runs over a 100 TB corpus at scan speed
+    * (merges are plan literals — no join, no state); here it runs
+    * over the word-frequency table, which is occurrence-equivalent
+    * since encoding is a pure per-word function.
+    */
+  def q199BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val words = bpeWords(s, dir).persist()
+    try {
+      val merges = graft.operators.Bpe.trainMerges(words, rounds = 8)
+      graft.operators.Bpe.applyMerges(words, merges)
+        .select(explode(split(trim(col("sym")), "  ")).as("subword"), col("cnt"))
+        .groupBy("subword").agg(sum("cnt").as("freq"))
+        .orderBy(col("freq").desc, col("subword")).limit(30)
+        .select(col("subword"), col("freq"),
+          length(col("subword")).cast("int").as("n_chars"),
+          (length(col("subword")) > 1).as("is_merged"))
+    } finally words.unpersist(blocking = false)
+  }
+
+  /** Okapi BM25 against a literal query-term list (Robertson &
+    * Zaragoza, "The Probabilistic Relevance Framework: BM25 and
+    * Beyond", FnTIR 2009; k1=1.2, b=0.75, the +1 idf variant that
+    * never goes negative). The lexical half of the q112 hybrid
+    * ranker, upgraded from raw overlap to a principled score. Plan
+    * shape: the tf aggregate runs over the ISIN-PRUNED token
+    * explosion (query terms only — the scan never shuffles the full
+    * token stream), df and the (N, avgdl) scalars are one tiny
+    * aggregate each, broadcast back via cross/equi joins. Scores
+    * rounded to 6 dp to absorb libm last-ulp drift (q30 discipline);
+    * top-50 via row_number with doc_id tie-break.
+    */
+  def q197Bm25(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qterms = Seq("join", "filter", "memory", "spark", "hash")
+    // literals written out (not derived, e.g. k1+1) so the Scala and
+    // SQL sides parse the bit-identical double
+    val k1 = 1.2
+    val k1p1 = 2.2
+    val oneMinusB = 0.25
+    val b = 0.75
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val dl = docs.select(col("doc_id"), size(col("toks")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl").cast("double")).as("avgdl"))
+    val tf = docs.select(col("doc_id"), explode(col("toks")).as("t"))
+      .where(col("t").isin(qterms: _*))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dft, "t").join(dl, "doc_id").crossJoin(stats)
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("term_score",
+        col("idf") * col("tf") * lit(k1p1) /
+          (col("tf") + lit(k1) * (lit(oneMinusB) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id").agg(round(sum(col("term_score")), 6).as("bm25"),
+        count(lit(1)).as("matched_terms"))
+    // top-k FIRST (TakeOrderedAndProject — the scale-safe global
+    // pick), THEN the rank window over the 50 surviving rows only
+    scored.orderBy(col("bm25").desc, col("doc_id")).limit(50)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("matched_terms"), col("bm25"))
+      .orderBy("rank")
+  }
+
+  /** DSIR-style hashed-unigram importance weights (Xie et al., "Data
+    * Selection for Language Models via Importance Resampling",
+    * NeurIPS 2023): unigrams hash into 256 md5-derived buckets (the
+    * engine-portable slice hash shared with q195's CMS), target =
+    * the lang='en' slice, raw = the full corpus, add-1 smoothing on
+    * both 256-bin distributions, and each document scores
+    * sum over token occurrences of ln p_target(b) − ln p_raw(b).
+    * Plan shape: two 256-row distribution aggregates broadcast into
+    * one token-keyed join — the corpus is scanned once and the only
+    * wide shuffle is the per-doc sum. Top-200 selection flag with
+    * doc_id tie-break (resampling's deterministic twin, same
+    * guarantee the q131 priority sample documents).
+    */
+  def q198DsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val nb = 256
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("t"))
+      .where(col("t") =!= "")
+      .withColumn("b", conv(substring(md5(col("t")), 1, 6), 16, 10)
+        .cast("long") % nb)
+    val rawDist = toks.groupBy("b").agg(count(lit(1)).as("c_raw"))
+    val tgtDist = toks.where(col("lang") === "en")
+      .groupBy("b").agg(count(lit(1)).as("c_tgt"))
+    val rawTot = toks.agg(count(lit(1)).as("n_raw"))
+    val tgtTot = toks.where(col("lang") === "en").agg(count(lit(1)).as("n_tgt"))
+    val perDoc = toks
+      .join(rawDist, "b").join(tgtDist.withColumnRenamed("b", "b2"),
+        col("b") === col("b2"), "left")
+      .na.fill(0L, Seq("c_tgt"))
+      .crossJoin(rawTot).crossJoin(tgtTot)
+      .withColumn("lr",
+        log((col("c_tgt") + lit(1.0)) / (col("n_tgt") + lit(nb.toDouble))) -
+          log((col("c_raw") + lit(1.0)) / (col("n_raw") + lit(nb.toDouble))))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_toks"), round(sum(col("lr")), 6).as("log_importance"))
+    // top-200 via TakeOrderedAndProject + semi-join flag — no global
+    // window anywhere in the plan (the pick stays bounded-k at any
+    // corpus size)
+    val top = perDoc.orderBy(col("log_importance").desc, col("doc_id"))
+      .limit(200).select(col("doc_id").as("sel_id"))
+    perDoc.join(top, col("doc_id") === col("sel_id"), "left")
+      .select(col("doc_id"), col("lang"), col("n_toks"),
+        col("log_importance"), col("sel_id").isNotNull.as("selected"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q196_bpe_merges" -> q196BpeMerges _,
+    "q199_bpe_encode" -> q199BpeEncode _,
+    "q197_bm25" -> q197Bm25 _,
+    "q198_dsir_weights" -> q198DsirWeights _,
     "q186_vocab_growth" -> q186VocabGrowth _,
     "q159_pmi" -> q159Pmi _,
     "q167_token_surge" -> q167TokenSurge _,
@@ -241,7 +385,124 @@ object TextOps {
   private def reCount(expr: String, re: String) =
     s"len(regexp_extract_all($expr, '$re'))"
 
+  /** q196 oracle: the 8 BPE rounds unrolled as materialized CTE
+    * levels — p{r} pair counts from w{r}, m{r} the lexicographic-
+    * tie-break argmax, w{r+1} the literal ` s1  s2 ` → ` s1s2 `
+    * rewrite (each symbol owns its delimiters, so DuckDB's left-to-
+    * right replace is exactly the BPE fold — see operators/Bpe.scala).
+    */
+  private val bpeRounds = 8
+
+  /** Shared WITH-prefix for the BPE oracles: levels w1..w{rounds+1}
+    * (w{r+1} is only evaluated by queries that reference it — q199's
+    * encode pass — DuckDB skips unreachable CTEs). */
+  private val bpeCtes: String = {
+    val levels = (1 to bpeRounds).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT l[i] AS s1, l[i+1] AS s2, SUM(cnt) AS pc
+         |  FROM (SELECT string_split(trim(sym), '  ') AS l, cnt FROM w$r),
+         |       UNNEST(range(1, len(l))) AS t(i)
+         |  GROUP BY 1, 2),
+         |m$r AS MATERIALIZED (
+         |  SELECT s1, s2, pc FROM p$r ORDER BY pc DESC, s1, s2 LIMIT 1),
+         |w${r + 1} AS MATERIALIZED (
+         |  SELECT replace(sym, ' ' || m.s1 || '  ' || m.s2 || ' ',
+         |                      ' ' || m.s1 || m.s2 || ' ') AS sym, cnt
+         |  FROM w$r, m$r m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (
+       |  SELECT unnest($tokensSql) AS tok FROM documents),
+       |w1 AS MATERIALIZED (
+       |  SELECT regexp_replace(tok, '(.)', ' \\1 ', 'g') AS sym, COUNT(*) AS cnt
+       |  FROM toks
+       |  WHERE regexp_matches(tok, '^[a-z]+${"$"}') AND len(tok) >= 2
+       |  GROUP BY 1),
+       |$levels""".stripMargin
+  }
+
+  private val bpeOracleSql: String = {
+    val union = (1 to bpeRounds)
+      .map(r => s"SELECT $r AS round, s1, s2, pc FROM m$r")
+      .mkString("\n  UNION ALL ")
+    s"""$bpeCtes
+       |SELECT CAST(round AS INTEGER) AS round, s1, s2, s1 || s2 AS merged,
+       |  CAST(pc AS BIGINT) AS pair_count
+       |FROM (
+       |  $union)
+       |ORDER BY round""".stripMargin
+  }
+
+  private val bpeEncodeOracleSql: String =
+    s"""$bpeCtes,
+       |sub AS (
+       |  SELECT unnest(string_split(trim(sym), '  ')) AS subword, cnt
+       |  FROM w${bpeRounds + 1}),
+       |freqs AS (
+       |  SELECT subword, SUM(cnt) AS freq FROM sub GROUP BY 1)
+       |SELECT subword, CAST(freq AS BIGINT) AS freq,
+       |  CAST(len(subword) AS INTEGER) AS n_chars,
+       |  len(subword) > 1 AS is_merged
+       |FROM freqs ORDER BY freq DESC, subword LIMIT 30""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q196_bpe_merges" -> bpeOracleSql,
+    "q199_bpe_encode" -> bpeEncodeOracleSql,
+    "q197_bm25" ->
+      """WITH docs AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), ' +') AS toks
+        |  FROM documents),
+        |dl AS (SELECT doc_id, len(toks) AS dl FROM docs),
+        |stats AS (SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        |tf AS (
+        |  SELECT doc_id, t, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS t FROM docs)
+        |  WHERE t IN ('join','filter','memory','spark','hash')
+        |  GROUP BY 1, 2),
+        |dft AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    round(SUM(
+        |      ln((stats.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0) *
+        |      tf.tf * 2.2 /
+        |      (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))), 6) AS bm25,
+        |    COUNT(*) AS matched_terms
+        |  FROM tf JOIN dft USING (t) JOIN dl USING (doc_id) CROSS JOIN stats
+        |  GROUP BY 1),
+        |topk AS (
+        |  SELECT doc_id, matched_terms, bm25,
+        |    ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+        |  FROM scored)
+        |SELECT CAST(rank AS INTEGER) AS rank, doc_id, matched_terms, bm25
+        |FROM topk WHERE rank <= 50 ORDER BY rank""".stripMargin,
+    "q198_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    CAST('0x' || substr(md5(t), 1, 6) AS BIGINT) % 256 AS b
+        |  FROM (SELECT doc_id, lang,
+        |          unnest(regexp_split_to_array(lower(trim(text)), ' +')) AS t
+        |        FROM documents)
+        |  WHERE t <> ''),
+        |raw_dist AS (SELECT b, COUNT(*) AS c_raw FROM toks GROUP BY 1),
+        |tgt_dist AS (SELECT b, COUNT(*) AS c_tgt FROM toks WHERE lang = 'en' GROUP BY 1),
+        |raw_tot AS (SELECT COUNT(*) AS n_raw FROM toks),
+        |tgt_tot AS (SELECT COUNT(*) AS n_tgt FROM toks WHERE lang = 'en'),
+        |per_doc AS (
+        |  SELECT t.doc_id, t.lang, COUNT(*) AS n_toks,
+        |    round(SUM(
+        |      ln((COALESCE(g.c_tgt, 0) + 1.0) / (tt.n_tgt + 256.0)) -
+        |      ln((r.c_raw + 1.0) / (rt.n_raw + 256.0))), 6) AS log_importance
+        |  FROM toks t
+        |  JOIN raw_dist r USING (b)
+        |  LEFT JOIN tgt_dist g USING (b)
+        |  CROSS JOIN raw_tot rt CROSS JOIN tgt_tot tt
+        |  GROUP BY 1, 2),
+        |top AS (
+        |  SELECT doc_id FROM per_doc
+        |  ORDER BY log_importance DESC, doc_id LIMIT 200)
+        |SELECT p.doc_id, p.lang, p.n_toks, p.log_importance,
+        |  (t.doc_id IS NOT NULL) AS selected
+        |FROM per_doc p LEFT JOIN top t ON p.doc_id = t.doc_id
+        |ORDER BY p.doc_id""".stripMargin,
     "q186_vocab_growth" ->
       """WITH toks AS (
         |  SELECT doc_id,

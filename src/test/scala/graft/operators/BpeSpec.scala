@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def wordTable(wordCounts: (String, Long)*) =
+    wordCounts.toSeq.toDF("tok", "cnt")
+      .select(Bpe.initialSymbols(col("tok")).as("sym"), col("cnt"))
+
+  test("learns the hand-computed merge sequence (Sennrich toy corpus)") {
+    // classic BPE walkthrough: low x5, lower x2, newest x6, widest x3
+    val words = wordTable("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
+      "widest" -> 3L)
+    val merges = Bpe.trainMerges(words, rounds = 4)
+    // pair counts round 1: es=9, st=9, t?=0... es vs st tie at 9 →
+    // lexicographic picks (e,s); then (es,t)=9; then (l,o)=7; then
+    // (lo,w)=7
+    assert(merges.map(m => (m.round, m.s1, m.s2, m.pair_count)) === Seq(
+      (1, "e", "s", 9L),
+      (2, "es", "t", 9L),
+      (3, "l", "o", 7L),
+      (4, "lo", "w", 7L)))
+    assert(merges.map(_.merged) === Seq("es", "est", "lo", "low"))
+  }
+
+  test("overlapping runs merge left-to-right non-overlapping: aaaa -> aa aa") {
+    val words = wordTable("aaaa" -> 1L)
+    val merges = Bpe.trainMerges(words, rounds = 2)
+    // round 1: (a,a) count 3 (overlapping adjacency), merge -> [aa, aa]
+    // round 2: (aa,aa) count 1
+    assert(merges.map(m => (m.s1, m.s2, m.pair_count)) === Seq(
+      ("a", "a", 3L), ("aa", "aa", 1L)))
+  }
+
+  test("stops early when no pairs remain") {
+    val words = wordTable("ab" -> 4L)
+    val merges = Bpe.trainMerges(words, rounds = 5)
+    assert(merges.map(_.merged) === Seq("ab")) // single merge, then no pairs
+  }
+}

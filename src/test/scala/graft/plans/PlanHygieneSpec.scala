@@ -96,6 +96,12 @@ class PlanHygieneSpec extends SparkSpec {
     // plus the index/prefix windows, ALL over the driver-sized score
     // aggregate (q25's idiom) — bounded by the score domain
     "q177_isotonic" -> "interval grid + windows over score aggregate",
+    // rank assignment over the post-limit 50-row top-k result — the
+    // corpus-sized pick itself is a TakeOrderedAndProject
+    "q197_bm25" -> "rank window over the 50-row post-limit result",
+    // the two 1-row token-total aggregates crossed back (q07 idiom);
+    // the 256-bin distributions join keyed on the bucket
+    "q198_dsir_weights" -> "1-row raw/target total crosses",
   )
 
   private def offenders(plan: SparkPlan): Seq[String] = plan.collect {
