@@ -265,7 +265,42 @@ object CurationOps {
       .orderBy("lang", "sample_idx")
   }
 
+  /** Deterministic EPOCH SHUFFLE + shard packing (q59's training-prep
+    * sibling): each epoch orders the corpus by an md5 permutation key
+    * (seeded by the epoch number — reproducible end to end, the
+    * property a resumable 100 TB training job needs), then packs the
+    * shuffled order into ~2000-token shards with the same two-phase
+    * distributed prefix sum as q59 (no unpartitioned window
+    * anywhere; per-shard positions are keyed row_numbers). Two
+    * epochs are packed and joined per-doc so the output also
+    * witnesses that reshuffling actually moves documents between
+    * shards (`moved`).
+    */
+  def q200EpochShards(s: SparkSession, dir: String): DataFrame = {
+    val budget = 2000L
+    val counted = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("bigint").as("token_count"))
+    def epochPack(epoch: Int): DataFrame = {
+      val keyed = counted.withColumn("shuffle_key",
+        md5(concat_ws(":", lit(epoch), col("doc_id"))))
+      graft.operators.PrefixSum
+        .withRunningSum(keyed, "shuffle_key", "token_count", "cum_tokens")
+        .withColumn("shard",
+          floor((col("cum_tokens") - col("token_count")) / budget).cast("bigint"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy("shard").orderBy("shuffle_key")))
+        .select(col("doc_id"), col("token_count"),
+          col("shard").as(s"shard_epoch$epoch"),
+          col("pos").as(s"pos_epoch$epoch"))
+    }
+    epochPack(0).join(epochPack(1).drop("token_count"), "doc_id")
+      .withColumn("moved", col("shard_epoch0") =!= col("shard_epoch1"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q200_epoch_shards" -> q200EpochShards _,
     "q152_systematic_sample" -> q152SystematicSample _,
     "q124_quota_apportion" -> q124QuotaApportion _,
     "q131_priority_sample" -> q131PrioritySample _,
@@ -280,6 +315,44 @@ object CurationOps {
   private val tokensSql = "regexp_split_to_array(lower(trim(text)), ' +')"
 
   val oracles: Map[String, String] = Map(
+    "q200_epoch_shards" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS token_count
+         |  FROM documents),
+         |e0 AS (
+         |  SELECT doc_id, token_count,
+         |    md5('0:' || CAST(doc_id AS VARCHAR)) AS k FROM t),
+         |e0p AS (
+         |  SELECT doc_id, token_count,
+         |    CAST(floor((SUM(token_count) OVER (ORDER BY k
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - token_count)
+         |      / 2000) AS BIGINT) AS shard_epoch0, k
+         |  FROM e0),
+         |e0r AS (
+         |  SELECT doc_id, token_count, shard_epoch0,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY shard_epoch0 ORDER BY k)
+         |      AS INTEGER) AS pos_epoch0
+         |  FROM e0p),
+         |e1 AS (
+         |  SELECT doc_id,
+         |    md5('1:' || CAST(doc_id AS VARCHAR)) AS k, token_count FROM t),
+         |e1p AS (
+         |  SELECT doc_id,
+         |    CAST(floor((SUM(token_count) OVER (ORDER BY k
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - token_count)
+         |      / 2000) AS BIGINT) AS shard_epoch1, k
+         |  FROM e1),
+         |e1r AS (
+         |  SELECT doc_id, shard_epoch1,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY shard_epoch1 ORDER BY k)
+         |      AS INTEGER) AS pos_epoch1
+         |  FROM e1p)
+         |SELECT e0r.doc_id, e0r.token_count,
+         |  e0r.shard_epoch0, e0r.pos_epoch0,
+         |  e1r.shard_epoch1, e1r.pos_epoch1,
+         |  e0r.shard_epoch0 <> e1r.shard_epoch1 AS moved
+         |FROM e0r JOIN e1r ON e0r.doc_id = e1r.doc_id
+         |ORDER BY e0r.doc_id""".stripMargin,
     "q152_systematic_sample" ->
       """WITH h AS (
         |  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h
