@@ -363,8 +363,89 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; Chen &
+    * Goodman 1999's interpolated form, fixed discount d=0.75) — the
+    * smoothing upgrade over q133's raw MLE: P(w2|w1) =
+    * max(c−d,0)/c(w1) + d·N1+(w1·)/c(w1) · N1+(·w2)/|bigram types|.
+    * The continuation distribution is what MLE lacks: an unseen-in-
+    * context word still scores by how many DISTINCT contexts it
+    * follows. Every model quantity derives from the bigram-type
+    * table (context totals, fan-out, fan-in, one 1-row type count) —
+    * gram-keyed shuffles only, and per-bigram ln rounded to 6 dp
+    * then summed as DECIMAL (q133's order-independent discipline).
+    */
+  def q201KneserNey(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val bi = t.select(col("doc_id"),
+      explode(wordNgrams(col("toks"), 2)).as("bigram"))
+    val bm = bi.groupBy("bigram").agg(count(lit(1)).as("c_bi"))
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+    val ctx = bm.groupBy("w1").agg(sum("c_bi").as("cw1"), count(lit(1)).as("n1fw"))
+    val cont = bm.groupBy("w2").agg(count(lit(1)).as("n1bw"))
+    val types = bm.agg(count(lit(1)).as("types"))
+    val pkn = bm.join(ctx, "w1").join(cont, "w2").crossJoin(types)
+      .withColumn("p_kn",
+        greatest(col("c_bi").cast("double") - lit(0.75), lit(0.0)) /
+          col("cw1").cast("double") +
+          lit(0.75) * col("n1fw").cast("double") / col("cw1").cast("double") *
+            (col("n1bw").cast("double") / col("types").cast("double")))
+      .select(col("bigram"),
+        round(log(col("p_kn")), 6).cast(DecimalType(18, 6)).as("logp"))
+    val scored = bi.join(pkn, "bigram").groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("logp")).as("sum_logp"))
+    Tables.documents(s, dir).select("doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        (col("sum_logp").cast("double") / col("n_bigrams"))
+          .cast("double").as("avg_logprob_kn"))
+      .orderBy("doc_id")
+  }
+
+  /** Rank-biased overlap (Webber, Moffat & Zobel, "A Similarity
+    * Measure for Indefinite Rankings", TOIS 2010) between two
+    * document rankings — quality score vs token count — truncated at
+    * depth 50, p=0.9: per depth d, overlap = |topA(d) ∩ topB(d)|,
+    * term = (1−p)·p^(d−1)·overlap/d. The top-down weighting is what
+    * makes RBO right for comparing rankers whose tails are noise
+    * (Kendall/Spearman — q180/q178 — weight all positions equally).
+    * Plan: both rankings are TakeOrderedAndProject top-50s with
+    * post-limit rank windows; the depth grid crosses 50 depths
+    * against the ≤100-row rank union — bounded by k², never the
+    * corpus.
+    */
+  def q202Rbo(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir)
+    def topRanks(scoreCol: org.apache.spark.sql.Column, rankName: String) =
+      d.select(col("doc_id"), scoreCol.as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(50)
+        .withColumn(rankName, row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+        .select(col("doc_id"), col(rankName))
+    val ra = topRanks(qualityScore(col("text")), "rank_a")
+    val rb = topRanks(tokenCount(col("text")).cast("double"), "rank_b")
+    val items = ra.join(rb, Seq("doc_id"), "full_outer")
+    val depths = s.range(1, 51).toDF("depth")
+    depths.crossJoin(items)
+      .groupBy("depth")
+      .agg(sum(when(col("rank_a") <= col("depth") &&
+        col("rank_b") <= col("depth"), 1L).otherwise(0L)).as("overlap"))
+      .withColumn("agreement",
+        round(col("overlap").cast("double") / col("depth"), 6))
+      .withColumn("rbo_term",
+        round(lit(0.1) * pow(lit(0.9), col("depth") - 1) *
+          col("overlap").cast("double") / col("depth"), 6))
+      .select(col("depth"), col("overlap"), col("agreement"), col("rbo_term"))
+      .orderBy("depth")
+  }
+
   val queries: Map[String, Q] = Map(
     "q196_bpe_merges" -> q196BpeMerges _,
+    "q202_rbo" -> q202Rbo _,
+    "q201_kneser_ney" -> q201KneserNey _,
     "q199_bpe_encode" -> q199BpeEncode _,
     "q197_bm25" -> q197Bm25 _,
     "q198_dsir_weights" -> q198DsirWeights _,
@@ -447,6 +528,73 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "q196_bpe_merges" -> bpeOracleSql,
     "q199_bpe_encode" -> bpeEncodeOracleSql,
+    "q202_rbo" ->
+      s"""WITH feat AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS DOUBLE) AS len_d,
+         |    CAST(len($tokensSql) AS DOUBLE) AS toks_d,
+         |    CAST(${reCount("text", "[^A-Za-z0-9\\s]")} AS DOUBLE) AS punct_d,
+         |    CAST(${reCount("lower(text)", "\\b(the|and|is|of|to|a|in|it)\\b")} AS DOUBLE) AS stop_d
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id,
+         |    CAST((least(len_d / 500.0, 1.0) * 0.4)
+         |      + ((1.0 - least(punct_d / greatest(len_d, 1.0) * 10.0, 1.0)) * 0.3)
+         |      + (least(stop_d / greatest(toks_d, 1.0) * 5.0, 1.0) * 0.3) AS DOUBLE) AS score_a,
+         |    toks_d AS score_b
+         |  FROM feat),
+         |ra AS (
+         |  SELECT doc_id, rank_a FROM (
+         |    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_a DESC, doc_id) AS rank_a
+         |    FROM scored) WHERE rank_a <= 50),
+         |rb AS (
+         |  SELECT doc_id, rank_b FROM (
+         |    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_b DESC, doc_id) AS rank_b
+         |    FROM scored) WHERE rank_b <= 50),
+         |items AS (
+         |  SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id, ra.rank_a, rb.rank_b
+         |  FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id),
+         |grid AS (
+         |  SELECT d.depth,
+         |    CAST(SUM(CASE WHEN i.rank_a <= d.depth AND i.rank_b <= d.depth
+         |        THEN 1 ELSE 0 END) AS BIGINT) AS overlap
+         |  FROM (SELECT unnest(range(1, 51)) AS depth) d
+         |  CROSS JOIN items i
+         |  GROUP BY 1)
+         |SELECT depth, overlap,
+         |  round(CAST(overlap AS DOUBLE) / depth, 6) AS agreement,
+         |  round(0.1 * pow(0.9, depth - 1) * CAST(overlap AS DOUBLE) / depth, 6) AS rbo_term
+         |FROM grid ORDER BY depth""".stripMargin,
+    "q201_kneser_ney" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |bi AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks), 1)),
+         |    i -> array_to_string(toks[i:i+1], ' '))) AS bigram FROM t),
+         |bm AS (SELECT bigram, COUNT(*) AS c_bi FROM bi GROUP BY 1),
+         |bmx AS (
+         |  SELECT bigram, c_bi,
+         |    string_split(bigram, ' ')[1] AS w1,
+         |    string_split(bigram, ' ')[2] AS w2
+         |  FROM bm),
+         |ctx AS (SELECT w1, SUM(c_bi) AS cw1, COUNT(*) AS n1fw FROM bmx GROUP BY 1),
+         |cont AS (SELECT w2, COUNT(*) AS n1bw FROM bmx GROUP BY 1),
+         |ty AS (SELECT COUNT(*) AS types FROM bm),
+         |pkn AS (
+         |  SELECT b.bigram,
+         |    CAST(round(ln(
+         |      greatest(CAST(b.c_bi AS DOUBLE) - 0.75, 0.0) / CAST(c.cw1 AS DOUBLE)
+         |      + 0.75 * CAST(c.n1fw AS DOUBLE) / CAST(c.cw1 AS DOUBLE)
+         |        * (CAST(n.n1bw AS DOUBLE) / CAST(ty.types AS DOUBLE))), 6)
+         |      AS DECIMAL(18,6)) AS logp
+         |  FROM bmx b JOIN ctx c USING (w1) JOIN cont n USING (w2) CROSS JOIN ty),
+         |a AS (
+         |  SELECT doc_id, COUNT(*) AS n_bigrams, SUM(logp) AS sum_logp
+         |  FROM bi JOIN pkn USING (bigram) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(a.n_bigrams, 0) AS n_bigrams,
+         |  CAST(CAST(a.sum_logp AS DOUBLE) / a.n_bigrams AS DOUBLE) AS avg_logprob_kn
+         |FROM documents d LEFT JOIN a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "q197_bm25" ->
       """WITH docs AS (
         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), ' +') AS toks

@@ -102,6 +102,12 @@ class PlanHygieneSpec extends SparkSpec {
     // the two 1-row token-total aggregates crossed back (q07 idiom);
     // the 256-bin distributions join keyed on the bucket
     "q198_dsir_weights" -> "1-row raw/target total crosses",
+    // the 1-row bigram-type-count cross (q07 idiom); all other model
+    // quantities join keyed on grams
+    "q201_kneser_ney" -> "1-row bigram-type-count cross",
+    // 50-depth grid crossed with the ≤100-row union of two post-limit
+    // top-50 rank sets (+ their post-limit rank windows) — k²-bounded
+    "q202_rbo" -> "depth grid over post-limit rank sets",
   )
 
   private def offenders(plan: SparkPlan): Seq[String] = plan.collect {
