@@ -42,11 +42,72 @@ object GraphOps {
       .orderBy("doc_id")
   }
 
+  /** 2-core of the verified near-dup graph (operators.KCore, 12 peel
+    * rounds): strips chain/tree-shaped candidate clusters — usually
+    * drifting templates — leaving only cycle-containing copy
+    * families, the complement diagnostic to q147's triangle census
+    * on the same edge set. Every round is keyed shuffles over a
+    * shrinking edge set; the round count is a fixed constant so the
+    * DuckDB oracle replays the identical peel as 12 unrolled CTE
+    * levels, and KCoreSpec pins that the fixture graph reaches its
+    * fixpoint within them. */
+  def q203KCore(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val sigs = Dedup.minhashSignatures(d, "doc_id", "text", k = 16, shingleN = 3)
+    val cand = Dedup.lshCandidatePairs(sigs, "doc_id", bands = 4, rowsPerBand = 4)
+    val edges = Dedup.verifyJaccard(cand, d, "doc_id", "text", shingleN = 3)
+      .filter(col("jaccard") >= 0.2)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    val initial = graft.operators.KCore.degrees(edges)
+    val core = graft.operators.KCore.peel(edges, k = 2, rounds = 12)
+    val coreDeg = graft.operators.KCore.degrees(core)
+      .withColumnRenamed("deg", "core_deg")
+    initial.join(coreDeg, Seq("n"), "left")
+      .select(col("n").as("doc_id"), col("deg").as("initial_degree"),
+        coalesce(col("core_deg"), lit(0L)).as("core_degree"),
+        col("core_deg").isNotNull.as("in_2core"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q147_triangle_census" -> q147TriangleCensus _,
+    "q203_kcore" -> q203KCore _,
   )
 
+  /** q203 oracle: 12 peel levels unrolled (e0 = the verified edge
+    * set; each level recounts degrees and keeps both-endpoint-
+    * surviving edges). */
+  private val kcoreLevels: String = (1 to 12).map { r =>
+    s"""d$r AS MATERIALIZED (
+       |  SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+       |    SELECT a AS n FROM e${r - 1} UNION ALL SELECT b FROM e${r - 1})
+       |  GROUP BY 1),
+       |e$r AS MATERIALIZED (
+       |  SELECT a, b FROM e${r - 1}
+       |  WHERE a IN (SELECT n FROM d$r WHERE deg >= 2)
+       |    AND b IN (SELECT n FROM d$r WHERE deg >= 2))""".stripMargin
+  }.mkString(",\n")
+
   val oracles: Map[String, String] = Map(
+    "q203_kcore" ->
+      s"""WITH ${DedupOps.tokHashCte},
+         |${DedupOps.shinglesCte},
+         |${DedupOps.sigBandedCtes},
+         |${DedupOps.cpairsCte},
+         |${DedupOps.verifiedCte},
+         |e0 AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM verified),
+         |d0 AS MATERIALIZED (
+         |  SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         |    SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
+         |$kcoreLevels,
+         |fin AS (
+         |  SELECT n, CAST(COUNT(*) AS BIGINT) AS core_deg FROM (
+         |    SELECT a AS n FROM e12 UNION ALL SELECT b FROM e12) GROUP BY 1)
+         |SELECT d0.n AS doc_id, d0.deg AS initial_degree,
+         |  COALESCE(fin.core_deg, 0) AS core_degree,
+         |  fin.core_deg IS NOT NULL AS in_2core
+         |FROM d0 LEFT JOIN fin USING (n)
+         |ORDER BY doc_id""".stripMargin,
     "q147_triangle_census" ->
       s"""WITH ${DedupOps.tokHashCte},
          |${DedupOps.shinglesCte},
