@@ -36,9 +36,7 @@ object KCore {
     * (measured: the first cache-only version of this loop wedged the
     * suite there). Checkpointing makes every round's plan O(1). */
   def peel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
-    def cut(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint()
+    import Lineage.cut
     var cur = cut(edges)
     var r = 0
     while (r < rounds) {

@@ -69,10 +69,46 @@ object GraphOps {
       .orderBy("doc_id")
   }
 
+  /** HITS hubs & authorities (operators.Hits) over the bipartite
+    * customer→part purchase graph — the link-analysis complement to
+    * q135's PageRank: which customers are broad buyers (hubs) and
+    * which parts sit in many broad baskets (authorities). 8 exact
+    * integer fixed-point rounds, replayed bit-identically by the
+    * oracle's unrolled CTE levels. */
+  def q205Hits(s: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("hub"), col("l_partkey").as("auth"))
+    val (hubs, auths) = graft.operators.Hits.run(edges, rounds = 8)
+    auths.select(lit("authority").as("role"), col("id"), col("score"))
+      .unionAll(hubs.select(lit("hub").as("role"), col("id"), col("score")))
+      .orderBy("role", "id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q147_triangle_census" -> q147TriangleCensus _,
     "q203_kcore" -> q203KCore _,
+    "q205_hits" -> q205Hits _,
   )
+
+  /** q205 oracle: 8 HITS rounds unrolled; `//` is DuckDB's
+    * truncating integer division = Spark's DIV on positive longs. */
+  private val hitsLevels: String = (1 to 8).map { r =>
+    val prevH = if (r == 1) "h0" else s"h${r - 1}"
+    s"""a${r}r AS MATERIALIZED (
+       |  SELECT auth AS id, SUM(score) AS raw
+       |  FROM e JOIN $prevH ON e.hub = $prevH.id GROUP BY 1),
+       |a$r AS MATERIALIZED (
+       |  SELECT id, raw * 1000000 // (SELECT MAX(raw) FROM a${r}r) AS score
+       |  FROM a${r}r),
+       |h${r}r AS MATERIALIZED (
+       |  SELECT hub AS id, SUM(score) AS raw
+       |  FROM e JOIN a$r ON e.auth = a$r.id GROUP BY 1),
+       |h$r AS MATERIALIZED (
+       |  SELECT id, raw * 1000000 // (SELECT MAX(raw) FROM h${r}r) AS score
+       |  FROM h${r}r)""".stripMargin
+  }.mkString(",\n")
 
   /** q203 oracle: 12 peel levels unrolled (e0 = the verified edge
     * set; each level recounts degrees and keeps both-endpoint-
@@ -89,6 +125,17 @@ object GraphOps {
   }.mkString(",\n")
 
   val oracles: Map[String, String] = Map(
+    "q205_hits" ->
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT DISTINCT o_custkey AS hub, l_partkey AS auth
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |h0 AS MATERIALIZED (
+         |  SELECT DISTINCT hub AS id, CAST(1000000 AS BIGINT) AS score FROM e),
+         |$hitsLevels
+         |SELECT 'authority' AS role, id, CAST(score AS BIGINT) AS score FROM a8
+         |UNION ALL
+         |SELECT 'hub' AS role, id, CAST(score AS BIGINT) AS score FROM h8
+         |ORDER BY role, id""".stripMargin,
     "q203_kcore" ->
       s"""WITH ${DedupOps.tokHashCte},
          |${DedupOps.shinglesCte},

@@ -1167,7 +1167,44 @@ object Quality {
             sqrt((col("n0") - col("ties_b")).cast("double")))).as("tau_b"))
   }
 
+  /** Robust means per event type: 10%-two-sided TRIMMED mean (drop
+    * the tail ranks) and WINSORIZED mean (clamp tails to the cut
+    * values) next to the plain mean — the robust-location family
+    * beside q134's MAD outliers. Ranks are KEYED windows (ordered by
+    * value with event_id tie-break, so both engines rank
+    * identically); every sum runs over DECIMAL(18,6)-rounded values,
+    * which makes the aggregation order-independent — a raw double
+    * sum over 30k values can hash-diverge between engines. The
+    * winsorized clamp values fall out of two conditional aggregates
+    * (value at rank k+1 and rank n−k), no second pass. */
+  def q204RobustMeans(s: SparkSession, dir: String): DataFrame = {
+    // rank by the DECIMAL value (event_id tie-break): decimal order is
+    // total and engine-identical, sidestepping double-comparison ties
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("v"), col("event_id"))
+    val v = col("value").cast(DecimalType(18, 6))
+    val ranked = Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"), v.as("v"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .withColumn("k", floor(col("n") * 0.1).cast("long"))
+    ranked.groupBy("event_type")
+      .agg(
+        max(col("n")).as("n"),
+        round(sum(col("v")).cast("double") / max(col("n")), 6).as("mean"),
+        round(sum(when(col("rn") > col("k") && col("rn") <= col("n") - col("k"),
+            col("v"))).cast("double") /
+          (max(col("n")) - lit(2) * max(col("k"))), 6).as("trimmed_mean_10"),
+        round((sum(when(col("rn") > col("k") && col("rn") <= col("n") - col("k"),
+            col("v"))) +
+          max(col("k")) * min(when(col("rn") === col("k") + 1, col("v"))) +
+          max(col("k")) * max(when(col("rn") === col("n") - col("k"), col("v"))))
+          .cast("double") / max(col("n")), 6).as("winsor_mean_10"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q204_robust_means" -> q204RobustMeans _,
     "q180_kendall_tau" -> q180KendallTau _,
     "q178_spearman" -> q178Spearman _,
     "q177_isotonic" -> q177Isotonic _,
@@ -1214,6 +1251,25 @@ object Quality {
        |                / 281474976710656.0) END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q204_robust_means" ->
+      """WITH ranked AS (
+        |  SELECT event_type, event_id,
+        |    CAST(round(value, 6) AS DECIMAL(18,6)) AS v,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY CAST(round(value, 6) AS DECIMAL(18,6)), event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |k AS (SELECT *, CAST(floor(n * 0.1) AS BIGINT) AS k FROM ranked)
+        |SELECT event_type,
+        |  MAX(n) AS n,
+        |  round(CAST(SUM(v) AS DOUBLE) / MAX(n), 6) AS mean,
+        |  round(CAST(SUM(CASE WHEN rn > k AND rn <= n - k THEN v END) AS DOUBLE)
+        |    / (MAX(n) - 2 * MAX(k)), 6) AS trimmed_mean_10,
+        |  round(CAST(SUM(CASE WHEN rn > k AND rn <= n - k THEN v END)
+        |    + MAX(k) * MIN(CASE WHEN rn = k + 1 THEN v END)
+        |    + MAX(k) * MAX(CASE WHEN rn = n - k THEN v END) AS DOUBLE)
+        |    / MAX(n), 6) AS winsor_mean_10
+        |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q180_kendall_tau" ->
       """WITH u AS (
         |  SELECT user_id, COUNT(*) AS sa,

@@ -108,6 +108,9 @@ class PlanHygieneSpec extends SparkSpec {
     // 50-depth grid crossed with the ≤100-row union of two post-limit
     // top-50 rank sets (+ their post-limit rank windows) — k²-bounded
     "q202_rbo" -> "depth grid over post-limit rank sets",
+    // the final round's 1-row max-normalization cross (q07 idiom);
+    // all edge-sized joins are checkpointed behind it
+    "q205_hits" -> "1-row max-normalization crosses",
   )
 
   private def offenders(plan: SparkPlan): Seq[String] = plan.collect {
