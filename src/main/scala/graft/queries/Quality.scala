@@ -1203,7 +1203,94 @@ object Quality {
       .orderBy("event_type")
   }
 
+  /** Mann-Whitney U rank-sum test (Mann & Whitney 1947), purchase vs
+    * view values — the nonparametric complement to q168's Welch AB
+    * test and q175's KS drift. EXACT until the final z: ranking
+    * happens on the value-aggregated cell table (one row per distinct
+    * decimal value with per-group counts), midranks are kept as
+    * 2×midrank = 2·cum_before + t + 1 so ties never produce
+    * fractions, and U is reported as u2_a = 2·U_A (integer). The
+    * cumulative window runs over the ~3k distinct-value cells —
+    * value-domain-bounded, post-aggregation (the q177 idiom), never
+    * the event stream. z uses the standard tie-corrected variance;
+    * doubles appear only there, rounded to 6 dp.
+    */
+  def q206MannWhitney(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .where(col("event_type").isin("purchase", "view"))
+      .select(col("event_type"), col("value").cast(DecimalType(18, 6)).as("v"))
+    val cells = ev.groupBy("v").agg(
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("na_v"),
+      count(lit(1)).as("n_v"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    val agg = cells
+      .withColumn("cum_before", coalesce(sum(col("n_v")).over(w), lit(0L)))
+      .agg(
+        sum(col("na_v")).as("n_a"),
+        sum(col("n_v") - col("na_v")).as("n_b"),
+        sum(col("na_v") * (lit(2) * col("cum_before") + col("n_v") + 1)).as("r2a"),
+        sum(col("n_v") * col("n_v") * col("n_v") - col("n_v")).as("tie_term"))
+    agg.select(
+        col("n_a"), col("n_b"),
+        (col("r2a") - col("n_a") * (col("n_a") + 1)).as("u2_a"),
+        col("tie_term"),
+        round(
+          ((col("r2a") - col("n_a") * (col("n_a") + 1) -
+            col("n_a") * col("n_b")).cast("double") / lit(2.0)) /
+          sqrt(col("n_a").cast("double") * col("n_b") / lit(12.0) *
+            ((col("n_a") + col("n_b")) + lit(1.0) -
+              col("tie_term").cast("double") /
+                ((col("n_a") + col("n_b")).cast("double") *
+                  ((col("n_a") + col("n_b")) - lit(1.0))))), 6).as("z"))
+      .withColumn("significant_95", abs(col("z")) > 1.96)
+  }
+
+  /** Kaplan-Meier product-limit survival curve (Kaplan & Meier 1958)
+    * over user activity lifetimes: duration = last−first active day,
+    * churned if inactive for the final 3 days of the window (else
+    * right-censored). The survival product Π(1 − d/n) is carried as
+    * a CUMULATIVE DECIMAL SUM of 6-dp-rounded ln steps (the q133
+    * discipline — exact, order-independent) and exponentiated once
+    * per row; a cell where every at-risk user dies takes a −20
+    * ln-floor sentinel (exp ≈ 2e-9 → S rounds to 0) rather than
+    * ln(0). Both windows run over the ~30 distinct-duration cells —
+    * duration-domain-bounded, post-aggregation; the at-risk count is
+    * total − cumulative-before, never a per-user window.
+    */
+  def q207KaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val span = ev.groupBy("user_id").agg(min("d").as("first_d"), max("d").as("last_d"))
+    val users = span.crossJoin(ev.agg(max("d").as("obs_end")))
+      .withColumn("duration", datediff(col("last_d"), col("first_d")))
+      .withColumn("churned", datediff(col("obs_end"), col("last_d")) > 3)
+    val cells = users.groupBy("duration").agg(
+      count(lit(1)).as("n_t"),
+      sum(when(col("churned"), 1L).otherwise(0L)).as("d_t"))
+    val wBefore = Window.orderBy("duration")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wThrough = Window.orderBy("duration")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cells
+      .withColumn("cum_before", coalesce(sum(col("n_t")).over(wBefore), lit(0L)))
+      .crossJoin(users.agg(count(lit(1)).as("total")))
+      .withColumn("n_risk", col("total") - col("cum_before"))
+      .withColumn("logstep",
+        when(col("d_t") === col("n_risk"), lit(-20.0))
+          .when(col("d_t") > 0,
+            round(log((col("n_risk") - col("d_t")).cast("double") /
+              col("n_risk")), 6))
+          .otherwise(lit(0.0)).cast(DecimalType(18, 6)))
+      .withColumn("cumlog", sum(col("logstep")).over(wThrough))
+      .select(col("duration"), col("n_risk"), col("d_t").as("events"),
+        (col("n_t") - col("d_t")).as("censored"),
+        round(exp(col("cumlog").cast("double")), 6).as("s_hat"))
+      .orderBy("duration")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q206_mann_whitney" -> q206MannWhitney _,
+    "q207_kaplan_meier" -> q207KaplanMeier _,
     "q204_robust_means" -> q204RobustMeans _,
     "q180_kendall_tau" -> q180KendallTau _,
     "q178_spearman" -> q178Spearman _,
@@ -1251,6 +1338,73 @@ object Quality {
        |                / 281474976710656.0) END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q207_kaplan_meier" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |span AS (
+        |  SELECT user_id, MIN(d) AS first_d, MAX(d) AS last_d
+        |  FROM ev GROUP BY 1),
+        |obs AS (SELECT MAX(d) AS obs_end FROM ev),
+        |users AS (
+        |  SELECT user_id,
+        |    CAST(datediff('day', first_d, last_d) AS INTEGER) AS duration,
+        |    datediff('day', last_d, obs_end) > 3 AS churned
+        |  FROM span CROSS JOIN obs),
+        |cells AS (
+        |  SELECT duration, COUNT(*) AS n_t,
+        |    CAST(SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS d_t
+        |  FROM users GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS total FROM users),
+        |risk AS (
+        |  SELECT duration, n_t, d_t,
+        |    CAST(total - COALESCE(SUM(n_t) OVER (ORDER BY duration
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        |  FROM cells CROSS JOIN tot),
+        |steps AS (
+        |  SELECT duration, n_t, d_t, n_risk,
+        |    CAST(CASE WHEN d_t = n_risk THEN -20.0
+        |      WHEN d_t > 0 THEN round(ln(CAST(n_risk - d_t AS DOUBLE) / n_risk), 6)
+        |      ELSE 0.0 END AS DECIMAL(18,6)) AS logstep
+        |  FROM risk),
+        |cum AS (
+        |  SELECT duration, n_risk, d_t, n_t - d_t AS censored,
+        |    SUM(logstep) OVER (ORDER BY duration
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumlog
+        |  FROM steps)
+        |SELECT duration, n_risk, d_t AS events, censored,
+        |  round(exp(CAST(cumlog AS DOUBLE)), 6) AS s_hat
+        |FROM cum ORDER BY duration""".stripMargin,
+    "q206_mann_whitney" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(round(value, 6) AS DECIMAL(18,6)) AS v
+        |  FROM events WHERE event_type IN ('purchase', 'view')),
+        |cells AS (
+        |  SELECT v,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS na_v,
+        |    COUNT(*) AS n_v
+        |  FROM ev GROUP BY 1),
+        |ranked AS (
+        |  SELECT *, COALESCE(SUM(n_v) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM cells),
+        |agg AS (
+        |  SELECT CAST(SUM(na_v) AS BIGINT) AS n_a,
+        |    CAST(SUM(n_v - na_v) AS BIGINT) AS n_b,
+        |    CAST(SUM(na_v * (2 * cum_before + n_v + 1)) AS BIGINT) AS r2a,
+        |    CAST(SUM(n_v * n_v * n_v - n_v) AS BIGINT) AS tie_term
+        |  FROM ranked)
+        |SELECT n_a, n_b,
+        |  CAST(r2a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+        |  tie_term,
+        |  round((CAST(r2a - n_a * (n_a + 1) - n_a * n_b AS DOUBLE) / 2.0) /
+        |    sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0 *
+        |      ((n_a + n_b) + 1.0 - CAST(tie_term AS DOUBLE) /
+        |        (CAST(n_a + n_b AS DOUBLE) * ((n_a + n_b) - 1.0)))), 6) AS z,
+        |  abs(round((CAST(r2a - n_a * (n_a + 1) - n_a * n_b AS DOUBLE) / 2.0) /
+        |    sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0 *
+        |      ((n_a + n_b) + 1.0 - CAST(tie_term AS DOUBLE) /
+        |        (CAST(n_a + n_b AS DOUBLE) * ((n_a + n_b) - 1.0)))), 6)) > 1.96
+        |    AS significant_95
+        |FROM agg""".stripMargin,
     "q204_robust_means" ->
       """WITH ranked AS (
         |  SELECT event_type, event_id,

@@ -111,6 +111,11 @@ class PlanHygieneSpec extends SparkSpec {
     // the final round's 1-row max-normalization cross (q07 idiom);
     // all edge-sized joins are checkpointed behind it
     "q205_hits" -> "1-row max-normalization crosses",
+    // cumulative window over the distinct-value cell aggregate —
+    // value-domain-bounded, post-aggregation (q177's idiom)
+    "q206_mann_whitney" -> "cumulative window over value-domain cells",
+    // duration-domain cell windows + the 1-row obs-end/total crosses
+    "q207_kaplan_meier" -> "cell windows + 1-row obs-end/total crosses",
   )
 
   private def offenders(plan: SparkPlan): Seq[String] = plan.collect {
