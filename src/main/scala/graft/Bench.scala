@@ -117,14 +117,35 @@ object Bench {
     // failed queries (sentinel -1.0) stay out of the total
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
+    // Streaming latency rides along in the same artifact (round-5
+    // verdict item 5): the fraud-detection path's p50/p95/max
+    // micro-batch latency, measured on this same session AFTER the
+    // batch timers so it cannot perturb them. 0 batches skips it
+    // (and the full-suite run only — dev loops timing one query pass
+    // query-name args, which also skips).
+    val streamBatches =
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "20").toInt
+    val streamLine: Option[String] =
+      if (streamBatches > 0 && wanted.isEmpty)
+        try Some(StreamBench.measure(spark, streamBatches))
+        catch { case t: Throwable =>
+          System.err.println(s"[bench] stream latency failed: $t"); None }
+      else None
+    // Provenance (round-5 verdict item 4): timestamp + environment so
+    // the committed artifact is self-evidencing about when/where it ran.
+    val prov = {
+      val utc = java.time.Instant.now().toString
+      s""""generated_utc":"$utc","spark":"${org.apache.spark.SPARK_VERSION}","cpus":$cpus,"java":"${System.getProperty("java.version")}""""
+    }
+    val streamField = streamLine.map(l => s""","stream_latency":$l""").getOrElse("")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir",$prov$streamField}"""
     // The per-query line has outgrown the driver's tail capture (191
     // entries truncated BENCH_r04 beyond recovery), so print it first
     // for the record, then a SHORT summary line LAST — the driver
     // parses the last line it captures, and this one always fits.
     val summary =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"nqueries":${results.length},"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"nqueries":${results.length},"failed":$failed,"sf":"$sfDir",$prov}"""
     // Full per-query detail also lands in a repo file (overwritten per
     // run) so truncated stdout can never lose the per-query record.
     try java.nio.file.Files.writeString(
@@ -134,6 +155,7 @@ object Bench {
     // lines on stdout; the driver parses the last line it captures.
     try spark.stop() catch { case _: Throwable => () }
     println(line)
+    streamLine.foreach(println)
     println(summary)
     System.out.flush()
   }

@@ -24,20 +24,17 @@ import graft.streaming.FraudDetection.CallPing
   * events/sec, then exits.
   */
 object StreamBench {
-  def main(args: Array[String]): Unit = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val batches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "50").toInt
-    val custs = 50
-    val eventsPerCustPerBatch = 4 // 200 events/batch
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+
+  /** Run the latency measurement on an EXISTING session and return
+    * the one-line JSON metric (no printing, no session lifecycle) —
+    * shared by this main and graft.Bench, which embeds the line in
+    * the per-round bench artifact so the reference's "within seconds"
+    * claim has a tracked number every round. */
+  def measure(spark: SparkSession, batches: Int): String = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
+    val custs = 50
+    val eventsPerCustPerBatch = 4 // 200 events/batch
 
     val mem = MemoryStream[CallPing]
     val q = FraudDetection.detectStream(mem.toDS())
@@ -71,15 +68,29 @@ object StreamBench {
     }.sorted
     val alerts = spark.table("latency_alerts").count()
     q.stop()
+    try spark.catalog.dropTempView("latency_alerts")
+    catch { case _: Throwable => () }
 
     def pct(p: Double) = lat(math.min(lat.size - 1, (p * lat.size).toInt))
     val evPerBatch = custs * eventsPerCustPerBatch
     val throughput = evPerBatch * batches / lat.sum
     def fmt(v: Double) = "%.4f".formatLocal(java.util.Locale.ROOT, v)
-    val line =
-      s"""{"metric":"stream_latency","unit":"sec","batches":$batches,"events_per_batch":$evPerBatch,""" +
+    s"""{"metric":"stream_latency","unit":"sec","batches":$batches,"events_per_batch":$evPerBatch,""" +
       s""""p50":${fmt(pct(0.50))},"p95":${fmt(pct(0.95))},"max":${fmt(lat.last)},""" +
       s""""events_per_sec":${fmt(throughput)},"alerts":$alerts}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val batches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "50").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val line = measure(spark, batches)
     try spark.stop() catch { case _: Throwable => () }
     println(line)
     System.out.flush()

@@ -163,8 +163,6 @@ object Dedup {
       .toDF(idCol, "_shingles")
   }
 
-  /** (id, sig array<long> of k minhashes) per document — one typed
-    * map over the corpus, no shuffle at all until the caller groups. */
   /** Single-text MinHash signature — the same kernel the batch
     * `minhashSignatures` maps over the corpus, exposed for callers
     * that band per-record outside a DataFrame plan (the streaming
@@ -173,6 +171,8 @@ object Dedup {
   def signatureOf(text: String, k: Int = 16, shingleN: Int = 3): Array[Long] =
     minhashSig(shingleHashes(text, shingleN), k)
 
+  /** (id, sig array<long> of k minhashes) per document — one typed
+    * map over the corpus, no shuffle at all until the caller groups. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 16, shingleN: Int = 3): DataFrame = {
     val spark = df.sparkSession

@@ -49,6 +49,8 @@ object Hits {
     * wrong answers. */
   def run(edges: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
     import Lineage.cut
+    require(rounds >= 1, s"rounds must be >= 1 (got $rounds): " +
+      "authorities are only defined after the first half-round")
     val e = cut(edges.select(col("hub"), col("auth")).distinct())
     var hubs = cut(e.select(col("hub").as("id")).distinct()
       .withColumn("score", lit(Scale)))
@@ -65,6 +67,50 @@ object Hits {
     }
     (hubs, auths)
   }
+
+  /** `run` with early exit at the integer fixpoint: stops after the
+    * first round whose hub AND authority score tables are unchanged
+    * (exact Long equality — fixed-point arithmetic makes "converged"
+    * a crisp predicate, no float tolerance). Output at the exit round
+    * is identical to `run(edges, exitRound)` by construction (same
+    * loop body), spec'd in HitsSpec. Returns (hubs, auths, rounds
+    * actually run). The check is one node-sized join+agg per round —
+    * cheap next to the two edge-sized half-round joins — so callers
+    * no longer tune round counts per corpus; oracle query q205 keeps
+    * fixed rounds for DuckDB replay parity. */
+  def runConverged(edges: DataFrame, maxRounds: Int): (DataFrame, DataFrame, Int) = {
+    import Lineage.cut
+    require(maxRounds >= 1, s"maxRounds must be >= 1 (got $maxRounds)")
+    val e = cut(edges.select(col("hub"), col("auth")).distinct())
+    var hubs = cut(e.select(col("hub").as("id")).distinct()
+      .withColumn("score", lit(Scale)))
+    var auths: DataFrame = null
+    var r = 0
+    var converged = false
+    while (r < maxRounds && !converged) {
+      val prevHubs = hubs
+      val prevAuths = auths
+      val aRaw = cut(e.join(broadcast(hubs.withColumnRenamed("id", "hub")), "hub")
+        .groupBy(col("auth").as("id")).agg(sum("score").as("raw")))
+      auths = normalize(aRaw)
+      val hRaw = cut(e.join(broadcast(auths.withColumnRenamed("id", "auth")), "auth")
+        .groupBy(col("hub").as("id")).agg(sum("score").as("raw")))
+      hubs = normalize(hRaw)
+      r += 1
+      if (prevAuths != null)
+        converged = unchanged(prevHubs, hubs) && unchanged(prevAuths, auths)
+    }
+    (hubs, auths, r)
+  }
+
+  /** True iff the two (id, score) tables are identical — node-sized
+    * full-outer join, mismatch count == 0. */
+  private def unchanged(prev: DataFrame, cur: DataFrame): Boolean =
+    prev.withColumnRenamed("score", "prev_score")
+      .join(cur, Seq("id"), "full_outer")
+      .where(col("prev_score").isNull || col("score").isNull ||
+        col("prev_score") =!= col("score"))
+      .limit(1).count() == 0L
 
   /** score = raw·10⁶ div max(raw) — the integer renormalization. */
   private def normalize(raw: DataFrame): DataFrame =

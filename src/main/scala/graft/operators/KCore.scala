@@ -53,6 +53,42 @@ object KCore {
     cur
   }
 
+  /** `peel` with early exit at the no-peel fixpoint: stops after the
+    * first round that removes no edge. Peeling is monotone (the edge
+    * set only shrinks), so an unchanged edge COUNT is exactly the
+    * fixpoint — and the count is read off the just-checkpointed round
+    * result, so the check adds no extra pass over the data. Output is
+    * identical to `peel(edges, k, exitRound)` by construction (same
+    * loop body), spec'd in KCoreSpec; the extra no-op round that
+    * detects the fixpoint leaves the edge set untouched, so output
+    * also equals `peel` at ANY round count ≥ the peel depth — callers
+    * no longer size `rounds` to their graph. Oracle query q203 keeps
+    * fixed rounds (unrolled SQL levels need a constant). Returns
+    * (surviving edges, rounds actually run). */
+  def peelConverged(edges: DataFrame, k: Int, maxRounds: Int): (DataFrame, Int) = {
+    import Lineage.cut
+    require(maxRounds >= 1, s"maxRounds must be >= 1 (got $maxRounds)")
+    var cur = cut(edges)
+    var prevCount = cur.count()
+    var r = 0
+    var converged = false
+    while (r < maxRounds && !converged) {
+      val deg = cur.select(col("a").as("n"))
+        .unionAll(cur.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select("n")
+      cur = cut(cur
+        .join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
+        .select("a", "b"))
+      r += 1
+      val c = cur.count()
+      converged = c == prevCount
+      prevCount = c
+    }
+    (cur, r)
+  }
+
   /** Node degrees of an undirected edge set. */
   def degrees(edges: DataFrame): DataFrame =
     edges.select(col("a").as("n"))

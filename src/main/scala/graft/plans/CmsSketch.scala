@@ -74,6 +74,15 @@ case class CmsSketchAgg(
     val v = child.eval(input)
     if (v != null) {
       val hex = v.asInstanceOf[UTF8String].toString
+      // The analyzer can only check StringType; enforce the md5-hex
+      // contract here so a malformed input fails with a graft_cms
+      // message instead of an opaque StringIndexOutOfBounds /
+      // NumberFormatException deep in a task.
+      if (hex.length < depth * 6 || !CmsSketchAgg.isHex(hex, depth * 6))
+        throw new IllegalArgumentException(
+          s"$prettyName expects a lowercase/uppercase hex digest of at least " +
+            s"${depth * 6} chars (an md5 hex string); got '$hex' " +
+            s"(len ${hex.length}). Pass md5(col) — see the graft_cms contract.")
       var i = 0
       while (i < depth) {
         buf(i * width + CmsSketchAgg.bucket(hex, i, width)) += 1L
@@ -124,6 +133,18 @@ object CmsSketchAgg {
     */
   def bucket(md5Hex: String, row: Int, width: Int): Int =
     (java.lang.Long.parseLong(md5Hex.substring(row * 6, row * 6 + 6), 16) % width).toInt
+
+  /** True iff the first `n` chars of `s` are hex digits. */
+  def isHex(s: String, n: Int): Boolean = {
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (!((c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')))
+        return false
+      i += 1
+    }
+    true
+  }
 
   /** Hex md5 of a UTF-8 string (driver-side, for literal probes). */
   def md5Hex(s: String): String =

@@ -542,9 +542,16 @@ object ScaleOps {
     val ests = sketches
       .select(col("source"), explode(array(probeStructs: _*)).as("pe"))
       .select(col("source"), col("pe.tok").as("tok"), col("pe.cms_est").as("cms_est"))
+    // Row universe = DISTINCT source × probes (matching the oracle's
+    // srcs CTE): a source whose documents yield zero non-empty tokens
+    // has no sketch row, but must still appear with zero estimates.
+    val universe = Tables.documents(s, dir).select(col("source")).distinct()
+      .select(col("source"), explode(array(probes.map(lit(_)): _*)).as("tok"))
+    val estsAll = universe.join(ests, Seq("source", "tok"), "left")
+      .withColumn("cms_est", coalesce(col("cms_est"), lit(0L)))
     val exact = toks.where(col("tok").isin(probes: _*))
       .groupBy("source", "tok").agg(count(lit(1)).as("exact_count"))
-    ests.join(exact, Seq("source", "tok"), "left")
+    estsAll.join(exact, Seq("source", "tok"), "left")
       .select(col("source"), col("tok"),
         coalesce(col("exact_count"), lit(0L)).as("exact_count"),
         col("cms_est"),

@@ -25,11 +25,28 @@ import graft.operators.Dedup
   *
   * Scale/state design: state per bucket is ≤ `maxBucketDocs` entries
   * of k longs — bucket count grows with corpus diversity, entries do
-  * NOT grow with corpus size. A doc colliding in m bands emits the
-  * pair up to m times (same as the batch bucket join before its
-  * distinct); the consumer dedups, keeping emission idempotent
-  * per-band. Re-delivered doc_ids (micro-batch retries) are ignored
-  * via the in-state id check.
+  * NOT grow with corpus size. Idle buckets are EXPIRED via
+  * `EventTimeTimeout`: a bucket that sees no new document for
+  * `idleTimeout` of event time is dropped when the watermark passes,
+  * so total state is bounded by the number of buckets active in the
+  * trailing idle window, not the stream's lifetime. A doc colliding
+  * in m bands emits the pair up to m times (same as the batch bucket
+  * join before its distinct); the consumer dedups, keeping emission
+  * idempotent per-band. Re-delivered doc_ids (micro-batch retries)
+  * are ignored via the in-state id check.
+  *
+  * Late-data caveat (stream ≡ batch parity window): the
+  * `watermarkDelay` watermark drops rows arriving more than that far
+  * behind max event time BEFORE the stateful operator — a document
+  * later than the delay is never checked against any bucket, and a
+  * document arriving after its bucket idled out past `idleTimeout`
+  * restarts the bucket empty. Batch candidate parity therefore holds
+  * exactly for streams whose disorder stays inside `watermarkDelay`
+  * and whose near-dup pairs arrive within `idleTimeout` of each
+  * other; outside those windows the stream under-reports candidates
+  * (it never false-positives). Size both to the source's observed
+  * disorder (parity is spec'd on an in-window fixture in
+  * StreamingDedupSpec).
   */
 object StreamingDedup {
 
@@ -42,10 +59,17 @@ object StreamingDedup {
 
   def detectStream(docs: Dataset[DocEvent], k: Int = 16, shingleN: Int = 3,
       bands: Int = 4, rowsPerBand: Int = 4, maxBucketDocs: Int = 64,
-      watermarkDelay: String = "30 seconds"): Dataset[NearDupCandidate] = {
+      watermarkDelay: String = "30 seconds",
+      idleTimeout: String = "10 minutes"): Dataset[NearDupCandidate] = {
     import docs.sparkSession.implicits._
     require(bands * rowsPerBand <= k,
       s"bands*rowsPerBand = ${bands * rowsPerBand} exceeds signature length $k")
+    val idleMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(idleTimeout))
+    require(idleMs.months == 0, s"idleTimeout must not use month units: $idleTimeout")
+    val idleTimeoutMs =
+      idleMs.days * 86400000L + idleMs.microseconds / 1000L
+    require(idleTimeoutMs > 0, s"idleTimeout must be positive: $idleTimeout")
     val banded = docs.flatMap { d =>
       val sig = Dedup.signatureOf(d.text, k, shingleN)
       (0 until bands).map { b =>
@@ -56,29 +80,42 @@ object StreamingDedup {
     banded.withWatermark("ts", watermarkDelay)
       .groupByKey(r => (r.band_idx, r.band_key))
       .flatMapGroupsWithState[BucketState, NearDupCandidate](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (_, rows, state: GroupState[BucketState]) =>
-          var st = state.getOption.getOrElse(BucketState(Nil))
-          val out = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).flatMap { r =>
-            if (st.entries.exists(_._1 == r.doc_id)) Nil // retry re-delivery
-            else {
-              val cands = st.entries.map { case (pid, psig) =>
-                var eq = 0
-                var i = 0
-                while (i < r.sig.length) {
-                  if (psig(i) == r.sig(i)) eq += 1
-                  i += 1
+          if (state.hasTimedOut) {
+            // Bucket idle past `idleTimeout` of event time: drop its
+            // state. A later arrival for this key restarts it empty.
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(BucketState(Nil))
+            var maxTs = Long.MinValue
+            val out = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).flatMap { r =>
+              if (r.ts.getTime > maxTs) maxTs = r.ts.getTime
+              if (st.entries.exists(_._1 == r.doc_id)) Nil // retry re-delivery
+              else {
+                val cands = st.entries.map { case (pid, psig) =>
+                  var eq = 0
+                  var i = 0
+                  while (i < r.sig.length) {
+                    if (psig(i) == r.sig(i)) eq += 1
+                    i += 1
+                  }
+                  NearDupCandidate(r.band_idx, r.doc_id, pid,
+                    eq.toDouble / r.sig.length)
                 }
-                NearDupCandidate(r.band_idx, r.doc_id, pid,
-                  eq.toDouble / r.sig.length)
+                st = BucketState(((r.doc_id, r.sig) :: st.entries)
+                  .take(maxBucketDocs))
+                cands
               }
-              st = BucketState(((r.doc_id, r.sig) :: st.entries)
-                .take(maxBucketDocs))
-              cands
             }
+            state.update(st)
+            // Expire this bucket once the watermark advances idleTimeout
+            // past the newest document it has seen.
+            if (maxTs != Long.MinValue)
+              state.setTimeoutTimestamp(maxTs + idleTimeoutMs)
+            out.iterator
           }
-          state.update(st)
-          out.iterator
       }
   }
 }

@@ -222,27 +222,66 @@ object Pipeline {
       }
     }
     val manifest = inventory.collect { case (run, true) => run }
-    // S12 run metadata: the persisted record describes the FULL table
-    // inventory on disk — a partial rebuild must not shrink it to the
-    // rebuilt subset (the pipeline-observability run record a
+    val checks = gateChecks(tables)
+    val status = Checks.verdict(checks)
+    // serving stage: the dashboard query the gates protect (reference
+    // "tests block the dashboard refresh"). BLOCKED skips it — that IS
+    // the gate's contract — and the manifest records the skip.
+    val serving: Option[TableRun] =
+      if (status == "BLOCKED") None
+      else Some {
+        tables("agg_tower_hourly_utilization").createOrReplaceTempView("_run_agg_tower")
+        val t0 = System.nanoTime()
+        val rows = spark.sql(
+          """SELECT tower_id, avg(avg_load_pct) AS avg_load, sum(call_count) AS calls
+            |FROM _run_agg_tower GROUP BY tower_id
+            |ORDER BY avg_load DESC LIMIT 20""".stripMargin).count()
+        spark.catalog.dropTempView("_run_agg_tower")
+        TableRun("serving_top_towers", rows, (System.nanoTime() - t0) / 1e9)
+      }
+    // S12 run metadata: ONE auditable record of the whole run —
+    // bronze→silver→gold table inventory (a partial rebuild must not
+    // shrink it to the rebuilt subset), the full gate table with the
+    // reference's BLOCKED/DEGRADED/HEALTHY fold, and the serving
+    // stage the gates guard (the pipeline-observability run record a
     // warehouse job would PUT with its outputs — reference
-    // pipeline_observability.py:282-321)
-    val manifestJson = inventory.map { case (r, rebuilt) =>
+    // pipeline_observability.py:282-351)
+    val tablesJson = inventory.map { case (r, rebuilt) =>
       s"""{"table": "${r.table}", "rows": ${r.rows}, "seconds": ${r.seconds}, "rebuilt": $rebuilt}"""
     }.mkString("[", ",", "]")
+    val checksJson = checks.map { c =>
+      s"""{"check": "${c.checkName}", "table": "${c.table}", "passed": ${c.passed}, """ +
+        s""""observed": ${c.observed}, "threshold": ${c.threshold}, "severity": "${c.severity}"}"""
+    }.mkString("[", ",", "]")
+    val servingJson = serving
+      .map(s => s"""{"query": "${s.table}", "rows": ${s.rows}, "seconds": ${s.seconds}, "refreshed": true}""")
+      .getOrElse("""{"refreshed": false, "reason": "pipeline_status BLOCKED"}""")
+    val manifestJson =
+      s"""{"generated_utc": "${java.time.Instant.now()}",
+         | "pipeline_status": "$status",
+         | "tables": $tablesJson,
+         | "checks": $checksJson,
+         | "serving": $servingJson}""".stripMargin
     Files.write(Paths.get(outDir, "run_manifest.json"),
       manifestJson.getBytes("UTF-8"))
-    val checks = Seq(
-      Checks.notNull(tables("silver_calls"), "silver_calls", "call_id"),
-      Checks.unique(tables("silver_calls"), "silver_calls", "call_id"),
-      Checks.unique(tables("dim_customers"), "dim_customers", "customer_key"),
-      Checks.relationship(
-        tables("fact_calls").filter(col("customer_key") =!= "UNKNOWN"),
-        tables("dim_customers"), "fact_calls", "customer_key", "customer_key"),
-      Checks.minRowCount(tables("fact_calls"), "fact_calls", 1),
-      Checks.inRange(
-        tables("silver_network_probes").withColumn("load_pct", col("load_pct").cast("double")),
-        "silver_network_probes", "load_pct", 0, 100))
-    (manifest, Checks.verdict(checks))
+    (manifest, status)
   }
+
+  /** The run-level DQ gate suite (reference README "Data Quality
+    * Gates" table): severity "error" failures BLOCK the dashboard
+    * refresh, "warn" failures degrade it. Factored out of the DAG
+    * runner so specs can drive the gate over injected-fault tables
+    * and assert the BLOCKED/DEGRADED transitions the runner itself
+    * only exhibits on healthy generated data. */
+  def gateChecks(tables: collection.Map[String, DataFrame]): Seq[Checks.CheckResult] = Seq(
+    Checks.notNull(tables("silver_calls"), "silver_calls", "call_id"),
+    Checks.unique(tables("silver_calls"), "silver_calls", "call_id"),
+    Checks.unique(tables("dim_customers"), "dim_customers", "customer_key"),
+    Checks.relationship(
+      tables("fact_calls").filter(col("customer_key") =!= "UNKNOWN"),
+      tables("dim_customers"), "fact_calls", "customer_key", "customer_key"),
+    Checks.minRowCount(tables("fact_calls"), "fact_calls", 1),
+    Checks.inRange(
+      tables("silver_network_probes").withColumn("load_pct", col("load_pct").cast("double")),
+      "silver_network_probes", "load_pct", 0, 100))
 }

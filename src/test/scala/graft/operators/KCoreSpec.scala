@@ -23,6 +23,21 @@ class KCoreSpec extends SparkSpec {
     assert(KCore.peel(chain, 2, 4).count() === 0)
   }
 
+  test("peelConverged early-exits at the fixpoint with output identical to fixed rounds") {
+    // triangle (fixpoint after round 1 detected at round 2) + path
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("a", "b")
+    val (core, rounds) = KCore.peelConverged(edges, k = 2, maxRounds = 50)
+    assert(rounds < 50, "must exit early, not run out maxRounds")
+    val got = core.as[(Long, Long)].collect().toSeq.sortBy(identity)
+    val fixed = KCore.peel(edges, 2, rounds).as[(Long, Long)].collect().toSeq.sortBy(identity)
+    assert(got === fixed)
+    assert(got === Seq((10L, 11L), (10L, 12L), (11L, 12L)))
+    // already-converged input exits after one confirming round
+    val (_, r2) = KCore.peelConverged(core, k = 2, maxRounds = 50)
+    assert(r2 === 1)
+  }
+
   test("q203's fixture graph reaches its 2-core fixpoint within 12 rounds") {
     val d = Tables.documents(spark, sfDir)
     val sigs = Dedup.minhashSignatures(d, "doc_id", "text", k = 16, shingleN = 3)

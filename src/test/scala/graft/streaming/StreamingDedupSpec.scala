@@ -81,6 +81,38 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("idle buckets expire via EventTimeTimeout; fresh buckets keep state") {
+    implicit val sqlCtx = spark.sqlContext
+    def run(idle: String): Seq[(Long, Long)] = {
+      val mem = MemoryStream[DocEvent]
+      val q = StreamingDedup.detectStream(mem.toDS(),
+          watermarkDelay = "1 second", idleTimeout = idle)
+        .writeStream.format("memory").queryName("neardups_ttl")
+        .outputMode("append").start()
+      try {
+        // b1: seed the bucket; b2: advance watermark far past the
+        // bucket's timeout (different bucket); b3: no data for the
+        // seeded bucket -> timeout fires, state removed; b4: identical
+        // doc arrives -> pairs only if the bucket survived.
+        mem.addData(Seq(doc(1, base, 0))); q.processAllAvailable()
+        mem.addData(Seq(doc(99, docs(2).text, 100))); q.processAllAvailable()
+        mem.addData(Seq(doc(98, docs(4).text, 102))); q.processAllAvailable()
+        mem.addData(Seq(doc(2, base, 105))); q.processAllAvailable()
+        spark.table("neardups_ttl")
+          .select(least(col("doc_id"), col("prior_doc_id")),
+            greatest(col("doc_id"), col("prior_doc_id")))
+          .distinct().as[(Long, Long)].collect().toSeq.sorted
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView("neardups_ttl")
+      }
+    }
+    // 5s idle: bucket seeded at t=0 times out once watermark hits 99s
+    assert(run("5 seconds") === Seq.empty)
+    // 10min idle: same sequence, bucket survives, pair found
+    assert(run("10 minutes") === Seq((1L, 2L)))
+  }
+
   test("identical docs estimate jaccard 1.0; near-dups estimate high") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[DocEvent]

@@ -244,5 +244,38 @@ class TelecomPipelineSpec extends SparkSpec {
     Pipeline.lineage.keys.foreach { t =>
       assert(spark.read.parquet(s"$out/$t").columns.nonEmpty)
     }
+    // the manifest is the ONE auditable run record: table inventory,
+    // the full gate table, the folded status, and the serving refresh
+    // the gates guard (reference "tests block the dashboard refresh")
+    val m = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "run_manifest.json")), "UTF-8")
+    assert(m.contains("\"pipeline_status\": \"HEALTHY\""))
+    assert(m.contains("\"checks\": ["))
+    assert(m.contains("\"unique_call_id\""))
+    assert(m.contains("\"serving_top_towers\""))
+    assert(m.contains("\"refreshed\": true"))
+  }
+
+  test("gate transitions: warn failure DEGRADES, error failure BLOCKS") {
+    val healthy = scala.collection.mutable.Map(
+      "silver_calls" -> silverCalls, "dim_customers" -> dimC,
+      "fact_calls" -> fact, "silver_network_probes" -> silverProbes)
+    assert(Checks.verdict(Pipeline.gateChecks(healthy)) === "HEALTHY")
+
+    // warn-severity fault: an orphan FK in fact_calls (relationship
+    // check, severity "warn") -> DEGRADED, dashboards refresh
+    val orphanFact = fact.unionByName(
+      fact.limit(1).withColumn("customer_key", lit("CUST_DOES_NOT_EXIST")))
+    val degraded = healthy.clone(); degraded("fact_calls") = orphanFact
+    val degradedChecks = Pipeline.gateChecks(degraded)
+    assert(Checks.verdict(degradedChecks) === "DEGRADED")
+    assert(degradedChecks.filter(!_.passed).forall(_.severity == "warn"))
+
+    // error-severity fault: a duplicated call_id (unique check,
+    // severity "error") -> BLOCKED (the runner then skips the serving
+    // refresh and records the skip in its manifest)
+    val dupCalls = silverCalls.unionByName(silverCalls.limit(1))
+    val blocked = healthy.clone(); blocked("silver_calls") = dupCalls
+    assert(Checks.verdict(Pipeline.gateChecks(blocked)) === "BLOCKED")
   }
 }
