@@ -230,20 +230,32 @@ object DedupOps {
       .agg(transform(array_sort(collect_list(struct(col("df"), col("g")))),
         x => x.getField("g")).as("og"))
     // both sides of the candidate self-join read this — persist, or
-    // the df-join + collect-sort pipeline runs twice
+    // the df-join + collect-sort pipeline runs twice. posexplode keeps
+    // each prefix shingle's 1-based position for the positional bound.
     val pref = ordered
       .withColumn("plen", expr("size(og) - (size(og) + 1) DIV 2 + 1"))
       .select(col("doc_id"), size(col("og")).as("n"),
-        explode(slice(col("og"), lit(1), col("plen"))).as("g"))
+        posexplode(slice(col("og"), lit(1), col("plen"))))
+      .select(col("doc_id"), col("n"), (col("pos") + 1).as("p"), col("col").as("g"))
       .persist()
-    // length filter (the other half of the PPJoin bound): J ≥ t
-    // forces t·|a| ≤ |b|, so size-incompatible bucket-mates are
-    // dropped before the distinct and the verify join ever see them
-    val cand = pref.select(col("doc_id").as("doc_a"), col("n").as("na"), col("g"))
-      .join(pref.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("g")),
-        Seq("g"))
+    // PPJoin bounds (Xiao et al., WWW'08), both applied BEFORE the
+    // distinct so size/position-incompatible bucket-mates never reach
+    // the candidate shuffle or the verify join:
+    //  - length: J ≥ t forces t·|a| ≤ |b|;
+    //  - positional: a match on prefix positions (pa, pb) caps the
+    //    overlap at 1 + min(na−pa, nb−pb), which must reach the
+    //    J ≥ 0.5 overlap floor ⌈(na+nb)/3⌉. Lossless: for the FIRST
+    //    shared shingle in the global df order every overlapping
+    //    shingle sits at-or-after (pa, pb), so the cap holds the true
+    //    overlap and that row always survives to the distinct.
+    val cand = pref.select(col("doc_id").as("doc_a"), col("n").as("na"),
+        col("p").as("pa"), col("g"))
+      .join(pref.select(col("doc_id").as("doc_b"), col("n").as("nb"),
+        col("p").as("pb"), col("g")), Seq("g"))
       .filter(col("doc_a") < col("doc_b") &&
-        col("na") <= col("nb") * 2 && col("nb") <= col("na") * 2)
+        col("na") <= col("nb") * 2 && col("nb") <= col("na") * 2 &&
+        lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")) >=
+          ceil((col("na") + col("nb")).cast("double") / 3.0))
       .select("doc_a", "doc_b").distinct()
     val inter = size(array_intersect(col("sa"), col("sb")))
     cand

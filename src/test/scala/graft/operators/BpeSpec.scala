@@ -40,4 +40,34 @@ class BpeSpec extends SparkSpec {
     val merges = Bpe.trainMerges(words, rounds = 5)
     assert(merges.map(_.merged) === Seq("ab")) // single merge, then no pairs
   }
+
+  test("property: train ∘ applyMerges round-trips every word on random corpora") {
+    // applyMerges only fuses adjacent symbols — stripping the symbol
+    // spaces must reproduce the original word exactly, for any corpus
+    // and any merge count (the q196/q199 contract beyond the toy).
+    // Deterministic LCG so failures replay.
+    var seed = 0x5eed5eedL
+    def nextInt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound).toInt + bound) % bound
+    }
+    val alphabet = "abcdexyz"
+    (1 to 5).foreach { _ =>
+      val vocab = (1 to (3 + nextInt(8))).map { _ =>
+        (1 to (1 + nextInt(9))).map(_ => alphabet(nextInt(alphabet.length))).mkString
+      }.distinct
+      val words = vocab.map(w => w -> (1L + nextInt(20))).toDF("tok", "cnt")
+        .select(col("tok"), Bpe.initialSymbols(col("tok")).as("sym"), col("cnt"))
+      val merges = Bpe.trainMerges(words.select("sym", "cnt"), rounds = 2 + nextInt(6))
+      val encoded = Bpe.applyMerges(words, merges)
+        .select(col("tok"), regexp_replace(col("sym"), " ", "").as("decoded"))
+        .as[(String, String)].collect()
+      encoded.foreach { case (tok, decoded) =>
+        assert(decoded === tok, s"round-trip broke on '$tok' with merges $merges")
+      }
+      // determinism: retraining on the same corpus replays the exact
+      // merge list (ties broken lexicographically, never by partition)
+      assert(Bpe.trainMerges(words.select("sym", "cnt"), rounds = merges.length) === merges)
+    }
+  }
 }

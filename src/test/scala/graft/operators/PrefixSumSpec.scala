@@ -43,6 +43,30 @@ class PrefixSumSpec extends SparkSpec {
     assert(perPart.forall(b => math.abs(b - total / 5) <= 97 + total / 5 / 10))
   }
 
+  test("q200 shard packing is invariant to input partitioning") {
+    // the epoch-shuffle packer must assign every doc the same
+    // (shard, pos) whatever the scan's partitioning — the
+    // reproducibility contract a resumable training job relies on.
+    // q200 reads its own parquet scan, so invariance is driven at the
+    // operator level: the same packing pipeline over 1 vs 13 input
+    // partitions.
+    def pack(parts: Int) = {
+      val docs = spark.range(2000).select(
+          col("id").as("doc_id"),
+          (col("id") % 317 + 5).as("token_count"))
+        .repartition(parts)
+        .withColumn("shuffle_key", md5(concat_ws(":", lit(0), col("doc_id"))))
+      PrefixSum.withRunningSum(docs, "shuffle_key", "token_count", "cum_tokens")
+        .withColumn("shard",
+          floor((col("cum_tokens") - col("token_count")) / 2000L).cast("bigint"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy("shard").orderBy("shuffle_key")))
+        .select("doc_id", "shard", "pos")
+        .orderBy("doc_id").collect().toSeq
+    }
+    assert(pack(1) === pack(13))
+  }
+
   test("q59 plan has no unpartitioned window (the single-task funnel)") {
     val plan = graft.SparkEntry.queries("q59_token_packing")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
