@@ -26,6 +26,7 @@ object SparkEntry {
     q.Breadth.queries,
     q.ScaleOps.queries,
     q.GraphOps.queries,
+    q.MixOps.queries,
   )
   private def oracleModules: Seq[Map[String, String]] = Seq(
     q.Relational.oracles,
@@ -42,6 +43,7 @@ object SparkEntry {
     q.Breadth.oracles,
     q.ScaleOps.oracles,
     q.GraphOps.oracles,
+    q.MixOps.oracles,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,417 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Similarity, TextAnalysis}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-6 training-data curation additions: repetition-based quality
+  * signals (Gopher-style), train/test n-gram decontamination
+  * (GPT-3 appendix-C style), greedy maximal-marginal-relevance
+  * selection over embeddings, and temperature-based source mixture
+  * weights — the four curation decisions a pretraining-data team
+  * makes after dedup/quality filtering (cf. Rae et al. 2021 "Scaling
+  * Language Models" §A1.1; Brown et al. 2020 §C; Carbonell &
+  * Goldstein 1998 MMR; Conneau & Lample 2019 §3 temperature
+  * sampling). The reference pipeline's DQ-gate philosophy
+  * (data_quality/dq_rules.yml) extended to corpus curation.
+  */
+object MixOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def toks: Column =
+    filter(TextAnalysis.tokens(col("text")), t => t =!= "")
+
+  /** q208 — Gopher-style repetition signals, one scan, zero shuffle:
+    * every statistic is a higher-order-function fold over the per-doc
+    * token array (the per-doc O(distinct x n) top-word count is
+    * bounded by document length, not corpus size), so at 100 TB this
+    * runs at parquet scan speed with no aggregation stage at all —
+    * the same shape as q40/q42. Signals: type-token ratio, most
+    * frequent word's mass, duplicate-trigram mass; flagged =
+    * thresholds from the Gopher repetition family adapted to this
+    * corpus's short synthetic docs. */
+  def q208RepetitionSignals(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), toks.as("toks"))
+    val n = size(col("toks"))
+    val topCnt = coalesce(
+      array_max(transform(array_distinct(col("toks")),
+        t => size(filter(col("toks"), x => x === t)))), lit(0))
+    val trigrams = when(n >= 3,
+      transform(sequence(lit(1), n - 2), i => concat_ws(" ",
+        element_at(col("toks"), i), element_at(col("toks"), i + 1),
+        element_at(col("toks"), i + 2))))
+      .otherwise(array().cast("array<string>"))
+    d.select(col("doc_id"), n.as("token_count"),
+        size(array_distinct(col("toks"))).as("distinct_tokens"),
+        topCnt.as("top_word_count"), trigrams.as("tg"))
+      .withColumn("trigram_count", size(col("tg")))
+      .withColumn("distinct_trigrams", size(array_distinct(col("tg"))))
+      .select(
+        col("doc_id"), col("token_count"), col("distinct_tokens"),
+        (col("distinct_tokens").cast("double") /
+          greatest(col("token_count"), lit(1)).cast("double"))
+          .as("type_token_ratio"),
+        (col("top_word_count").cast("double") /
+          greatest(col("token_count"), lit(1)).cast("double"))
+          .as("top_word_frac"),
+        col("trigram_count"),
+        when(col("trigram_count") > 0,
+          lit(1.0) - col("distinct_trigrams").cast("double") /
+            col("trigram_count").cast("double"))
+          .otherwise(lit(0.0)).as("dup_trigram_frac"))
+      .withColumn("flagged_repetitive",
+        col("top_word_frac") > 0.2 || col("dup_trigram_frac") > 0.3)
+      .orderBy("doc_id")
+  }
+
+  /** md5-fraction holdout split (the q79/q122 sampling idiom): the
+    * first 12 hex digits of md5(doc_id) as a uniform in [0,1);
+    * below [[TestFrac]] = held-out eval set. */
+  private val TestFrac = 0.1
+  private def docFrac: Column =
+    conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+      .cast("double") / lit(281474976710656.0)
+
+  /** q209 — train-set decontamination by 5-gram collision with the
+    * held-out split (the GPT-3 appendix-C discipline: any training
+    * document sharing an n-gram with an eval document is flagged).
+    * Scale: distinct 5-grams explode to an n-gram-keyed hash join —
+    * the shuffle key is the gram, never a doc pair, so skew is
+    * bounded by gram frequency; in the real deployment the eval-side
+    * gram set is tiny relative to the corpus (it is 10% here only
+    * because the fixture has one table) and broadcasts, making the
+    * whole check a map-side semi-join over the training scan. */
+  def q209Decontamination(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("toks"), docFrac.as("frac"))
+    val grams = d.select(col("doc_id"), col("frac"),
+      explode(when(size(col("toks")) >= 5,
+        array_distinct(transform(sequence(lit(1), size(col("toks")) - 4),
+          i => concat_ws(" ",
+            element_at(col("toks"), i), element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2), element_at(col("toks"), i + 3),
+            element_at(col("toks"), i + 4)))))
+        .otherwise(array().cast("array<string>"))).as("gram"))
+    val testGrams = grams.filter(col("frac") < TestFrac)
+      .select("gram").distinct()
+    val shared = grams.filter(col("frac") >= TestFrac)
+      .join(testGrams, "gram")
+      .groupBy("doc_id")
+      .agg(count_distinct(col("gram")).as("shared_ngrams"))
+    d.filter(col("frac") >= TestFrac).select("doc_id")
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("shared_ngrams"), lit(0L)).as("shared_ngrams"))
+      .withColumn("contaminated", col("shared_ngrams") > 0)
+      .orderBy("doc_id")
+  }
+
+  /** q210 — greedy maximal marginal relevance: pick k=5 vectors
+    * maximizing 0.7·relevance(query) − 0.3·max-similarity(already
+    * picked) — the diversity-aware selection used for dataset
+    * seeding / eval-set curation. Inherently sequential in k; each
+    * round is ONE distributed argmax pass (the selected set — at
+    * most k vectors — rides into the scan as plan literals, so no
+    * join, no shuffle beyond the 1-row top-k), which is exactly how
+    * it runs on a 1000-executor corpus scan. Exact integer dot
+    * products (the q49 quantization) keep every score bit-identical
+    * to the oracle's 5 unrolled greedy levels. */
+  def q210MmrSelect(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.embeddings(s, dir)
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("v"))
+    val qrow = c.filter(col("vec_id") === 0).head
+    val qlit = array(qrow.getSeq[Long](1).map(lit): _*)
+    val cands = c.filter(col("vec_id") =!= 0)
+      .withColumn("rel", Similarity.cosineQ(col("v"), qlit))
+      .persist()
+    var picked = Vector.empty[(Long, Seq[Long], Double, Double, Double)]
+    for (rank <- 1 to 5) {
+      val simCols = picked.map { case (_, sv, _, _, _) =>
+        Similarity.cosineQ(col("v"), array(sv.map(lit): _*)) }
+      val maxSim =
+        if (simCols.isEmpty) lit(0.0)
+        else if (simCols.size == 1) simCols.head
+        else greatest(simCols: _*)
+      val scored = cands
+        .filter(!col("vec_id").isInCollection(picked.map(_._1) match {
+          case Nil => Seq(-1L); case xs => xs }))
+        .withColumn("max_sim_selected", maxSim.cast("double"))
+        .withColumn("score",
+          (lit(0.7) * col("rel") - lit(0.3) * col("max_sim_selected"))
+            .cast("double"))
+      val top = scored.orderBy(col("score").desc, col("vec_id")).limit(1)
+        .select("vec_id", "v", "rel", "max_sim_selected", "score").head
+      picked :+= ((top.getLong(0), top.getSeq[Long](1), top.getDouble(2),
+        top.getDouble(3), top.getDouble(4)))
+    }
+    cands.unpersist(blocking = false)
+    val out = picked.zipWithIndex.map { case ((id, _, rel, ms, sc), i) =>
+      (i + 1, id, rel, ms, sc) }
+    s.createDataFrame(out)
+      .toDF("rank", "vec_id", "relevance", "max_sim_selected", "score")
+      .orderBy("rank")
+  }
+
+  /** q211 — temperature-based mixture weights over sources (the
+    * multilingual-pretraining resampling rule: p_s ∝ share_s^(1/T)
+    * with 1/T = 0.5, i.e. sqrt — upweights tail sources, damps the
+    * head). All double arithmetic rides on exact integer token
+    * counts; the sqrt weights are quantized to integer nano-units
+    * before the normalizing sum so the cross-source summation order
+    * cannot perturb the result — the same determinism discipline as
+    * the KMV/CMS sketches. One tiny aggregate (|sources| rows) after
+    * a scan-speed token count: nothing here grows with corpus size
+    * except the first groupBy. */
+  def q211MixtureWeights(s: SparkSession, dir: String): DataFrame = {
+    val bySrc = Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("bigint")).as("n_tokens"))
+    val tot = bySrc.agg(sum("n_tokens").as("total_tokens"))
+    val wq = bySrc.crossJoin(tot)
+      .withColumn("token_share",
+        (col("n_tokens").cast("double") / col("total_tokens").cast("double"))
+          .cast("double"))
+      .withColumn("wq",
+        round(sqrt(col("token_share")) * lit(1000000000.0)).cast("bigint"))
+    val wtot = wq.agg(sum("wq").as("wq_total"))
+    wq.crossJoin(wtot)
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("token_share"),
+        (col("wq").cast("double") / col("wq_total").cast("double"))
+          .cast("double").as("mixture_weight"))
+      .withColumn("expected_tokens",
+        round(col("mixture_weight") * lit(1000000.0)).cast("bigint"))
+      .withColumn("sampling_factor",
+        (col("expected_tokens").cast("double") / col("n_tokens").cast("double"))
+          .cast("double"))
+      .orderBy("source")
+  }
+
+  /** q212 — the filter DECISION REPORT a curation run ships with its
+    * output (FineWeb/RedPajama discipline: never silently drop —
+    * record which rule fired per document). Composes the q42 quality
+    * score, the q208 repetition signals, a length floor, and a
+    * target-language gate into one scan-speed projection; the
+    * failed-rules column is a comma-joined fixed-order list (concat_ws
+    * skips the NULLs of rules that pass), so downstream grouping by
+    * rejection reason is a plain string groupBy. Zero shuffles. */
+  def q212FilterReport(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), toks.as("toks"),
+        TextAnalysis.qualityScore(col("text")).as("quality_score"))
+    val n = size(col("toks"))
+    val topCnt = coalesce(
+      array_max(transform(array_distinct(col("toks")),
+        t => size(filter(col("toks"), x => x === t)))), lit(0))
+    val trigrams = when(n >= 3,
+      transform(sequence(lit(1), n - 2), i => concat_ws(" ",
+        element_at(col("toks"), i), element_at(col("toks"), i + 1),
+        element_at(col("toks"), i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val withSig = d.select(col("doc_id"), col("lang"), col("quality_score"),
+        n.as("token_count"),
+        (topCnt.cast("double") / greatest(n, lit(1)).cast("double"))
+          .as("top_word_frac"),
+        trigrams.as("tg"))
+      .withColumn("dup_trigram_frac",
+        when(size(col("tg")) > 0,
+          lit(1.0) - size(array_distinct(col("tg"))).cast("double") /
+            size(col("tg")).cast("double"))
+          .otherwise(lit(0.0)))
+    val failed = concat_ws(",",
+      when(col("quality_score") < 0.5, lit("low_quality")),
+      when(col("lang") =!= "en", lit("non_english")),
+      when(col("top_word_frac") > 0.2 || col("dup_trigram_frac") > 0.3,
+        lit("repetitive")),
+      when(col("token_count") < 5, lit("too_short")))
+    withSig
+      .select(col("doc_id"), col("lang"), col("token_count"),
+        col("quality_score"), col("top_word_frac"), col("dup_trigram_frac"),
+        failed.as("failed_rules"))
+      .withColumn("kept", col("failed_rules") === "")
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q208_repetition_signals" -> q208RepetitionSignals _,
+    "q212_filter_report" -> q212FilterReport _,
+    "q209_decontamination" -> q209Decontamination _,
+    "q210_mmr_select" -> q210MmrSelect _,
+    "q211_mixture_weights" -> q211MixtureWeights _,
+  )
+
+  private val toksSql = "list_filter(regexp_split_to_array(lower(trim(text)), ' +'), t -> t <> '')"
+  private val qvSql =
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS DOUBLE))"
+
+  /** DuckDB greedy-MMR level r: score candidates against sel{r-1},
+    * pick the (score desc, vec_id) top-1, append to the selection. */
+  private def mmrLevel(r: Int): String = {
+    val prev = s"sel${r - 1}"
+    s"""scored$r AS (
+       |  SELECT c.vec_id, c.v, c.rel,
+       |    CAST(COALESCE((SELECT MAX(CAST(list_dot_product(c.v, s.v) /
+       |        sqrt(list_dot_product(c.v, c.v) * list_dot_product(s.v, s.v))
+       |        AS DOUBLE)) FROM $prev s), 0.0) AS DOUBLE) AS max_sim_selected
+       |  FROM cands c WHERE c.vec_id NOT IN (SELECT vec_id FROM $prev)),
+       |pick$r AS (
+       |  SELECT $r AS rank, vec_id, v, rel, max_sim_selected,
+       |    CAST(CAST(0.7 AS DOUBLE) * rel
+       |      - CAST(0.3 AS DOUBLE) * max_sim_selected AS DOUBLE) AS score
+       |  FROM scored$r
+       |  ORDER BY score DESC, vec_id LIMIT 1),
+       |sel$r AS (SELECT rank, vec_id, v, rel, max_sim_selected, score FROM $prev
+       |  UNION ALL SELECT rank, vec_id, v, rel, max_sim_selected, score FROM pick$r)""".stripMargin
+  }
+
+  private def reCount(expr: String, re: String) =
+    s"len(regexp_extract_all($expr, '$re'))"
+
+  val oracles: Map[String, String] = Map(
+    "q212_filter_report" ->
+      s"""WITH feat AS (
+         |  SELECT doc_id, lang, $toksSql AS toks,
+         |    CAST(length(text) AS DOUBLE) AS len_d,
+         |    CAST(len(regexp_split_to_array(lower(trim(text)), ' +'))
+         |      AS DOUBLE) AS toks_d,
+         |    CAST(${reCount("text", "[^A-Za-z0-9\\s]")} AS DOUBLE) AS punct_d,
+         |    CAST(${reCount("lower(text)", "\\b(the|and|is|of|to|a|in|it)\\b")} AS DOUBLE) AS stop_d
+         |  FROM documents),
+         |sig AS (
+         |  SELECT doc_id, lang,
+         |    CAST((least(len_d / 500.0, 1.0) * 0.4)
+         |      + ((1.0 - least(punct_d / greatest(len_d, 1.0) * 10.0, 1.0)) * 0.3)
+         |      + (least(stop_d / greatest(toks_d, 1.0) * 5.0, 1.0) * 0.3)
+         |      AS DOUBLE) AS quality_score,
+         |    CAST(len(toks) AS INTEGER) AS token_count,
+         |    CAST(COALESCE(list_max(list_transform(list_distinct(toks),
+         |        t -> len(list_filter(toks, x -> x = t)))), 0) AS DOUBLE) /
+         |      CAST(greatest(len(toks), 1) AS DOUBLE) AS top_word_frac,
+         |    CASE WHEN len(toks) >= 3 THEN
+         |      list_transform(range(1, len(toks) - 1),
+         |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         |    ELSE [] END AS tg
+         |  FROM feat),
+         |st AS (
+         |  SELECT doc_id, lang, token_count, quality_score, top_word_frac,
+         |    CASE WHEN len(tg) > 0 THEN
+         |      CAST(1.0 AS DOUBLE) - CAST(len(list_distinct(tg)) AS DOUBLE) /
+         |        CAST(len(tg) AS DOUBLE)
+         |    ELSE CAST(0.0 AS DOUBLE) END AS dup_trigram_frac
+         |  FROM sig)
+         |SELECT doc_id, lang, token_count, quality_score, top_word_frac,
+         |  dup_trigram_frac,
+         |  concat_ws(',',
+         |    CASE WHEN quality_score < 0.5 THEN 'low_quality' END,
+         |    CASE WHEN lang != 'en' THEN 'non_english' END,
+         |    CASE WHEN top_word_frac > 0.2 OR dup_trigram_frac > 0.3
+         |      THEN 'repetitive' END,
+         |    CASE WHEN token_count < 5 THEN 'too_short' END) AS failed_rules,
+         |  concat_ws(',',
+         |    CASE WHEN quality_score < 0.5 THEN 'low_quality' END,
+         |    CASE WHEN lang != 'en' THEN 'non_english' END,
+         |    CASE WHEN top_word_frac > 0.2 OR dup_trigram_frac > 0.3
+         |      THEN 'repetitive' END,
+         |    CASE WHEN token_count < 5 THEN 'too_short' END) = '' AS kept
+         |FROM st ORDER BY doc_id""".stripMargin,
+    "q208_repetition_signals" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents),
+         |base AS (
+         |  SELECT doc_id, toks, len(toks) AS token_count,
+         |    len(list_distinct(toks)) AS distinct_tokens,
+         |    COALESCE(list_max(list_transform(list_distinct(toks),
+         |      t -> len(list_filter(toks, x -> x = t)))), 0) AS top_word_count,
+         |    CASE WHEN len(toks) >= 3 THEN
+         |      list_transform(range(1, len(toks) - 1),
+         |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         |    ELSE [] END AS tg
+         |  FROM t),
+         |st AS (
+         |  SELECT doc_id,
+         |    CAST(token_count AS INTEGER) AS token_count,
+         |    CAST(distinct_tokens AS INTEGER) AS distinct_tokens,
+         |    CAST(distinct_tokens AS DOUBLE) /
+         |      CAST(greatest(token_count, 1) AS DOUBLE) AS type_token_ratio,
+         |    CAST(top_word_count AS DOUBLE) /
+         |      CAST(greatest(token_count, 1) AS DOUBLE) AS top_word_frac,
+         |    CAST(len(tg) AS INTEGER) AS trigram_count,
+         |    CASE WHEN len(tg) > 0 THEN
+         |      CAST(1.0 AS DOUBLE) - CAST(len(list_distinct(tg)) AS DOUBLE) /
+         |        CAST(len(tg) AS DOUBLE)
+         |    ELSE CAST(0.0 AS DOUBLE) END AS dup_trigram_frac
+         |  FROM base)
+         |SELECT *, (top_word_frac > 0.2 OR dup_trigram_frac > 0.3)
+         |  AS flagged_repetitive
+         |FROM st ORDER BY doc_id""".stripMargin,
+    "q209_decontamination" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks,
+         |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+         |      AS BIGINT) AS DOUBLE) / 281474976710656.0 AS frac
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, frac, unnest(list_distinct(
+         |    CASE WHEN len(toks) >= 5 THEN
+         |      list_transform(range(1, len(toks) - 3),
+         |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         |          || ' ' || toks[i+3] || ' ' || toks[i+4])
+         |    ELSE [] END)) AS gram
+         |  FROM t),
+         |test_grams AS (SELECT DISTINCT gram FROM g WHERE frac < $TestFrac),
+         |shared AS (
+         |  SELECT g.doc_id, COUNT(DISTINCT g.gram) AS shared_ngrams
+         |  FROM g JOIN test_grams tg ON g.gram = tg.gram
+         |  WHERE g.frac >= $TestFrac GROUP BY 1)
+         |SELECT t.doc_id,
+         |  COALESCE(sh.shared_ngrams, 0) AS shared_ngrams,
+         |  COALESCE(sh.shared_ngrams, 0) > 0 AS contaminated
+         |FROM t LEFT JOIN shared sh ON sh.doc_id = t.doc_id
+         |WHERE t.frac >= $TestFrac ORDER BY t.doc_id""".stripMargin,
+    "q210_mmr_select" ->
+      s"""WITH e AS (SELECT vec_id, $qvSql AS v FROM embeddings),
+         |q AS (SELECT v FROM e WHERE vec_id = 0),
+         |cands AS (
+         |  SELECT e.vec_id, e.v,
+         |    CAST(list_dot_product(e.v, q.v) /
+         |      sqrt(list_dot_product(e.v, e.v) * list_dot_product(q.v, q.v))
+         |      AS DOUBLE) AS rel
+         |  FROM e, q WHERE e.vec_id != 0),
+         |sel0 AS (SELECT 0 AS rank, CAST(NULL AS BIGINT) AS vec_id,
+         |  CAST(NULL AS DOUBLE[]) AS v, CAST(NULL AS DOUBLE) AS rel,
+         |  CAST(NULL AS DOUBLE) AS max_sim_selected,
+         |  CAST(NULL AS DOUBLE) AS score WHERE 1 = 0),
+         |${(1 to 5).map(mmrLevel).mkString(",\n")}
+         |SELECT CAST(rank AS INTEGER) AS rank, vec_id,
+         |  rel AS relevance, max_sim_selected, score
+         |FROM sel5 ORDER BY rank""".stripMargin,
+    "q211_mixture_weights" ->
+      s"""WITH by_src AS (
+         |  SELECT source, COUNT(*) AS n_docs,
+         |    CAST(SUM(len(regexp_split_to_array(lower(trim(text)), ' +')))
+         |      AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT SUM(n_tokens) AS total_tokens FROM by_src),
+         |wq AS (
+         |  SELECT source, n_docs, n_tokens,
+         |    CAST(CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+         |      AS DOUBLE) AS token_share,
+         |    CAST(round(sqrt(CAST(CAST(n_tokens AS DOUBLE) /
+         |      CAST(total_tokens AS DOUBLE) AS DOUBLE)) * 1000000000.0)
+         |      AS BIGINT) AS wq
+         |  FROM by_src, tot),
+         |wtot AS (SELECT SUM(wq) AS wq_total FROM wq)
+         |SELECT source, n_docs, n_tokens, token_share,
+         |  CAST(CAST(wq AS DOUBLE) / CAST(wq_total AS DOUBLE) AS DOUBLE)
+         |    AS mixture_weight,
+         |  CAST(round(CAST(CAST(wq AS DOUBLE) / CAST(wq_total AS DOUBLE)
+         |    AS DOUBLE) * 1000000.0) AS BIGINT) AS expected_tokens,
+         |  CAST(CAST(round(CAST(CAST(wq AS DOUBLE) / CAST(wq_total AS DOUBLE)
+         |    AS DOUBLE) * 1000000.0) AS BIGINT) AS DOUBLE)
+         |    / CAST(n_tokens AS DOUBLE) AS sampling_factor
+         |FROM wq, wtot ORDER BY source""".stripMargin,
+  )
+}

@@ -116,6 +116,9 @@ class PlanHygieneSpec extends SparkSpec {
     "q206_mann_whitney" -> "cumulative window over value-domain cells",
     // duration-domain cell windows + the 1-row obs-end/total crosses
     "q207_kaplan_meier" -> "cell windows + 1-row obs-end/total crosses",
+    // the 1-row corpus-token-total and weight-total crosses (q07
+    // idiom); the source aggregate itself is |sources|-bounded
+    "q211_mixture_weights" -> "1-row token/weight-total crosses",
   )
 
   private def offenders(plan: SparkPlan): Seq[String] = plan.collect {

@@ -1,0 +1,95 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Edge-case + invariant coverage for the round-6 curation queries
+  * (the DuckDB oracle certifies sf0.01 end to end; these pin the
+  * degenerate shapes the fixture corpus doesn't contain, and cross-
+  * check q209 against an algorithm-independent reformulation). */
+class MixOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val edgeDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("mixops").toString
+    Seq(
+      // (doc_id, text, lang, source): 1-token, all-same-token,
+      // 4-token (no 5-grams), whitespace-heavy, normal
+      (0L, "solo", "en", "srcA"),
+      (1L, "a a a a", "en", "srcA"),
+      (2L, "w x y z", "en", "srcB"),
+      (3L, "  p   q  ", "en", "srcB"),
+      (4L, "one two three four five six", "en", "srcB"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q208: degenerate docs get zero-trigram stats, repeated-word doc is flagged") {
+    val rows = MixOps.q208RepetitionSignals(spark, edgeDir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(0L).getAs[Int]("trigram_count") === 0)
+    assert(rows(0L).getAs[Double]("dup_trigram_frac") === 0.0)
+    assert(rows(1L).getAs[Double]("top_word_frac") === 1.0)
+    // "a a a a" -> trigrams ["a a a","a a a"]: half are duplicates
+    assert(rows(1L).getAs[Double]("dup_trigram_frac") === 0.5)
+    assert(rows(1L).getAs[Boolean]("flagged_repetitive"))
+    // multi-space split must not manufacture empty tokens
+    assert(rows(3L).getAs[Int]("token_count") === 2)
+    assert(!rows(4L).getAs[Boolean]("flagged_repetitive"))
+  }
+
+  test("q209 matches an algorithm-independent array-intersect reformulation") {
+    val got = MixOps.q209Decontamination(spark, sfDir)
+      .select("doc_id", "shared_ngrams").as[(Long, Long)].collect().toMap
+    // brute force: per (train, test) doc pair, intersect 5-gram sets
+    val d = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        filter(split(lower(trim(col("text"))), " +"), t => t =!= "").as("toks"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+          .cast("double") / lit(281474976710656.0)).as("frac"))
+      .withColumn("grams", when(size(col("toks")) >= 5,
+        array_distinct(transform(sequence(lit(1), size(col("toks")) - 4),
+          i => concat_ws(" ", (0 to 4).map(o => element_at(col("toks"), i + o)): _*))))
+        .otherwise(array().cast("array<string>")))
+    val train = d.filter(col("frac") >= 0.1)
+      .select(col("doc_id"), col("grams"))
+    val test = d.filter(col("frac") < 0.1)
+      .select(col("grams").as("tgrams"))
+    val expected = train.crossJoin(
+        test.agg(array_distinct(flatten(collect_list(col("tgrams")))).as("tg")))
+      .select(col("doc_id"),
+        size(array_intersect(col("grams"), col("tg"))).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === expected)
+    assert(got.valuesIterator.exists(_ > 0), "fixture has no contamination to detect")
+  }
+
+  test("q210: five distinct picks, round 1 is the pure-relevance argmax") {
+    val rows = MixOps.q210MmrSelect(spark, sfDir).collect()
+    assert(rows.length === 5)
+    val ids = rows.map(_.getAs[Long]("vec_id"))
+    assert(ids.distinct.length === 5)
+    assert(rows.head.getAs[Double]("max_sim_selected") === 0.0)
+    // rank-1 = argmax relevance with vec_id tie-break
+    val c = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), graft.operators.Similarity.quantize(col("embedding")).as("v"))
+    val qv = c.filter(col("vec_id") === 0).head.getSeq[Long](1)
+    val top = c.filter(col("vec_id") =!= 0)
+      .withColumn("rel", graft.operators.Similarity.cosineQ(col("v"),
+        array(qv.map(lit): _*)))
+      .orderBy(col("rel").desc, col("vec_id")).select("vec_id").head.getLong(0)
+    assert(rows.head.getAs[Long]("vec_id") === top)
+  }
+
+  test("q211: weights sum to 1 and temperature flattens the head/tail gap") {
+    val rows = MixOps.q211MixtureWeights(spark, sfDir)
+      .select("token_share", "mixture_weight").as[(Double, Double)].collect()
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-9)
+    val head = rows.maxBy(_._1)
+    val tail = rows.minBy(_._1)
+    assert(head._2 < head._1, "head source must be downweighted")
+    assert(tail._2 > tail._1, "tail source must be upweighted")
+  }
+}

@@ -62,8 +62,14 @@ class ObjectStoreSpec extends SparkSpec {
     val text = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(out, "run_manifest.json")), "UTF-8")
     Pipeline.lineage.keys.foreach(t => assert(text.contains(s""""table": "$t"""")))
-    // parses as JSON with one record per table
-    val parsed = spark.read.json(Seq(text).toDS()).collect()
-    assert(parsed.length == Pipeline.lineage.size)
+    // parses as ONE auditable run record whose table inventory covers
+    // the whole lineage DAG (the round-5 gate-table manifest format)
+    val parsed = spark.read.json(Seq(text).toDS())
+    assert(parsed.count() == 1)
+    val rec = parsed.selectExpr("pipeline_status",
+      "size(tables) AS n_tables", "size(checks) AS n_checks").head
+    assert(Set("HEALTHY", "DEGRADED", "BLOCKED").contains(rec.getString(0)))
+    assert(rec.getAs[Int]("n_tables") == Pipeline.lineage.size)
+    assert(rec.getAs[Int]("n_checks") > 0)
   }
 }
