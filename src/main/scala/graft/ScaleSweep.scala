@@ -20,7 +20,14 @@ import org.apache.spark.sql.SparkSession
 object ScaleSweep {
   val DefaultTargets = Seq(
     "q151_similarity_join", "q203_kcore", "q205_hits",
-    "q105_curation_pipeline", "q174_item_cosine")
+    "q105_curation_pipeline", "q174_item_cosine",
+    // the ANN ladder: exact brute force (quadratic by construction —
+    // queries AND corpus both 10x) vs the bucketed variants that
+    // exist precisely to break that quadratic
+    "q49_cosine_topk", "q75_ivf_ann", "q80_multiprobe_ann",
+    "q119_ivfpq_ann",
+    // near-dup at 10x: banded LSH and SimHash candidate generation
+    "q46_minhash_neardup", "q47_simhash_fingerprint")
 
   def main(args: Array[String]): Unit = {
     val sf01 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

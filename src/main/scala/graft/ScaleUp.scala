@@ -32,7 +32,7 @@ import org.apache.spark.sql.functions._
   * — two runs produce identical tables.
   */
 object ScaleUp {
-  val ScaledTables = Seq("documents", "lineitem", "orders")
+  val ScaledTables = Seq("documents", "lineitem", "orders", "embeddings")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -61,6 +61,8 @@ object ScaleUp {
       .write.mode(SaveMode.Overwrite).parquet(s"$out/lineitem.parquet")
     scaleByOrderKey(Tables.orders(spark, src), "o_orderkey", replicas)
       .write.mode(SaveMode.Overwrite).parquet(s"$out/orders.parquet")
+    scaleEmbeddings(Tables.embeddings(spark, src), replicas)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
     // remaining tables: copy unscaled so the dir is load-complete
     for (t <- Tables.names if !ScaledTables.contains(t))
       Tables.load(spark, src, t)
@@ -95,6 +97,28 @@ object ScaleUp {
           .withColumn("n_chars", length(col("text")).cast("bigint"))
           .select("doc_id", "text", "lang", "source", "n_chars")
       }
+    }
+    copies.reduce(_.unionAll(_))
+  }
+
+  /** 10 replicas of embeddings with a ±0.01 hash-derived per-element
+    * jitter (±10 units on the q49 integer-quantization scale): each
+    * replica stays in its origin's cosine neighborhood — cluster
+    * structure and label marginals survive — without collapsing to
+    * exact duplicates, so the ANN ladder's recall problem stays as
+    * hard per query as the original. vec_id span is a multiple of 10
+    * in the driver data, so the `vec_id % 10` query-set convention
+    * (q49 et al.) replicates with the corpus. */
+  def scaleEmbeddings(d: DataFrame, replicas: Int): DataFrame = {
+    val idSpan = d.agg(max("vec_id")).head.getLong(0) + 1
+    val copies = (0 until replicas).map { r =>
+      if (r == 0) d
+      else d.select(
+        (col("vec_id") + lit(r.toLong * idSpan)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x + (pmod(xxhash64(col("vec_id"), i, lit(r)), lit(21)) - lit(10))
+            .cast("float") / lit(1000.0f)).cast("float")).as("embedding"),
+        col("label"))
     }
     copies.reduce(_.unionAll(_))
   }
