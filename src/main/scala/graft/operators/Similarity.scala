@@ -81,7 +81,14 @@ object Similarity {
     * of that band's planes. Two similar vectors agree on all bits of
     * SOME band with good probability (multi-table LSH), and
     * bitsPerBand controls bucket granularity: at corpus size n, pick
-    * bitsPerBand ≈ log2(n / targetBucketSize). Pure codegen'd
+    * bitsPerBand ≈ log2(n / targetBucketSize). This is load-bearing:
+    * the round-6 ScaleSweep measured growth exponent 1.14 for the
+    * FIXED 4-bit configuration on a 10x corpus (buckets saturate →
+    * candidates/query grow linearly, like brute force at 1.28),
+    * versus 0.60/0.56 for the IVF family whose √n codebook scales
+    * resolution structurally — prefer IVF/IVF-PQ for corpus-scale
+    * ANN and reserve SRP for stream-at-ingest bucketing where state,
+    * not corpus, bounds occupancy (PLANS.md round-6). Pure codegen'd
     * expression. */
   def srpBandKeys(qvec: Column, ps: Array[Array[Int]], bands: Int,
                   bitsPerBand: Int,

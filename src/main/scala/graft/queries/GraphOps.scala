@@ -86,10 +86,35 @@ object GraphOps {
       .orderBy("role", "id")
   }
 
+  /** Deterministic synchronous label-propagation communities
+    * (operators.LabelProp, 4 rounds) over the verified near-dup
+    * graph — the community complement to connectivity (q77 CC),
+    * density (q203 k-core), and centrality (q135/q205): a bridge
+    * edge merges two clusters into one COMPONENT, but LPA keeps the
+    * sides' majority labels apart, which is the right granularity
+    * for "template family" analysis of near-dup corpora. Fixed
+    * rounds so the DuckDB oracle unrolls the identical trajectory;
+    * LabelPropSpec pins that earlyStop returns the same labels. */
+  def q213LabelProp(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val sigs = Dedup.minhashSignatures(d, "doc_id", "text", k = 16, shingleN = 3)
+    val cand = Dedup.lshCandidatePairs(sigs, "doc_id", bands = 4, rowsPerBand = 4)
+    val edges = Dedup.verifyJaccard(cand, d, "doc_id", "text", shingleN = 3)
+      .filter(col("jaccard") >= 0.2)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    val labels = graft.operators.LabelProp.run(edges, rounds = 4)
+    val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, "lbl")
+      .select(col("n").as("doc_id"), col("lbl").as("community"),
+        col("community_size"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q147_triangle_census" -> q147TriangleCensus _,
     "q203_kcore" -> q203KCore _,
     "q205_hits" -> q205Hits _,
+    "q213_label_prop" -> q213LabelProp _,
   )
 
   /** q205 oracle: 8 HITS rounds unrolled; `//` is DuckDB's
@@ -124,7 +149,40 @@ object GraphOps {
        |    AND b IN (SELECT n FROM d$r WHERE deg >= 2))""".stripMargin
   }.mkString(",\n")
 
+  /** q213 oracle: 4 synchronous LPA levels unrolled — each node's
+    * next label is the modal previous-round neighbor label, min-label
+    * tie-break (window over the grouped count, the engine-portable
+    * argmax). */
+  private val lpaLevels: String = (1 to 4).map { r =>
+    s"""l$r AS MATERIALIZED (
+       |  SELECT n, lbl FROM (
+       |    SELECT s.n, p.lbl, COUNT(*) AS c,
+       |      ROW_NUMBER() OVER (
+       |        PARTITION BY s.n ORDER BY COUNT(*) DESC, p.lbl) AS rk
+       |    FROM sym s JOIN l${r - 1} p ON p.n = s.m
+       |    GROUP BY s.n, p.lbl)
+       |  WHERE rk = 1)""".stripMargin
+  }.mkString(",\n")
+
   val oracles: Map[String, String] = Map(
+    "q213_label_prop" ->
+      s"""WITH ${DedupOps.tokHashCte},
+         |${DedupOps.shinglesCte},
+         |${DedupOps.sigBandedCtes},
+         |${DedupOps.cpairsCte},
+         |${DedupOps.verifiedCte},
+         |sym AS MATERIALIZED (
+         |  SELECT id_a AS n, id_b AS m FROM verified
+         |  UNION
+         |  SELECT id_b AS n, id_a AS m FROM verified),
+         |l0 AS MATERIALIZED (SELECT DISTINCT n, n AS lbl FROM sym),
+         |$lpaLevels,
+         |sizes AS (
+         |  SELECT lbl, CAST(COUNT(*) AS BIGINT) AS community_size
+         |  FROM l4 GROUP BY 1)
+         |SELECT l4.n AS doc_id, l4.lbl AS community, sizes.community_size
+         |FROM l4 JOIN sizes USING (lbl)
+         |ORDER BY doc_id""".stripMargin,
     "q205_hits" ->
       s"""WITH e AS MATERIALIZED (
          |  SELECT DISTINCT o_custkey AS hub, l_partkey AS auth

@@ -235,9 +235,110 @@ object MixOps {
       .orderBy("doc_id")
   }
 
+  /** q214 — curation pipeline v2: the round-6 operators composed end
+    * to end the way a pretraining-data run chains them, complementing
+    * q105's dedup-centric chain with the decision-layer stages:
+    * rule gate (q212 semantics) → eval-set decontamination (q209,
+    * holdout grams from the FULL corpus — the eval set exists before
+    * any filtering) → exact dedup (fingerprint min-id) → temperature
+    * sampling to a half-corpus token budget (q211 weights turned into
+    * per-source keep rates, clamped at 1, decided by an independent
+    * salted md5 coin) → 2000-token shard packing (distributed prefix
+    * sum). Stages 1-4 are one lazy Catalyst plan; the prefix sum runs
+    * its eager subtotal pass at build time (q105's documented shape).
+    * Every stage is individually oracle-proven (q212/q209/q45/q211/
+    * q200); this certifies the COMPOSITION hash-exactly. */
+  def q214CurationV2(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        toks.as("toks"), docFrac.as("frac"))
+    val n = size(col("toks"))
+    val topCnt = coalesce(
+      array_max(transform(array_distinct(col("toks")),
+        t => size(filter(col("toks"), x => x === t)))), lit(0))
+    val trigrams = when(n >= 3,
+      transform(sequence(lit(1), n - 2), i => concat_ws(" ",
+        element_at(col("toks"), i), element_at(col("toks"), i + 1),
+        element_at(col("toks"), i + 2))))
+      .otherwise(array().cast("array<string>"))
+    // stage 1: rule gate (pass = q212's failed_rules empty, en only)
+    val gated = d
+      .withColumn("token_count", n.cast("bigint"))
+      .withColumn("top_word_frac",
+        topCnt.cast("double") / greatest(n, lit(1)).cast("double"))
+      .withColumn("tg", trigrams)
+      .withColumn("dup_trigram_frac",
+        when(size(col("tg")) > 0,
+          lit(1.0) - size(array_distinct(col("tg"))).cast("double") /
+            size(col("tg")).cast("double"))
+          .otherwise(lit(0.0)))
+      .filter(col("quality") >= 0.5 && col("lang") === "en" &&
+        col("token_count") >= 5 &&
+        col("top_word_frac") <= 0.2 && col("dup_trigram_frac") <= 0.3)
+      .select("doc_id", "source", "lang", "text", "quality",
+        "token_count", "frac")
+    // stage 2: decontamination — holdout grams from the full corpus
+    val fiveGrams = when(size(col("toks")) >= 5,
+      array_distinct(transform(sequence(lit(1), size(col("toks")) - 4),
+        i => concat_ws(" ",
+          element_at(col("toks"), i), element_at(col("toks"), i + 1),
+          element_at(col("toks"), i + 2), element_at(col("toks"), i + 3),
+          element_at(col("toks"), i + 4)))))
+      .otherwise(array().cast("array<string>"))
+    val gAll = d.select(col("doc_id"), col("frac"),
+      explode(fiveGrams).as("gram"))
+    val testGrams = gAll.filter(col("frac") < TestFrac)
+      .select("gram").distinct()
+    val contaminated = gAll.filter(col("frac") >= TestFrac)
+      .join(testGrams, "gram").select("doc_id").distinct()
+    val clean = gated.filter(col("frac") >= TestFrac)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    // stage 3: exact dedup among survivors
+    val keep = clean
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .groupBy("fp").agg(min("doc_id").as("doc_id")).select("doc_id")
+    val d3 = clean.join(keep, "doc_id")
+      .select("doc_id", "source", "lang", "quality", "token_count")
+    // stage 4: temperature sampling to a half-corpus token budget
+    val bySrc = d3.groupBy("source").agg(sum("token_count").as("n_tokens"))
+    val tot = bySrc.agg(sum("n_tokens").as("total_tokens"))
+    val wq = bySrc.crossJoin(tot)
+      .withColumn("wq",
+        round(sqrt((col("n_tokens").cast("double") /
+          col("total_tokens").cast("double")).cast("double")) *
+          lit(1000000000.0)).cast("bigint"))
+    val wtot = wq.agg(sum("wq").as("wq_total"))
+    val rates = wq.crossJoin(wtot)
+      .select(col("source"),
+        least(
+          (col("wq").cast("double") / col("wq_total").cast("double"))
+            .cast("double") *
+            (lit(0.5) * col("total_tokens").cast("double")) /
+            col("n_tokens").cast("double"),
+          lit(1.0)).cast("double").as("rate"))
+    val coin = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit("-mix"))), 1, 12), 16, 10)
+      .cast("double") / lit(281474976710656.0)
+    val sampled = d3.join(rates, "source").filter(coin < col("rate"))
+    // stage 5: shard packing (text-free before the prefix sum)
+    graft.operators.PrefixSum
+      .withRunningSum(
+        sampled.select(col("doc_id"), col("source"), col("lang"),
+          col("quality"), col("token_count"), col("rate")),
+        "doc_id", "token_count", "cum_tokens")
+      .withColumn("shard_id",
+        floor((col("cum_tokens") - col("token_count")) / 2000L)
+          .cast("bigint"))
+      .select("doc_id", "source", "lang", "quality", "token_count",
+        "rate", "shard_id")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q208_repetition_signals" -> q208RepetitionSignals _,
     "q212_filter_report" -> q212FilterReport _,
+    "q214_curation_v2" -> q214CurationV2 _,
     "q209_decontamination" -> q209Decontamination _,
     "q210_mmr_select" -> q210MmrSelect _,
     "q211_mixture_weights" -> q211MixtureWeights _,
@@ -271,6 +372,87 @@ object MixOps {
     s"len(regexp_extract_all($expr, '$re'))"
 
   val oracles: Map[String, String] = Map(
+    "q214_curation_v2" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, lang, text, $toksSql AS toks,
+         |    ${Extended.qualitySql} AS quality,
+         |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+         |      AS BIGINT) AS DOUBLE) / 281474976710656.0 AS frac
+         |  FROM documents),
+         |sig AS (
+         |  SELECT *, CAST(len(toks) AS BIGINT) AS token_count,
+         |    CAST(COALESCE(list_max(list_transform(list_distinct(toks),
+         |        tk -> len(list_filter(toks, x -> x = tk)))), 0) AS DOUBLE) /
+         |      CAST(greatest(len(toks), 1) AS DOUBLE) AS top_word_frac,
+         |    CASE WHEN len(toks) >= 3 THEN
+         |      list_transform(range(1, len(toks) - 1),
+         |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         |    ELSE [] END AS tg
+         |  FROM t),
+         |gated AS (
+         |  SELECT doc_id, source, lang, text, quality, token_count, frac
+         |  FROM (SELECT *,
+         |      CASE WHEN len(tg) > 0 THEN
+         |        CAST(1.0 AS DOUBLE) - CAST(len(list_distinct(tg)) AS DOUBLE) /
+         |          CAST(len(tg) AS DOUBLE)
+         |      ELSE CAST(0.0 AS DOUBLE) END AS dup_trigram_frac
+         |    FROM sig)
+         |  WHERE quality >= 0.5 AND lang = 'en' AND token_count >= 5
+         |    AND top_word_frac <= 0.2 AND dup_trigram_frac <= 0.3),
+         |g_all AS (
+         |  SELECT doc_id, frac, unnest(list_distinct(
+         |    CASE WHEN len(toks) >= 5 THEN
+         |      list_transform(range(1, len(toks) - 3),
+         |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         |          || ' ' || toks[i+3] || ' ' || toks[i+4])
+         |    ELSE [] END)) AS gram
+         |  FROM t),
+         |test_grams AS (SELECT DISTINCT gram FROM g_all WHERE frac < $TestFrac),
+         |contaminated AS (
+         |  SELECT DISTINCT g.doc_id FROM g_all g
+         |  JOIN test_grams USING (gram) WHERE g.frac >= $TestFrac),
+         |clean AS (
+         |  SELECT * FROM gated
+         |  WHERE frac >= $TestFrac
+         |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |keep AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM (
+         |    SELECT doc_id, ${DedupOps.fingerprintSql} AS fp FROM clean)
+         |  GROUP BY fp),
+         |d3 AS (
+         |  SELECT doc_id, source, lang, quality, token_count FROM clean
+         |  WHERE doc_id IN (SELECT doc_id FROM keep)),
+         |by_src AS (
+         |  SELECT source, CAST(SUM(token_count) AS BIGINT) AS n_tokens
+         |  FROM d3 GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM by_src),
+         |wq AS (
+         |  SELECT source, n_tokens,
+         |    CAST(round(sqrt(CAST(CAST(n_tokens AS DOUBLE) /
+         |      CAST(total_tokens AS DOUBLE) AS DOUBLE)) * 1000000000.0)
+         |      AS BIGINT) AS wq
+         |  FROM by_src, tot),
+         |wtot AS (SELECT SUM(wq) AS wq_total FROM wq),
+         |rates AS (
+         |  SELECT source,
+         |    CAST(least(
+         |      CAST(CAST(wq.wq AS DOUBLE) / CAST(wq_total AS DOUBLE) AS DOUBLE)
+         |        * (CAST(0.5 AS DOUBLE) * CAST(total_tokens AS DOUBLE))
+         |        / CAST(n_tokens AS DOUBLE),
+         |      CAST(1.0 AS DOUBLE)) AS DOUBLE) AS rate
+         |  FROM wq, wtot, tot),
+         |sampled AS (
+         |  SELECT d3.doc_id, d3.source, d3.lang, d3.quality, d3.token_count,
+         |    r.rate
+         |  FROM d3 JOIN rates r USING (source)
+         |  WHERE CAST(CAST('0x' || substr(md5(CAST(d3.doc_id AS VARCHAR)
+         |      || '-mix'), 1, 12) AS BIGINT) AS DOUBLE)
+         |    / 281474976710656.0 < r.rate)
+         |SELECT doc_id, source, lang, quality, token_count, rate,
+         |  CAST(floor((SUM(token_count) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - token_count)
+         |    / 2000) AS BIGINT) AS shard_id
+         |FROM sampled ORDER BY doc_id""".stripMargin,
     "q212_filter_report" ->
       s"""WITH feat AS (
          |  SELECT doc_id, lang, $toksSql AS toks,
