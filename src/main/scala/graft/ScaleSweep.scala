@@ -25,7 +25,7 @@ object ScaleSweep {
     // queries AND corpus both 10x) vs the bucketed variants that
     // exist precisely to break that quadratic
     "q49_cosine_topk", "q75_ivf_ann", "q80_multiprobe_ann",
-    "q119_ivfpq_ann",
+    "q215_ann_auto", "q119_ivfpq_ann",
     // near-dup at 10x: banded LSH and SimHash candidate generation
     "q46_minhash_neardup", "q47_simhash_fingerprint")
 

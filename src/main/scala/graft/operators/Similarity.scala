@@ -102,6 +102,41 @@ object Similarity {
     }: _*)
   }
 
+  /** Smallest bits-per-band whose bucket space covers n/targetBucket
+    * buckets (clamped to [minBits, maxBits]) — the log-scaled SRP
+    * resolution rule, in pure integer arithmetic so any engine
+    * derives the identical value from the corpus count. */
+  def autoBits(n: Long, targetBucket: Long = 40L,
+               minBits: Int = 4, maxBits: Int = 16): Int = {
+    val need = (n + targetBucket - 1) / targetBucket
+    (minBits to maxBits).find(b => (1L << b) >= need).getOrElse(maxBits)
+  }
+
+  /** Corpus-scaled SRP-LSH ANN — the fix for the measured q80
+    * resolution ceiling (ScaleSweep round 6: fixed 4-bit bands grew
+    * at exponent 1.14 because bucket occupancy tracks corpus size).
+    * bits-per-band is derived from the corpus count via [[autoBits]],
+    * holding EXPECTED BUCKET SIZE — hence per-query candidate work —
+    * constant as the corpus grows; multi-probe (2 one-bit flips)
+    * recovers the recall that longer keys cost, per Lv et al. 2007.
+    * Each band uses a [blockBits]-aligned slice of a fixed plane
+    * pool, so the configuration at any corpus size is a deterministic
+    * function of (seed, count) that an oracle replays from the same
+    * pool literal. The count() is one column-pruned scan — at 100 TB
+    * you'd read it from table stats instead; it only picks the
+    * parameter, never the data. */
+  def annTopKAuto(corpus: DataFrame, queries: DataFrame, k: Int,
+                  pool: Array[Array[Int]], bands: Int = 8,
+                  blockBits: Int = 16, targetBucket: Long = 40L,
+                  multiProbe: Int = 2): DataFrame = {
+    val bits = autoBits(corpus.count(), targetBucket, maxBits = blockBits)
+    require(pool.length >= bands * blockBits,
+      s"plane pool ${pool.length} < bands*blockBits ${bands * blockBits}")
+    val psUsed = Array.tabulate(bands * bits)(i =>
+      pool((i / bits) * blockBits + (i % bits)))
+    annTopK(corpus, queries, k, psUsed, bands, bits, multiProbe)
+  }
+
   // ------------------------------------------------------------- IVF
 
   /** Deterministic IVF coarse-quantizer "training": the numCentroids

@@ -44,6 +44,36 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  /** Corpus-scaled SRP ANN (Similarity.annTopKAuto): bits-per-band
+    * derived from the corpus count so bucket occupancy — hence
+    * per-query candidate work — stays constant as the corpus grows
+    * (the documented fix for q80's measured resolution ceiling),
+    * with 2-probe recall recovery. The oracle derives the identical
+    * bit count from COUNT(*) in pure integer arithmetic and replays
+    * the same 16-aligned slices of the shared 128-plane pool. */
+  def q215AnnAutoTopK(s: SparkSession, dir: String): DataFrame = {
+    val c = quantized(s, dir)
+    Similarity.annTopKAuto(c, querySet(c), k = 5, Similarity.planes(128, 64))
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Persisted-IVF-index search (operators.IvfIndex): build once into
+    * (gitignored) target/, then answer from the cid-partitioned
+    * inverted lists with static partition pruning — same parameters
+    * and bit-identical results as q75's build-inline ivfTopK, so it
+    * shares q75's oracle verbatim: the hash match certifies that the
+    * index round-trip (write codebook + lists, read back, prune,
+    * score) loses nothing. */
+  def q216IvfIndexTopK(s: SparkSession, dir: String): DataFrame = {
+    val c = quantized(s, dir)
+    val path = "target/graft_ivf/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/lists")))
+      graft.operators.IvfIndex.build(c, numCentroids = 16, path)
+    graft.operators.IvfIndex.topK(s, path, querySet(c), k = 5, nprobe = 4)
+      .orderBy("query_id", "rank")
+  }
+
   /** Per-label embedding statistics on exact integer norms. */
   def q51EmbeddingStats(s: SparkSession, dir: String): DataFrame =
     quantized(s, dir)
@@ -339,6 +369,8 @@ object SimilarityOps {
     "q51_embedding_stats" -> q51EmbeddingStats _,
     "q52_embedding_neardup" -> q52EmbeddingNearDup _,
     "q75_ivf_ann" -> q75IvfAnn _,
+    "q215_ann_auto" -> q215AnnAutoTopK _,
+    "q216_ivf_index" -> q216IvfIndexTopK _,
   )
 
   /** Double.toString round-trips, so these literals parse back to
@@ -395,7 +427,14 @@ object SimilarityOps {
       .map { case (row, p) => s"($p, [${row.mkString(",")}])" }
       .mkString(",\n  ")
 
-  val oracles: Map[String, String] = Map(
+  /** 128-plane pool (8 bands x 16-bit blocks) for the q215 oracle —
+    * the same seed-42 pool annTopKAuto slices at runtime. */
+  private val pool128Values: String =
+    Similarity.planes(128, 64).zipWithIndex
+      .map { case (row, p) => s"($p, [${row.mkString(",")}])" }
+      .mkString(",\n  ")
+
+  private val oraclesBase: Map[String, String] = Map(
     "q187_embedding_cov" ->
       s"""WITH q AS MATERIALIZED (SELECT $qvBig AS v FROM embeddings),
          |m AS MATERIALIZED (SELECT dd.d AS d, CAST(SUM(v[dd.d + 1]) AS BIGINT) AS s, COUNT(*) AS n
@@ -625,6 +664,43 @@ object SimilarityOps {
          |  MIN(norm2) AS min_norm2, MAX(norm2) AS max_norm2,
          |  CAST(CAST(SUM(norm2) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_norm2
          |FROM n GROUP BY label ORDER BY label""".stripMargin,
+    "q215_ann_auto" ->
+      s"""WITH planes(p, s) AS (VALUES
+         |  $pool128Values),
+         |e AS (SELECT vec_id, $qv AS v FROM embeddings),
+         |bits AS (
+         |  SELECT COALESCE(MIN(b), 16) AS bits
+         |  FROM (SELECT unnest(range(4, 17)) AS b),
+         |    (SELECT (COUNT(*) + 39) // 40 AS need FROM e)
+         |  WHERE (CAST(1 AS BIGINT) << b) >= need),
+         |sigs AS (
+         |  SELECT e.vec_id, pl.p // 16 AS band,
+         |    CAST(SUM(CASE WHEN list_dot_product(e.v,
+         |        list_transform(pl.s, x -> CAST(x AS DOUBLE))) > 0
+         |      THEN 1 << (pl.p % 16) ELSE 0 END) AS BIGINT) AS bkey
+         |  FROM e, planes pl, bits WHERE pl.p % 16 < bits.bits
+         |  GROUP BY 1, 2),
+         |qsigs AS (
+         |  SELECT vec_id, band, CAST(xor(bkey, f.f) AS BIGINT) AS bkey
+         |  FROM sigs, (VALUES (0), (1), (2)) f(f)
+         |  WHERE vec_id % 10 = 0),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+         |  FROM sigs c JOIN qsigs q ON c.band = q.band AND c.bkey = q.bkey
+         |  WHERE c.vec_id != q.vec_id),
+         |scored AS (
+         |  SELECT cand.query_id, cand.vec_id,
+         |    CAST(list_dot_product(cv.v, qv.v) /
+         |      sqrt(list_dot_product(qv.v, qv.v) * list_dot_product(cv.v, cv.v))
+         |      AS DOUBLE) AS cosine
+         |  FROM cand
+         |  JOIN e cv ON cv.vec_id = cand.vec_id
+         |  JOIN e qv ON qv.vec_id = cand.query_id)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, cosine FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q80_multiprobe_ann" ->
       s"""WITH planes(p, s) AS (VALUES
          |  $planesValues),
@@ -702,4 +778,11 @@ object SimilarityOps {
          |FROM c a JOIN c b ON b.vec_id = a.vec_id + 1
          |ORDER BY id_a""".stripMargin,
   )
+
+  /** q216 answers from the persisted IvfIndex with q75's exact
+    * parameters — sharing q75's oracle TEXT certifies the index
+    * round-trip (write codebook + partitioned lists, read back,
+    * prune, score) is lossless. */
+  val oracles: Map[String, String] =
+    oraclesBase + ("q216_ivf_index" -> oraclesBase("q75_ivf_ann"))
 }

@@ -56,6 +56,22 @@ class SimilaritySpec extends SparkSpec {
     assert(multi >= 0.5)
   }
 
+  test("auto-scaled SRP: bits track corpus size; recall stays reasonable") {
+    // the integer resolution rule at decade boundaries
+    assert(Similarity.autoBits(200) === 4)      // 5 buckets needed
+    assert(Similarity.autoBits(2000) === 6)     // 50 -> 2^6
+    assert(Similarity.autoBits(20000) === 9)    // 500 -> 2^9
+    assert(Similarity.autoBits(20000000) === 16) // clamped at maxBits
+    val bf = Similarity.bruteForceTopK(quantized, queries, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.annTopKAuto(quantized, queries, k = 5,
+      Similarity.planes(128, 64))
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (bf & ann).size.toDouble / bf.size
+    info(f"auto-scaled SRP recall@5 = $recall%.3f")
+    assert(recall >= 0.3)
+  }
+
   test("IVF: every corpus row lands in a real centroid list; probes per query = nprobe") {
     val cents = Similarity.ivfCentroids(quantized, 8)
     assert(cents.length == 8)
