@@ -198,10 +198,16 @@ object MixOps {
     * failed-rules column is a comma-joined fixed-order list (concat_ws
     * skips the NULLs of rules that pass), so downstream grouping by
     * rejection reason is a plain string groupBy. Zero shuffles. */
-  def q212FilterReport(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"), toks.as("toks"),
-        TextAnalysis.qualityScore(col("text")).as("quality_score"))
+  /** The ONE rule kernel behind q212 and the streaming quality gate
+    * (streaming.QualityGateStream): input needs (doc_id, lang, text);
+    * output adds token_count, quality_score, top_word_frac,
+    * dup_trigram_frac, failed_rules (fixed-order comma list; empty =
+    * pass), kept. Pure stateless expressions — identical semantics in
+    * a batch scan and a micro-batch, which is what the stream≡batch
+    * parity spec pins. */
+  private[graft] def withFilterRules(d: DataFrame): DataFrame = {
+    val base = d.withColumn("toks", toks)
+      .withColumn("quality_score", TextAnalysis.qualityScore(col("text")))
     val n = size(col("toks"))
     val topCnt = coalesce(
       array_max(transform(array_distinct(col("toks")),
@@ -211,11 +217,11 @@ object MixOps {
         element_at(col("toks"), i), element_at(col("toks"), i + 1),
         element_at(col("toks"), i + 2))))
       .otherwise(array().cast("array<string>"))
-    val withSig = d.select(col("doc_id"), col("lang"), col("quality_score"),
-        n.as("token_count"),
-        (topCnt.cast("double") / greatest(n, lit(1)).cast("double"))
-          .as("top_word_frac"),
-        trigrams.as("tg"))
+    val withSig = base
+      .withColumn("token_count", n)
+      .withColumn("top_word_frac",
+        topCnt.cast("double") / greatest(n, lit(1)).cast("double"))
+      .withColumn("tg", trigrams)
       .withColumn("dup_trigram_frac",
         when(size(col("tg")) > 0,
           lit(1.0) - size(array_distinct(col("tg"))).cast("double") /
@@ -228,12 +234,17 @@ object MixOps {
         lit("repetitive")),
       when(col("token_count") < 5, lit("too_short")))
     withSig
-      .select(col("doc_id"), col("lang"), col("token_count"),
-        col("quality_score"), col("top_word_frac"), col("dup_trigram_frac"),
-        failed.as("failed_rules"))
+      .withColumn("failed_rules", failed)
       .withColumn("kept", col("failed_rules") === "")
-      .orderBy("doc_id")
+      .drop("toks", "tg")
   }
+
+  def q212FilterReport(s: SparkSession, dir: String): DataFrame =
+    withFilterRules(Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("text")))
+      .select("doc_id", "lang", "token_count", "quality_score",
+        "top_word_frac", "dup_trigram_frac", "failed_rules", "kept")
+      .orderBy("doc_id")
 
   /** q214 — curation pipeline v2: the round-6 operators composed end
     * to end the way a pretraining-data run chains them, complementing
