@@ -141,6 +141,36 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q217 — CCNet-style perplexity bucketing (Wenzek et al. 2020
+    * §4.2): score every document with the self-trained bigram LM
+    * (q133's exact kernel) and split the corpus into head/middle/tail
+    * terciles of mean log-probability — the standard
+    * quality-stratified sampling surface for pretraining data.
+    * The tercile CUT POINTS come from the ExactQuantile histogram
+    * funnel over integer micro-units — two bounded passes, never a
+    * global sort — and ride into the labeling scan as two literals
+    * (an eager 2-row collect at build, the q105 discipline). Docs
+    * the LM cannot score (no bigrams) get an explicit 'unscored'
+    * bucket rather than a silent drop. */
+  def q217PerplexityBuckets(s: SparkSession, dir: String): DataFrame = {
+    val base = q133BigramLm(s, dir)
+    val micro = round(col("avg_logprob") * 1000000).cast("bigint")
+    val sc = base.filter(col("n_bigrams") > 0).withColumn("micro", micro)
+    val cuts = graft.operators.ExactQuantile.groupedQuantiles(
+        sc.withColumn("g0", lit("all")), "g0", col("micro"),
+        Seq(("p33", 1.0 / 3.0), ("p67", 2.0 / 3.0)))
+      .collect()
+      .map(r => r.getAs[String]("pct") -> r.getAs[Long]("value_cents")).toMap
+    base
+      .withColumn("bucket",
+        when(col("n_bigrams") === 0, lit("unscored"))
+          .when(micro >= lit(cuts("p67")), lit("head"))
+          .when(micro >= lit(cuts("p33")), lit("middle"))
+          .otherwise(lit("tail")))
+      .select("doc_id", "n_bigrams", "avg_logprob", "bucket")
+      .orderBy("doc_id")
+  }
+
   /** Pointwise mutual information over within-document token
     * co-occurrence — the collocation detector next to q133's bigram
     * LM (PMI measures association regardless of adjacency; the LM
@@ -453,6 +483,7 @@ object TextOps {
     "q159_pmi" -> q159Pmi _,
     "q167_token_surge" -> q167TokenSurge _,
     "q133_bigram_lm" -> q133BigramLm _,
+    "q217_perplexity_buckets" -> q217PerplexityBuckets _,
     "q40_token_stats" -> q40TokenStats _,
     "q41_lang_id" -> q41LangId _,
     "q42_quality_score" -> q42QualityScore _,
@@ -719,6 +750,45 @@ object TextOps {
         |JOIN ct cb ON cb.tok = p.tok_b
         |CROSS JOIN n
         |ORDER BY tok_a, tok_b""".stripMargin,
+    "q217_perplexity_buckets" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |bi AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks), 1)),
+         |    i -> array_to_string(toks[i:i+1], ' '))) AS bigram FROM t),
+         |uni AS (SELECT unnest(toks) AS w1 FROM t),
+         |bm AS (SELECT bigram, COUNT(*) AS c_bi FROM bi GROUP BY 1),
+         |um AS (SELECT w1, COUNT(*) AS c_uni FROM uni GROUP BY 1),
+         |scored AS (
+         |  SELECT b.doc_id,
+         |    CAST(round(ln(CAST(bm.c_bi AS DOUBLE) / CAST(um.c_uni AS DOUBLE)), 6)
+         |      AS DECIMAL(18,6)) AS logp
+         |  FROM bi b
+         |  JOIN bm USING (bigram)
+         |  JOIN um ON um.w1 = string_split(b.bigram, ' ')[1]),
+         |a AS (SELECT doc_id, COUNT(*) AS n_bigrams, SUM(logp) AS sum_logp
+         |      FROM scored GROUP BY 1),
+         |base AS (
+         |  SELECT d.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams,
+         |    CAST(CAST(a.sum_logp AS DOUBLE) / a.n_bigrams AS DOUBLE) AS avg_logprob
+         |  FROM documents d LEFT JOIN a USING (doc_id)),
+         |sc AS (
+         |  SELECT CAST(round(avg_logprob * 1000000) AS BIGINT) AS micro
+         |  FROM base WHERE n_bigrams > 0),
+         |nn AS (SELECT COUNT(*) AS n FROM sc),
+         |ranked AS (SELECT micro, ROW_NUMBER() OVER (ORDER BY micro) AS rn FROM sc),
+         |cuts AS (SELECT
+         |  (SELECT micro FROM ranked WHERE rn = (SELECT greatest(CAST(1 AS BIGINT),
+         |     CAST(ceil((1.0/3.0) * n) AS BIGINT)) FROM nn)) AS c33,
+         |  (SELECT micro FROM ranked WHERE rn = (SELECT greatest(CAST(1 AS BIGINT),
+         |     CAST(ceil((2.0/3.0) * n) AS BIGINT)) FROM nn)) AS c67)
+         |SELECT b.doc_id, b.n_bigrams, b.avg_logprob,
+         |  CASE WHEN b.n_bigrams = 0 THEN 'unscored'
+         |       WHEN CAST(round(b.avg_logprob * 1000000) AS BIGINT) >= cuts.c67
+         |         THEN 'head'
+         |       WHEN CAST(round(b.avg_logprob * 1000000) AS BIGINT) >= cuts.c33
+         |         THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM base b, cuts ORDER BY b.doc_id""".stripMargin,
     "q133_bigram_lm" ->
       s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
          |bi AS (
