@@ -27,7 +27,10 @@ object ScaleSweep {
     "q49_cosine_topk", "q75_ivf_ann", "q80_multiprobe_ann",
     "q215_ann_auto", "q119_ivfpq_ann",
     // near-dup at 10x: banded LSH and SimHash candidate generation
-    "q46_minhash_neardup", "q47_simhash_fingerprint")
+    "q46_minhash_neardup", "q47_simhash_fingerprint",
+    // round-6 composites: community structure + the decision-layer
+    // curation chain + LM-score bucketing
+    "q213_label_prop", "q214_curation_v2", "q217_perplexity_buckets")
 
   def main(args: Array[String]): Unit = {
     val sf01 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
