@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.operators.{Similarity, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-6 training-data curation additions: repetition-based quality
@@ -190,6 +191,66 @@ object MixOps {
       .orderBy("source")
   }
 
+  /** q218 — fastText-shaped hashed linear quality classifier
+    * (Joulin et al. 2016 "Bag of Tricks for Efficient Text
+    * Classification"; the MODEL-BASED filter of CCNet/FineWeb-Edu —
+    * Wenzek et al. 2020 §4.4 — where a linear scorer, not a rule,
+    * decides keep/drop). Features are unigrams plus '_'-joined
+    * bigrams, hashed into 1024 buckets (hashing trick, md5-derived so
+    * DuckDB replays it); each bucket carries a FIXED deterministic
+    * fixed-point weight in [-1.000, 1.000] (Knuth multiplicative hash
+    * of the bucket id) standing in for trained coefficients — the
+    * real deployment broadcasts a learned weight array, but the plan
+    * is identical. Inference is one higher-order-function fold over
+    * the token array: zero shuffle, zero join, scan speed — at 100 TB
+    * a linear classifier costs exactly one pass over the corpus,
+    * which is the whole point of the fastText family. */
+  def q218HashClassifier(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), toks.as("toks"))
+    val bigrams = when(size(col("toks")) >= 2,
+      transform(sequence(lit(1), size(col("toks")) - 1),
+        i => concat_ws("_",
+          element_at(col("toks"), i), element_at(col("toks"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    def weightFp(f: Column): Column = {
+      val bucket =
+        pmod(conv(substring(md5(f), 1, 8), 16, 10).cast("bigint"), lit(1024L))
+      pmod(bucket * lit(2654435761L), lit(2001L)) - lit(1000L)
+    }
+    d.select(col("doc_id"), concat(col("toks"), bigrams).as("feats"))
+      .select(col("doc_id"),
+        size(col("feats")).cast("bigint").as("n_features"),
+        aggregate(col("feats"), lit(0L), (acc, f) => acc + weightFp(f))
+          .as("score_fp"))
+      .withColumn("quality_label", col("score_fp") > 0)
+      .orderBy("doc_id")
+  }
+
+  /** q219 — per-source ADAPTIVE quality threshold (the FineWeb
+    * discipline — Penedo et al. 2024 §3.3: filter cutoffs are set
+    * from each source's own score distribution, never one global
+    * constant, because a threshold tuned on web text guts a code or
+    * academic source). Drop each source's worst ⌊n/10⌋ documents by
+    * quality rank (doc_id tiebreak) — pure integer arithmetic, so a
+    * 3-doc source keeps all 3 (⌊0.3⌋ = 0) instead of the
+    * percent_rank formulation's degenerate singleton-drop, and both
+    * engines agree without any floating-point compare.
+    * Scale: one sort-shuffle keyed by source; with few giant sources
+    * at 100 TB, swap the window for a two-phase exact-quantile cutoff
+    * per source (q128's bounded-domain histogram kernel) broadcast
+    * back onto the scan — same output, no giant sorted partition. */
+  def q219AdaptiveThreshold(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("quality"), col("doc_id"))
+    val wAll = Window.partitionBy("source")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .withColumn("src_rank", row_number().over(w).cast("bigint"))
+      .withColumn("n_src", count(lit(1)).over(wAll))
+      .withColumn("kept", col("src_rank") > expr("n_src DIV 10"))
+      .orderBy("source", "doc_id")
+  }
+
   /** q212 — the filter DECISION REPORT a curation run ships with its
     * output (FineWeb/RedPajama discipline: never silently drop —
     * record which rule fired per document). Composes the q42 quality
@@ -353,6 +414,8 @@ object MixOps {
     "q209_decontamination" -> q209Decontamination _,
     "q210_mmr_select" -> q210MmrSelect _,
     "q211_mixture_weights" -> q211MixtureWeights _,
+    "q218_hash_classifier" -> q218HashClassifier _,
+    "q219_adaptive_threshold" -> q219AdaptiveThreshold _,
   )
 
   private val toksSql = "list_filter(regexp_split_to_array(lower(trim(text)), ' +'), t -> t <> '')"
@@ -581,6 +644,35 @@ object MixOps {
          |SELECT CAST(rank AS INTEGER) AS rank, vec_id,
          |  rel AS relevance, max_sim_selected, score
          |FROM sel5 ORDER BY rank""".stripMargin,
+    "q218_hash_classifier" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |f AS (
+         |  SELECT doc_id, list_concat(toks,
+         |    CASE WHEN len(toks) >= 2 THEN
+         |      list_transform(range(1, len(toks)),
+         |        i -> toks[i] || '_' || toks[i+1])
+         |    ELSE [] END) AS feats
+         |  FROM t),
+         |scored AS (
+         |  SELECT doc_id, CAST(len(feats) AS BIGINT) AS n_features,
+         |    CAST(COALESCE(list_sum(list_transform(feats,
+         |      fe -> ((CAST('0x' || substr(md5(fe), 1, 8) AS BIGINT) % 1024)
+         |             * 2654435761) % 2001 - 1000)), 0) AS BIGINT) AS score_fp
+         |  FROM f)
+         |SELECT doc_id, n_features, score_fp, score_fp > 0 AS quality_label
+         |FROM scored ORDER BY doc_id""".stripMargin,
+    "q219_adaptive_threshold" ->
+      s"""WITH sc AS (
+         |  SELECT doc_id, source, ${Extended.qualitySql} AS quality
+         |  FROM documents)
+         |SELECT doc_id, source, quality,
+         |  CAST(row_number() OVER w AS BIGINT) AS src_rank,
+         |  CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_src,
+         |  CAST(row_number() OVER w AS BIGINT)
+         |    > count(*) OVER (PARTITION BY source) // 10 AS kept
+         |FROM sc
+         |WINDOW w AS (PARTITION BY source ORDER BY quality, doc_id)
+         |ORDER BY source, doc_id""".stripMargin,
     "q211_mixture_weights" ->
       s"""WITH by_src AS (
          |  SELECT source, COUNT(*) AS n_docs,

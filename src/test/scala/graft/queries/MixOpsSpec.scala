@@ -92,4 +92,44 @@ class MixOpsSpec extends SparkSpec {
     assert(head._2 < head._1, "head source must be downweighted")
     assert(tail._2 > tail._1, "tail source must be upweighted")
   }
+
+  test("q218 score matches an independent JVM recomputation; |feats| = 2t-1") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def w(f: String): Long = {
+      val bucket = java.lang.Long.parseLong(md5hex(f).take(8), 16) % 1024L
+      bucket * 2654435761L % 2001L - 1000L
+    }
+    val texts = Map(0L -> "solo", 1L -> "a a a a", 2L -> "w x y z",
+      3L -> "  p   q  ", 4L -> "one two three four five six")
+    val rows = MixOps.q218HashClassifier(spark, edgeDir).collect()
+    assert(rows.length === texts.size)
+    rows.foreach { r =>
+      val toks = texts(r.getLong(0)).trim.toLowerCase
+        .split(" +").filter(_.nonEmpty).toSeq
+      val feats = toks ++ toks.sliding(2).filter(_.size == 2).map(_.mkString("_"))
+      assert(r.getAs[Long]("n_features") === feats.size.toLong)
+      val expected = feats.map(w).sum
+      assert(r.getAs[Long]("score_fp") === expected)
+      assert(r.getAs[Boolean]("quality_label") === (expected > 0))
+    }
+  }
+
+  test("q219 drops exactly floor(n/10) per source and never a singleton's doc") {
+    // edge fixture: 2- and 3-doc sources -> floor(n/10) = 0, all kept
+    val small = MixOps.q219AdaptiveThreshold(spark, edgeDir).collect()
+    assert(small.forall(_.getAs[Boolean]("kept")))
+    // 20-doc source: exactly the 2 lowest-quality docs dropped; quality
+    // here is strictly increasing in length (no punct, no stopwords)
+    val dir = java.nio.file.Files.createTempDirectory("q219").toString
+    (0 until 20).map(i => (i.toLong, ("tok " * (i + 1)).trim, "en", "big"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val big = MixOps.q219AdaptiveThreshold(spark, dir).collect()
+    assert(big.count(!_.getAs[Boolean]("kept")) === 2)
+    assert(big.filter(!_.getAs[Boolean]("kept")).map(_.getLong(0)).toSet
+      === Set(0L, 1L))
+    assert(big.forall(r => r.getAs[Long]("n_src") === 20L))
+  }
 }
