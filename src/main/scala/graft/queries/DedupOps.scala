@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.operators.{Dedup, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection queries over the documents table, each
@@ -61,6 +62,41 @@ object DedupOps {
     cc.join(sizes, "cluster_id")
       .select(col("id").as("doc_id"), col("cluster_id"),
         col("cluster_size"), (col("id") === col("cluster_id")).as("is_survivor"))
+      .orderBy("cluster_id", "doc_id")
+  }
+
+  /** q220 — QUALITY-argmax survivor selection over the near-dup
+    * clusters (the policy step after q77's clustering: SlimPajama/
+    * FineWeb pipelines keep the BEST document of each duplicate
+    * cluster, not an arbitrary canonical id). Full-corpus output:
+    * every document labeled with its cluster (singletons form their
+    * own), the cluster size, and whether it survives — survivor =
+    * argmax(quality, doc_id-tiebreak) within the cluster. Scale: the
+    * clustering is q77's banded-LSH + CC (never all-pairs); the
+    * selection adds one window keyed by cluster_id — cluster sizes
+    * are near-dup cluster sizes (small by construction at any corpus
+    * scale), so the per-key sort is bounded and skew-free. */
+  def q220QualitySurvivor(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val sigs = Dedup.minhashSignatures(d, "doc_id", "text", k = 16, shingleN = 3)
+    val cand = Dedup.lshCandidatePairs(sigs, "doc_id", bands = 4, rowsPerBand = 4)
+    val pairs = Dedup.verifyJaccard(cand, d, "doc_id", "text", shingleN = 3)
+      .filter(col("jaccard") >= 0.2)
+      .select("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+    val scored = d.select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+    val labeled = scored
+      .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val wBest = Window.partitionBy("cluster_id")
+      .orderBy(col("quality").desc, col("doc_id"))
+    labeled
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("cluster_id")))
+      .withColumn("best", row_number().over(wBest))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("quality"), (col("best") === 1).as("is_survivor"))
       .orderBy("cluster_id", "doc_id")
   }
 
@@ -356,6 +392,7 @@ object DedupOps {
     "q47_simhash_fingerprint" -> q47SimhashFingerprint _,
     "q48_simhash_neardup" -> q48SimhashNearDup _,
     "q77_dedup_clusters" -> q77DedupClusters _,
+    "q220_quality_survivor" -> q220QualitySurvivor _,
   )
 
   // ---- DuckDB oracle SQL for the hash-internal kernels ----
@@ -688,6 +725,28 @@ object DedupOps {
          |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
          |  id = cluster_id AS is_survivor
          |FROM lab ORDER BY cluster_id, doc_id""".stripMargin,
+    // q77's clustering kernel + the q42 quality score: one survivor
+    // per cluster by (quality DESC, doc_id) — singletons self-cluster
+    "q220_quality_survivor" ->
+      s"""WITH RECURSIVE $tokHashCte,
+         |$shinglesCte,
+         |$sigBandedCtes,
+         |$cpairsCte,
+         |$ccReachCtes,
+         |lab AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         |scored AS (
+         |  SELECT doc_id, ${Extended.qualitySql} AS quality FROM documents),
+         |u AS (
+         |  SELECT s.doc_id, COALESCE(l.cluster_id, s.doc_id) AS cluster_id,
+         |    s.quality
+         |  FROM scored s LEFT JOIN lab l ON s.doc_id = l.id)
+         |SELECT doc_id, cluster_id,
+         |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+         |    AS cluster_size,
+         |  quality,
+         |  row_number() OVER (PARTITION BY cluster_id
+         |    ORDER BY quality DESC, doc_id) = 1 AS is_survivor
+         |FROM u ORDER BY cluster_id, doc_id""".stripMargin,
     // same clustering kernel as q77, then group-keyed md5 split
     // assignment (the q79 fraction idiom over group ids)
     "q122_leakage_split" ->
