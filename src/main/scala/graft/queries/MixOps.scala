@@ -321,10 +321,19 @@ object MixOps {
     * Every stage is individually oracle-proven (q212/q209/q45/q211/
     * q200); this certifies the COMPOSITION hash-exactly. */
   def q214CurationV2(s: SparkSession, dir: String): DataFrame = {
+    // The enriched scan (tokenize + 3 quality regexes + md5 coin) is
+    // consumed by three subtrees (rule gate, eval-gram build, train-
+    // gram probe), each evaluated again by PrefixSum's eager subtotal
+    // pass and the final job — persist it (and the two other fan-out
+    // points below) so the expensive text kernels run ONCE. Measured
+    // at sf0.1/local[32]: 26.0 s -> see PLANS.md round-6. On a
+    // cluster the same persists hold: each is O(corpus) columnar
+    // cache with the text-heavy columns dropped as early as possible.
     val d = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), col("lang"), col("text"),
         TextAnalysis.qualityScore(col("text")).as("quality"),
         toks.as("toks"), docFrac.as("frac"))
+      .persist()
     val n = size(col("toks"))
     val topCnt = coalesce(
       array_max(transform(array_distinct(col("toks")),
@@ -366,12 +375,14 @@ object MixOps {
       .join(testGrams, "gram").select("doc_id").distinct()
     val clean = gated.filter(col("frac") >= TestFrac)
       .join(contaminated, Seq("doc_id"), "left_anti")
+      .persist()
     // stage 3: exact dedup among survivors
     val keep = clean
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
       .groupBy("fp").agg(min("doc_id").as("doc_id")).select("doc_id")
     val d3 = clean.join(keep, "doc_id")
       .select("doc_id", "source", "lang", "quality", "token_count")
+      .persist()
     // stage 4: temperature sampling to a half-corpus token budget
     val bySrc = d3.groupBy("source").agg(sum("token_count").as("n_tokens"))
     val tot = bySrc.agg(sum("n_tokens").as("total_tokens"))
