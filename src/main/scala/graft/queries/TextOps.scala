@@ -153,7 +153,11 @@ object TextOps {
     * the LM cannot score (no bigrams) get an explicit 'unscored'
     * bucket rather than a silent drop. */
   def q217PerplexityBuckets(s: SparkSession, dir: String): DataFrame = {
-    val base = q133BigramLm(s, dir)
+    // the bigram-LM pipeline is consumed twice — by the EAGER tercile
+    // cut collect and by the returned plan — so persist it (the q214
+    // fan-out lesson; measured 2.4 -> 1.8 s isolated at sf0.1 — the
+    // remainder is the LM's own in-pipeline eager steps)
+    val base = q133BigramLm(s, dir).persist()
     val micro = round(col("avg_logprob") * 1000000).cast("bigint")
     val sc = base.filter(col("n_bigrams") > 0).withColumn("micro", micro)
     val cuts = graft.operators.ExactQuantile.groupedQuantiles(
