@@ -30,7 +30,11 @@ object ScaleSweep {
     "q46_minhash_neardup", "q47_simhash_fingerprint",
     // round-6 composites: community structure + the decision-layer
     // curation chain + LM-score bucketing
-    "q213_label_prop", "q214_curation_v2", "q217_perplexity_buckets")
+    "q213_label_prop", "q214_curation_v2", "q217_perplexity_buckets",
+    // round-6 part 2: scan-speed classifier, source-keyed adaptive
+    // threshold window, cluster-survivor composite
+    "q218_hash_classifier", "q219_adaptive_threshold",
+    "q220_quality_survivor")
 
   def main(args: Array[String]): Unit = {
     val sf01 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -299,8 +299,40 @@ object CurationOps {
       .orderBy("doc_id")
   }
 
+  /** q222 — the SHARD MANIFEST for q200's epoch-0 packing: one row
+    * per shard with doc/token counts, the doc_id span, and an md5
+    * content hash of the ordered doc_id list. This is the
+    * reproducibility artifact a resumable 100 TB training job ships
+    * next to its shards — shard membership is a pure function of
+    * (epoch, corpus), so a restarted job re-derives the manifest and
+    * any divergence (lost file, re-pack under a changed corpus)
+    * surfaces as a hash mismatch on exactly the affected shards.
+    * Scale: the same two-phase prefix sum as q200, then a shard-keyed
+    * aggregate; the collect_list per shard is bounded by the token
+    * budget (≈ budget/min-doc-tokens docs), never by corpus size. */
+  def q222ShardManifest(s: SparkSession, dir: String): DataFrame = {
+    val budget = 2000L
+    val counted = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("bigint").as("token_count"))
+      .withColumn("shuffle_key", md5(concat_ws(":", lit(0), col("doc_id"))))
+    graft.operators.PrefixSum
+      .withRunningSum(counted, "shuffle_key", "token_count", "cum_tokens")
+      .withColumn("shard_id",
+        floor((col("cum_tokens") - col("token_count")) / budget).cast("bigint"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("token_count").as("n_tokens"),
+        min("doc_id").as("min_doc_id"),
+        max("doc_id").as("max_doc_id"),
+        md5(array_join(transform(array_sort(collect_list(col("doc_id"))),
+          x => x.cast("string")), ",")).as("manifest_md5"))
+      .orderBy("shard_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q200_epoch_shards" -> q200EpochShards _,
+    "q222_shard_manifest" -> q222ShardManifest _,
     "q152_systematic_sample" -> q152SystematicSample _,
     "q124_quota_apportion" -> q124QuotaApportion _,
     "q131_priority_sample" -> q131PrioritySample _,
@@ -315,6 +347,25 @@ object CurationOps {
   private val tokensSql = "regexp_split_to_array(lower(trim(text)), ' +')"
 
   val oracles: Map[String, String] = Map(
+    "q222_shard_manifest" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS token_count
+         |  FROM documents),
+         |e0 AS (
+         |  SELECT doc_id, token_count,
+         |    md5('0:' || CAST(doc_id AS VARCHAR)) AS k FROM t),
+         |e0p AS (
+         |  SELECT doc_id, token_count,
+         |    CAST(floor((SUM(token_count) OVER (ORDER BY k
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - token_count)
+         |      / 2000) AS BIGINT) AS shard_id
+         |  FROM e0)
+         |SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(token_count) AS BIGINT) AS n_tokens,
+         |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id,
+         |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+         |    AS manifest_md5
+         |FROM e0p GROUP BY shard_id ORDER BY shard_id""".stripMargin,
     "q200_epoch_shards" ->
       s"""WITH t AS (
          |  SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS token_count

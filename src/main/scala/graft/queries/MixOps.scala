@@ -251,6 +251,60 @@ object MixOps {
       .orderBy("source", "doc_id")
   }
 
+  /** q221 — the corpus DATASHEET: the one-page statistics card a
+    * dataset release ships (Gebru et al. 2021 "Datasheets for
+    * Datasets"; every public pretraining corpus — C4, Pile, FineWeb —
+    * publishes exactly this row set). All ratios ride on exact
+    * integer aggregates (fixed-point quality micro-units, BIGINT
+    * token counts) so distributed summation order cannot perturb a
+    * single bit; the only double arithmetic is the final division of
+    * two agreed integers. Scale: one map-side-combine aggregate over
+    * the corpus scan plus the q209 gram semi-join — the datasheet of
+    * a 100 TB corpus costs one pass. */
+  def q221CorpusDatasheet(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("source"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("bigint").as("token_count"),
+        round(TextAnalysis.qualityScore(col("text")) * 1000000).cast("bigint")
+          .as("q_micro"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+    val base = d.agg(
+      count(lit(1)).as("n_docs"),
+      sum("token_count").as("n_tokens"),
+      count_distinct(col("source")).as("n_sources"),
+      count_distinct(col("lang")).as("n_langs"),
+      count_distinct(col("fp")).as("n_unique_fp"),
+      sum("q_micro").as("q_micro_sum"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+    val contam = q209Decontamination(s, dir)
+      .agg(count(lit(1)).as("n_train"),
+        sum(when(col("contaminated"), 1L).otherwise(0L)).as("n_contaminated"))
+    base.crossJoin(contam)
+      .select(explode(array(
+        struct(lit("contamination_rate").as("metric"),
+          (col("n_contaminated").cast("double") / col("n_train").cast("double"))
+            .as("value")),
+        struct(lit("exact_dup_rate").as("metric"),
+          ((col("n_docs") - col("n_unique_fp")).cast("double") /
+            col("n_docs").cast("double")).as("value")),
+        struct(lit("lang_en_share").as("metric"),
+          (col("n_en").cast("double") / col("n_docs").cast("double"))
+            .as("value")),
+        struct(lit("mean_quality").as("metric"),
+          ((col("q_micro_sum").cast("double") / col("n_docs").cast("double")) /
+            lit(1000000.0)).as("value")),
+        struct(lit("mean_tokens_per_doc").as("metric"),
+          (col("n_tokens").cast("double") / col("n_docs").cast("double"))
+            .as("value")),
+        struct(lit("n_docs").as("metric"), col("n_docs").cast("double").as("value")),
+        struct(lit("n_langs").as("metric"), col("n_langs").cast("double").as("value")),
+        struct(lit("n_sources").as("metric"), col("n_sources").cast("double").as("value")),
+        struct(lit("n_tokens").as("metric"), col("n_tokens").cast("double").as("value"))
+      )).as("m"))
+      .select(col("m.metric").as("metric"), col("m.value").as("value"))
+      .orderBy("metric")
+  }
+
   /** q212 — the filter DECISION REPORT a curation run ships with its
     * output (FineWeb/RedPajama discipline: never silently drop —
     * record which rule fired per document). Composes the q42 quality
@@ -427,6 +481,7 @@ object MixOps {
     "q211_mixture_weights" -> q211MixtureWeights _,
     "q218_hash_classifier" -> q218HashClassifier _,
     "q219_adaptive_threshold" -> q219AdaptiveThreshold _,
+    "q221_corpus_datasheet" -> q221CorpusDatasheet _,
   )
 
   private val toksSql = "list_filter(regexp_split_to_array(lower(trim(text)), ' +'), t -> t <> '')"
@@ -655,6 +710,61 @@ object MixOps {
          |SELECT CAST(rank AS INTEGER) AS rank, vec_id,
          |  rel AS relevance, max_sim_selected, score
          |FROM sel5 ORDER BY rank""".stripMargin,
+    "q221_corpus_datasheet" ->
+      s"""WITH d AS (
+         |  SELECT source, lang,
+         |    CAST(len(regexp_split_to_array(lower(trim(text)), ' +'))
+         |      AS BIGINT) AS token_count,
+         |    CAST(round(${Extended.qualitySql} * 1000000) AS BIGINT) AS q_micro,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM documents),
+         |base AS (
+         |  SELECT COUNT(*) AS n_docs, SUM(token_count) AS n_tokens,
+         |    COUNT(DISTINCT source) AS n_sources,
+         |    COUNT(DISTINCT lang) AS n_langs,
+         |    COUNT(DISTINCT fp) AS n_unique_fp,
+         |    SUM(q_micro) AS q_micro_sum,
+         |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en
+         |  FROM d),
+         |tf AS (
+         |  SELECT doc_id, $toksSql AS toks,
+         |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+         |      AS BIGINT) AS DOUBLE) / 281474976710656.0 AS frac
+         |  FROM documents),
+         |g_all AS (
+         |  SELECT doc_id, frac, unnest(list_distinct(
+         |    CASE WHEN len(toks) >= 5 THEN
+         |      list_transform(range(1, len(toks) - 3),
+         |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         |          || ' ' || toks[i+3] || ' ' || toks[i+4])
+         |    ELSE [] END)) AS gram
+         |  FROM tf),
+         |test_grams AS (SELECT DISTINCT gram FROM g_all WHERE frac < $TestFrac),
+         |contaminated AS (
+         |  SELECT DISTINCT g.doc_id FROM g_all g
+         |  JOIN test_grams USING (gram) WHERE g.frac >= $TestFrac),
+         |contam AS (
+         |  SELECT (SELECT COUNT(*) FROM tf WHERE frac >= $TestFrac) AS n_train,
+         |    (SELECT COUNT(*) FROM contaminated) AS n_contaminated)
+         |SELECT metric, value FROM (
+         |  SELECT 'contamination_rate' AS metric,
+         |    CAST(n_contaminated AS DOUBLE) / CAST(n_train AS DOUBLE) AS value
+         |  FROM contam
+         |  UNION ALL SELECT 'exact_dup_rate',
+         |    CAST(n_docs - n_unique_fp AS DOUBLE) / CAST(n_docs AS DOUBLE)
+         |  FROM base
+         |  UNION ALL SELECT 'lang_en_share',
+         |    CAST(n_en AS DOUBLE) / CAST(n_docs AS DOUBLE) FROM base
+         |  UNION ALL SELECT 'mean_quality',
+         |    (CAST(q_micro_sum AS DOUBLE) / CAST(n_docs AS DOUBLE)) / 1000000.0
+         |  FROM base
+         |  UNION ALL SELECT 'mean_tokens_per_doc',
+         |    CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) FROM base
+         |  UNION ALL SELECT 'n_docs', CAST(n_docs AS DOUBLE) FROM base
+         |  UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM base
+         |  UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM base
+         |  UNION ALL SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM base)
+         |ORDER BY metric""".stripMargin,
     "q218_hash_classifier" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |f AS (

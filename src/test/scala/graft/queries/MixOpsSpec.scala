@@ -115,6 +115,27 @@ class MixOpsSpec extends SparkSpec {
     }
   }
 
+  test("q221 datasheet metrics are internally consistent and match base facts") {
+    val m = MixOps.q221CorpusDatasheet(spark, sfDir).collect()
+      .map(r => r.getAs[String]("metric") -> r.getAs[Double]("value")).toMap
+    assert(m.keySet === Set("contamination_rate", "exact_dup_rate",
+      "lang_en_share", "mean_quality", "mean_tokens_per_doc",
+      "n_docs", "n_langs", "n_sources", "n_tokens"))
+    val docs = graft.Tables.documents(spark, sfDir)
+    assert(m("n_docs") === docs.count().toDouble)
+    assert(m("n_sources") ===
+      docs.select("source").distinct().count().toDouble)
+    assert(m("mean_tokens_per_doc") === m("n_tokens") / m("n_docs"))
+    Seq("contamination_rate", "exact_dup_rate", "lang_en_share").foreach { k =>
+      assert(m(k) >= 0.0 && m(k) <= 1.0, s"$k out of [0,1]")
+    }
+    assert(m("mean_quality") > 0.0 && m("mean_quality") <= 1.0)
+    // cross-check contamination against q209's per-doc output
+    val q209 = MixOps.q209Decontamination(spark, sfDir).collect()
+    val rate = q209.count(_.getAs[Boolean]("contaminated")).toDouble / q209.length
+    assert(m("contamination_rate") === rate)
+  }
+
   test("q219 drops exactly floor(n/10) per source and never a singleton's doc") {
     // edge fixture: 2- and 3-doc sources -> floor(n/10) = 0, all kept
     val small = MixOps.q219AdaptiveThreshold(spark, edgeDir).collect()
