@@ -34,7 +34,12 @@ object ScaleSweep {
     // round-6 part 2: scan-speed classifier, source-keyed adaptive
     // threshold window, cluster-survivor composite
     "q218_hash_classifier", "q219_adaptive_threshold",
-    "q220_quality_survivor")
+    "q220_quality_survivor",
+    // relational core on the 10x lineitem/orders replicas (dims
+    // fixed): scan-agg, broadcast star join, window rollup, RFM
+    // quantile segmentation
+    "q01_pricing_summary", "q03_star_join", "q19_monthly_rollup",
+    "q163_rfm")
 
   def main(args: Array[String]): Unit = {
     val sf01 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -23,6 +23,9 @@ class PlanHygieneSpec extends SparkSpec {
     // 1-row aggregate scalars cross-joined back (gate thresholds):
     // both sides are single rows by construction
     "q07_row_count_anomaly" -> "cross join of two 1-row aggregates",
+    // datasheet: the corpus-stats and contamination-stats 1-row
+    // aggregates crossed to build the metric rows (q07 idiom)
+    "q221_corpus_datasheet" -> "cross join of two 1-row aggregates",
     "q54_quality_filter" -> "broadcast of a 1-row percentile cut",
     "q20_zscore_anomaly" -> "broadcast of a 1-row moments aggregate",
     "q113_heavy_hitters" -> "broadcast of the 1-row (sketch, n) aggregate",
