@@ -86,6 +86,12 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.valuesIterator
           .foreach(_.unpersist(blocking = false))
       } catch { case t: Throwable => System.err.println(s"[bench] cache sweep failed: $t") }
+      // collect the just-unpersisted blocks NOW, outside any timer:
+      // without this, the heap pressure they leave behind is paid as
+      // GC pauses INSIDE a later query's timer — the measured
+      // mechanism behind the r5 "in-suite only" drift class (q151
+      // 3.5 s isolated vs 7.8 s in-suite on an identical plan)
+      System.gc()
       (elapsed, ok)
     }
     // min over reps: one clean rep measures the query even when a
