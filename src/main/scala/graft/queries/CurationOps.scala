@@ -330,9 +330,47 @@ object CurationOps {
       .orderBy("shard_id")
   }
 
+  /** q223 — epoch-shuffle QUALITY audit over q200's two packings:
+    * a reshuffle earns its cost only if it actually decorrelates
+    * batches, so measure (a) the fraction of documents that changed
+    * shards and (b) co-shard PAIR stability — of the doc pairs
+    * sharing an epoch-0 shard, how many still share one in epoch 1.
+    * For a sound permutation, pair stability ≈ E[1/#shards] (near
+    * zero) and moved_frac ≈ 1; a broken shuffle key (e.g. hashing a
+    * constant) sails through row-level checks but lights up both
+    * numbers here. Scale: the pair join is keyed by epoch-0 shard
+    * and each side of a shard is ≤ budget/min-doc-tokens docs, so
+    * the pair fan-out is shards × O(shard_size²) — linear in corpus
+    * size with a small constant, never corpus-quadratic. */
+  def q223ShuffleStability(s: SparkSession, dir: String): DataFrame = {
+    val packed = q200EpochShards(s, dir)
+      .select(col("doc_id"), col("shard_epoch0").as("s0"),
+        col("shard_epoch1").as("s1"))
+      .persist()
+    val base = packed.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("s0") =!= col("s1"), 1L).otherwise(0L)).as("n_moved"))
+    val a = packed.select(col("doc_id").as("doc_a"), col("s0"),
+      col("s1").as("e1a"))
+    val b = packed.select(col("doc_id").as("doc_b"), col("s0"),
+      col("s1").as("e1b"))
+    val pairStats = a.join(b, "s0").filter(col("doc_a") < col("doc_b"))
+      .agg(count(lit(1)).as("n_pairs_e0"),
+        sum(when(col("e1a") === col("e1b"), 1L).otherwise(0L))
+          .as("n_pairs_kept"))
+    base.crossJoin(pairStats).select(
+      col("n_docs"), col("n_moved"),
+      (col("n_moved").cast("double") / col("n_docs").cast("double"))
+        .as("moved_frac"),
+      col("n_pairs_e0"), col("n_pairs_kept"),
+      (col("n_pairs_kept").cast("double") / col("n_pairs_e0").cast("double"))
+        .as("pair_stability"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q200_epoch_shards" -> q200EpochShards _,
     "q222_shard_manifest" -> q222ShardManifest _,
+    "q223_shuffle_stability" -> q223ShuffleStability _,
     "q152_systematic_sample" -> q152SystematicSample _,
     "q124_quota_apportion" -> q124QuotaApportion _,
     "q131_priority_sample" -> q131PrioritySample _,
@@ -347,6 +385,47 @@ object CurationOps {
   private val tokensSql = "regexp_split_to_array(lower(trim(text)), ' +')"
 
   val oracles: Map[String, String] = Map(
+    "q223_shuffle_stability" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS token_count
+         |  FROM documents),
+         |e0 AS (
+         |  SELECT doc_id, token_count,
+         |    md5('0:' || CAST(doc_id AS VARCHAR)) AS k FROM t),
+         |e0p AS (
+         |  SELECT doc_id,
+         |    CAST(floor((SUM(token_count) OVER (ORDER BY k
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - token_count)
+         |      / 2000) AS BIGINT) AS s0
+         |  FROM e0),
+         |e1 AS (
+         |  SELECT doc_id, token_count,
+         |    md5('1:' || CAST(doc_id AS VARCHAR)) AS k FROM t),
+         |e1p AS (
+         |  SELECT doc_id,
+         |    CAST(floor((SUM(token_count) OVER (ORDER BY k
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - token_count)
+         |      / 2000) AS BIGINT) AS s1
+         |  FROM e1),
+         |m AS (
+         |  SELECT e0p.doc_id, s0, s1 FROM e0p JOIN e1p USING (doc_id)),
+         |base AS (
+         |  SELECT COUNT(*) AS n_docs,
+         |    SUM(CASE WHEN s0 <> s1 THEN 1 ELSE 0 END) AS n_moved FROM m),
+         |p AS (
+         |  SELECT a.s1 AS e1a, b.s1 AS e1b FROM m a
+         |  JOIN m b ON a.s0 = b.s0 AND a.doc_id < b.doc_id),
+         |ps AS (
+         |  SELECT COUNT(*) AS n_pairs_e0,
+         |    SUM(CASE WHEN e1a = e1b THEN 1 ELSE 0 END) AS n_pairs_kept FROM p)
+         |SELECT CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(n_moved AS BIGINT) AS n_moved,
+         |  CAST(n_moved AS DOUBLE) / CAST(n_docs AS DOUBLE) AS moved_frac,
+         |  CAST(n_pairs_e0 AS BIGINT) AS n_pairs_e0,
+         |  CAST(n_pairs_kept AS BIGINT) AS n_pairs_kept,
+         |  CAST(n_pairs_kept AS DOUBLE) / CAST(n_pairs_e0 AS DOUBLE)
+         |    AS pair_stability
+         |FROM base, ps""".stripMargin,
     "q222_shard_manifest" ->
       s"""WITH t AS (
          |  SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS token_count

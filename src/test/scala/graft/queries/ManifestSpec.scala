@@ -29,4 +29,29 @@ class ManifestSpec extends SparkSpec {
       assert(r.getAs[String]("manifest_md5") === md5hex(members.mkString(",")))
     }
   }
+
+  test("q223: the epoch shuffle moves most docs and breaks up co-shard pairs") {
+    val r = CurationOps.q223ShuffleStability(spark, sfDir).collect()
+    assert(r.length === 1)
+    val row = r.head
+    // independent recomputation from q200's per-doc output
+    val packed = CurationOps.q200EpochShards(spark, sfDir)
+      .select(col("doc_id"), col("shard_epoch0"), col("shard_epoch1"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(row.getAs[Long]("n_docs") === packed.length.toLong)
+    assert(row.getAs[Long]("n_moved") ===
+      packed.count(x => x._2 != x._3).toLong)
+    val byShard = packed.groupBy(_._2).values
+    val pairs = byShard.map(g => g.length.toLong * (g.length - 1) / 2).sum
+    assert(row.getAs[Long]("n_pairs_e0") === pairs)
+    val kept = byShard.flatMap(g =>
+      for (i <- g.indices; j <- (i + 1) until g.length
+           if g(i)._3 == g(j)._3) yield 1).size
+    assert(row.getAs[Long]("n_pairs_kept") === kept.toLong)
+    // shuffle quality: almost everything moves, pair stability near
+    // the 1/#shards floor — a broken (constant) shuffle key would
+    // score moved_frac ~0 and pair_stability ~1
+    assert(row.getAs[Double]("moved_frac") > 0.8)
+    assert(row.getAs[Double]("pair_stability") < 0.2)
+  }
 }
