@@ -305,6 +305,30 @@ object MixOps {
       .orderBy("metric")
   }
 
+  /** q224 — cross-source SYNDICATION audit: the same content
+    * published under two or more sources (mirrors, scrapes,
+    * syndicated feeds — the provenance problem C4/RefinedWeb-class
+    * pipelines resolve BEFORE near-dup dedup, so one canonical
+    * provenance survives). Content key = md5 of the sorted DISTINCT
+    * vocabulary (order-invariant bag fingerprint), which catches
+    * shuffled-template mirrors that the exact fingerprint (q45)
+    * misses — on this fixture: 20 cross-source bag collisions, 0
+    * exact ones. One scan + one bag-keyed aggregate; group width is
+    * bounded by true copy counts, so the shuffle is skew-free at any
+    * corpus size. */
+  def q224Syndication(s: SparkSession, dir: String): DataFrame = {
+    val bag = md5(array_join(array_sort(array_distinct(toks)), " "))
+    Tables.documents(s, dir)
+      .select(bag.as("bag"), col("source"), col("doc_id"))
+      .groupBy("bag")
+      .agg(count(lit(1)).as("n_copies"),
+        count_distinct(col("source")).as("n_sources"),
+        min("doc_id").as("canonical_doc_id"),
+        array_join(array_sort(collect_set(col("source"))), ",").as("sources"))
+      .filter(col("n_sources") >= 2)
+      .orderBy("bag")
+  }
+
   /** q212 — the filter DECISION REPORT a curation run ships with its
     * output (FineWeb/RedPajama discipline: never silently drop —
     * record which rule fired per document). Composes the q42 quality
@@ -482,6 +506,7 @@ object MixOps {
     "q218_hash_classifier" -> q218HashClassifier _,
     "q219_adaptive_threshold" -> q219AdaptiveThreshold _,
     "q221_corpus_datasheet" -> q221CorpusDatasheet _,
+    "q224_syndication" -> q224Syndication _,
   )
 
   private val toksSql = "list_filter(regexp_split_to_array(lower(trim(text)), ' +'), t -> t <> '')"
@@ -710,6 +735,18 @@ object MixOps {
          |SELECT CAST(rank AS INTEGER) AS rank, vec_id,
          |  rel AS relevance, max_sim_selected, score
          |FROM sel5 ORDER BY rank""".stripMargin,
+    "q224_syndication" ->
+      s"""WITH k AS (
+         |  SELECT source, doc_id,
+         |    md5(array_to_string(list_sort(list_distinct($toksSql)), ' '))
+         |      AS bag
+         |  FROM documents)
+         |SELECT bag, CAST(COUNT(*) AS BIGINT) AS n_copies,
+         |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+         |  MIN(doc_id) AS canonical_doc_id,
+         |  array_to_string(list_sort(list(DISTINCT source)), ',') AS sources
+         |FROM k GROUP BY bag HAVING COUNT(DISTINCT source) >= 2
+         |ORDER BY bag""".stripMargin,
     "q221_corpus_datasheet" ->
       s"""WITH d AS (
          |  SELECT source, lang,

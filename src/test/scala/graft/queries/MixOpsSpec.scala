@@ -136,6 +136,27 @@ class MixOpsSpec extends SparkSpec {
     assert(m("contamination_rate") === rate)
   }
 
+  test("q224 finds shuffled-template mirrors across sources, not within one") {
+    val dir = java.nio.file.Files.createTempDirectory("q224").toString
+    Seq(
+      (0L, "alpha beta gamma", "srcA"),       // mirrored by doc 1 (reordered,
+      (1L, "gamma beta alpha gamma", "srcB"), //  duplicated token) -> syndicated
+      (2L, "delta epsilon", "srcA"),          // same-bag copy within ONE source:
+      (3L, "epsilon delta", "srcA"),          //  n_sources = 1, must NOT appear
+      (4L, "zeta eta theta", "srcB"))         // unique
+      .map { case (i, t, src) => (i, t, "en", src) }
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = MixOps.q224Syndication(spark, dir).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[Long]("n_copies") === 2L)
+    assert(r.getAs[Long]("n_sources") === 2L)
+    assert(r.getAs[Long]("canonical_doc_id") === 0L)
+    assert(r.getAs[String]("sources") === "srcA,srcB")
+  }
+
   test("q219 drops exactly floor(n/10) per source and never a singleton's doc") {
     // edge fixture: 2- and 3-doc sources -> floor(n/10) = 0, all kept
     val small = MixOps.q219AdaptiveThreshold(spark, edgeDir).collect()
