@@ -56,8 +56,10 @@ object ScaleSweep {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if (!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(s"$sf1/documents.parquet"))) {
+    // key the skip on writeAll's completion marker, not table
+    // existence: a crash mid-generation leaves a mixed-scale
+    // directory that would silently produce bogus exponents
+    if (!ScaleUp.isComplete(sf1, sf01, replicas = 10)) {
       System.err.println(s"[sweep] generating $sf1 from $sf01 ...")
       ScaleUp.writeAll(spark, sf01, sf1, replicas = 10)
     }

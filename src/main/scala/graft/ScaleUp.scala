@@ -53,8 +53,24 @@ object ScaleUp {
     println(s"""{"scaleup":"done","out":"$out","replicas":$replicas}""")
   }
 
+  /** Name of the completion marker `writeAll` stamps LAST: a sweep
+    * that finds tables but no marker (crash mid-write, or an older
+    * run with a different replica count) must regenerate rather than
+    * silently consume a mixed-scale directory. */
+  val DoneMarker = "_SCALEUP_DONE"
+
+  /** True iff `out` holds a COMPLETED writeAll at this replica count
+    * derived from this source. */
+  def isComplete(out: String, src: String, replicas: Int): Boolean = {
+    val p = java.nio.file.Paths.get(s"$out/$DoneMarker")
+    java.nio.file.Files.exists(p) &&
+      java.nio.file.Files.readString(p).trim == s"replicas=$replicas src=$src"
+  }
+
   def writeAll(spark: SparkSession, src: String, out: String, replicas: Int): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    val marker = java.nio.file.Paths.get(s"$out/$DoneMarker")
+    java.nio.file.Files.deleteIfExists(marker)
     scaleDocuments(Tables.documents(spark, src), replicas)
       .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
     scaleByOrderKey(Tables.lineitem(spark, src), "l_orderkey", replicas)
@@ -67,6 +83,8 @@ object ScaleUp {
     for (t <- Tables.names if !ScaledTables.contains(t))
       Tables.load(spark, src, t)
         .write.mode(SaveMode.Overwrite).parquet(s"$out/$t.parquet")
+    // stamped last: presence certifies every table above landed
+    java.nio.file.Files.writeString(marker, s"replicas=$replicas src=$src\n")
   }
 
   /** 10 replicas of documents; text perturbed per (replica, doc,
@@ -98,7 +116,10 @@ object ScaleUp {
           .select("doc_id", "text", "lang", "source", "n_chars")
       }
     }
-    copies.reduce(_.unionAll(_))
+    // unionByName: replica 0 carries the parquet file's column order,
+    // which nothing guarantees matches the select order above — a
+    // positional union over all-string columns would silently scramble
+    copies.reduce(_.unionByName(_))
   }
 
   /** 10 replicas of embeddings with a ±0.01 hash-derived per-element
@@ -120,7 +141,7 @@ object ScaleUp {
             .cast("float") / lit(1000.0f)).cast("float")).as("embedding"),
         col("label"))
     }
-    copies.reduce(_.unionAll(_))
+    copies.reduce(_.unionByName(_))
   }
 
   /** 10 replicas of a fact table, re-keying only the order key so
@@ -130,6 +151,6 @@ object ScaleUp {
     val copies = (0 until replicas).map { r =>
       d.withColumn(orderKey, col(orderKey) + lit(r.toLong * keySpan))
     }
-    copies.reduce(_.unionAll(_))
+    copies.reduce(_.unionByName(_))
   }
 }

@@ -22,19 +22,37 @@ import org.apache.spark.sql.functions._
   *
   * Layout: `$path/centroids` (cid, cvec — numCentroids rows) and
   * `$path/lists` hive-partitioned by cid (vec_id, query_vec, _n2c
-  * per row). Rebuild = rerun
-  * build (Overwrite); incremental append of new vectors is
-  * `assignOnly` written with SaveMode.Append — the codebook is
-  * frozen at build time, the standard IVF contract (retrain when
-  * list-size skew degrades recall).
+  * per row), plus `$path/_GRAFT_BUILD_OK` — a completion marker
+  * written LAST carrying the corpus fingerprint (row count +
+  * numCentroids). Reuse of a persisted index must gate on
+  * `isValid`: an aborted build (dirs created, marker absent) or a
+  * regenerated corpus at the same path (count mismatch) triggers a
+  * rebuild instead of silently serving stale or partial lists.
+  * Incremental append of new vectors is `assignOnly` written with
+  * SaveMode.Append — the codebook is frozen at build time, the
+  * standard IVF contract; `skewRatio`/`needsRetrain` monitor
+  * list-occupancy skew under appends and `rebuild` retrains the
+  * codebook from the persisted lists via a temp-dir + rename swap.
   */
 object IvfIndex {
 
+  private val MarkerFile = "_GRAFT_BUILD_OK"
+
+  private def fs(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  }
+
   /** One corpus scan: draw the codebook, assign every row to its
-    * inverted list, persist both. */
+    * inverted list, persist both, then stamp the completion marker
+    * (rows + numCentroids) — written last so a crash mid-build never
+    * leaves a marker over partial lists. */
   def build(corpus: DataFrame, numCentroids: Int, path: String): Unit = {
     val sp = corpus.sparkSession
     import sp.implicits._
+    val hfs = fs(sp, path)
+    val marker = new org.apache.hadoop.fs.Path(s"$path/$MarkerFile")
+    hfs.delete(marker, false)
     val cents = Similarity.ivfCentroids(corpus, numCentroids)
     cents.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
       .toDF("cid", "cvec")
@@ -43,6 +61,72 @@ object IvfIndex {
     assignOnly(corpus, cents)
       .write.partitionBy("cid").mode(SaveMode.Overwrite)
       .parquet(s"$path/lists")
+    val rows = sp.read.parquet(s"$path/lists").count()
+    val out = hfs.create(marker, true)
+    out.write(s"rows=$rows\ncentroids=$numCentroids\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  /** True iff a completed build exists at `path` whose fingerprint
+    * matches the expected corpus row count and codebook size. */
+  def isValid(spark: SparkSession, path: String,
+              expectedRows: Long, numCentroids: Int): Boolean = {
+    val hfs = fs(spark, path)
+    val marker = new org.apache.hadoop.fs.Path(s"$path/$MarkerFile")
+    if (!hfs.exists(marker)) return false
+    val in = hfs.open(marker)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val kv = txt.linesIterator.flatMap { l =>
+      l.split("=", 2) match { case Array(k, v) => Some(k -> v.trim); case _ => None }
+    }.toMap
+    kv.get("rows").contains(expectedRows.toString) &&
+      kv.get("centroids").contains(numCentroids.toString)
+  }
+
+  /** Per-inverted-list occupancy — the skew monitor's raw input. */
+  def listStats(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/lists")
+      .groupBy(col("cid").cast("long").as("cid"))
+      .agg(count(lit(1)).as("list_rows"))
+
+  /** max/mean list occupancy over the codebook size (empty lists
+    * count as 0 rows, so a degenerate codebook where appends pile
+    * into one list reads as high skew, not as a small mean). */
+  def skewRatio(spark: SparkSession, path: String): Double = {
+    val numLists = centroids(spark, path).length
+    val st = listStats(spark, path)
+      .agg(max(col("list_rows")).as("mx"), sum(col("list_rows")).as("tot"))
+      .head()
+    val mean = st.getLong(1).toDouble / numLists
+    if (mean == 0.0) 1.0 else st.getLong(0).toDouble / mean
+  }
+
+  /** The retrain trigger the frozen-codebook contract calls for:
+    * appends that concentrate into few lists push max/mean occupancy
+    * up, which degrades recall (a probed list holds an ever-smaller
+    * fraction of true neighbors) AND latency (the hot list dominates
+    * every probe). */
+  def needsRetrain(spark: SparkSession, path: String,
+                   maxSkew: Double = 4.0): Boolean =
+    skewRatio(spark, path) > maxSkew
+
+  /** Retrain the codebook from the persisted lists themselves: build
+    * into `$path.rebuild`, then swap via delete + rename so readers
+    * never observe a half-written index (the marker travels with the
+    * rename, keeping the isValid gate coherent). */
+  def rebuild(spark: SparkSession, path: String, numCentroids: Int): Unit = {
+    val vecs = spark.read.parquet(s"$path/lists")
+      .select(col("vec_id"), col("query_vec"))
+    val tmp = s"$path.rebuild"
+    build(vecs, numCentroids, tmp)
+    val hfs = fs(spark, path)
+    hfs.delete(new org.apache.hadoop.fs.Path(path), true)
+    hfs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(path))
+    // drop any cached file listings over the swapped directory
+    spark.catalog.refreshByPath(path)
   }
 
   /** The scan-speed assignment projection (shared by build and by

@@ -347,6 +347,7 @@ object CurationOps {
       .select(col("doc_id"), col("shard_epoch0").as("s0"),
         col("shard_epoch1").as("s1"))
       .persist()
+    try {
     val base = packed.agg(
       count(lit(1)).as("n_docs"),
       sum(when(col("s0") =!= col("s1"), 1L).otherwise(0L)).as("n_moved"))
@@ -358,13 +359,19 @@ object CurationOps {
       .agg(count(lit(1)).as("n_pairs_e0"),
         sum(when(col("e1a") === col("e1b"), 1L).otherwise(0L))
           .as("n_pairs_kept"))
-    base.crossJoin(pairStats).select(
+    val out = base.crossJoin(pairStats).select(
       col("n_docs"), col("n_moved"),
       (col("n_moved").cast("double") / col("n_docs").cast("double"))
         .as("moved_frac"),
       col("n_pairs_e0"), col("n_pairs_kept"),
       (col("n_pairs_kept").cast("double") / col("n_pairs_e0").cast("double"))
         .as("pair_stability"))
+    // the audit reduces to ONE row — collect it eagerly so the
+    // persist can be released inside the call instead of pinning the
+    // packing for the session in library use
+    s.createDataFrame(s.sparkContext.parallelize(out.collect().toSeq, 1),
+      out.schema)
+    } finally packed.unpersist(blocking = false)
   }
 
   val queries: Map[String, Q] = Map(

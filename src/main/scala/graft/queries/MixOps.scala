@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Similarity, TextAnalysis}
+import graft.operators.{Dedup, Similarity, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -399,14 +399,81 @@ object MixOps {
     * Every stage is individually oracle-proven (q212/q209/q45/q211/
     * q200); this certifies the COMPOSITION hash-exactly. */
   def q214CurationV2(s: SparkSession, dir: String): DataFrame = {
-    // The enriched scan (tokenize + 3 quality regexes + md5 coin) is
-    // consumed by three subtrees (rule gate, eval-gram build, train-
-    // gram probe), each evaluated again by PrefixSum's eager subtotal
-    // pass and the final job — persist it (and the two other fan-out
-    // points below) so the expensive text kernels run ONCE. Measured
-    // at sf0.1/local[32]: 26.0 s -> see PLANS.md round-6. On a
-    // cluster the same persists hold: each is O(corpus) columnar
-    // cache with the text-heavy columns dropped as early as possible.
+    val (d, clean) = curationCleanStage(s, dir)
+    // stage 3: exact dedup among survivors (min-id canonical — the
+    // contrast baseline; q225 swaps in the q220 quality-argmax)
+    val keep = clean
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .groupBy("fp").agg(min("doc_id").as("doc_id")).select("doc_id")
+    val d3 = clean.join(keep, "doc_id")
+      .select("doc_id", "source", "lang", "quality", "token_count")
+    samplePack(d3, Seq(d, clean))
+  }
+
+  /** q225 — curation pipeline v3: q214's composition with stage 3
+    * upgraded from exact-dup min-id survivors to NEAR-dup connected
+    * components with the q220 quality-argmax survivor policy — the
+    * SlimPajama/FineWeb "keep the best document of each duplicate
+    * cluster" rule running INSIDE the composed pipeline rather than
+    * as a standalone report. Stage 3 clusters the post-gate post-
+    * decontamination survivors (dedup-after-filtering, the order
+    * production pipelines use): MinHash(16) → 4x4 banded LSH →
+    * Jaccard ≥ 0.2 verify → connected components (all q77's exact
+    * kernels), then one window keyed by cluster_id keeps
+    * argmax(quality, doc_id-tiebreak) per cluster — near-dup cluster
+    * sizes are small by construction at any corpus scale, so the
+    * per-key sort is bounded and skew-free. Singletons survive as
+    * their own cluster. Stages 1-2 and 4-5 are byte-identical to
+    * q214 (shared code), so the two pipelines' outputs diff exactly
+    * the survivor policy. */
+  def q225CurationV3(s: SparkSession, dir: String): DataFrame = {
+    val (d, clean) = curationCleanStage(s, dir)
+    val d3 = qualityArgmaxSurvivors(clean)
+      .select("doc_id", "source", "lang", "quality", "token_count")
+    samplePack(d3, Seq(d, clean))
+  }
+
+  /** q225's stage 3, exposed for the policy-parity spec: near-dup
+    * clustering (MinHash(16) → 4x4 banded LSH → Jaccard ≥ 0.2 verify
+    * → connected components, q77's exact kernels) over `docs`, then
+    * keep only each cluster's argmax(quality, doc_id-tiebreak) —
+    * byte-identical policy to q220, applied as a FILTER (singletons
+    * self-cluster and always survive). `docs` must carry doc_id,
+    * text, quality; all input columns pass through. */
+  private[queries] def qualityArgmaxSurvivors(docs: DataFrame): DataFrame = {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text",
+      k = 16, shingleN = 3)
+    val cand = Dedup.lshCandidatePairs(sigs, "doc_id",
+      bands = 4, rowsPerBand = 4)
+    val pairs = Dedup.verifyJaccard(cand, docs, "doc_id", "text", shingleN = 3)
+      .filter(col("jaccard") >= 0.2)
+      .select("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+    val wBest = Window.partitionBy("cluster_id")
+      .orderBy(col("quality").desc, col("doc_id"))
+    docs
+      .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("_best", row_number().over(wBest))
+      .filter(col("_best") === 1)
+      .drop("cluster_id", "_best")
+  }
+
+  /** Stages 1-2 shared by the composed curation pipelines (q214/
+    * q225): enriched scan → rule gate (q212 semantics) → eval-set
+    * decontamination (q209 semantics, holdout grams from the FULL
+    * corpus). Returns (enriched, clean), BOTH persisted — the
+    * enriched scan (tokenize + 3 quality regexes + md5 coin) is
+    * consumed by three subtrees (rule gate, eval-gram build, train-
+    * gram probe) and `clean` by the dedup stage twice; callers hand
+    * both to [[samplePack]], which releases them once its eager
+    * prefix-sum pass has materialized everything downstream.
+    * Measured at sf0.1/local[32]: 26.0 s -> 3.0 s with the persists
+    * (PLANS.md round-6). On a cluster the same persists hold: each
+    * is O(corpus) columnar cache with the text-heavy columns dropped
+    * as early as possible. */
+  private def curationCleanStage(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val d = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), col("lang"), col("text"),
         TextAnalysis.qualityScore(col("text")).as("quality"),
@@ -454,14 +521,21 @@ object MixOps {
     val clean = gated.filter(col("frac") >= TestFrac)
       .join(contaminated, Seq("doc_id"), "left_anti")
       .persist()
-    // stage 3: exact dedup among survivors
-    val keep = clean
-      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
-      .groupBy("fp").agg(min("doc_id").as("doc_id")).select("doc_id")
-    val d3 = clean.join(keep, "doc_id")
-      .select("doc_id", "source", "lang", "quality", "token_count")
-      .persist()
-    // stage 4: temperature sampling to a half-corpus token budget
+    (d, clean)
+  }
+
+  /** Stages 4-5 shared by q214/q225: temperature sampling to a
+    * half-corpus token budget (q211 weights as per-source keep rates,
+    * clamped at 1, independent salted md5 coin) + 2000-token shard
+    * packing (distributed prefix sum). `d3` is the survivor set
+    * (doc_id, source, lang, quality, token_count); `release` are the
+    * upstream persists, dropped — together with this stage's own —
+    * once the prefix sum's eager subtotal pass has materialized
+    * PrefixSum's internal range-partitioned cache, the only frame
+    * the returned plan still reads (the q210 pattern; library use
+    * no longer needs a cache sweep). */
+  private def samplePack(d3raw: DataFrame, release: Seq[DataFrame]): DataFrame = {
+    val d3 = d3raw.persist()
     val bySrc = d3.groupBy("source").agg(sum("token_count").as("n_tokens"))
     val tot = bySrc.agg(sum("n_tokens").as("total_tokens"))
     val wq = bySrc.crossJoin(tot)
@@ -483,11 +557,13 @@ object MixOps {
       .cast("double") / lit(281474976710656.0)
     val sampled = d3.join(rates, "source").filter(coin < col("rate"))
     // stage 5: shard packing (text-free before the prefix sum)
-    graft.operators.PrefixSum
+    val packed = graft.operators.PrefixSum
       .withRunningSum(
         sampled.select(col("doc_id"), col("source"), col("lang"),
           col("quality"), col("token_count"), col("rate")),
         "doc_id", "token_count", "cum_tokens")
+    (release :+ d3).foreach(_.unpersist(blocking = false))
+    packed
       .withColumn("shard_id",
         floor((col("cum_tokens") - col("token_count")) / 2000L)
           .cast("bigint"))
@@ -500,6 +576,7 @@ object MixOps {
     "q208_repetition_signals" -> q208RepetitionSignals _,
     "q212_filter_report" -> q212FilterReport _,
     "q214_curation_v2" -> q214CurationV2 _,
+    "q225_curation_v3" -> q225CurationV3 _,
     "q209_decontamination" -> q209Decontamination _,
     "q210_mmr_select" -> q210MmrSelect _,
     "q211_mixture_weights" -> q211MixtureWeights _,
@@ -587,6 +664,105 @@ object MixOps {
          |d3 AS (
          |  SELECT doc_id, source, lang, quality, token_count FROM clean
          |  WHERE doc_id IN (SELECT doc_id FROM keep)),
+         |by_src AS (
+         |  SELECT source, CAST(SUM(token_count) AS BIGINT) AS n_tokens
+         |  FROM d3 GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM by_src),
+         |wq AS (
+         |  SELECT source, n_tokens,
+         |    CAST(round(sqrt(CAST(CAST(n_tokens AS DOUBLE) /
+         |      CAST(total_tokens AS DOUBLE) AS DOUBLE)) * 1000000000.0)
+         |      AS BIGINT) AS wq
+         |  FROM by_src, tot),
+         |wtot AS (SELECT SUM(wq) AS wq_total FROM wq),
+         |rates AS (
+         |  SELECT source,
+         |    CAST(least(
+         |      CAST(CAST(wq.wq AS DOUBLE) / CAST(wq_total AS DOUBLE) AS DOUBLE)
+         |        * (CAST(0.5 AS DOUBLE) * CAST(total_tokens AS DOUBLE))
+         |        / CAST(n_tokens AS DOUBLE),
+         |      CAST(1.0 AS DOUBLE)) AS DOUBLE) AS rate
+         |  FROM wq, wtot, tot),
+         |sampled AS (
+         |  SELECT d3.doc_id, d3.source, d3.lang, d3.quality, d3.token_count,
+         |    r.rate
+         |  FROM d3 JOIN rates r USING (source)
+         |  WHERE CAST(CAST('0x' || substr(md5(CAST(d3.doc_id AS VARCHAR)
+         |      || '-mix'), 1, 12) AS BIGINT) AS DOUBLE)
+         |    / 281474976710656.0 < r.rate)
+         |SELECT doc_id, source, lang, quality, token_count, rate,
+         |  CAST(floor((SUM(token_count) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - token_count)
+         |    / 2000) AS BIGINT) AS shard_id
+         |FROM sampled ORDER BY doc_id""".stripMargin,
+    // q214's chain with stage 3 swapped: near-dup CC (the q77 exact
+    // kernels, pairs restricted to `clean` — banding is pairwise, so
+    // filtering pairs == banding the subset) + q220's quality-argmax
+    // survivor per cluster. q214's per-doc feature CTE is renamed
+    // `feat` (the shared MinHash CTEs own the name `sig`).
+    "q225_curation_v3" ->
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id, source, lang, text, $toksSql AS toks,
+         |    ${Extended.qualitySql} AS quality,
+         |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+         |      AS BIGINT) AS DOUBLE) / 281474976710656.0 AS frac
+         |  FROM documents),
+         |feat AS (
+         |  SELECT *, CAST(len(toks) AS BIGINT) AS token_count,
+         |    CAST(COALESCE(list_max(list_transform(list_distinct(toks),
+         |        tk -> len(list_filter(toks, x -> x = tk)))), 0) AS DOUBLE) /
+         |      CAST(greatest(len(toks), 1) AS DOUBLE) AS top_word_frac,
+         |    CASE WHEN len(toks) >= 3 THEN
+         |      list_transform(range(1, len(toks) - 1),
+         |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         |    ELSE [] END AS tg
+         |  FROM t),
+         |gated AS (
+         |  SELECT doc_id, source, lang, text, quality, token_count, frac
+         |  FROM (SELECT *,
+         |      CASE WHEN len(tg) > 0 THEN
+         |        CAST(1.0 AS DOUBLE) - CAST(len(list_distinct(tg)) AS DOUBLE) /
+         |          CAST(len(tg) AS DOUBLE)
+         |      ELSE CAST(0.0 AS DOUBLE) END AS dup_trigram_frac
+         |    FROM feat)
+         |  WHERE quality >= 0.5 AND lang = 'en' AND token_count >= 5
+         |    AND top_word_frac <= 0.2 AND dup_trigram_frac <= 0.3),
+         |g_all AS (
+         |  SELECT doc_id, frac, unnest(list_distinct(
+         |    CASE WHEN len(toks) >= 5 THEN
+         |      list_transform(range(1, len(toks) - 3),
+         |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         |          || ' ' || toks[i+3] || ' ' || toks[i+4])
+         |    ELSE [] END)) AS gram
+         |  FROM t),
+         |test_grams AS (SELECT DISTINCT gram FROM g_all WHERE frac < $TestFrac),
+         |contaminated AS (
+         |  SELECT DISTINCT g.doc_id FROM g_all g
+         |  JOIN test_grams USING (gram) WHERE g.frac >= $TestFrac),
+         |clean AS (
+         |  SELECT * FROM gated
+         |  WHERE frac >= $TestFrac
+         |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |${DedupOps.tokHashCte},
+         |${DedupOps.shinglesCte},
+         |${DedupOps.sigBandedCtes},
+         |cpairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band_idx = b.band_idx AND a.band = b.band
+         |    AND a.doc_id < b.doc_id
+         |  WHERE a.doc_id IN (SELECT doc_id FROM clean)
+         |    AND b.doc_id IN (SELECT doc_id FROM clean)),
+         |${DedupOps.ccReachCtes},
+         |lab AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         |d3 AS (
+         |  SELECT doc_id, source, lang, quality, token_count FROM (
+         |    SELECT c.doc_id, c.source, c.lang, c.quality, c.token_count,
+         |      row_number() OVER (
+         |        PARTITION BY COALESCE(l.cluster_id, c.doc_id)
+         |        ORDER BY c.quality DESC, c.doc_id) AS rn
+         |    FROM clean c LEFT JOIN lab l ON l.id = c.doc_id)
+         |  WHERE rn = 1),
          |by_src AS (
          |  SELECT source, CAST(SUM(token_count) AS BIGINT) AS n_tokens
          |  FROM d3 GROUP BY 1),

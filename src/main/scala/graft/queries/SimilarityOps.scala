@@ -68,7 +68,11 @@ object SimilarityOps {
   def q216IvfIndexTopK(s: SparkSession, dir: String): DataFrame = {
     val c = quantized(s, dir)
     val path = "target/graft_ivf/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path/lists")))
+    // Reuse gates on the completion marker + corpus fingerprint, not
+    // bare directory existence: an aborted prior build or regenerated
+    // source data at the same path forces a rebuild instead of
+    // silently serving stale/partial lists.
+    if (!graft.operators.IvfIndex.isValid(s, path, c.count(), numCentroids = 16))
       graft.operators.IvfIndex.build(c, numCentroids = 16, path)
     graft.operators.IvfIndex.topK(s, path, querySet(c), k = 5, nprobe = 4)
       .orderBy("query_id", "rank")

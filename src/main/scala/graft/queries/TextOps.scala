@@ -156,7 +156,12 @@ object TextOps {
     // the bigram-LM pipeline is consumed twice — by the EAGER tercile
     // cut collect and by the returned plan — so persist it (the q214
     // fan-out lesson; measured 2.4 -> 1.8 s isolated at sf0.1 — the
-    // remainder is the LM's own in-pipeline eager steps)
+    // remainder is the LM's own in-pipeline eager steps).
+    // CACHE CONTRACT: unlike q214/q223, the per-doc cache here IS
+    // read by the returned plan at action time and cannot be released
+    // inside the call — callers embedding this in a long-lived
+    // session should sweep it (spark.catalog.clearCache or
+    // df.unpersist) after their final action.
     val base = q133BigramLm(s, dir).persist()
     val micro = round(col("avg_logprob") * 1000000).cast("bigint")
     val sc = base.filter(col("n_bigrams") > 0).withColumn("micro", micro)

@@ -27,15 +27,21 @@ object QualityGateStream {
 
   /** Tumbling-window per-rule rejection counts over event time —
     * the observability side of the gate. Emits one row per (window,
-    * rule) in append mode once the watermark passes; `rule = '_kept'`
-    * counts survivors so the window total is reconstructible. */
+    * rule) in append mode once the watermark passes. Per-rule rows
+    * count (rule, doc) PAIRS — a document failing k rules appears
+    * under all k, so rule counts must NOT be summed for a document
+    * total. The document-level counters are the two synthetic rules:
+    * `_kept` (survivors) and `_rejected` (each rejected doc exactly
+    * once, however many rules it failed); `_kept + _rejected` is the
+    * window's document total. */
   def ruleCounts(docs: DataFrame,
                  windowDuration: String = "1 minute",
                  watermarkDelay: String = "30 seconds"): DataFrame =
     annotate(docs)
       .select(col("event_ts"),
         explode(when(col("kept"), array(lit("_kept")))
-          .otherwise(split(col("failed_rules"), ","))).as("rule"))
+          .otherwise(concat(array(lit("_rejected")),
+            split(col("failed_rules"), ",")))).as("rule"))
       .withWatermark("event_ts", watermarkDelay)
       .groupBy(window(col("event_ts"), windowDuration), col("rule"))
       .agg(count(lit(1)).as("doc_count"))

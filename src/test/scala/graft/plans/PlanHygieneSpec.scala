@@ -26,9 +26,10 @@ class PlanHygieneSpec extends SparkSpec {
     // datasheet: the corpus-stats and contamination-stats 1-row
     // aggregates crossed to build the metric rows (q07 idiom)
     "q221_corpus_datasheet" -> "cross join of two 1-row aggregates",
-    // shuffle audit: the doc-level and pair-level 1-row stat
-    // aggregates crossed into the single report row (q07 idiom)
-    "q223_shuffle_stability" -> "cross join of two 1-row aggregates",
+    // (q223_shuffle_stability's 1-row stats cross still runs, but
+    // inside the call — the result is collected eagerly so its
+    // persist can be released — so the RETURNED plan is a local
+    // 1-row relation and needs no entry here)
     "q54_quality_filter" -> "broadcast of a 1-row percentile cut",
     "q20_zscore_anomaly" -> "broadcast of a 1-row moments aggregate",
     "q113_heavy_hitters" -> "broadcast of the 1-row (sketch, n) aggregate",

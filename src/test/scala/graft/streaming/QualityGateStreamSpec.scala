@@ -55,6 +55,11 @@ class QualityGateStreamSpec extends SparkSpec {
         .agg(sum("doc_count").as("n"))
         .as[(String, Long)].collect().toMap
       assert(perRule("_kept") === 2L)
+      // _rejected counts each rejected DOC once (doc 4 fails two
+      // rules but increments _rejected once), so _kept + _rejected
+      // reconstructs the window document total
+      assert(perRule("_rejected") === 3L)
+      assert(perRule("_kept") + perRule("_rejected") === docs.size.toLong)
       // doc 4 trips repetitive too: any <5-token doc has
       // top_word_frac >= 1/4 > 0.2, so too_short implies repetitive
       assert(perRule("repetitive") === 2L)
