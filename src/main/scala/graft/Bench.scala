@@ -137,13 +137,26 @@ object Bench {
         catch { case t: Throwable =>
           System.err.println(s"[bench] stream latency failed: $t"); None }
       else None
+    // State-store boundedness evidence (round-6 verdict item 5): the
+    // at-ingest dedup's state rows/bytes over >=100 micro-batches must
+    // plateau under event-time expiry; the quarter-point series +
+    // plateau ratio land in the same artifact.
+    val stateBatches =
+      sys.env.getOrElse("SPARK_GRAFT_STATE_BATCHES", "100").toInt
+    val stateLine: Option[String] =
+      if (stateBatches > 0 && wanted.isEmpty)
+        try Some(StreamBench.measureState(spark, stateBatches))
+        catch { case t: Throwable =>
+          System.err.println(s"[bench] stream state failed: $t"); None }
+      else None
     // Provenance (round-5 verdict item 4): timestamp + environment so
     // the committed artifact is self-evidencing about when/where it ran.
     val prov = {
       val utc = java.time.Instant.now().toString
       s""""generated_utc":"$utc","spark":"${org.apache.spark.SPARK_VERSION}","cpus":$cpus,"java":"${System.getProperty("java.version")}""""
     }
-    val streamField = streamLine.map(l => s""","stream_latency":$l""").getOrElse("")
+    val streamField = streamLine.map(l => s""","stream_latency":$l""").getOrElse("") +
+      stateLine.map(l => s""","stream_state":$l""").getOrElse("")
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir",$prov$streamField}"""
     // The per-query line has outgrown the driver's tail capture (191
@@ -162,6 +175,7 @@ object Bench {
     try spark.stop() catch { case _: Throwable => () }
     println(line)
     streamLine.foreach(println)
+    stateLine.foreach(println)
     println(summary)
     System.out.flush()
   }

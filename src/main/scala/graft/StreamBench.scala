@@ -80,6 +80,71 @@ object StreamBench {
       s""""events_per_sec":${fmt(throughput)},"alerts":$alerts}"""
   }
 
+  /** Per-micro-batch state-store footprint of the at-ingest MinHash
+    * dedup (StreamingDedup) under event-time expiry: each batch
+    * advances event time 30 s and lands `docsPerBatch` documents in
+    * FRESH LSH buckets, so without the EventTimeTimeout expiry state
+    * rows would grow linearly with the batch count; with it, only
+    * buckets active inside the trailing `idleTimeout` survive and the
+    * series plateaus. Returns (stateRows, stateBytes) after each
+    * batch — the artifact evidence (round-6 verdict item 5) that
+    * keyed state is bounded by the idle window, not stream lifetime. */
+  def stateSeries(spark: SparkSession, batches: Int,
+                  docsPerBatch: Int = 40,
+                  idleTimeout: String = "2 minutes"): Seq[(Long, Long)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingDedup
+    val mem = MemoryStream[StreamingDedup.DocEvent]
+    val q = StreamingDedup.detectStream(mem.toDS(),
+        watermarkDelay = "10 seconds", idleTimeout = idleTimeout)
+      .writeStream.format("memory").queryName("state_bench")
+      .outputMode("append").start()
+    val t0 = 1704067200000L
+    def batch(b: Int): Seq[StreamingDedup.DocEvent] =
+      (0 until docsPerBatch).map { i =>
+        // per-(batch, i/2) vocabulary → fresh buckets every batch;
+        // odd docs near-dup their even sibling so candidates flow
+        // through the state path (an empty-state stream would be a
+        // vacuous plateau)
+        val base = (s"token${b}x${i / 2} alpha beta gamma delta " * 4).trim
+        val text = if (i % 2 == 0) base else base + " tail"
+        StreamingDedup.DocEvent(b.toLong * docsPerBatch + i, text,
+          new Timestamp(t0 + b * 30000L + (i % 10) * 1000L))
+      }
+    val series = (0 until batches).map { b =>
+      mem.addData(batch(b))
+      q.processAllAvailable()
+      val p = q.lastProgress
+      if (p != null && p.stateOperators.nonEmpty) {
+        val so = p.stateOperators(0)
+        (so.numRowsTotal, so.memoryUsedBytes)
+      } else (0L, 0L)
+    }
+    q.stop()
+    try spark.catalog.dropTempView("state_bench")
+    catch { case _: Throwable => () }
+    series
+  }
+
+  /** One JSON object for the bench artifact: state rows at the
+    * quarter points plus maxima and the plateau ratio (max of the
+    * last quarter over max of the second quarter — ≈1 means bounded
+    * state, ≈2 means the expiry is not holding). */
+  def measureState(spark: SparkSession, batches: Int): String = {
+    val s = stateSeries(spark, batches)
+    val rows = s.map(_._1)
+    def at(frac: Double) = rows(math.min(rows.size - 1, (frac * rows.size).toInt))
+    val q2Max = rows.slice(rows.size / 4, rows.size / 2).max
+    val q4Max = rows.slice(3 * rows.size / 4, rows.size).max
+    val ratio = q4Max.toDouble / math.max(1L, q2Max)
+    def fmt(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    s"""{"metric":"stream_state","unit":"rows","batches":$batches,""" +
+      s""""rows_q1":${at(0.25)},"rows_q2":${at(0.5)},"rows_q3":${at(0.75)},""" +
+      s""""rows_final":${rows.last},"rows_max":${rows.max},""" +
+      s""""bytes_max":${s.map(_._2).max},"plateau_ratio":${fmt(ratio)}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val batches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "50").toInt

@@ -158,6 +158,20 @@ object Pipeline {
              callEvents: Int = 2000): (Seq[TableRun], String) =
     runDag(spark, outDir, callEvents, _ => true)
 
+  /** runAll with a per-table fault hook applied between build and
+    * persist — the end-to-end way to exercise the gate's severity
+    * routing THROUGH the runner: the manifest of a run with an
+    * injected warn-severity fault must say DEGRADED yet still record
+    * a serving refresh, and an error-severity fault must say BLOCKED
+    * with the refresh skipped (reference dbt severity: warn in
+    * models/gold/facts/schema.yml:20-36 vs blocking error tests;
+    * pipeline_observability.py:338-351 status fold). Production code
+    * never passes `mutate`; specs do. */
+  def runAllInjected(spark: SparkSession, outDir: String,
+                     callEvents: Int,
+                     mutate: (String, DataFrame) => DataFrame): (Seq[TableRun], String) =
+    runDag(spark, outDir, callEvents, _ => true, mutate)
+
   /** Incremental recompute: rebuild ONLY `changed` and its downstream
     * cone (impact analysis over the lineage DAG); every untouched
     * parent is read from its previously persisted output instead of
@@ -174,7 +188,8 @@ object Pipeline {
 
   private def runDag(spark: SparkSession, outDir: String,
                      callEvents: Int,
-                     rebuild: String => Boolean): (Seq[TableRun], String) = {
+                     rebuild: String => Boolean,
+                     mutate: (String, DataFrame) => DataFrame = (_, df) => df): (Seq[TableRun], String) = {
     val tables = scala.collection.mutable.Map[String, DataFrame]()
     // the builder names are validated against the lineage map BEFORE
     // any table is written, so the two encodings cannot drift into a
@@ -209,7 +224,7 @@ object Pipeline {
     val inventory = topoOrder().map { name =>
       if (rebuild(name)) {
         val t0 = System.nanoTime()
-        val df = build(name)
+        val df = mutate(name, build(name))
         df.write.mode("overwrite").parquet(s"$outDir/$name")
         val persisted = spark.read.parquet(s"$outDir/$name")
         tables(name) = persisted

@@ -278,4 +278,45 @@ class TelecomPipelineSpec extends SparkSpec {
     val blocked = healthy.clone(); blocked("silver_calls") = dupCalls
     assert(Checks.verdict(Pipeline.gateChecks(blocked)) === "BLOCKED")
   }
+
+  test("severity routing THROUGH the runner: warn fault → DEGRADED manifest + serving refreshed; error fault → BLOCKED + refresh skipped") {
+    def manifestOf(dir: String): String = new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "run_manifest.json")), "UTF-8")
+
+    // warn-severity fault injected mid-DAG: one orphan FK in
+    // fact_calls fails the relationship check (severity warn) — the
+    // whole run must fold to DEGRADED, yet the dashboard refresh
+    // still happens and the manifest records both facts
+    val outD = java.nio.file.Files.createTempDirectory("dagdegraded").toString
+    val (_, vD) = Pipeline.runAllInjected(spark, outD, callEvents = 800,
+      (name, df) =>
+        if (name == "fact_calls")
+          df.unionByName(df.limit(1)
+            .withColumn("customer_key", lit("CUST_DOES_NOT_EXIST")))
+        else df)
+    assert(vD === "DEGRADED")
+    val mD = manifestOf(outD)
+    assert(mD.contains("\"pipeline_status\": \"DEGRADED\""))
+    assert(mD.contains("\"check\": \"relationships_customer_key\""))
+    assert(mD.contains("\"severity\": \"warn\""))
+    assert(mD.contains("\"query\": \"serving_top_towers\""),
+      "warn must NOT block the serving refresh")
+    assert(mD.contains("\"refreshed\": true"))
+
+    // error-severity fault: a duplicated call_id fails the unique
+    // check (severity error) — BLOCKED, and the manifest records the
+    // skipped refresh instead of a serving row
+    val outB = java.nio.file.Files.createTempDirectory("dagblocked").toString
+    val (_, vB) = Pipeline.runAllInjected(spark, outB, callEvents = 800,
+      (name, df) =>
+        if (name == "silver_calls") df.unionByName(df.limit(1)) else df)
+    assert(vB === "BLOCKED")
+    val mB = manifestOf(outB)
+    assert(mB.contains("\"pipeline_status\": \"BLOCKED\""))
+    assert(mB.contains("\"refreshed\": false"))
+    assert(mB.contains("pipeline_status BLOCKED"))
+    assert(!mB.contains("serving_top_towers"),
+      "an error gate must skip the dashboard refresh")
+  }
 }
