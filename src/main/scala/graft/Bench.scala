@@ -105,9 +105,18 @@ object Bench {
     }
     // a failing query reports the sentinel -1.0, NOT its (near-zero)
     // fail-fast elapsed time — otherwise a broken query would IMPROVE
-    // the total exactly when it breaks, invisible in the JSON line
+    // the total exactly when it breaks, invisible in the JSON line.
+    // The first rep is additionally profiled (input/shuffle/spill
+    // bytes — deterministic, so one rep characterizes the plan); the
+    // listener accumulates off-thread and the drain happens after the
+    // timer, so the timing protocol is unchanged.
+    val profiler = TaskMetricsProfiler.install(spark)
+    val profiles = Seq.newBuilder[(String, TaskMetricsProfiler.Profile)]
     val results = selected.map { case (name, fn) =>
-      val samples = (1 to reps).map(_ => timeOnce(fn))
+      profiler.reset()
+      val first = timeOnce(fn)
+      profiles += name -> profiler.snapshot(spark)
+      val samples = first +: (2 to reps).map(_ => timeOnce(fn))
       name -> (if (samples.forall(_._2)) best(samples.map(_._1)) else -1.0)
     }
     // Short keys (q01_pricing_summary -> q01) + 3dp keep the JSON line
@@ -170,6 +179,25 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"), line + "\n")
     catch { case t: Throwable => System.err.println(s"[bench] detail write failed: $t") }
+    // Physical profile artifact: per-query bytes moved + suite totals
+    // (full-suite runs only — a dev-loop subset would clobber the
+    // committed full map). The totals line makes the zero-spill claim
+    // checkable at a glance.
+    if (wanted.isEmpty) try {
+      val profs = profiles.result()
+      val pShort = profs.map(_._1.takeWhile(_ != '_'))
+      val pUseShort = pShort.distinct.length == pShort.length
+      val pQs = profs.zip(pShort).map { case ((k, p), sk) =>
+        "\"" + (if (pUseShort) sk else k) + "\":" + p.json
+      }.mkString("{", ",", "}")
+      val tot = TaskMetricsProfiler.Profile(
+        profs.map(_._2.inputBytes).sum, profs.map(_._2.shuffleReadBytes).sum,
+        profs.map(_._2.shuffleWriteBytes).sum, profs.map(_._2.diskSpillBytes).sum,
+        profs.map(_._2.memSpillBytes).sum, profs.map(_._2.tasks).sum)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_PROFILE.json"),
+        s"""{"sf":"$sfDir",$prov,"totals":${tot.json},"queries":$pQs}""" + "\n")
+    } catch { case t: Throwable => System.err.println(s"[bench] profile write failed: $t") }
     // stop FIRST so no Spark shutdown logging can trail the metric
     // lines on stdout; the driver parses the last line it captures.
     try spark.stop() catch { case _: Throwable => () }

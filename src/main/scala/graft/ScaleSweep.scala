@@ -3,47 +3,72 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Growth-exponent sweep over the heavy-tail queries (round-5
-  * verdict item 3): time each target query at sf0.1 (driver data)
-  * and sf1 (ScaleUp-derived, 10x the scanned tables), and report the
-  * measured growth exponent e = log10(t_sf1 / t_sf0.1) — e ~ 1 is
-  * linear in data, e ~ 2 quadratic. One JSON line per query plus a
-  * summary line, mirroring the Bench min-of-reps protocol (min
-  * rescues a rep from noisy-neighbor windows; both scale points run
-  * in the SAME session back to back so host drift cancels out of the
-  * ratio).
+  * verdict item 3; round-6 item 4 added the second decade): time each
+  * target query at sf0.1 (driver data), sf1 and sf10 (ScaleUp-derived
+  * 10x / 100x of the scanned tables), and report the measured growth
+  * exponent e = log10(t_hi / t_lo) per decade — e ~ 1 is linear in
+  * data, e ~ 2 quadratic. One decade is suggestive; two decades
+  * separate a real asymptote from job-floor amortization (a query
+  * whose sf0.1 time is dominated by fixed overhead shows a LOW first
+  * exponent and its true one in the second decade). One JSON line per
+  * query plus a combined artifact, mirroring the Bench min-of-reps
+  * protocol; all scale points run in the SAME session back to back so
+  * host drift cancels out of the ratio.
   *
-  * Default targets are the five queries the round-5 verdict called
-  * most load-bearing for the 100x claim: q151 (exact similarity
-  * self-join), q203 (k-core peel), q205 (HITS), q105 (end-to-end
-  * curation), q174 (item-cosine).
+  * Default targets are the queries the round-5/6 verdicts called most
+  * load-bearing for the 100x claim: the exact similarity join, graph
+  * ops, curation composites, the ANN ladder, near-dup, and the
+  * relational core.
   */
 object ScaleSweep {
   val DefaultTargets = Seq(
     "q151_similarity_join", "q203_kcore", "q205_hits",
     "q105_curation_pipeline", "q174_item_cosine",
-    // the ANN ladder: exact brute force (quadratic by construction —
-    // queries AND corpus both 10x) vs the bucketed variants that
-    // exist precisely to break that quadratic
+    // the ANN ladder: exact brute force (now budget-capped — linear
+    // scan by construction) vs the bucketed variants
     "q49_cosine_topk", "q75_ivf_ann", "q80_multiprobe_ann",
-    "q215_ann_auto", "q119_ivfpq_ann",
+    "q215_ann_auto", "q216_ivf_index", "q119_ivfpq_ann",
     // near-dup at 10x: banded LSH and SimHash candidate generation
     "q46_minhash_neardup", "q47_simhash_fingerprint",
     // round-6 composites: community structure + the decision-layer
     // curation chain + LM-score bucketing
     "q213_label_prop", "q214_curation_v2", "q217_perplexity_buckets",
     // round-6 part 2: scan-speed classifier, source-keyed adaptive
-    // threshold window, cluster-survivor composite
+    // threshold window, cluster-survivor composites (v2 min-id,
+    // v3 quality-argmax)
     "q218_hash_classifier", "q219_adaptive_threshold",
-    "q220_quality_survivor",
+    "q220_quality_survivor", "q225_curation_v3",
     // relational core on the 10x lineitem/orders replicas (dims
     // fixed): scan-agg, broadcast star join, window rollup, RFM
     // quantile segmentation
     "q01_pricing_summary", "q03_star_join", "q19_monthly_rollup",
     "q163_rfm")
 
+  /** Queries excluded from the sf1→sf10 decade, each with its
+    * documented ceiling — these are superlinear BY CONSTRUCTION, so
+    * timing them at 100x measures the documented property (and ~an
+    * hour of wall clock), not plan quality:
+    *  - q151 exact similarity self-join is Ω(output) for ANY
+    *    algorithm and its PAIR COUNT grows at a measured exponent of
+    *    ~2.0 per decade (self-similar corpus); the sub-output path is
+    *    the LSH family (q46), which IS swept.
+    *  - q80 fixed-resolution SRP-LSH is the documented contrast
+    *    baseline for q215's auto-scaled variant (bucket occupancy
+    *    grows linearly at fixed band bits).
+    */
+  val Decade2Excluded: Map[String, String] = Map(
+    "q151_similarity_join" ->
+      "output-bound: pair count grows ~quadratically by construction; LSH family is the scale path",
+    "q80_multiprobe_ann" ->
+      "fixed-resolution contrast baseline for q215 (documented e~1.1)")
+
   def main(args: Array[String]): Unit = {
     val sf01 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val sf1 = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "target/sf1")
+    val sf10 = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "target/sf10")
+    // second decade on by default; SPARK_GRAFT_SF10=0 skips it (fast
+    // dev loop on the first decade only)
+    val runDecade2 = sys.env.getOrElse("SPARK_GRAFT_SF10", "1") != "0"
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -63,18 +88,35 @@ object ScaleSweep {
       System.err.println(s"[sweep] generating $sf1 from $sf01 ...")
       ScaleUp.writeAll(spark, sf01, sf1, replicas = 10)
     }
+    // sf10 compounds the derivation: 10 replicas OF sf1 (texts pick up
+    // a second perturbation pass — still self-similar, which is the
+    // stress the sweep wants)
+    if (runDecade2 && !ScaleUp.isComplete(sf10, sf1, replicas = 10)) {
+      System.err.println(s"[sweep] generating $sf10 from $sf1 ...")
+      ScaleUp.writeAll(spark, sf1, sf10, replicas = 10)
+    }
 
     val targets =
       if (args.nonEmpty) args.toSeq.flatMap(a =>
         SparkEntry.queries.keys.filter(k => k == a || k.takeWhile(_ != '_') == a))
       else DefaultTargets
 
-    def sweep(dir: String, name: String): Double = {
+    // Profiled alongside the timers: shuffle BYTES are deterministic
+    // (same plan + same data = same bytes, rep after rep), so the
+    // byte exponents are the noise-free companion to the wall-clock
+    // ones — a time exponent inflated by host drift shows flat bytes,
+    // and a plan whose data movement secretly grows superlinearly is
+    // caught even on a quiet host. Profile covers the FIRST rep only.
+    val profiler = TaskMetricsProfiler.install(spark)
+    def sweep(dir: String, name: String): (Double, TaskMetricsProfiler.Profile) = {
       val fn = SparkEntry.queries(name)
-      val samples = (1 to reps).map { _ =>
+      var profile: TaskMetricsProfiler.Profile = null
+      val samples = (1 to reps).map { r =>
+        if (r == 1) profiler.reset()
         val t0 = System.nanoTime()
         fn(spark, dir).count()
         val dt = (System.nanoTime() - t0) / 1e9
+        if (r == 1) profile = profiler.snapshot(spark)
         try {
           spark.sharedState.cacheManager.clearCache()
           spark.sparkContext.getPersistentRDDs.valuesIterator
@@ -82,7 +124,7 @@ object ScaleSweep {
         } catch { case _: Throwable => () }
         dt
       }
-      samples.min
+      (samples.min, profile)
     }
 
     // warm-up (codegen + parquet footers) outside the timers
@@ -90,17 +132,41 @@ object ScaleSweep {
     catch { case t: Throwable => System.err.println(s"[sweep] warm-up failed: $t") }
 
     def fmt(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val rows = targets.map { name =>
-      val t01 = sweep(sf01, name)
-      val t1 = sweep(sf1, name)
-      val e = math.log10(t1 / t01)
-      val line = s"""{"query":"$name","t_sf01":${fmt(t01)},"t_sf1":${fmt(t1)},"exponent":${fmt(e)}}"""
-      println(line)
-      line
+    def decade(label: String, lo: String, hi: String,
+               names: Seq[String]): String = {
+      val rows = names.map { name =>
+        val (tLo, pLo) = sweep(lo, name)
+        val (tHi, pHi) = sweep(hi, name)
+        val e = math.log10(tHi / tLo)
+        // byte exponents: shuffle write (data movement) and scan input;
+        // null when a side is zero (scan-only plans don't shuffle)
+        def bexp(a: Long, b: Long): String =
+          if (a > 0 && b > 0) fmt(math.log10(b.toDouble / a.toDouble)) else "null"
+        val fields =
+          s""""query":"$name","t_lo":${fmt(tLo)},"t_hi":${fmt(tHi)},"exponent":${fmt(e)},""" +
+            s""""shuffle_lo":${pLo.shuffleWriteBytes},"shuffle_hi":${pHi.shuffleWriteBytes},""" +
+            s""""e_shuffle":${bexp(pLo.shuffleWriteBytes, pHi.shuffleWriteBytes)},""" +
+            s""""input_lo":${pLo.inputBytes},"input_hi":${pHi.inputBytes},""" +
+            s""""e_input":${bexp(pLo.inputBytes, pHi.inputBytes)},""" +
+            s""""spill_hi":${pHi.diskSpillBytes}"""
+        println(s"""{"decade":"$label",$fields}""") // one object per line: greppable progress log
+        s"{$fields}"
+      }
+      s"""{"decade":"$label","rows":[${rows.mkString(",")}]}"""
     }
+
+    val d1 = decade("sf0.1->sf1", sf01, sf1, targets)
+    val d2 =
+      if (runDecade2)
+        Seq(decade("sf1->sf10", sf1, sf10,
+          targets.filterNot(Decade2Excluded.contains)))
+      else Nil
+    val excluded = Decade2Excluded
+      .map { case (q, why) => s"""{"query":"$q","reason":"$why"}""" }
+      .mkString("[", ",", "]")
     val utc = java.time.Instant.now().toString
     val out =
-      s"""{"sweep":"sf0.1->sf1","reps":$reps,"cpus":$cpus,"generated_utc":"$utc","rows":[${rows.mkString(",")}]}"""
+      s"""{"reps":$reps,"cpus":$cpus,"generated_utc":"$utc","decade2_excluded":$excluded,"sweeps":[${(d1 +: d2).mkString(",")}]}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("SCALESWEEP.json"), out + "\n")
     catch { case t: Throwable => System.err.println(s"[sweep] write failed: $t") }

@@ -54,4 +54,26 @@ class ManifestSpec extends SparkSpec {
     assert(row.getAs[Double]("moved_frac") > 0.8)
     assert(row.getAs[Double]("pair_stability") < 0.2)
   }
+
+  test("q223 stability metrics are partition-invariant") {
+    // The packing behind q223 runs a distributed prefix sum whose
+    // correctness must not depend on how the scan or the shuffles
+    // split the data. Re-run the whole audit under a deliberately
+    // different execution geometry (tiny input splits, odd shuffle
+    // fan-out) and require the exact same single row.
+    def run() = CurationOps.q223ShuffleStability(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val baseline = run()
+    val conf = spark.conf
+    val savedShuffle = conf.get("spark.sql.shuffle.partitions")
+    val savedSplit = conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      conf.set("spark.sql.shuffle.partitions", "7")
+      conf.set("spark.sql.files.maxPartitionBytes", "65536")
+      assert(run() === baseline)
+    } finally {
+      conf.set("spark.sql.shuffle.partitions", savedShuffle)
+      conf.set("spark.sql.files.maxPartitionBytes", savedSplit)
+    }
+  }
 }
