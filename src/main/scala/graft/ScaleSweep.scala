@@ -37,7 +37,7 @@ object ScaleSweep {
     // threshold window, cluster-survivor composites (v2 min-id,
     // v3 quality-argmax)
     "q218_hash_classifier", "q219_adaptive_threshold",
-    "q220_quality_survivor", "q225_curation_v3",
+    "q220_quality_survivor", "q225_curation_v3", "q228_ivf_auto",
     // relational core on the 10x lineitem/orders replicas (dims
     // fixed): scan-agg, broadcast star join, window rollup, RFM
     // quantile segmentation
@@ -167,10 +167,51 @@ object ScaleSweep {
     val utc = java.time.Instant.now().toString
     val out =
       s"""{"reps":$reps,"cpus":$cpus,"generated_utc":"$utc","decade2_excluded":$excluded,"sweeps":[${(d1 +: d2).mkString(",")}]}"""
+    // Full runs overwrite the artifact; a TARGETED run (query args —
+    // the fix-one-query dev loop) merges its rows into the existing
+    // file by (decade, query) so a single re-measured exponent never
+    // clobbers the other 20 rows of evidence.
+    val merged =
+      if (args.isEmpty) out
+      else try mergeArtifact(java.nio.file.Paths.get("SCALESWEEP.json"), out)
+      catch { case t: Throwable =>
+        System.err.println(s"[sweep] merge failed, writing this run alone: $t"); out }
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("SCALESWEEP.json"), out + "\n")
+      java.nio.file.Paths.get("SCALESWEEP.json"), merged + "\n")
     catch { case t: Throwable => System.err.println(s"[sweep] write failed: $t") }
     try spark.stop() catch { case _: Throwable => () }
-    println(out)
+    println(merged)
+  }
+
+  /** Merge `runJson` (this run) into the artifact at `path`: rows
+    * replace same-(decade, query) rows, new queries append, untouched
+    * decades/rows survive; reps/cpus/timestamp come from this run.
+    * Jackson (Spark's bundled JSON stack) both parses and re-emits,
+    * so the merged file is valid by construction. */
+  private[graft] def mergeArtifact(path: java.nio.file.Path, runJson: String): String = {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+    import scala.jdk.CollectionConverters._
+    val mapper = new ObjectMapper()
+    val run = mapper.readTree(runJson).asInstanceOf[ObjectNode]
+    if (!java.nio.file.Files.exists(path)) return runJson
+    val base = mapper.readTree(java.nio.file.Files.readString(path)).asInstanceOf[ObjectNode]
+    val baseSweeps = base.withArray[ArrayNode]("sweeps")
+    run.withArray[ArrayNode]("sweeps").elements().asScala.foreach { runDec =>
+      val label = runDec.get("decade").asText()
+      baseSweeps.elements().asScala.find(_.get("decade").asText() == label) match {
+        case None => baseSweeps.add(runDec)
+        case Some(baseDec) =>
+          val rows = baseDec.asInstanceOf[ObjectNode].withArray[ArrayNode]("rows")
+          runDec.get("rows").elements().asScala.foreach { runRow =>
+            val q = runRow.get("query").asText()
+            val idx = rows.elements().asScala.indexWhere(_.get("query").asText() == q)
+            if (idx >= 0) rows.set(idx, runRow) else rows.add(runRow)
+          }
+      }
+    }
+    Seq("reps", "cpus", "generated_utc", "decade2_excluded")
+      .foreach(f => base.set[ObjectNode](f, run.get(f)))
+    mapper.writeValueAsString(base)
   }
 }

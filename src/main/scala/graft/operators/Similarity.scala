@@ -237,6 +237,66 @@ object Similarity {
     * The scale path alternative to SRP-LSH: scoring cost drops from
     * |Q|·|C| to |Q|·nprobe·E[list size]; corpus never shuffles before
     * the final top-k (which ships only candidates). */
+  /** Corpus-scaled IVF-flat: numCentroids = ⌈√n⌉ — the balance point
+    * between the n·k assignment scan and the |Q|·nprobe·(n/k) probe
+    * scoring (both land at n^1.5 under a corpus-proportional query
+    * load, the IVF asymptote; the fixed-k variant above is quadratic
+    * there, measured e=2.1 with 13 GB of window spill at the sf10
+    * sweep point). Three plan changes make √n lists viable:
+    *   - assignment AND probing go through the native
+    *     graft_ivf_top expression (one data-driven O(k·d) loop per
+    *     row) instead of a k-literal greatest() tree / a
+    *     crossJoin+window — both pure projections, no shuffle;
+    *   - the candidate join carries no broadcast hint: the planner
+    *     broadcasts the |Q|·nprobe probe side while it is small and
+    *     shuffle-joins on cid at scale (a corpus-proportional query
+    *     set cannot be broadcast at 100 TB);
+    *   - the per-query top-k rides WindowGroupLimit (rank ≤ k pushes
+    *     a map-side partial top-k under the exchange), so the window
+    *     shuffle ships ≤ k·nprobe rows per query, not whole lists.
+    * Falls back to the compositional assign/probe (identical
+    * results) when the graft extension is not loaded. */
+  def ivfTopKAuto(corpus: DataFrame, queries: DataFrame, k: Int,
+                  nprobe: Int): DataFrame = {
+    val sp = corpus.sparkSession
+    val dot = dotFast(sp, _: Column, _: Column)
+    val n = corpus.count()
+    val numC = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+    // index order == cid order, so the expression's tie-toward-
+    // smaller-index IS the oracle's tie-toward-smaller-cid
+    val cents = ivfCentroids(corpus, numC).sortBy(_._1)
+    val native = sp.catalog.functionExists("graft_ivf_top")
+    val cidByIdx = array(cents.map(c => lit(c._1)): _*)
+    def topIdx(vec: Column, p: Int): Column =
+      call_function("graft_ivf_top", vec,
+        typedLit(cents.map(_._2.toSeq).toSeq),
+        typedLit(cents.map(c => centNorm(c._2)).toSeq), lit(p))
+    val assigned =
+      (if (native)
+         corpus.withColumn("cid",
+           element_at(cidByIdx, element_at(topIdx(col("query_vec"), 1), 1) + 1))
+       else corpus.withColumn("cid", ivfAssignExpr(sp, col("query_vec"), cents)))
+        .withColumn("_n2c", dot(col("query_vec"), col("query_vec")))
+    val probes =
+      (if (native)
+         queries.select(col("query_id"), col("qvec"),
+           explode(topIdx(col("qvec"), nprobe)).as("_pidx"))
+           .select(col("query_id"), col("qvec"),
+             element_at(cidByIdx, col("_pidx") + 1).as("cid"))
+       else ivfProbes(queries, cents, nprobe))
+        .withColumn("_n2q", dot(col("qvec"), col("qvec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    assigned.join(probes, "cid")
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cosine",
+        (dot(col("query_vec"), col("qvec")).cast("double") /
+          sqrt(col("_n2q").cast("double") * col("_n2c").cast("double"))).cast("double"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               numCentroids: Int, nprobe: Int): DataFrame = {
     val sp = corpus.sparkSession

@@ -20,6 +20,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[IntersectSizeSorted].getName, "graft_intersect_size"),
       (children: Seq[Expression]) => IntersectSizeSorted(children.head, children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_ivf_top"),
+      new ExpressionInfo(classOf[IvfTopCentroids].getName, "graft_ivf_top"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          s"graft_ivf_top requires (vec, codebook, norms, p literal), got ${children.length}")
+        val p = children(3) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) =>
+            require(v >= 1 && v <= Int.MaxValue,
+              s"graft_ivf_top p must fit a positive Int, got $v")
+            v.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_ivf_top p must be an integer literal, got $other")
+        }
+        IvfTopCentroids(children.head, children(1), children(2), p)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_kmv"),
       new ExpressionInfo(classOf[KmvSketchAgg].getName, "graft_kmv"),
       (children: Seq[Expression]) => {

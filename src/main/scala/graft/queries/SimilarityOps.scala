@@ -139,6 +139,23 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  /** Auto-scaled IVF-flat (Similarity.ivfTopKAuto): ⌈√n⌉ inverted
+    * lists derived from the corpus count, assignment and probing as
+    * native single-projection expressions, top-k under
+    * WindowGroupLimit. The scale-safe member of the IVF family —
+    * q75/q216 keep the fixed-16 pedagogical configuration (measured
+    * quadratic with spill at the sf10 sweep point); this is the
+    * configuration a 100 TB corpus actually runs, at the documented
+    * n^1.5 IVF asymptote under corpus-proportional query load (the
+    * sub-n^1.5 alternatives are q215's constant-occupancy SRP and
+    * the q46 LSH family). The oracle derives the identical ⌈√n⌉ from
+    * COUNT(*) and replays the same md5 codebook draw. */
+  def q228IvfAutoAnn(s: SparkSession, dir: String): DataFrame = {
+    val c = quantized(s, dir)
+    Similarity.ivfTopKAuto(c, querySet(c), k = 5, nprobe = 4)
+      .orderBy("query_id", "rank")
+  }
+
   /** Multi-probe SRP-LSH ANN: q50's index, but each query also probes
     * the 1-bit-neighbor buckets per band — recall rises with zero
     * extra index memory (see Similarity.annTopK multiProbe). */
@@ -403,6 +420,7 @@ object SimilarityOps {
     "q51_embedding_stats" -> q51EmbeddingStats _,
     "q52_embedding_neardup" -> q52EmbeddingNearDup _,
     "q75_ivf_ann" -> q75IvfAnn _,
+    "q228_ivf_auto" -> q228IvfAutoAnn _,
     "q215_ann_auto" -> q215AnnAutoTopK _,
     "q216_ivf_index" -> q216IvfIndexTopK _,
   )
@@ -772,6 +790,42 @@ object SimilarityOps {
          |cent AS (
          |  SELECT vec_id AS cid, v FROM e
          |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_dot_product(e.v, c.v) /
+         |               sqrt(list_dot_product(c.v, c.v)) DESC, c.cid) AS rn
+         |    FROM e, cent c) WHERE rn = 1),
+         |probe AS (
+         |  SELECT query_id, cid FROM (
+         |    SELECT q.vec_id AS query_id, c.cid, ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_dot_product(q.v, c.v) /
+         |               sqrt(list_dot_product(c.v, c.v)) DESC, c.cid) AS rn
+         |    FROM e q, cent c WHERE q.vec_id % 10 = 0) WHERE rn <= 4),
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id
+         |  FROM probe p JOIN assign a ON a.cid = p.cid
+         |  WHERE a.vec_id != p.query_id),
+         |scored AS (
+         |  SELECT cand.query_id, cand.vec_id,
+         |    CAST(list_dot_product(cv.v, qv.v) /
+         |      sqrt(list_dot_product(qv.v, qv.v) * list_dot_product(cv.v, cv.v))
+         |      AS DOUBLE) AS cosine
+         |  FROM cand
+         |  JOIN e cv ON cv.vec_id = cand.vec_id
+         |  JOIN e qv ON qv.vec_id = cand.query_id)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, cosine FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q228_ivf_auto" ->
+      s"""WITH e AS (SELECT vec_id, $qv AS v FROM embeddings),
+         |cent AS (
+         |  SELECT vec_id AS cid, v FROM (
+         |    SELECT vec_id, v, ROW_NUMBER() OVER (
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS crn FROM e)
+         |  WHERE crn <= (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM e)),
          |assign AS (
          |  SELECT vec_id, cid FROM (
          |    SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** q226's auto-scaled IVF: the graft_ivf_top expression's ranking
+  * semantics, and plan-for-plan parity between the native
+  * (expression-projection) path and the compositional
+  * (greatest-tree + crossJoin-window) path it replaces. */
+class IvfAutoSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def top(vec: Seq[Long], codebook: Seq[Seq[Long]],
+                  norms: Seq[Double], p: Int): Seq[Int] =
+    Seq(Tuple1(vec)).toDF("v")
+      .select(call_function("graft_ivf_top",
+        typedLit(vec), typedLit(codebook), typedLit(norms), lit(p)).as("r"))
+      .head.getSeq[Int](0).toSeq
+
+  test("graft_ivf_top ranks by dot/norm desc, ties to the smaller index") {
+    val book = Seq(Seq(1L, 0L), Seq(0L, 1L), Seq(1L, 1L))
+    val norms = Seq(1.0, 1.0, math.sqrt(2.0))
+    // v=(1,0): scores 1.0, 0.0, 1/sqrt2 -> top2 = [0, 2]
+    assert(top(Seq(1L, 0L), book, norms, 2) === Seq(0, 2))
+    // v=(1,1): c2 wins at sqrt(2); c0 and c1 tie at 1.0 -> smaller
+    // index first among the tied
+    assert(top(Seq(1L, 1L), book, norms, 3) === Seq(2, 0, 1))
+    // p beyond k truncates to k
+    assert(top(Seq(1L, 0L), book, norms, 9).length === 3)
+    // p=1 is the assignment case
+    assert(top(Seq(0L, 5L), book, norms, 1) === Seq(1))
+  }
+
+  test("graft_ivf_top codegen path agrees with the interpreted path") {
+    // column input defeats constant folding -> whole-stage codegen;
+    // the literal-only calls above folded through nullSafeEval
+    val book = Seq(Seq(3L, -1L, 2L), Seq(-2L, 4L, 1L), Seq(0L, 0L, 5L))
+    val norms = book.map(c => math.sqrt(c.map(x => x * x).sum.toDouble))
+    val vecs = Seq(Seq(1L, 2L, 3L), Seq(-5L, 1L, 0L), Seq(2L, 2L, 2L))
+    val viaCol = vecs.map(Tuple1(_)).toDF("v")
+      .select(call_function("graft_ivf_top", col("v"),
+        typedLit(book), typedLit(norms), lit(2)).as("r"))
+      .collect().map(_.getSeq[Int](0).toSeq).toSeq
+    val viaLit = vecs.map(v => top(v, book, norms, 2))
+    assert(viaCol === viaLit)
+  }
+
+  test("ivfTopKAuto (native projections) matches the compositional ivfTopK at sqrt(n)") {
+    val c = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("query_vec"))
+    val q = c.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("query_vec").as("qvec"))
+    val numC = math.ceil(math.sqrt(c.count().toDouble)).toInt
+    assert(spark.catalog.functionExists("graft_ivf_top"), "extension not loaded")
+    val auto = Similarity.ivfTopKAuto(c, q, k = 5, nprobe = 4)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val ref = Similarity.ivfTopK(c, q, k = 5, numCentroids = numC, nprobe = 4)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(auto.nonEmpty)
+    assert(auto === ref)
+  }
+}
