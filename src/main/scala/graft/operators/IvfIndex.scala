@@ -130,12 +130,14 @@ object IvfIndex {
   }
 
   /** The scan-speed assignment projection (shared by build and by
-    * incremental appends). */
+    * incremental appends). Routes through the native graft_ivf_top
+    * expression when loaded — the greatest-tree fallback stops
+    * compiling at the ⌈√n⌉ codebook sizes a real index uses. */
   def assignOnly(vectors: DataFrame,
                  cents: Array[(Long, Array[Long])]): DataFrame = {
     val sp = vectors.sparkSession
     vectors
-      .withColumn("cid", Similarity.ivfAssignExpr(sp, col("query_vec"), cents))
+      .withColumn("cid", Similarity.ivfAssignAuto(sp, col("query_vec"), cents))
       .withColumn("_n2c",
         Similarity.dotFast(sp, col("query_vec"), col("query_vec")))
   }
@@ -155,7 +157,7 @@ object IvfIndex {
     val dot = Similarity.dotFast(spark, _: org.apache.spark.sql.Column,
       _: org.apache.spark.sql.Column)
     val cents = centroids(spark, path)
-    val probes = Similarity.ivfProbes(queries, cents, nprobe)
+    val probes = Similarity.ivfProbesAuto(queries, cents, nprobe)
       .withColumn("_n2q", dot(col("qvec"), col("qvec")))
     val probedCids = probes.select("cid").distinct()
       .collect().map(_.getLong(0)).sorted

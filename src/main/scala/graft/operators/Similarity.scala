@@ -237,6 +237,45 @@ object Similarity {
     * The scale path alternative to SRP-LSH: scoring cost drops from
     * |Q|·|C| to |Q|·nprobe·E[list size]; corpus never shuffles before
     * the final top-k (which ships only candidates). */
+  /** graft_ivf_top call against a cid-SORTED codebook (index order ==
+    * cid order, so the expression's tie-toward-smaller-index is the
+    * family's tie-toward-smaller-cid). */
+  private def ivfTopExpr(vec: Column, sorted: Array[(Long, Array[Long])],
+                         p: Int): Column =
+    call_function("graft_ivf_top", vec,
+      typedLit(sorted.map(_._2.toSeq).toSeq),
+      typedLit(sorted.map(c => centNorm(c._2)).toSeq), lit(p))
+
+  /** Nearest-centroid cid as one projection: the native O(k·d)-loop
+    * expression when the graft extension is loaded, the
+    * [[ivfAssignExpr]] greatest-tree otherwise (identical results —
+    * IvfAutoSpec pins the parity). The native path is what makes a
+    * ⌈√n⌉ codebook viable: a k-literal expression tree stops
+    * analyzing/compiling in the hundreds of centroids. */
+  def ivfAssignAuto(sp: SparkSession, vec: Column,
+                    cents: Array[(Long, Array[Long])]): Column =
+    if (sp.catalog.functionExists("graft_ivf_top")) {
+      val sorted = cents.sortBy(_._1)
+      val cidByIdx = array(sorted.map(c => lit(c._1)): _*)
+      element_at(cidByIdx, element_at(ivfTopExpr(vec, sorted, 1), 1) + 1)
+    } else ivfAssignExpr(sp, vec, cents)
+
+  /** Top-nprobe probe lists per query as one projection + explode
+    * (native), or the [[ivfProbes]] crossJoin+window fallback —
+    * identical (query_id, qvec, cid) rows either way. */
+  def ivfProbesAuto(queries: DataFrame, cents: Array[(Long, Array[Long])],
+                    nprobe: Int): DataFrame = {
+    val sp = queries.sparkSession
+    if (sp.catalog.functionExists("graft_ivf_top")) {
+      val sorted = cents.sortBy(_._1)
+      val cidByIdx = array(sorted.map(c => lit(c._1)): _*)
+      queries.select(col("query_id"), col("qvec"),
+        explode(ivfTopExpr(col("qvec"), sorted, nprobe)).as("_pidx"))
+        .select(col("query_id"), col("qvec"),
+          element_at(cidByIdx, col("_pidx") + 1).as("cid"))
+    } else ivfProbes(queries, cents, nprobe)
+  }
+
   /** Corpus-scaled IVF-flat: numCentroids = ⌈√n⌉ — the balance point
     * between the n·k assignment scan and the |Q|·nprobe·(n/k) probe
     * scoring (both land at n^1.5 under a corpus-proportional query
@@ -262,29 +301,12 @@ object Similarity {
     val dot = dotFast(sp, _: Column, _: Column)
     val n = corpus.count()
     val numC = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
-    // index order == cid order, so the expression's tie-toward-
-    // smaller-index IS the oracle's tie-toward-smaller-cid
-    val cents = ivfCentroids(corpus, numC).sortBy(_._1)
-    val native = sp.catalog.functionExists("graft_ivf_top")
-    val cidByIdx = array(cents.map(c => lit(c._1)): _*)
-    def topIdx(vec: Column, p: Int): Column =
-      call_function("graft_ivf_top", vec,
-        typedLit(cents.map(_._2.toSeq).toSeq),
-        typedLit(cents.map(c => centNorm(c._2)).toSeq), lit(p))
-    val assigned =
-      (if (native)
-         corpus.withColumn("cid",
-           element_at(cidByIdx, element_at(topIdx(col("query_vec"), 1), 1) + 1))
-       else corpus.withColumn("cid", ivfAssignExpr(sp, col("query_vec"), cents)))
-        .withColumn("_n2c", dot(col("query_vec"), col("query_vec")))
-    val probes =
-      (if (native)
-         queries.select(col("query_id"), col("qvec"),
-           explode(topIdx(col("qvec"), nprobe)).as("_pidx"))
-           .select(col("query_id"), col("qvec"),
-             element_at(cidByIdx, col("_pidx") + 1).as("cid"))
-       else ivfProbes(queries, cents, nprobe))
-        .withColumn("_n2q", dot(col("qvec"), col("qvec")))
+    val cents = ivfCentroids(corpus, numC)
+    val assigned = corpus
+      .withColumn("cid", ivfAssignAuto(sp, col("query_vec"), cents))
+      .withColumn("_n2c", dot(col("query_vec"), col("query_vec")))
+    val probes = ivfProbesAuto(queries, cents, nprobe)
+      .withColumn("_n2q", dot(col("qvec"), col("qvec")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)
     assigned.join(probes, "cid")
