@@ -38,8 +38,8 @@ class PlanHygieneSpec extends SparkSpec {
     "q49_cosine_topk" -> "broadcast query set vs corpus (exact baseline)",
     // IVF probe scoring: |Q|·k centroid cross, both sides broadcast-bounded
     "q75_ivf_ann" -> "query x codebook probe scoring (|Q|*k rows)",
-    // the persisted-index variant probes the same broadcast codebook
-    "q216_ivf_index" -> "query x codebook probe scoring (|Q|*k rows)",
+    // (q216 probed the same broadcast codebook until round 7 routed
+    // it through the graft_ivf_top projection — no cross join left)
     // same probe stage; the ADC candidate stage is a hash join on cid
     "q119_ivfpq_ann" -> "query x codebook probe scoring (|Q|*k rows)",
     // residual variant of q119 — identical probe stage
