@@ -276,6 +276,39 @@ object Similarity {
     } else ivfProbes(queries, cents, nprobe)
   }
 
+  /** L2-mode twin of [[ivfTopExpr]]: aux carries ‖c‖² (exact integer
+    * doubles), descending 2v·c − ‖c‖² ≡ ascending ‖c−v‖². */
+  private def ivfTopL2Expr(vec: Column, sorted: Array[(Long, Array[Long])],
+                           p: Int): Column =
+    call_function("graft_ivf_top_l2", vec,
+      typedLit(sorted.map(_._2.toSeq).toSeq),
+      typedLit(sorted.map(_._2.map(x => x * x).sum.toDouble).toSeq), lit(p))
+
+  /** L2 nearest-centroid assignment as one projection (native or
+    * [[ivfAssignL2Expr]] fallback, identical results). */
+  def ivfAssignL2Auto(sp: SparkSession, vec: Column,
+                      cents: Array[(Long, Array[Long])]): Column =
+    if (sp.catalog.functionExists("graft_ivf_top_l2")) {
+      val sorted = cents.sortBy(_._1)
+      val cidByIdx = array(sorted.map(c => lit(c._1)): _*)
+      element_at(cidByIdx, element_at(ivfTopL2Expr(vec, sorted, 1), 1) + 1)
+    } else ivfAssignL2Expr(sp, vec, cents)
+
+  /** L2 top-nprobe probes as one projection + explode (native or
+    * [[ivfProbesL2]] fallback, identical rows). */
+  def ivfProbesL2Auto(queries: DataFrame, cents: Array[(Long, Array[Long])],
+                      nprobe: Int): DataFrame = {
+    val sp = queries.sparkSession
+    if (sp.catalog.functionExists("graft_ivf_top_l2")) {
+      val sorted = cents.sortBy(_._1)
+      val cidByIdx = array(sorted.map(c => lit(c._1)): _*)
+      queries.select(col("query_id"), col("qvec"),
+        explode(ivfTopL2Expr(col("qvec"), sorted, nprobe)).as("_pidx"))
+        .select(col("query_id"), col("qvec"),
+          element_at(cidByIdx, col("_pidx") + 1).as("cid"))
+    } else ivfProbesL2(queries, cents, nprobe)
+  }
+
   /** Corpus-scaled IVF-flat: numCentroids = ⌈√n⌉ — the balance point
     * between the n·k assignment scan and the |Q|·nprobe·(n/k) probe
     * scoring (both land at n^1.5 under a corpus-proportional query
@@ -443,10 +476,10 @@ object Similarity {
     val sub = pqCodebooks(corpus, ks, m, dim)
     val coded = corpus.select(
       col("vec_id") +:
-        ivfAssignExpr(sp, col("query_vec"), cents).as("cid") +:
+        ivfAssignAuto(sp, col("query_vec"), cents).as("cid") +:
         (0 until m).map(j =>
           pqCodeExpr(col("query_vec"), sub, subDim, j).as(s"c$j")): _*)
-    val probeTables = ivfProbes(queries, cents, nprobe)
+    val probeTables = ivfProbesAuto(queries, cents, nprobe)
       .select("query_id", "cid")
       .join(pqQueryTables(queries, sub, m, subDim), "query_id")
     val wa = Window.partitionBy("query_id")
@@ -486,11 +519,36 @@ object Similarity {
     * this one. */
   def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                         numCentroids: Int, nprobe: Int,
-                        ks: Int, m: Int, dim: Int, shortlist: Int): DataFrame = {
+                        ks: Int, m: Int, dim: Int, shortlist: Int): DataFrame =
+    ivfPqResidualImpl(corpus, queries, k, ivfCentroids(corpus, numCentroids),
+      nprobe, ks, m, dim, shortlist, hintBroadcast = true)
+
+  /** [[ivfPqResidualTopK]] at the corpus-scaled ⌈√n⌉ coarse codebook
+    * (same auto discipline as [[ivfTopKAuto]]): L2 assignment and
+    * probing through the native graft_ivf_top_l2 projection, and NO
+    * broadcast hints — |Q|·nprobe residual distance tables stop
+    * being broadcastable exactly when the query load scales with the
+    * corpus, so the planner picks the join side. This is the regime
+    * the q127 scaladoc's measured caveat points at: with √n coarse
+    * cells the residuals actually shrink and IVFADC is the right
+    * default. */
+  def ivfPqResidualTopKAuto(corpus: DataFrame, queries: DataFrame, k: Int,
+                            nprobe: Int, ks: Int, m: Int, dim: Int,
+                            shortlist: Int): DataFrame = {
+    val n = corpus.count()
+    val numC = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+    ivfPqResidualImpl(corpus, queries, k, ivfCentroids(corpus, numC),
+      nprobe, ks, m, dim, shortlist, hintBroadcast = false)
+  }
+
+  private def ivfPqResidualImpl(corpus: DataFrame, queries: DataFrame, k: Int,
+                                cents: Array[(Long, Array[Long])], nprobe: Int,
+                                ks: Int, m: Int, dim: Int, shortlist: Int,
+                                hintBroadcast: Boolean): DataFrame = {
     val sp = corpus.sparkSession
     import sp.implicits._
     val subDim = dim / m
-    val cents = ivfCentroids(corpus, numCentroids)
+    def hinted(df: DataFrame): DataFrame = if (hintBroadcast) broadcast(df) else df
     val centDf = cents.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
       .toDF("cid", "cvec")
     // L2 assignment, NOT the cosine assignment q119/q75 use: the ADC
@@ -501,7 +559,7 @@ object Similarity {
     // capture (FAISS trains/assigns its coarse quantizer in L2 for
     // exactly this reason)
     val res = corpus
-      .withColumn("cid", ivfAssignL2Expr(sp, col("query_vec"), cents))
+      .withColumn("cid", ivfAssignL2Auto(sp, col("query_vec"), cents))
       .join(broadcast(centDf), "cid")
       .withColumn("rvec", zip_with(col("query_vec"), col("cvec"), (a, b) => a - b))
     // PQ codebooks trained on the residual frame. The draw is SALTED
@@ -529,14 +587,14 @@ object Similarity {
         (dotQ(qj, qj) - lit(2L) * dotQ(qj, e.getField("cv")) +
           e.getField("n")).cast("long"))
     }
-    val probeTables = ivfProbesL2(queries, cents, nprobe)
+    val probeTables = ivfProbesL2Auto(queries, cents, nprobe)
       .join(broadcast(centDf), "cid")
       .withColumn("rqvec", zip_with(col("qvec"), col("cvec"), (a, b) => a - b))
       .select(col("query_id") +: col("cid") +:
         (0 until m).map(j => distTable(j).as(s"dt$j")): _*)
     val wa = Window.partitionBy("query_id")
       .orderBy(col("approx_dist").asc, col("vec_id").asc)
-    val cands = coded.join(broadcast(probeTables), Seq("cid"))
+    val cands = coded.join(hinted(probeTables), Seq("cid"))
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("approx_dist", adcDist(m))
       .withColumn("_arank", row_number().over(wa))

@@ -37,6 +37,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         IvfTopCentroids(children.head, children(1), children(2), p)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_ivf_top_l2"),
+      new ExpressionInfo(classOf[IvfTopCentroids].getName, "graft_ivf_top_l2"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          s"graft_ivf_top_l2 requires (vec, codebook, norms2, p literal), got ${children.length}")
+        val p = children(3) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) =>
+            require(v >= 1 && v <= Int.MaxValue,
+              s"graft_ivf_top_l2 p must fit a positive Int, got $v")
+            v.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_ivf_top_l2 p must be an integer literal, got $other")
+        }
+        IvfTopCentroids(children.head, children(1), children(2), p, l2 = true)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_kmv"),
       new ExpressionInfo(classOf[KmvSketchAgg].getName, "graft_kmv"),
       (children: Seq[Expression]) => {

@@ -23,17 +23,22 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType,
   * intermediate allocation, inside whole-stage codegen.
   *
   * Semantics (shared verbatim with the DuckDB oracle's window
-  * formulation): score(c) = dot(vec, codebook[c]) / norms[c], doubles
-  * descending, ties broken toward the SMALLER index — iterate
-  * ascending and insert only on strictly-greater score. Returns the
-  * min(p, k) top indices. Null vector → null; a centroid whose
-  * dimension differs from the vector's → null (poisoned input, same
-  * contract as [[DotProductLong]]). The integer dot is exact (inputs
-  * quantized below 2^53 partial sums) and the double division is
-  * IEEE-identical cross-engine, so oracle hash parity holds.
+  * formulation): score(c) = dot(vec, codebook[c]) / aux[c] in cosine
+  * mode (aux = |c|), or 2·dot − aux[c] in L2 mode (aux = ‖c‖²:
+  * descending 2v·c − ‖c‖² ≡ ascending ‖c−v‖², the residual-coding
+  * assignment rule of [[graft.operators.Similarity.ivfAssignL2Expr]]).
+  * Doubles descending, ties broken toward the SMALLER index —
+  * iterate ascending and insert only on strictly-greater score.
+  * Returns the min(p, k) top indices. Null vector → null; a centroid
+  * whose dimension differs from the vector's → null (poisoned input,
+  * same contract as [[DotProductLong]]). The integer dot is exact
+  * (inputs quantized below 2^53 partial sums); the cosine division
+  * is IEEE-identical cross-engine, and the L2 form subtracts two
+  * exactly-representable integer doubles — so oracle hash parity
+  * holds in both modes.
   */
 case class IvfTopCentroids(vec: Expression, codebook: Expression,
-    norms: Expression, p: Int) extends TernaryExpression {
+    norms: Expression, p: Int, l2: Boolean = false) extends TernaryExpression {
 
   require(p >= 1, s"graft_ivf_top p must be >= 1, got $p")
 
@@ -55,7 +60,7 @@ case class IvfTopCentroids(vec: Expression, codebook: Expression,
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = true
-  override def prettyName: String = "graft_ivf_top"
+  override def prettyName: String = if (l2) "graft_ivf_top_l2" else "graft_ivf_top"
 
   override protected def nullSafeEval(v: Any, cb: Any, ns: Any): Any = {
     val vec = v.asInstanceOf[ArrayData]
@@ -74,7 +79,9 @@ case class IvfTopCentroids(vec: Expression, codebook: Expression,
       var dot = 0L
       var i = 0
       while (i < d) { dot += vec.getLong(i) * cv.getLong(i); i += 1 }
-      val score = dot.toDouble / nrm.getDouble(c)
+      val score =
+        if (l2) 2.0 * dot.toDouble - nrm.getDouble(c)
+        else dot.toDouble / nrm.getDouble(c)
       if (filled < m || score > bestS(m - 1)) {
         var pos = if (filled < m) filled else m - 1
         while (pos > 0 && bestS(pos - 1) < score) {
@@ -111,7 +118,8 @@ case class IvfTopCentroids(vec: Expression, codebook: Expression,
          |  for (int $i = 0; $i < $d; $i++) {
          |    $dot += $v.getLong($i) * $cv.getLong($i);
          |  }
-         |  final double $score = (double) $dot / $ns.getDouble($c);
+         |  final double $score = ${if (l2) s"2.0 * (double) $dot - $ns.getDouble($c)"
+                                    else s"(double) $dot / $ns.getDouble($c)"};
          |  if ($filled < $m || $score > $bestS[$m - 1]) {
          |    int $pos = ($filled < $m) ? $filled : $m - 1;
          |    while ($pos > 0 && $bestS[$pos - 1] < $score) {

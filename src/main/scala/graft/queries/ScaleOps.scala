@@ -458,6 +458,24 @@ object ScaleOps {
       .orderBy("query_id", "rank")
   }
 
+  /** IVFADC at the corpus-scaled coarse codebook
+    * (Similarity.ivfPqResidualTopKAuto): q127's exact serving shape
+    * with ⌈√n⌉ L2-trained-draw cells — the regime where residual
+    * coding actually pays (q127's measured caveat) and the
+    * configuration that survives the sweep's second decade (the
+    * fixed-16 family measured e≈1.9-2.1 with spill at sf10). Native
+    * L2 assignment/probing projections; no broadcast hints — the
+    * |Q|·nprobe residual distance tables outgrow broadcast exactly
+    * when query load scales with the corpus. */
+  def q229IvfAdcAuto(s: SparkSession, dir: String): DataFrame = {
+    val c = quantized(s, dir)
+    val q = c.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("query_vec").as("qvec"))
+    Similarity.ivfPqResidualTopKAuto(c, q, k = 5, nprobe = 4,
+        ks = 16, m = 8, dim = 64, shortlist = 50)
+      .orderBy("query_id", "rank")
+  }
+
   /** Grouped frequent items: top tokens PER LANGUAGE via the same
     * lossless sketch-then-recount funnel, keyed by group — per-group
     * sketch state stays ≤1024 pairs per task regardless of corpus
@@ -567,6 +585,7 @@ object ScaleOps {
     "q113_heavy_hitters" -> q113HeavyHitters _,
     "q119_ivfpq_ann" -> q119IvfPqAnn _,
     "q127_ivfpq_residual" -> q127IvfPqResidual _,
+    "q229_ivfadc_auto" -> q229IvfAdcAuto _,
     "q120_grouped_hh" -> q120GroupedHh _,
     "q111_funnel_ann" -> q111FunnelAnn _,
     "q112_hybrid_rrf" -> q112HybridRrf _,
@@ -605,7 +624,7 @@ object ScaleOps {
   // q42/q54 proved its cross-engine double parity
   private def qualitySql = Extended.qualitySql
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesFixed: Map[String, String] = Map(
     "q195_cms_counts" ->
       """WITH toks AS (
         |  SELECT source,
@@ -1153,4 +1172,25 @@ object ScaleOps {
         |LEFT JOIN dsp ON dsp.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
   )
+
+  val oracles: Map[String, String] = oraclesFixed + ("q229_ivfadc_auto" -> {
+    // q229 IS q127 with the coarse codebook scaled to ⌈√n⌉: derive
+    // its oracle from q127's verbatim, swapping only the cent CTE for
+    // the dynamic COUNT(*)-driven form (same derivation-not-duplication
+    // pattern as q216 sharing q75's oracle). The replace is guarded so
+    // an edit to q127's oracle that breaks the anchor fails loudly at
+    // class-init (RegistrySpec would catch it) instead of silently
+    // shipping a stale q229 oracle.
+    val fixed =
+      """cent AS (SELECT vec_id AS cid, v FROM e
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),""".stripMargin
+    val auto =
+      """cent AS (SELECT vec_id AS cid, v FROM (
+        |    SELECT vec_id, v, ROW_NUMBER() OVER (
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS crn FROM e)
+        |  WHERE crn <= (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM e)),""".stripMargin
+    val base = oraclesFixed("q127_ivfpq_residual")
+    require(base.contains(fixed), "q127 oracle cent CTE anchor moved — update q229's derivation")
+    base.replace(fixed, auto)
+  })
 }

@@ -45,6 +45,44 @@ class IvfAutoSpec extends SparkSpec {
     assert(viaCol === viaLit)
   }
 
+  test("graft_ivf_top_l2 ranks by ascending L2 distance, ties to the smaller index") {
+    def topL2(vec: Seq[Long], codebook: Seq[Seq[Long]], p: Int): Seq[Int] =
+      Seq(Tuple1(vec)).toDF("v")
+        .select(call_function("graft_ivf_top_l2",
+          typedLit(vec), typedLit(codebook),
+          typedLit(codebook.map(c => c.map(x => x * x).sum.toDouble)), lit(p)).as("r"))
+        .head.getSeq[Int](0).toSeq
+    val book = Seq(Seq(1L, 0L), Seq(0L, 1L), Seq(3L, 3L))
+    // v=(2,2): d² to c0 = 1+4 = 5, c1 = 4+1 = 5, c2 = 1+1 = 2
+    // -> c2 first, then the c0/c1 tie resolves to the smaller index
+    assert(topL2(Seq(2L, 2L), book, 3) === Seq(2, 0, 1))
+    // v=(0,0): d² = 1, 1, 18 -> tie at the top, smaller index wins
+    assert(topL2(Seq(0L, 0L), book, 2) === Seq(0, 1))
+  }
+
+  test("L2 auto helpers match the compositional assign/probe forms") {
+    val sp = spark
+    val c = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("query_vec"))
+    val q = c.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("query_vec").as("qvec"))
+    val numC = math.ceil(math.sqrt(c.count().toDouble)).toInt
+    val cents = Similarity.ivfCentroids(c, numC)
+    val viaAuto = c.select(col("vec_id"),
+        Similarity.ivfAssignL2Auto(sp, col("query_vec"), cents).as("cid"))
+      .as[(Long, Long)].collect().toMap
+    val viaExpr = c.select(col("vec_id"),
+        Similarity.ivfAssignL2Expr(sp, col("query_vec"), cents).as("cid"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaAuto === viaExpr)
+    val probesAuto = Similarity.ivfProbesL2Auto(q, cents, nprobe = 4)
+      .select("query_id", "cid").as[(Long, Long)].collect().sorted.toSeq
+    val probesExpr = Similarity.ivfProbesL2(q, cents, nprobe = 4)
+      .select("query_id", "cid").as[(Long, Long)].collect().sorted.toSeq
+    assert(probesAuto === probesExpr)
+    assert(probesAuto.nonEmpty)
+  }
+
   test("ivfTopKAuto (native projections) matches the compositional ivfTopK at sqrt(n)") {
     val c = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), Similarity.quantize(col("embedding")).as("query_vec"))

@@ -40,10 +40,9 @@ class PlanHygieneSpec extends SparkSpec {
     "q75_ivf_ann" -> "query x codebook probe scoring (|Q|*k rows)",
     // (q216 probed the same broadcast codebook until round 7 routed
     // it through the graft_ivf_top projection — no cross join left)
-    // same probe stage; the ADC candidate stage is a hash join on cid
-    "q119_ivfpq_ann" -> "query x codebook probe scoring (|Q|*k rows)",
-    // residual variant of q119 — identical probe stage
-    "q127_ivfpq_residual" -> "query x codebook probe scoring (|Q|*k rows)",
+    // (q119/q127 probed the same broadcast codebook until round 7
+    // routed their coarse stages through graft_ivf_top/_l2 —
+    // no cross joins left in either plan)
     // PQ-ADC scan: broadcast query distance tables vs corpus codes —
     // the compressed form of q49's bounded-query-set brute force
     "q101_pq_ann" -> "ADC scan (broadcast query dist tables vs codes)",
