@@ -39,7 +39,7 @@ object SemanticDedup {
                 cents: Array[(Long, Array[Long])]): Array[(Long, Array[Long])] = {
     val sp = corpus.sparkSession
     corpus
-      .withColumn("cid", Similarity.ivfAssignExpr(sp, col("query_vec"), cents))
+      .withColumn("cid", Similarity.ivfAssignAuto(sp, col("query_vec"), cents))
       .select(col("cid"), posexplode(col("query_vec")))
       .groupBy(col("cid"), col("pos"))
       .agg(sum(col("col")).as("s"))

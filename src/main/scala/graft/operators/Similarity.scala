@@ -330,11 +330,20 @@ object Similarity {
     * results) when the graft extension is not loaded. */
   def ivfTopKAuto(corpus: DataFrame, queries: DataFrame, k: Int,
                   nprobe: Int): DataFrame = {
-    val sp = corpus.sparkSession
-    val dot = dotFast(sp, _: Column, _: Column)
     val n = corpus.count()
     val numC = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
-    val cents = ivfCentroids(corpus, numC)
+    ivfSearchWith(corpus, queries, k, nprobe, ivfCentroids(corpus, numC))
+  }
+
+  /** The auto-discipline IVF search tail against an ARBITRARY
+    * codebook (md5 draw, Lloyd-refined, externally trained):
+    * native-projection assign/probe, planner-chosen join side,
+    * WindowGroupLimit top-k. Centroids are (cid, integer vector) —
+    * sum vectors are fine (cosine is scale-invariant). */
+  def ivfSearchWith(corpus: DataFrame, queries: DataFrame, k: Int,
+                    nprobe: Int, cents: Array[(Long, Array[Long])]): DataFrame = {
+    val sp = corpus.sparkSession
+    val dot = dotFast(sp, _: Column, _: Column)
     val assigned = corpus
       .withColumn("cid", ivfAssignAuto(sp, col("query_vec"), cents))
       .withColumn("_n2c", dot(col("query_vec"), col("query_vec")))

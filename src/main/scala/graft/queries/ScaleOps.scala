@@ -476,6 +476,27 @@ object ScaleOps {
       .orderBy("query_id", "rank")
   }
 
+  /** Lloyd-refined auto-IVF (Similarity.ivfSearchWith over
+    * SemanticDedup.kmeans): q228's ⌈√n⌉ serving shape with the
+    * codebook improved by 2 integer-Lloyd rounds — the production
+    * IVF training step (FAISS trains its coarse quantizer the same
+    * way; the Lloyd-refined PQ codebook measured +0.11 recall in
+    * SimilaritySpec). Centroids stay integer SUM vectors (cosine is
+    * scale-invariant, so no division — what keeps every round
+    * bit-replayable in SQL: q97's proven assign/update CTEs at a
+    * dynamic COUNT(*)-derived k). Per round: one native assignment
+    * scan + one (cid,pos)-keyed sum — k ≤ the documented
+    * driver-codebook ceiling. */
+  def q230IvfLloydAuto(s: SparkSession, dir: String): DataFrame = {
+    val c = quantized(s, dir)
+    val q = c.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("query_vec").as("qvec"))
+    val numC = math.max(1, math.ceil(math.sqrt(c.count().toDouble)).toInt)
+    val cents = SemanticDedup.kmeans(c, numC, iters = 2)
+    Similarity.ivfSearchWith(c, q, k = 5, nprobe = 4, cents)
+      .orderBy("query_id", "rank")
+  }
+
   /** Grouped frequent items: top tokens PER LANGUAGE via the same
     * lossless sketch-then-recount funnel, keyed by group — per-group
     * sketch state stays ≤1024 pairs per task regardless of corpus
@@ -586,6 +607,7 @@ object ScaleOps {
     "q119_ivfpq_ann" -> q119IvfPqAnn _,
     "q127_ivfpq_residual" -> q127IvfPqResidual _,
     "q229_ivfadc_auto" -> q229IvfAdcAuto _,
+    "q230_ivf_lloyd_auto" -> q230IvfLloydAuto _,
     "q120_grouped_hh" -> q120GroupedHh _,
     "q111_funnel_ann" -> q111FunnelAnn _,
     "q112_hybrid_rrf" -> q112HybridRrf _,
@@ -1171,6 +1193,38 @@ object ScaleOps {
         |LEFT JOIN tot ON tot.doc_id = d.doc_id
         |LEFT JOIN dsp ON dsp.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "q230_ivf_lloyd_auto" ->
+      s"""WITH e AS (SELECT vec_id, $qv AS v FROM embeddings),
+         |c0x AS (SELECT vec_id AS cid, v AS cv FROM (
+         |    SELECT vec_id, v, ROW_NUMBER() OVER (
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS crn FROM e)
+         |  WHERE crn <= (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM e)),
+         |a0x AS ${assignSql("c0x")},
+         |c1x AS ${updateSql("a0x")},
+         |a1x AS ${assignSql("c1x")},
+         |c2x AS ${updateSql("a1x")},
+         |assign AS ${assignSql("c2x")},
+         |probe AS (
+         |  SELECT query_id, cid FROM (
+         |    SELECT q.vec_id AS query_id, c.cid, ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_dot_product(q.v, c.cv) /
+         |               sqrt(list_dot_product(c.cv, c.cv)) DESC, c.cid) AS rn
+         |    FROM e q, c2x c WHERE q.vec_id % 10 = 0) WHERE rn <= 4),
+         |cand AS (SELECT p.query_id, a.vec_id
+         |  FROM probe p JOIN assign a ON a.cid = p.cid
+         |  WHERE a.vec_id != p.query_id),
+         |scored AS (SELECT cand.query_id, cand.vec_id,
+         |    CAST(list_dot_product(cv.v, qv2.v) /
+         |      sqrt(list_dot_product(qv2.v, qv2.v) * list_dot_product(cv.v, cv.v))
+         |      AS DOUBLE) AS cosine
+         |  FROM cand
+         |  JOIN e cv ON cv.vec_id = cand.vec_id
+         |  JOIN e qv2 ON qv2.vec_id = cand.query_id)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, cosine FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
   )
 
   val oracles: Map[String, String] = oraclesFixed + ("q229_ivfadc_auto" -> {

@@ -116,6 +116,24 @@ class SimilaritySpec extends SparkSpec {
     assert(adcRecall >= 0.2)
   }
 
+  test("Lloyd-refined auto-IVF codebook vs the raw md5 draw (same probe budget)") {
+    val bf = Similarity.bruteForceTopK(quantized, queries, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val numC = math.ceil(math.sqrt(quantized.count().toDouble)).toInt
+    def recallOf(cents: Array[(Long, Array[Long])]) = {
+      val got = Similarity.ivfSearchWith(quantized, queries, k = 5, nprobe = 4, cents)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+      (bf & got).size.toDouble / bf.size
+    }
+    val raw = recallOf(Similarity.ivfCentroids(quantized, numC))
+    val lloyd = recallOf(SemanticDedup.kmeans(quantized, numC, iters = 2))
+    info(f"auto-IVF recall@5: md5-draw $raw%.3f -> 2x Lloyd $lloyd%.3f")
+    // Lloyd tessellates better than random anchors; allow a small
+    // sampling wobble but pin that refinement never collapses recall
+    assert(lloyd >= raw - 0.05)
+    assert(lloyd >= 0.3)
+  }
+
   test("PQ-ADC recall vs exact L2 is reasonable (4 subspaces x 16 codes)") {
     // exact L2 top-5 baseline: ||a-b||^2 = n2a - 2ab + n2b, integer-exact
     val c2 = quantized.withColumn("_n2c",
