@@ -284,7 +284,93 @@ object TelecomOps {
       .orderBy("year", "month", "day")
   }
 
+  /** Repo-committed seed path — seeds are version-controlled inputs
+    * (the dbt seed model, reference dbt_project/seeds/
+    * towers_seed.csv:1); the oracle reads the same file. */
+  private[graft] val TowersSeedPath = "/root/repo/seeds/towers_seed.csv"
+
+  private val towersSeedSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("tower_id", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("city", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("state", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("latitude", org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("longitude", org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("tower_type", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("capacity_erlangs", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("radio_technology", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("install_date", org.apache.spark.sql.types.DateType),
+    org.apache.spark.sql.types.StructField("last_maintenance_date", org.apache.spark.sql.types.DateType),
+    org.apache.spark.sql.types.StructField("is_active", org.apache.spark.sql.types.BooleanType)))
+
+  /** S9 as an oracle row: the committed towers seed through
+    * Seeds.loadCsv's explicit-schema contract (no inference) — typed
+    * doubles/dates/booleans land as declared, plus one derived date
+    * arithmetic column both engines compute on DATE values. Constant
+    * in `dir` by design: a seed is the same at every scale factor. */
+  def q231SeedTowers(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Seeds.loadCsv(s, TowersSeedPath, towersSeedSchema)
+      .filter(col("is_active"))
+      .withColumn("maintained_after_days",
+        datediff(col("last_maintenance_date"), col("install_date")))
+      .orderBy("tower_id")
+
+  /** U2 as an oracle row: Checks.schemaDiff of the documents table
+    * against a drifted contract (expects `quality`, does not expect
+    * `n_chars`) rendered as (column_name, status) rows — the
+    * schema-drift report a contract gate publishes. The oracle
+    * recomputes it from DESCRIBE against the same view. */
+  def q232SchemaDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val expected = Seq("doc_id", "text", "lang", "source", "quality")
+    val df = graft.Tables.documents(s, dir)
+    val (missing, unexpected) = graft.telecom.Checks.schemaDiff(df, expected.toSet)
+    val rows =
+      expected.filterNot(missing).map(c => (c, "ok")) ++
+        missing.toSeq.map(c => (c, "missing")) ++
+        unexpected.toSeq.map(c => (c, "unexpected"))
+    rows.toDF("column_name", "status").orderBy("column_name")
+  }
+
+  /** O4 as an oracle row: the Morton interleave itself. Two bounded
+    * 10-bit keys per document, their z-value from Zorder.zvalue's
+    * bitwise expression, rows in z-cluster order — the exact layout
+    * order the compaction rewrite sorts files by, recomputed
+    * arithmetically by the oracle (bit b of column i lands at
+    * position b·k+i). Pruning behavior stays spec'd in ZorderSpec;
+    * this row pins the bit math cross-engine. */
+  def q233ZorderValues(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.documents(s, dir)
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(1024L)).as("zx"),
+        pmod(col("n_chars"), lit(1024L)).as("zy"))
+    d.withColumn("zvalue",
+        graft.operators.Zorder.zvalue(Seq(col("zx"), col("zy")), bits = 10))
+      .orderBy("zvalue", "doc_id")
+  }
+
+  /** S10/S13 as an oracle row: the query goes THROUGH the serving
+    * layer — Serving.registerCatalog's view catalog + Serving.sql's
+    * ANSI entry — not through DataFrame calls, certifying that a SQL
+    * client sees the same rows the API computes (the reference's
+    * dbt-model-over-Trino contract). The statement aggregates the
+    * document_profile serving view (lang-ID agreement x token mass);
+    * the oracle recomputes it from the raw documents table with the
+    * proven q41/q56 SQL replicas of the kernels. */
+  def q234ServingSql(s: SparkSession, dir: String): DataFrame = {
+    graft.Serving.registerCatalog(s, dir, telecomEvents = 2000)
+    graft.Serving.sql(s,
+      """SELECT detected_lang, lang,
+        |  COUNT(*) AS n_docs, SUM(token_count) AS total_tokens
+        |FROM document_profile
+        |GROUP BY detected_lang, lang
+        |ORDER BY detected_lang, lang""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q231_seed_towers" -> q231SeedTowers _,
+    "q232_schema_drift" -> q232SchemaDrift _,
+    "q233_zorder_values" -> q233ZorderValues _,
+    "q234_serving_sql" -> q234ServingSql _,
     "q226_windowed_rollup" -> q226WindowedRollup _,
     "q227_landing_layout" -> q227LandingLayout _,
     "q169_erlang_blocking" -> q169ErlangBlocking _,
@@ -318,6 +404,70 @@ object TelecomOps {
        |  WHERE _rn = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q231_seed_towers" ->
+      s"""SELECT tower_id, city, state, latitude, longitude, tower_type,
+         |  capacity_erlangs, radio_technology, install_date,
+         |  last_maintenance_date, is_active,
+         |  CAST(last_maintenance_date - install_date AS INTEGER)
+         |    AS maintained_after_days
+         |FROM read_csv('$TowersSeedPath', header=true, columns={
+         |  'tower_id':'VARCHAR','city':'VARCHAR','state':'VARCHAR',
+         |  'latitude':'DOUBLE','longitude':'DOUBLE','tower_type':'VARCHAR',
+         |  'capacity_erlangs':'BIGINT','radio_technology':'VARCHAR',
+         |  'install_date':'DATE','last_maintenance_date':'DATE',
+         |  'is_active':'BOOLEAN'})
+         |WHERE is_active
+         |ORDER BY tower_id""".stripMargin,
+    "q232_schema_drift" ->
+      """WITH actual AS (
+        |  SELECT column_name FROM (DESCRIBE SELECT * FROM documents)),
+        |expected AS (SELECT * FROM (VALUES
+        |  ('doc_id'),('text'),('lang'),('source'),('quality')) e(column_name))
+        |SELECT column_name,
+        |  CASE WHEN a.column_name IS NULL THEN 'missing'
+        |       WHEN e.column_name IS NULL THEN 'unexpected'
+        |       ELSE 'ok' END AS status
+        |FROM expected e FULL OUTER JOIN actual a USING (column_name)
+        |ORDER BY column_name""".stripMargin,
+    "q233_zorder_values" ->
+      """WITH base AS (
+        |  SELECT doc_id, doc_id % 1024 AS zx, n_chars % 1024 AS zy
+        |  FROM documents),
+        |z AS (
+        |  SELECT doc_id, zx, zy,
+        |    SUM(((zx >> b) & 1) * (CAST(1 AS BIGINT) << (2 * b)) +
+        |        ((zy >> b) & 1) * (CAST(1 AS BIGINT) << (2 * b + 1))) AS zvalue
+        |  FROM base, generate_series(0, 9) g(b)
+        |  GROUP BY doc_id, zx, zy)
+        |SELECT doc_id, zx, zy, CAST(zvalue AS BIGINT) AS zvalue
+        |FROM z ORDER BY zvalue, doc_id""".stripMargin,
+    "q234_serving_sql" -> {
+      import TextOps.{reCount, tokensSql}
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len($tokensSql) AS BIGINT) AS token_count,
+         |    CAST(${reCount("lower(text)", "\\b(der|die|das|und|ist)\\b")} AS INTEGER) AS score_de,
+         |    CAST(${reCount("lower(text)", "\\b(the|and|is|of|to)\\b")} AS INTEGER) AS score_en,
+         |    CAST(${reCount("lower(text)", "\\b(el|la|los|y|es)\\b")} AS INTEGER) AS score_es,
+         |    CAST(${reCount("lower(text)", "\\b(le|la|les|et|est)\\b")} AS INTEGER) AS score_fr,
+         |    CAST(${reCount("lower(text)", "\\b(de|shi|le|he|zai)\\b")} AS INTEGER) AS score_zh
+         |  FROM documents),
+         |profiled AS (
+         |  SELECT doc_id, lang, token_count,
+         |    CASE WHEN score_de >= score_en AND score_de >= score_es
+         |           AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+         |         WHEN score_en >= score_es AND score_en >= score_fr
+         |           AND score_en >= score_zh THEN 'en'
+         |         WHEN score_es >= score_fr AND score_es >= score_zh THEN 'es'
+         |         WHEN score_fr >= score_zh THEN 'fr'
+         |         ELSE 'zh' END AS detected_lang
+         |  FROM scored)
+         |SELECT detected_lang, lang,
+         |  COUNT(*) AS n_docs, CAST(SUM(token_count) AS BIGINT) AS total_tokens
+         |FROM profiled
+         |GROUP BY detected_lang, lang
+         |ORDER BY detected_lang, lang""".stripMargin
+    },
     "q226_windowed_rollup" ->
       s"""WITH p AS (
          |  SELECT ts, 'T' || CAST(user_id % 16 AS VARCHAR) AS tower_id,

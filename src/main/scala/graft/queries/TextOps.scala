@@ -501,9 +501,9 @@ object TextOps {
     "q45_exact_dedup" -> q45ExactDedup _,
   )
 
-  private val tokensSql =
+  private[queries] val tokensSql =
     "regexp_split_to_array(lower(trim(text)), ' +')"
-  private def reCount(expr: String, re: String) =
+  private[queries] def reCount(expr: String, re: String) =
     s"len(regexp_extract_all($expr, '$re'))"
 
   /** q196 oracle: the 8 BPE rounds unrolled as materialized CTE
