@@ -61,7 +61,19 @@ object ScaleSweep {
     "q151_similarity_join" ->
       "output-bound: pair count grows ~quadratically by construction; LSH family is the scale path",
     "q80_multiprobe_ann" ->
-      "fixed-resolution contrast baseline for q215 (documented e~1.1)")
+      "fixed-resolution contrast baseline for q215 (documented e~1.1)",
+    // the fixed-16 IVF family's second decade was MEASURED in round 7
+    // (SCALESWEEP r7 / PLANS.md): e=2.10/2.03/1.85 with 8-13 GB of
+    // spill at sf10 — the documented fixed-codebook ceiling whose
+    // scale path is the auto family (q228/q229/q230, which ARE
+    // swept). Re-timing the ceiling costs ~18 min of sweep wall
+    // clock per run for no new information.
+    "q75_ivf_ann" ->
+      "fixed-16 contrast baseline: measured e=2.10, 13.4 GB spill at sf10 (r7); q228 is the scale path",
+    "q216_ivf_index" ->
+      "fixed-16 contrast baseline: measured e=2.03, 12.4 GB spill at sf10 (r7); auto codebook + IvfIndex routing is the scale path",
+    "q119_ivfpq_ann" ->
+      "fixed-16 contrast baseline: measured e=1.85, 8.7 GB spill at sf10 (r7); q229 is the scale path")
 
   def main(args: Array[String]): Unit = {
     val sf01 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
