@@ -83,6 +83,50 @@ class IvfAutoSpec extends SparkSpec {
     assert(probesAuto.nonEmpty)
   }
 
+  test("property: graft_ivf_top matches a plain-Scala reference on random inputs (both modes)") {
+    // Reference: score every centroid, stable-sort by (score desc,
+    // index asc), take p — the spec the insertion-sort codegen must
+    // meet, including duplicate scores and p >= k.
+    def reference(vec: Seq[Long], book: Seq[Seq[Long]], aux: Seq[Double],
+                  p: Int, l2: Boolean): Seq[Int] =
+      book.indices
+        .map { c =>
+          val dot = vec.zip(book(c)).map { case (a, b) => a * b }.sum
+          val score = if (l2) 2.0 * dot - aux(c) else dot.toDouble / aux(c)
+          (c, score)
+        }
+        .sortBy { case (c, score) => (-score, c) }
+        .take(p).map(_._1)
+    // deterministic LCG so failures replay
+    var seed = 0xabcdef12L
+    def next(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound).toInt + bound) % bound
+    }
+    (1 to 40).foreach { _ =>
+      val d = 1 + next(6)
+      val k = 1 + next(9)
+      val p = 1 + next(12) // deliberately often > k
+      // small value range forces frequent duplicate scores (tie law)
+      def v() = Seq.fill(d)((next(5) - 2).toLong)
+      val book = Seq.fill(k)(v())
+      val vecs = Seq.fill(3)(v())
+      for (l2 <- Seq(false, true)) {
+        val aux =
+          if (l2) book.map(c => c.map(x => x * x).sum.toDouble)
+          else book.map(c => math.sqrt(c.map(x => x * x).sum.toDouble).max(1e-12))
+        val fn = if (l2) "graft_ivf_top_l2" else "graft_ivf_top"
+        val got = vecs.map(Tuple1(_)).toDF("v")
+          .select(call_function(fn, col("v"),
+            typedLit(book), typedLit(aux), lit(p)).as("r"))
+          .collect().map(_.getSeq[Int](0).toSeq).toSeq
+        val want = vecs.map(vec => reference(vec, book, aux, p, l2))
+        assert(got === want,
+          s"mode l2=$l2 d=$d k=$k p=$p book=$book vecs=$vecs")
+      }
+    }
+  }
+
   test("ivfTopKAuto (native projections) matches the compositional ivfTopK at sqrt(n)") {
     val c = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), Similarity.quantize(col("embedding")).as("query_vec"))
