@@ -38,7 +38,7 @@ object ScaleSweep {
     // v3 quality-argmax)
     "q218_hash_classifier", "q219_adaptive_threshold",
     "q220_quality_survivor", "q225_curation_v3", "q228_ivf_auto",
-    "q229_ivfadc_auto", "q230_ivf_lloyd_auto",
+    "q229_ivfadc_auto", "q230_ivf_lloyd_auto", "q235_retrieval_eval_auto",
     // relational core on the 10x lineitem/orders replicas (dims
     // fixed): scan-agg, broadcast star join, window rollup, RFM
     // quantile segmentation

@@ -195,6 +195,15 @@ object SimilarityOps {
     val exact = Similarity.bruteForceTopK(corpus, querySet(corpus), k = 5)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
     val ann = q50AnnTopK(s, dir)
+    retrievalMetrics(exact, ann)
+  }
+
+  /** The metric tail shared by q179/q235: per-query MRR + nDCG@5
+    * from a ranked exact ideal and a ranked ANN list (both keyed
+    * (query_id, rank, vec_id, cosine)). DCG folds run over
+    * rank-sorted ≤5-element arrays — deterministic summation order,
+    * bit-identical cross-engine (see dcgDiscounts). */
+  private def retrievalMetrics(exact: DataFrame, ann: DataFrame): DataFrame = {
     val disc = array(dcgDiscounts.map(lit): _*)
     def dcg(df: DataFrame, out: String): DataFrame =
       df.groupBy("query_id").agg(
@@ -219,6 +228,21 @@ object SimilarityOps {
         col("idcg"),
         (coalesce(col("dcg"), lit(0.0)) / col("idcg")).as("ndcg"))
       .orderBy("query_id")
+  }
+
+  /** q179's metric sheet for the SCALE PATH: auto-IVF (q228's exact
+    * configuration) evaluated against the budgeted exact baseline on
+    * q49's md5-sampled query slice — the evaluation a production
+    * corpus actually runs (sampled queries, full corpus, both legs
+    * linear-bounded). q179 keeps the full-universe variant as the
+    * small-scale reference. */
+  def q235RetrievalEvalAuto(s: SparkSession, dir: String): DataFrame = {
+    val corpus = quantized(s, dir)
+    val slice = querySetSampled(corpus, ExactBaselineBudget)
+    val exact = Similarity.bruteForceTopK(corpus, slice, k = 5)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
+    val ann = Similarity.ivfTopKAuto(corpus, slice, k = 5, nprobe = 4)
+    retrievalMetrics(exact, ann)
   }
 
   /** Per-label centroid SUM vectors as exact integers: explode to
@@ -414,6 +438,7 @@ object SimilarityOps {
     "q183_label_outliers" -> q183LabelOutliers _,
     "q184_embedding_diversity" -> q184EmbeddingDiversity _,
     "q179_retrieval_eval" -> q179RetrievalEval _,
+    "q235_retrieval_eval_auto" -> q235RetrievalEvalAuto _,
     "q49_cosine_topk" -> q49CosineTopK _,
     "q80_multiprobe_ann" -> q80MultiprobeAnn _,
     "q50_ann_topk" -> q50AnnTopK _,
@@ -623,6 +648,83 @@ object SimilarityOps {
          |  SELECT DISTINCT qs.vec_id AS query_id, c.vec_id
          |  FROM sigs c JOIN sigs qs ON c.band = qs.band AND c.bkey = qs.bkey
          |  WHERE qs.vec_id % 10 = 0 AND c.vec_id != qs.vec_id),
+         |ann5 AS (
+         |  SELECT * FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+         |    FROM (
+         |      SELECT cand.query_id, cand.vec_id,
+         |        CAST(list_dot_product(cv.v, qv2.v) /
+         |          sqrt(list_dot_product(qv2.v, qv2.v)
+         |            * list_dot_product(cv.v, cv.v)) AS DOUBLE) AS cosine
+         |      FROM cand
+         |      JOIN e cv ON cv.vec_id = cand.vec_id
+         |      JOIN e qv2 ON qv2.vec_id = cand.query_id))
+         |  WHERE rank <= 5),
+         |idcgv AS (
+         |  SELECT query_id,
+         |    list_reduce(list_prepend([0.0, 0.0],
+         |      list([cosine, CAST(rank AS DOUBLE)] ORDER BY rank)),
+         |      (a, x) -> [a[1] + x[1] / (CAST([$discList] AS DOUBLE[]))
+         |        [CAST(x[2] AS INTEGER)], 0.0])[1] AS idcg
+         |  FROM ex5 GROUP BY query_id),
+         |dcgv AS (
+         |  SELECT query_id,
+         |    list_reduce(list_prepend([0.0, 0.0],
+         |      list([cosine, CAST(rank AS DOUBLE)] ORDER BY rank)),
+         |      (a, x) -> [a[1] + x[1] / (CAST([$discList] AS DOUBLE[]))
+         |        [CAST(x[2] AS INTEGER)], 0.0])[1] AS dcg
+         |  FROM ann5 GROUP BY query_id),
+         |rrv AS (
+         |  SELECT t.query_id,
+         |    COALESCE(CAST(1.0 AS DOUBLE) / a.rank, CAST(0.0 AS DOUBLE))
+         |      AS rr
+         |  FROM (SELECT query_id, vec_id FROM exact WHERE rank = 1) t
+         |  LEFT JOIN ann5 a
+         |    ON a.query_id = t.query_id AND a.vec_id = t.vec_id)
+         |SELECT i.query_id, COALESCE(r.rr, 0.0) AS rr,
+         |  CAST(COALESCE(d.dcg, 0.0) AS DOUBLE) AS dcg,
+         |  CAST(i.idcg AS DOUBLE) AS idcg,
+         |  CAST(COALESCE(d.dcg, 0.0) / i.idcg AS DOUBLE) AS ndcg
+         |FROM idcgv i
+         |LEFT JOIN dcgv d USING (query_id)
+         |LEFT JOIN rrv r USING (query_id)
+         |ORDER BY i.query_id""".stripMargin,
+    "q235_retrieval_eval_auto" ->
+      s"""WITH e AS (SELECT vec_id, $qv AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qvec FROM e WHERE vec_id % 10 = 0
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $ExactBaselineBudget),
+         |exact AS (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM (
+         |    SELECT q.query_id, c.vec_id,
+         |      CAST(list_dot_product(q.qvec, c.v) /
+         |        sqrt(list_dot_product(q.qvec, q.qvec)
+         |          * list_dot_product(c.v, c.v)) AS DOUBLE) AS cosine
+         |    FROM q, e c WHERE c.vec_id != q.query_id)),
+         |ex5 AS (SELECT * FROM exact WHERE rank <= 5),
+         |cent AS (
+         |  SELECT vec_id AS cid, v FROM (
+         |    SELECT vec_id, v, ROW_NUMBER() OVER (
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS crn FROM e)
+         |  WHERE crn <= (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) FROM e)),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_dot_product(e.v, c.v) /
+         |               sqrt(list_dot_product(c.v, c.v)) DESC, c.cid) AS rn
+         |    FROM e, cent c) WHERE rn = 1),
+         |probe AS (
+         |  SELECT query_id, cid FROM (
+         |    SELECT qq.query_id, c.cid, ROW_NUMBER() OVER (PARTITION BY qq.query_id
+         |      ORDER BY list_dot_product(qq.qvec, c.v) /
+         |               sqrt(list_dot_product(c.v, c.v)) DESC, c.cid) AS rn
+         |    FROM q qq, cent c) WHERE rn <= 4),
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id
+         |  FROM probe p JOIN assign a ON a.cid = p.cid
+         |  WHERE a.vec_id != p.query_id),
          |ann5 AS (
          |  SELECT * FROM (
          |    SELECT *, ROW_NUMBER() OVER (

@@ -36,6 +36,8 @@ class PlanHygieneSpec extends SparkSpec {
     // brute-force scorers: the broadcast side is the bounded query
     // set — the contract of top-k search (PLANS.md)
     "q49_cosine_topk" -> "broadcast query set vs corpus (exact baseline)",
+    // q235 embeds q49's budgeted exact leg as the metric sheet's ideal
+    "q235_retrieval_eval_auto" -> "broadcast query slice vs corpus (budgeted exact ideal)",
     // IVF probe scoring: |Q|·k centroid cross, both sides broadcast-bounded
     "q75_ivf_ann" -> "query x codebook probe scoring (|Q|*k rows)",
     // (q216 probed the same broadcast codebook until round 7 routed
