@@ -109,6 +109,57 @@ object MixOps {
       .orderBy("doc_id")
   }
 
+  /** q239 — Bloom-prefiltered decontamination: q209's exact train/
+    * eval 5-gram check with the corpus-side shuffle cut by a bloom
+    * filter of the eval gram set (the q98 semi-join-reduction idiom
+    * applied to the curation layer). The eval set is small by
+    * construction, so its grams build one `graft_bloom_agg` byte
+    * array on the driver (bounded: ≤ the eval gram count, capped)
+    * and ride into the corpus scan as a literal — every training
+    * gram probes the filter at scan speed and only probable hits
+    * enter the exact semi-join. False positives die in the join, so
+    * the output is BIT-IDENTICAL to the exact check (the oracle IS
+    * q209's exact SQL — that identity is the correctness claim);
+    * false negatives are impossible by bloom construction. At 100 TB
+    * this converts a full corpus-gram shuffle into a map-side
+    * prefilter whose pass-through volume is the contamination rate
+    * plus the FP budget — the only reason a production
+    * decontamination pass over petabytes is affordable. */
+  def q239BloomDecontam(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("toks"), docFrac.as("frac"))
+    val grams = d.select(col("doc_id"), col("frac"),
+      explode(when(size(col("toks")) >= 5,
+        array_distinct(transform(sequence(lit(1), size(col("toks")) - 4),
+          i => concat_ws(" ",
+            element_at(col("toks"), i), element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2), element_at(col("toks"), i + 3),
+            element_at(col("toks"), i + 4)))))
+        .otherwise(array().cast("array<string>"))).as("gram"))
+    val testGrams = grams.filter(col("frac") < TestFrac)
+      .select("gram").distinct()
+    val trainGrams = grams.filter(col("frac") >= TestFrac)
+    val probed =
+      if (s.catalog.functionExists("graft_might_contain")) {
+        val nKeys = math.min(math.max(testGrams.count(), 1L), 1000000L)
+        val bloomBytes = testGrams
+          .agg(call_function("graft_bloom_agg",
+            xxhash64(col("gram")), lit(nKeys)).as("bf"))
+          .head().getAs[Array[Byte]](0)
+        trainGrams.filter(call_function("graft_might_contain",
+          lit(bloomBytes), xxhash64(col("gram"))))
+      } else trainGrams
+    val shared = probed.join(testGrams, "gram")
+      .groupBy("doc_id")
+      .agg(count_distinct(col("gram")).as("shared_ngrams"))
+    d.filter(col("frac") >= TestFrac).select("doc_id")
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("shared_ngrams"), lit(0L)).as("shared_ngrams"))
+      .withColumn("contaminated", col("shared_ngrams") > 0)
+      .orderBy("doc_id")
+  }
+
   /** q210 — greedy maximal marginal relevance: pick k=5 vectors
     * maximizing 0.7·relevance(query) − 0.3·max-similarity(already
     * picked) — the diversity-aware selection used for dataset
@@ -223,6 +274,67 @@ object MixOps {
         aggregate(col("feats"), lit(0L), (acc, f) => acc + weightFp(f))
           .as("score_fp"))
       .withColumn("quality_label", col("score_fp") > 0)
+      .orderBy("doc_id")
+  }
+
+  /** q238 — IN-PIPELINE TRAINED quality classifier: q218's
+    * fastText-shaped hashed feature space, but the weights are
+    * LEARNED inside the pipeline by two full-batch perceptron rounds
+    * (Rosenblatt 1958; the train-then-filter discipline of
+    * FineWeb-Edu and DCLM, where a linear scorer is fit against a
+    * teacher signal and then applied to the whole corpus — here the
+    * teacher is the rule-based q42 quality score at the corpus-median
+    * cut, the same bootstrap CCNet §4.4 uses when no labeled set
+    * exists). Everything is integer: labels y ∈ {+1,−1}, features
+    * are (bucket, count) over 1024 md5-hashed unigram+bigram
+    * buckets, and the perceptron update w += Σ_misclassified y·x
+    * stays in BIGINT, so both engines replay the two training rounds
+    * bit-exactly (w₀ = 0 makes every doc misclassified in round 1 —
+    * w₁ is the class-difference vector — and round 2 updates on the
+    * docs w₁ still gets wrong). Plan: training round = one exploded
+    * bucket aggregate (map-side combine, 1024 groups) + one ≤1024-row
+    * driver collect (the parameter vector — bounded by the hash
+    * range, never the corpus); scoring = a HOF fold against the
+    * constant-folded weight-map literal, zero join, zero shuffle.
+    * At 100 TB each round costs one corpus scan, and the model rides
+    * in the closure exactly like a broadcast parameter server. */
+  def q238TrainedClassifier(s: SparkSession, dir: String): DataFrame = {
+    val bigrams = when(size(col("toks")) >= 2,
+      transform(sequence(lit(1), size(col("toks")) - 1),
+        i => concat_ws("_",
+          element_at(col("toks"), i), element_at(col("toks"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    def bucket(f: Column): Column =
+      pmod(conv(substring(md5(f), 1, 8), 16, 10).cast("bigint"), lit(1024L))
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("toks"), col("text"))
+      .select(col("doc_id"),
+        transform(concat(col("toks"), bigrams), f => bucket(f)).as("bks"),
+        when(round(TextAnalysis.qualityScore(col("text")) * 1000000)
+          .cast("bigint") >= 640000, 1L).otherwise(-1L).as("y"))
+    // One perceptron round: Σ y over misclassified docs' bucket
+    // occurrences, collected as the ≤1024-entry parameter vector.
+    def deltas(src: DataFrame): Map[Long, Long] =
+      src.select(explode(col("bks")).as("b"), col("y"))
+        .groupBy("b").agg(sum(col("y")).as("w"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def scoreCol(w: Map[Long, Long]): Column = {
+      val ks = w.keys.toSeq.sorted
+      val m = map_from_arrays(array(ks.map(lit(_)): _*),
+        array(ks.map(k => lit(w(k))): _*))
+      aggregate(col("bks"), lit(0L),
+        (acc, b) => acc + coalesce(element_at(m, b), lit(0L)))
+    }
+    val w1 = deltas(base) // round 1: w0 = 0 ⇒ every doc misclassified
+    val s1 = base.withColumn("score1", scoreCol(w1))
+    val d2 = deltas(s1.filter(col("y") * col("score1") <= 0))
+    val w2 = (w1.keySet ++ d2.keySet).map(k =>
+      k -> (w1.getOrElse(k, 0L) + d2.getOrElse(k, 0L))).toMap
+    s1.withColumn("score2", scoreCol(w2))
+      .select(col("doc_id"), col("y").as("label"),
+        col("score1"), col("score2"),
+        (col("score2") > 0).as("predicted"),
+        ((col("score2") > 0) === (col("y") > 0)).as("correct"))
       .orderBy("doc_id")
   }
 
@@ -578,9 +690,11 @@ object MixOps {
     "q214_curation_v2" -> q214CurationV2 _,
     "q225_curation_v3" -> q225CurationV3 _,
     "q209_decontamination" -> q209Decontamination _,
+    "q239_bloom_decontam" -> q239BloomDecontam _,
     "q210_mmr_select" -> q210MmrSelect _,
     "q211_mixture_weights" -> q211MixtureWeights _,
     "q218_hash_classifier" -> q218HashClassifier _,
+    "q238_trained_classifier" -> q238TrainedClassifier _,
     "q219_adaptive_threshold" -> q219AdaptiveThreshold _,
     "q221_corpus_datasheet" -> q221CorpusDatasheet _,
     "q224_syndication" -> q224Syndication _,
@@ -612,6 +726,34 @@ object MixOps {
 
   private def reCount(expr: String, re: String) =
     s"len(regexp_extract_all($expr, '$re'))"
+
+  /** Exact 5-gram decontamination check — the oracle for BOTH q209
+    * (exact plan) and q239 (bloom-prefiltered plan): the bloom layer
+    * must be result-invisible. */
+  private val decontamOracleSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, $toksSql AS toks,
+       |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+       |      AS BIGINT) AS DOUBLE) / 281474976710656.0 AS frac
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, frac, unnest(list_distinct(
+       |    CASE WHEN len(toks) >= 5 THEN
+       |      list_transform(range(1, len(toks) - 3),
+       |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+       |          || ' ' || toks[i+3] || ' ' || toks[i+4])
+       |    ELSE [] END)) AS gram
+       |  FROM t),
+       |test_grams AS (SELECT DISTINCT gram FROM g WHERE frac < $TestFrac),
+       |shared AS (
+       |  SELECT g.doc_id, COUNT(DISTINCT g.gram) AS shared_ngrams
+       |  FROM g JOIN test_grams tg ON g.gram = tg.gram
+       |  WHERE g.frac >= $TestFrac GROUP BY 1)
+       |SELECT t.doc_id,
+       |  COALESCE(sh.shared_ngrams, 0) AS shared_ngrams,
+       |  COALESCE(sh.shared_ngrams, 0) > 0 AS contaminated
+       |FROM t LEFT JOIN shared sh ON sh.doc_id = t.doc_id
+       |WHERE t.frac >= $TestFrac ORDER BY t.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q214_curation_v2" ->
@@ -870,30 +1012,11 @@ object MixOps {
          |SELECT *, (top_word_frac > 0.2 OR dup_trigram_frac > 0.3)
          |  AS flagged_repetitive
          |FROM st ORDER BY doc_id""".stripMargin,
-    "q209_decontamination" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, $toksSql AS toks,
-         |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
-         |      AS BIGINT) AS DOUBLE) / 281474976710656.0 AS frac
-         |  FROM documents),
-         |g AS (
-         |  SELECT doc_id, frac, unnest(list_distinct(
-         |    CASE WHEN len(toks) >= 5 THEN
-         |      list_transform(range(1, len(toks) - 3),
-         |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-         |          || ' ' || toks[i+3] || ' ' || toks[i+4])
-         |    ELSE [] END)) AS gram
-         |  FROM t),
-         |test_grams AS (SELECT DISTINCT gram FROM g WHERE frac < $TestFrac),
-         |shared AS (
-         |  SELECT g.doc_id, COUNT(DISTINCT g.gram) AS shared_ngrams
-         |  FROM g JOIN test_grams tg ON g.gram = tg.gram
-         |  WHERE g.frac >= $TestFrac GROUP BY 1)
-         |SELECT t.doc_id,
-         |  COALESCE(sh.shared_ngrams, 0) AS shared_ngrams,
-         |  COALESCE(sh.shared_ngrams, 0) > 0 AS contaminated
-         |FROM t LEFT JOIN shared sh ON sh.doc_id = t.doc_id
-         |WHERE t.frac >= $TestFrac ORDER BY t.doc_id""".stripMargin,
+    "q209_decontamination" -> decontamOracleSql,
+    // q239 is PLAN-level different (bloom prefilter before the exact
+    // semi-join) but result-identical by construction — certifying it
+    // against the exact-check oracle IS the losslessness claim.
+    "q239_bloom_decontam" -> decontamOracleSql,
     "q210_mmr_select" ->
       s"""WITH e AS (SELECT vec_id, $qvSql AS v FROM embeddings),
          |q AS (SELECT v FROM e WHERE vec_id = 0),
@@ -978,6 +1101,36 @@ object MixOps {
          |  UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM base
          |  UNION ALL SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM base)
          |ORDER BY metric""".stripMargin,
+    "q238_trained_classifier" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |f AS (
+         |  SELECT doc_id, list_concat(toks,
+         |    CASE WHEN len(toks) >= 2 THEN
+         |      list_transform(range(1, len(toks)),
+         |        i -> toks[i] || '_' || toks[i+1])
+         |    ELSE [] END) AS feats,
+         |    CASE WHEN CAST(round((${Extended.qualitySql}) * 1000000) AS BIGINT)
+         |      >= 640000 THEN 1 ELSE -1 END AS y
+         |  FROM t),
+         |ex AS (
+         |  SELECT doc_id, y, unnest(list_transform(feats,
+         |    fe -> CAST('0x' || substr(md5(fe), 1, 8) AS BIGINT) % 1024)) AS b
+         |  FROM f),
+         |w1 AS (SELECT b, CAST(SUM(y) AS BIGINT) AS w FROM ex GROUP BY b),
+         |s1 AS (SELECT ex.doc_id, CAST(SUM(w1.w) AS BIGINT) AS score1
+         |       FROM ex JOIN w1 USING (b) GROUP BY ex.doc_id),
+         |l1 AS (SELECT f.doc_id, f.y, s1.score1 FROM f JOIN s1 USING (doc_id)),
+         |dw AS (SELECT ex.b, CAST(SUM(ex.y) AS BIGINT) AS w
+         |       FROM ex JOIN l1 ON ex.doc_id = l1.doc_id
+         |       WHERE l1.y * l1.score1 <= 0 GROUP BY ex.b),
+         |w2 AS (SELECT w1.b, w1.w + COALESCE(dw.w, 0) AS w
+         |       FROM w1 LEFT JOIN dw USING (b)),
+         |s2 AS (SELECT ex.doc_id, CAST(SUM(w2.w) AS BIGINT) AS score2
+         |       FROM ex JOIN w2 USING (b) GROUP BY ex.doc_id)
+         |SELECT l1.doc_id, CAST(l1.y AS BIGINT) AS label, l1.score1, s2.score2,
+         |  s2.score2 > 0 AS predicted,
+         |  (s2.score2 > 0) = (l1.y > 0) AS correct
+         |FROM l1 JOIN s2 USING (doc_id) ORDER BY l1.doc_id""".stripMargin,
     "q218_hash_classifier" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |f AS (

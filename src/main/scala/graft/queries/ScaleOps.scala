@@ -125,6 +125,59 @@ object ScaleOps {
       .orderBy("doc_id")
   }
 
+  /** q237 — duplicate-span REMOVAL (Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" §3 ExactSubstr:
+    * duplicated substrings are CUT OUT of every document that
+    * carries them, not just flagged — q100 is the detector, this is
+    * the surgery, and the pair is the substring-granularity
+    * counterpart of q93's doc-level survivor emission). A token
+    * position is removed iff it lies inside any word 8-gram that
+    * appears in ≥2 documents; the cleaned text is the surviving
+    * tokens rejoined in order. Plan: gram-keyed shuffle (the q100
+    * dup-gram set) → flagged starts explode to ≤8 covered offsets →
+    * (doc, pos) distinct → anti-join against the posexploded tokens
+    * → one per-doc aggregation rebuilds the text (array_sort on
+    * (pos, token) structs, so collect_list order never matters).
+    * Every shuffle key is a gram or a (doc, pos) pair — never a doc
+    * pair — and the 8× coverage explode is a constant factor, so the
+    * whole pass stays linear in corpus size at 100 TB. */
+  def q237DupSpanRemoval(s: SparkSession, dir: String): DataFrame = {
+    val n = 8
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+    val grams = t.select(col("doc_id"),
+      posexplode(TextAnalysis.wordNgrams(col("toks"), n))
+        .as(Seq("pos0", "gram")))
+      .select(col("doc_id"), (col("pos0") + 1).as("start"), col("gram"))
+    val dupGrams = grams.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("gram")
+    val covered = grams.join(dupGrams, "gram")
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + (n - 1))).as("pos"))
+      .distinct()
+    val toks = t.select(col("doc_id"),
+      posexplode(col("toks")).as(Seq("pos0", "token")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("token"))
+      .filter(col("token") =!= "")
+    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("kept_tokens"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("token")))),
+            x => x.getField("token"))).as("clean_text"))
+    t.select(col("doc_id"),
+        size(filter(col("toks"), x => x =!= "")).cast("bigint")
+          .as("total_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("total_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        (col("total_tokens") - coalesce(col("kept_tokens"), lit(0L)))
+          .as("removed_tokens"),
+        md5(coalesce(col("clean_text"), lit(""))).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
   /** PQ-ADC ANN: 4 subspaces × 16 codes over the 64-dim embeddings —
     * every corpus vector compresses to 4 codes; search scores with
     * table lookups. Same md5-deterministic codebook trick as IVF, so
@@ -620,6 +673,7 @@ object ScaleOps {
     "q98_bloom_join" -> q98BloomJoin _,
     "q99_domain_cap" -> q99DomainCap _,
     "q100_dup_spans" -> q100DupSpans _,
+    "q237_dup_span_removal" -> q237DupSpanRemoval _,
     "q101_pq_ann" -> q101PqAnn _,
     "q102_mixture_sample" -> q102MixtureSample _,
   )
@@ -1174,6 +1228,33 @@ object ScaleOps {
         |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12) AS BIGINT)
         |      / 281474976710656.0 < r.rate
         |ORDER BY d.doc_id""".stripMargin,
+    "q237_dup_span_removal" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), ' +') AS toks FROM documents),
+        |g AS (SELECT doc_id, i AS start, array_to_string(toks[i:i+7], ' ') AS gram
+        |      FROM t, unnest(range(1, greatest(len(toks) - 6, 1))) AS r(i)),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT DISTINCT g.doc_id, g.start + o AS pos
+        |        FROM g JOIN dup USING (gram), unnest(range(0, 8)) AS u(o)),
+        |tk AS (SELECT doc_id, i AS pos, toks[i] AS token
+        |       FROM t, unnest(range(1, len(toks) + 1)) AS r(i)
+        |       WHERE toks[i] <> ''),
+        |kept AS (SELECT tk.doc_id, COUNT(*) AS kept_tokens,
+        |         string_agg(tk.token, ' ' ORDER BY tk.pos) AS clean_text
+        |         FROM tk
+        |         WHERE NOT EXISTS (SELECT 1 FROM cov
+        |           WHERE cov.doc_id = tk.doc_id AND cov.pos = tk.pos)
+        |         GROUP BY tk.doc_id),
+        |tot AS (SELECT doc_id,
+        |        CAST(len(list_filter(toks, x -> x <> '')) AS BIGINT) AS total_tokens
+        |        FROM t)
+        |SELECT tot.doc_id, tot.total_tokens,
+        |  CAST(COALESCE(kept.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+        |  CAST(tot.total_tokens - COALESCE(kept.kept_tokens, 0) AS BIGINT)
+        |    AS removed_tokens,
+        |  md5(COALESCE(kept.clean_text, '')) AS clean_md5
+        |FROM tot LEFT JOIN kept USING (doc_id)
+        |ORDER BY tot.doc_id""".stripMargin,
     "q100_dup_spans" ->
       """WITH t AS (SELECT doc_id,
         |    regexp_split_to_array(lower(trim(text)), ' +') AS toks FROM documents),

@@ -481,7 +481,59 @@ object TextOps {
       .orderBy("depth")
   }
 
+  /** q236 — PII scrubbing (the anonymization pass every public
+    * pretraining corpus ships: Dolma §2.3 masks emails/phones/IPs,
+    * FineWeb anonymizes emails and public IPs; the telecom
+    * reference's own MSISDN masks — silver_calls.sql regex masking —
+    * are the same operation on one column). The fixture corpus has
+    * no organic PII, so the laced input is DERIVED deterministically
+    * from doc_id inline (both engines replay the identical
+    * derivation — no files, no state): every 3rd doc gains an email,
+    * every 4th an E.164 phone, every 5th an IPv4. The scrub itself
+    * is the production kernel: count matches per category on the
+    * input, then a fixed-order regexp_replace cascade to typed mask
+    * tokens. Scale: pure scan+project — three codegen'd regex
+    * passes, zero shuffle, zero join; at 100 TB PII scrubbing costs
+    * exactly one read of the corpus, which is why every pipeline
+    * runs it fused with the quality gate. */
+  def q236PiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+    val phoneRe = "\\+1[0-9]{10}"
+    val ipRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    val id = col("doc_id")
+    val email = concat(lit("user"), id.cast("string"),
+      lit("@host"), (id % 7).cast("string"), lit(".net"))
+    val phone = concat(lit("+1"),
+      lpad(((id * id) % 10000000000L).cast("string"), 10, "0"))
+    val ip = concat(lit("10."), (id % 256).cast("string"), lit("."),
+      (expr("doc_id DIV 7") % 256).cast("string"), lit("."),
+      ((id % 254) + 1).cast("string"))
+    val laced = concat(col("text"),
+      when(id % 3 === 0, concat(lit(" reach "), email)).otherwise(lit("")),
+      when(id % 4 === 0, concat(lit(" dial "), phone)).otherwise(lit("")),
+      when(id % 5 === 0, concat(lit(" node "), ip)).otherwise(lit("")))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), laced.as("laced"))
+      .select(col("doc_id"),
+        regexp_count(col("laced"), lit(emailRe)).cast("bigint").as("n_emails"),
+        regexp_count(col("laced"), lit(phoneRe)).cast("bigint").as("n_phones"),
+        regexp_count(col("laced"), lit(ipRe)).cast("bigint").as("n_ips"),
+        length(col("laced")).cast("bigint").as("laced_len"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("laced"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>"),
+          ipRe, "<IP>").as("masked"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+        (col("n_emails") + col("n_phones") + col("n_ips") > 0).as("pii_found"),
+        col("laced_len"),
+        length(col("masked")).cast("bigint").as("masked_len"),
+        md5(col("masked")).as("masked_md5"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q236_pii_scrub" -> q236PiiScrub _,
     "q196_bpe_merges" -> q196BpeMerges _,
     "q202_rbo" -> q202Rbo _,
     "q201_kneser_ney" -> q201KneserNey _,
@@ -566,6 +618,40 @@ object TextOps {
        |FROM freqs ORDER BY freq DESC, subword LIMIT 30""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q236_pii_scrub" ->
+      s"""WITH l AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 3 = 0 THEN ' reach user' ||
+         |      CAST(doc_id AS VARCHAR) || '@host' ||
+         |      CAST(doc_id % 7 AS VARCHAR) || '.net' ELSE '' END ||
+         |    CASE WHEN doc_id % 4 = 0 THEN ' dial +1' ||
+         |      lpad(CAST((doc_id * doc_id) % 10000000000 AS VARCHAR), 10, '0')
+         |      ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN ' node 10.' ||
+         |      CAST(doc_id % 256 AS VARCHAR) || '.' ||
+         |      CAST((doc_id // 7) % 256 AS VARCHAR) || '.' ||
+         |      CAST(doc_id % 254 + 1 AS VARCHAR) ELSE '' END AS laced
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, laced,
+         |    CAST(${reCount("laced", "[a-z0-9]+@[a-z0-9]+\\.[a-z]+")} AS BIGINT)
+         |      AS n_emails,
+         |    CAST(${reCount("laced", "\\+1[0-9]{10}")} AS BIGINT) AS n_phones,
+         |    CAST(${reCount("laced",
+            "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}")} AS BIGINT)
+         |      AS n_ips,
+         |    regexp_replace(regexp_replace(regexp_replace(laced,
+         |      '[a-z0-9]+@[a-z0-9]+\\.[a-z]+', '<EMAIL>', 'g'),
+         |      '\\+1[0-9]{10}', '<PHONE>', 'g'),
+         |      '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g')
+         |      AS masked
+         |  FROM l)
+         |SELECT doc_id, n_emails, n_phones, n_ips,
+         |  n_emails + n_phones + n_ips > 0 AS pii_found,
+         |  CAST(length(laced) AS BIGINT) AS laced_len,
+         |  CAST(length(masked) AS BIGINT) AS masked_len,
+         |  md5(masked) AS masked_md5
+         |FROM m ORDER BY doc_id""".stripMargin,
     "q196_bpe_merges" -> bpeOracleSql,
     "q199_bpe_encode" -> bpeEncodeOracleSql,
     "q202_rbo" ->

@@ -174,4 +174,69 @@ class MixOpsSpec extends SparkSpec {
       === Set(0L, 1L))
     assert(big.forall(r => r.getAs[Long]("n_src") === 20L))
   }
+
+  test("q238 agrees with an independent JVM perceptron on the sf0.001 corpus") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    // feature buckets: md5-hashed unigrams + '_'-bigrams, mod 1024
+    def buckets(text: String): Seq[Long] = {
+      val tk = java.util.regex.Pattern.compile(" +")
+        .split(text.trim.toLowerCase, -1).filter(_.nonEmpty).toSeq
+      val feats = tk ++ tk.sliding(2).withFilter(_.length == 2)
+        .map(_.mkString("_")).toSeq
+      feats.map(f => (BigInt(md5hex(f).take(8), 16) % 1024).toLong)
+    }
+    // teacher label: JVM replica of qualityScore at the 0.64 cut
+    def label(text: String): Long = {
+      def reCount(s: String, re: String) =
+        re.r.findAllIn(s).size.toDouble
+      val len = text.length.toDouble
+      val toks = java.util.regex.Pattern.compile(" +")
+        .split(text.trim.toLowerCase, -1).length.toDouble
+      val q = (math.min(len / 500.0, 1.0) * 0.4) +
+        ((1.0 - math.min(
+          reCount(text, "[^A-Za-z0-9\\s]") / math.max(len, 1.0) * 10.0,
+          1.0)) * 0.3) +
+        (math.min(
+          reCount(text.toLowerCase, "\\b(the|and|is|of|to|a|in|it)\\b") /
+            math.max(toks, 1.0) * 5.0, 1.0) * 0.3)
+      if (math.round(q * 1000000.0) >= 640000L) 1L else -1L
+    }
+    val bks = docs.map { case (id, t) => id -> buckets(t) }.toMap
+    val ys = docs.map { case (id, t) => id -> label(t) }.toMap
+    def round(w: Map[Long, Long], miscl: Set[Long]): Map[Long, Long] =
+      docs.filter(d => miscl(d._1)).foldLeft(w) { case (acc, (id, _)) =>
+        bks(id).foldLeft(acc)((a, b) =>
+          a.updated(b, a.getOrElse(b, 0L) + ys(id)))
+      }
+    def score(w: Map[Long, Long], id: Long): Long =
+      bks(id).map(b => w.getOrElse(b, 0L)).sum
+    val w1 = round(Map.empty, docs.map(_._1).toSet)
+    val m1 = docs.map(_._1).filter(id => ys(id) * score(w1, id) <= 0).toSet
+    val w2 = round(w1, m1)
+    val got = MixOps.q238TrainedClassifier(spark, sfDir).collect()
+    assert(got.length === docs.length)
+    for (r <- got) {
+      val id = r.getLong(0)
+      assert(r.getAs[Long]("label") === ys(id), s"label doc $id")
+      assert(r.getAs[Long]("score1") === score(w1, id), s"score1 doc $id")
+      assert(r.getAs[Long]("score2") === score(w2, id), s"score2 doc $id")
+      assert(r.getAs[Boolean]("predicted") === (score(w2, id) > 0))
+      assert(r.getAs[Boolean]("correct") ===
+        ((score(w2, id) > 0) == (ys(id) > 0)))
+    }
+    // both teacher classes must actually be present for the round to
+    // have trained anything
+    assert(ys.values.toSet === Set(1L, -1L))
+  }
+
+  test("q239 (bloom-prefiltered) is row-identical to q209 (exact)") {
+    val exact = MixOps.q209Decontamination(spark, sfDir).collect().toSeq
+    val bloom = MixOps.q239BloomDecontam(spark, sfDir).collect().toSeq
+    assert(bloom === exact)
+    // the bloom path must really be active in this session
+    assert(spark.catalog.functionExists("graft_might_contain"))
+  }
 }
