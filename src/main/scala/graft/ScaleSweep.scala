@@ -43,7 +43,13 @@ object ScaleSweep {
     // fixed): scan-agg, broadcast star join, window rollup, RFM
     // quantile segmentation
     "q01_pricing_summary", "q03_star_join", "q19_monthly_rollup",
-    "q163_rfm")
+    "q163_rfm",
+    // round-7 part 2: span surgery (gram + (doc,pos) shuffles),
+    // trained classifier (per-round scan + 1024-group agg), and the
+    // bloom-prefiltered vs exact decontamination CONTRAST PAIR (the
+    // artifact is q239's shuffle bytes staying below q209's)
+    "q237_dup_span_removal", "q238_trained_classifier",
+    "q209_decontamination", "q239_bloom_decontam")
 
   /** Queries excluded from the sf1→sf10 decade, each with its
     * documented ceiling — these are superlinear BY CONSTRUCTION, so

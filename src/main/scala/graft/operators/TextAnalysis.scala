@@ -56,6 +56,29 @@ object TextAnalysis {
   def stopwordCount(text: Column): Column =
     regexp_count(lower(text), lit("\\b(the|and|is|of|to|a|in|it)\\b"))
 
+  /** PII scrub kernel (Dolma §2.3 / FineWeb anonymization): match
+    * patterns + fixed-order mask cascade, shared verbatim by the
+    * batch query (q236) and the ingest-edge stream
+    * ([[graft.streaming.PiiScrubStream]]). Pure codegen'd regex
+    * projections — stateless, scan-speed. */
+  val EmailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+  val PhoneRe = "\\+1[0-9]{10}"
+  val IpRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  def emailCount(text: Column): Column = regexp_count(text, lit(EmailRe))
+  def phoneCount(text: Column): Column = regexp_count(text, lit(PhoneRe))
+  def ipCount(text: Column): Column = regexp_count(text, lit(IpRe))
+
+  /** The mask cascade: email → phone → IP (fixed order; the typed
+    * mask tokens contain no digits/@, so later passes never re-match
+    * earlier replacements). */
+  def piiMask(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      IpRe, "<IP>")
+
   def qualityScore(text: Column): Column = {
     val len = length(text).cast("double")
     val toks = tokenCount(text).cast("double")

@@ -497,9 +497,6 @@ object TextOps {
     * exactly one read of the corpus, which is why every pipeline
     * runs it fused with the quality gate. */
   def q236PiiScrub(s: SparkSession, dir: String): DataFrame = {
-    val emailRe = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
-    val phoneRe = "\\+1[0-9]{10}"
-    val ipRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
     val id = col("doc_id")
     val email = concat(lit("user"), id.cast("string"),
       lit("@host"), (id % 7).cast("string"), lit(".net"))
@@ -515,15 +512,11 @@ object TextOps {
     Tables.documents(s, dir)
       .select(col("doc_id"), laced.as("laced"))
       .select(col("doc_id"),
-        regexp_count(col("laced"), lit(emailRe)).cast("bigint").as("n_emails"),
-        regexp_count(col("laced"), lit(phoneRe)).cast("bigint").as("n_phones"),
-        regexp_count(col("laced"), lit(ipRe)).cast("bigint").as("n_ips"),
+        emailCount(col("laced")).cast("bigint").as("n_emails"),
+        phoneCount(col("laced")).cast("bigint").as("n_phones"),
+        ipCount(col("laced")).cast("bigint").as("n_ips"),
         length(col("laced")).cast("bigint").as("laced_len"),
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(col("laced"), emailRe, "<EMAIL>"),
-            phoneRe, "<PHONE>"),
-          ipRe, "<IP>").as("masked"))
+        piiMask(col("laced")).as("masked"))
       .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
         (col("n_emails") + col("n_phones") + col("n_ips") > 0).as("pii_found"),
         col("laced_len"),
