@@ -59,7 +59,8 @@ object Bench {
       queries.TelecomOps.warmFixtures(spark, sfDir)
       queries.MultimodalOps.warmFixtures(spark, sfDir)
       SparkEntry.queries.get("q01_pricing_summary")
-        .foreach(fn => fn(spark, sfDir).count())
+        .foreach(fn => fn(spark, sfDir).write.format("noop")
+          .mode("overwrite").save())
     } catch {
       // stderr keeps the stdout JSON line clean but makes a failed
       // warm-up visible: the first fixture-dependent query would
@@ -68,9 +69,21 @@ object Bench {
         System.err.println(s"[bench] warm-up failed: $t")
     }
 
+    // Force queries through the NOOP SINK, not count(): count() lets
+    // the optimizer prune every column the row count doesn't need —
+    // final aggregate expressions vanish, and Spark 4 eliminates a
+    // left join whose right side is a unique-keyed aggregate, so a
+    // "diagnostics left-joined onto the universe" query (q100/q209/
+    // q237 shape) collapsed to a bare scan count (measured in round
+    // 7: q237's entire surgery optimized away — 59 shuffle bytes).
+    // The noop write materializes every output column through the
+    // full physical plan and discards rows at the sink, which is the
+    // honest definition of "run the query".
+    def force(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
+      val ok = try { force(fn(spark, sfDir)); true } catch {
         case t: Throwable => System.err.println(s"[bench] query failed: $t"); false
       }
       val elapsed = (System.nanoTime() - t0) / 1e9

@@ -127,13 +127,16 @@ object ScaleSweep {
     // and a plan whose data movement secretly grows superlinearly is
     // caught even on a quiet host. Profile covers the FIRST rep only.
     val profiler = TaskMetricsProfiler.install(spark)
+    // noop-sink forcing, matching Bench: count() lets the optimizer
+    // prune result expressions and even whole unique-keyed left
+    // joins (see Bench.force scaladoc — the round-7 q237 finding)
     def sweep(dir: String, name: String): (Double, TaskMetricsProfiler.Profile) = {
       val fn = SparkEntry.queries(name)
       var profile: TaskMetricsProfiler.Profile = null
       val samples = (1 to reps).map { r =>
         if (r == 1) profiler.reset()
         val t0 = System.nanoTime()
-        fn(spark, dir).count()
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
         if (r == 1) profile = profiler.snapshot(spark)
         try {
@@ -147,7 +150,8 @@ object ScaleSweep {
     }
 
     // warm-up (codegen + parquet footers) outside the timers
-    try targets.headOption.foreach(n => SparkEntry.queries(n)(spark, sf01).count())
+    try targets.headOption.foreach(n => SparkEntry.queries(n)(spark, sf01)
+      .write.format("noop").mode("overwrite").save())
     catch { case t: Throwable => System.err.println(s"[sweep] warm-up failed: $t") }
 
     def fmt(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)

@@ -299,6 +299,34 @@ object CurationOps {
       .orderBy("doc_id")
   }
 
+  /** q240 — fixed-context SEQUENCE PACKING: the step AFTER q200's
+    * shard assignment — the shuffled corpus is one long token stream
+    * cut at exact 512-token context boundaries (the padding-free
+    * "packed sequences" layout every causal-LM pretraining run feeds
+    * the trainer; docs that straddle a cut appear in two contexts,
+    * which is why boundary-crossing fraction is a tracked data-prep
+    * metric). Each doc's global token offset comes from the same
+    * two-phase distributed prefix sum as q200 (md5-permuted order,
+    * P per-partition subtotals to the driver — never a global sort),
+    * and its start/end context ids are pure integer projections of
+    * that offset. Scale: one shuffle by the permutation key; context
+    * assignment adds zero further data movement at 100 TB. */
+  def q240ContextPacking(s: SparkSession, dir: String): DataFrame = {
+    val ctxLen = 512L
+    val counted = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("bigint").as("token_count"))
+      .withColumn("shuffle_key", md5(concat_ws(":", lit("ctx"), col("doc_id"))))
+    graft.operators.PrefixSum
+      .withRunningSum(counted, "shuffle_key", "token_count", "cum_tokens")
+      .select(col("doc_id"), col("token_count"),
+        (col("cum_tokens") - col("token_count")).as("offset"),
+        expr(s"(cum_tokens - token_count) DIV $ctxLen").as("ctx_start"),
+        expr(s"(cum_tokens - 1) DIV $ctxLen").as("ctx_end"))
+      .withColumn("crosses", col("ctx_end") > col("ctx_start"))
+      .orderBy("doc_id")
+  }
+
   /** q222 — the SHARD MANIFEST for q200's epoch-0 packing: one row
     * per shard with doc/token counts, the doc_id span, and an md5
     * content hash of the ordered doc_id list. This is the
@@ -376,6 +404,7 @@ object CurationOps {
 
   val queries: Map[String, Q] = Map(
     "q200_epoch_shards" -> q200EpochShards _,
+    "q240_context_packing" -> q240ContextPacking _,
     "q222_shard_manifest" -> q222ShardManifest _,
     "q223_shuffle_stability" -> q223ShuffleStability _,
     "q152_systematic_sample" -> q152SystematicSample _,
@@ -452,6 +481,22 @@ object CurationOps {
          |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
          |    AS manifest_md5
          |FROM e0p GROUP BY shard_id ORDER BY shard_id""".stripMargin,
+    "q240_context_packing" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS token_count,
+         |    md5('ctx:' || CAST(doc_id AS VARCHAR)) AS k
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, token_count,
+         |    SUM(token_count) OVER (ORDER BY k
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t)
+         |SELECT doc_id, token_count,
+         |  CAST(cum - token_count AS BIGINT) AS offset,
+         |  CAST((cum - token_count) // 512 AS BIGINT) AS ctx_start,
+         |  CAST((cum - 1) // 512 AS BIGINT) AS ctx_end,
+         |  (cum - 1) // 512 > (cum - token_count) // 512 AS crosses
+         |FROM s ORDER BY doc_id""".stripMargin,
     "q200_epoch_shards" ->
       s"""WITH t AS (
          |  SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS token_count

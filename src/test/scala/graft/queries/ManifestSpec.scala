@@ -76,4 +76,34 @@ class ManifestSpec extends SparkSpec {
       conf.set("spark.sql.files.maxPartitionBytes", savedSplit)
     }
   }
+
+  test("q240 context packing tiles the token stream and agrees with a JVM prefix sum") {
+    val got = CurationOps.q240ContextPacking(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // independent JVM recomputation: md5-permute, cumsum, cut at 512
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val counted = docs.map { case (id, t) =>
+      (id, java.util.regex.Pattern.compile(" +")
+        .split(t.trim.toLowerCase, -1).length.toLong, md5hex(s"ctx:$id"))
+    }.sortBy(_._3)
+    var cum = 0L
+    for ((id, n, _) <- counted) {
+      val r = got(id)
+      assert(r.getAs[Long]("offset") === cum, s"offset doc $id")
+      assert(r.getAs[Long]("token_count") === n)
+      assert(r.getAs[Long]("ctx_start") === cum / 512L)
+      assert(r.getAs[Long]("ctx_end") === (cum + n - 1) / 512L)
+      assert(r.getAs[Boolean]("crosses") ===
+        ((cum + n - 1) / 512L > cum / 512L))
+      cum += n
+    }
+    // the packed stream is gap-free: offsets tile [0, total)
+    assert(got.values.map(_.getAs[Long]("token_count")).sum === cum)
+    assert(got.values.map(_.getAs[Long]("offset")).toSeq.sorted ===
+      counted.scanLeft(0L)((a, d) => a + d._2).init.sorted.toSeq)
+  }
 }
