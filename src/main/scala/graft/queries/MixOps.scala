@@ -160,6 +160,40 @@ object MixOps {
       .orderBy("doc_id")
   }
 
+  /** q241 — contamination ATTRIBUTION: q209 says WHETHER a training
+    * document collides with the held-out set; this emits the audit
+    * trail a release actually ships — which eval document each
+    * contaminated train doc shares 5-grams with, and how many (the
+    * per-benchmark overlap tables in GPT-3 appendix C / PaLM §8 are
+    * exactly this join). Plan: the same gram-keyed shuffle as q209,
+    * then (train_doc, eval_doc) pair counts — the pair fan-out per
+    * gram is df_train(g) x df_eval(g), bounded in practice by the
+    * eval set's size and the corpus's contamination rate; a
+    * production run on adversarial data adds the q146 rare-gram
+    * df cap, which only drops pairs already attributed through
+    * rarer (more identifying) grams. Output is Ω(pairs) — the audit
+    * is inherently pair-shaped, and pairs ≈ contaminated docs. */
+  def q241ContaminationPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("toks"), docFrac.as("frac"))
+    val grams = d.select(col("doc_id"), col("frac"),
+      explode(when(size(col("toks")) >= 5,
+        array_distinct(transform(sequence(lit(1), size(col("toks")) - 4),
+          i => concat_ws(" ",
+            element_at(col("toks"), i), element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2), element_at(col("toks"), i + 3),
+            element_at(col("toks"), i + 4)))))
+        .otherwise(array().cast("array<string>"))).as("gram"))
+    val evalGrams = grams.filter(col("frac") < TestFrac)
+      .select(col("doc_id").as("eval_doc"), col("gram"))
+    grams.filter(col("frac") >= TestFrac)
+      .select(col("doc_id").as("train_doc"), col("gram"))
+      .join(evalGrams, "gram")
+      .groupBy("train_doc", "eval_doc")
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .orderBy("train_doc", "eval_doc")
+  }
+
   /** q210 — greedy maximal marginal relevance: pick k=5 vectors
     * maximizing 0.7·relevance(query) − 0.3·max-similarity(already
     * picked) — the diversity-aware selection used for dataset
@@ -702,6 +736,7 @@ object MixOps {
     "q225_curation_v3" -> q225CurationV3 _,
     "q209_decontamination" -> q209Decontamination _,
     "q239_bloom_decontam" -> q239BloomDecontam _,
+    "q241_contamination_pairs" -> q241ContaminationPairs _,
     "q210_mmr_select" -> q210MmrSelect _,
     "q211_mixture_weights" -> q211MixtureWeights _,
     "q218_hash_classifier" -> q218HashClassifier _,
@@ -1028,6 +1063,25 @@ object MixOps {
     // semi-join) but result-identical by construction — certifying it
     // against the exact-check oracle IS the losslessness claim.
     "q239_bloom_decontam" -> decontamOracleSql,
+    "q241_contamination_pairs" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks,
+         |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+         |      AS BIGINT) AS DOUBLE) / 281474976710656.0 AS frac
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, frac, unnest(list_distinct(
+         |    CASE WHEN len(toks) >= 5 THEN
+         |      list_transform(range(1, len(toks) - 3),
+         |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         |          || ' ' || toks[i+3] || ' ' || toks[i+4])
+         |    ELSE [] END)) AS gram
+         |  FROM t)
+         |SELECT tr.doc_id AS train_doc, ev.doc_id AS eval_doc,
+         |  CAST(COUNT(*) AS BIGINT) AS shared_ngrams
+         |FROM g tr JOIN g ev ON tr.gram = ev.gram
+         |WHERE tr.frac >= $TestFrac AND ev.frac < $TestFrac
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q210_mmr_select" ->
       s"""WITH e AS (SELECT vec_id, $qvSql AS v FROM embeddings),
          |q AS (SELECT v FROM e WHERE vec_id = 0),

@@ -232,6 +232,22 @@ class MixOpsSpec extends SparkSpec {
     assert(ys.values.toSet === Set(1L, -1L))
   }
 
+  test("q241 attribution pairs project exactly onto q209's contaminated set") {
+    val pairs = MixOps.q241ContaminationPairs(spark, sfDir).collect()
+    val exact = MixOps.q209Decontamination(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("shared_ngrams")).toMap
+    // the train docs carrying pairs are EXACTLY the contaminated docs
+    val attributed = pairs.map(_.getAs[Long]("train_doc")).toSet
+    assert(attributed === exact.filter(_._2 > 0).keySet)
+    // every pair is a real collision, and a doc's pairwise gram counts
+    // cover at least its distinct shared-gram count (a gram shared
+    // with k eval docs appears in k pairs)
+    assert(pairs.forall(_.getAs[Long]("shared_ngrams") >= 1L))
+    val perTrain = pairs.groupBy(_.getAs[Long]("train_doc"))
+      .view.mapValues(_.map(_.getAs[Long]("shared_ngrams")).sum).toMap
+    for ((doc, n) <- perTrain) assert(n >= exact(doc), s"coverage doc $doc")
+  }
+
   test("q239 (bloom-prefiltered) is row-identical to q209 (exact)") {
     val exact = MixOps.q209Decontamination(spark, sfDir).collect().toSeq
     val bloom = MixOps.q239BloomDecontam(spark, sfDir).collect().toSeq
