@@ -49,7 +49,10 @@ object ScaleSweep {
     // bloom-prefiltered vs exact decontamination CONTRAST PAIR (the
     // artifact is q239's shuffle bytes staying below q209's)
     "q237_dup_span_removal", "q238_trained_classifier",
-    "q209_decontamination", "q239_bloom_decontam")
+    "q209_decontamination", "q239_bloom_decontam",
+    // round-7 part 3: scan-speed scrub, prefix-sum packing, and the
+    // pair-shaped attribution audit
+    "q236_pii_scrub", "q240_context_packing", "q241_contamination_pairs")
 
   /** Queries excluded from the sf1→sf10 decade, each with its
     * documented ceiling — these are superlinear BY CONSTRUCTION, so
