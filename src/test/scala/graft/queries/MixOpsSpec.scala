@@ -248,6 +248,32 @@ class MixOpsSpec extends SparkSpec {
     for ((doc, n) <- perTrain) assert(n >= exact(doc), s"coverage doc $doc")
   }
 
+  test("q238 converges on a separable teacher (disjoint-vocabulary corpus)") {
+    // the fixture corpus's median-cut teacher is NOT separable in the
+    // hashed count space (documented in the scaladoc); this corpus IS:
+    // long vocab-A docs (quality >= 0.64 via the length term) share no
+    // buckets with short vocab-B docs, so round 1's class-difference
+    // weights already split them — the mechanics learn when the
+    // signal exists in the features
+    val dir = java.nio.file.Files.createTempDirectory("q238sep").toString
+    val longText = Seq.fill(60)("alphaword").mkString(" ") // 599 chars
+    val docs = (0 until 10).map(i => (i.toLong, longText)) ++
+      (10 until 20).map(i => (i.toLong, s"betaword gammaword tok$i"))
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("srcA"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = MixOps.q238TrainedClassifier(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for (i <- 0L until 10L) assert(got(i).getAs[Long]("label") === 1L)
+    for (i <- 10L until 20L) assert(got(i).getAs[Long]("label") === -1L)
+    // perfect separation by round 2 (in fact already at round 1)
+    assert(got.values.forall(_.getAs[Boolean]("correct")))
+    for (i <- 0L until 10L) assert(got(i).getAs[Long]("score1") > 0)
+    for (i <- 10L until 20L) assert(got(i).getAs[Long]("score1") < 0)
+  }
+
   test("q239 (bloom-prefiltered) is row-identical to q209 (exact)") {
     val exact = MixOps.q209Decontamination(spark, sfDir).collect().toSeq
     val bloom = MixOps.q239BloomDecontam(spark, sfDir).collect().toSeq
