@@ -52,7 +52,8 @@ object ScaleSweep {
     "q209_decontamination", "q239_bloom_decontam",
     // round-7 part 3: scan-speed scrub, prefix-sum packing, and the
     // pair-shaped attribution audit
-    "q236_pii_scrub", "q240_context_packing", "q241_contamination_pairs")
+    "q236_pii_scrub", "q240_context_packing", "q241_contamination_pairs",
+    "q242_release_pipeline")
 
   /** Queries excluded from the sf1→sf10 decade, each with its
     * documented ceiling — these are superlinear BY CONSTRUCTION, so

@@ -327,6 +327,53 @@ object CurationOps {
       .orderBy("doc_id")
   }
 
+  /** q242 — the PRIVACY-SAFE RELEASE pipeline: rule gate → PII scrub
+    * → exact dedup OF THE MASKED TEXT → fixed-context packing, one
+    * lazy plan end to end. This is the composition a corpus release
+    * actually runs in this order and no other: masking must precede
+    * persistence (nothing raw may outlive the gate), and dedup must
+    * run on what SHIPS — two raw docs differing only inside a masked
+    * span are one released document, which dedup-before-scrub would
+    * miss. Stages are the certified kernels verbatim (q212 rules,
+    * q236 mask cascade, q45 canonical fingerprint with the W1
+    * deterministic survivor, q240 prefix-sum packing); the
+    * composition adds one window and one running sum — no new
+    * shuffle classes. Complements q105/q214/q225, which compose the
+    * dedup/sampling decision layer; this is the privacy/packaging
+    * layer. */
+  def q242ReleasePipeline(s: SparkSession, dir: String): DataFrame = {
+    // stage 1: rule gate (q212 kernel, survivors only)
+    val gated = MixOps.withFilterRules(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+          col("text")))
+      .filter(col("kept"))
+      .select(col("doc_id"), col("text"))
+    // stage 2: anonymize before anything else sees the text
+    val scrubbed = gated
+      .withColumn("masked", TextAnalysis.piiMask(col("text")))
+    // stage 3: exact dedup of the RELEASED (masked) text, min-doc_id
+    // survivor via the deterministic ordered window
+    val wf = Window.partitionBy("fp").orderBy("doc_id")
+    val released = scrubbed
+      .withColumn("fp", TextAnalysis.fingerprint(col("masked")))
+      .withColumn("rn", row_number().over(wf))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("masked")).cast("bigint")
+          .as("token_count"))
+    // stage 4: 512-token context packing of the survivors (q240)
+    val keyed = released.withColumn("shuffle_key",
+      md5(concat_ws(":", lit("rel"), col("doc_id"))))
+    graft.operators.PrefixSum
+      .withRunningSum(keyed, "shuffle_key", "token_count", "cum_tokens")
+      .select(col("doc_id"), col("token_count"),
+        (col("cum_tokens") - col("token_count")).as("offset"),
+        expr("(cum_tokens - token_count) DIV 512").as("ctx_start"),
+        expr("(cum_tokens - 1) DIV 512").as("ctx_end"))
+      .withColumn("crosses", col("ctx_end") > col("ctx_start"))
+      .orderBy("doc_id")
+  }
+
   /** q222 — the SHARD MANIFEST for q200's epoch-0 packing: one row
     * per shard with doc/token counts, the doc_id span, and an md5
     * content hash of the ordered doc_id list. This is the
@@ -405,6 +452,7 @@ object CurationOps {
   val queries: Map[String, Q] = Map(
     "q200_epoch_shards" -> q200EpochShards _,
     "q240_context_packing" -> q240ContextPacking _,
+    "q242_release_pipeline" -> q242ReleasePipeline _,
     "q222_shard_manifest" -> q222ShardManifest _,
     "q223_shuffle_stability" -> q223ShuffleStability _,
     "q152_systematic_sample" -> q152SystematicSample _,
@@ -481,6 +529,72 @@ object CurationOps {
          |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
          |    AS manifest_md5
          |FROM e0p GROUP BY shard_id ORDER BY shard_id""".stripMargin,
+    "q242_release_pipeline" ->
+      s"""WITH feat AS (
+         |  SELECT doc_id, lang, text,
+         |    list_filter($tokensSql, t -> t <> '') AS ftoks,
+         |    CAST(length(text) AS DOUBLE) AS len_d,
+         |    CAST(len($tokensSql) AS DOUBLE) AS toks_d,
+         |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+         |      AS punct_d,
+         |    CAST(len(regexp_extract_all(lower(text),
+         |      '\\b(the|and|is|of|to|a|in|it)\\b')) AS DOUBLE) AS stop_d
+         |  FROM documents),
+         |sig AS (
+         |  SELECT doc_id, lang, text,
+         |    CAST((least(len_d / 500.0, 1.0) * 0.4)
+         |      + ((1.0 - least(punct_d / greatest(len_d, 1.0) * 10.0, 1.0)) * 0.3)
+         |      + (least(stop_d / greatest(toks_d, 1.0) * 5.0, 1.0) * 0.3)
+         |      AS DOUBLE) AS quality_score,
+         |    len(ftoks) AS token_count_g,
+         |    CAST(COALESCE(list_max(list_transform(list_distinct(ftoks),
+         |        t -> len(list_filter(ftoks, x -> x = t)))), 0) AS DOUBLE) /
+         |      CAST(greatest(len(ftoks), 1) AS DOUBLE) AS top_word_frac,
+         |    CASE WHEN len(ftoks) >= 3 THEN
+         |      list_transform(range(1, len(ftoks) - 1),
+         |        i -> ftoks[i] || ' ' || ftoks[i+1] || ' ' || ftoks[i+2])
+         |    ELSE [] END AS tg
+         |  FROM feat),
+         |gate AS (
+         |  SELECT doc_id, text FROM sig
+         |  WHERE NOT (quality_score < 0.5) AND NOT (lang != 'en')
+         |    AND NOT (top_word_frac > 0.2 OR
+         |      (CASE WHEN len(tg) > 0 THEN
+         |        CAST(1.0 AS DOUBLE) - CAST(len(list_distinct(tg)) AS DOUBLE) /
+         |          CAST(len(tg) AS DOUBLE)
+         |       ELSE CAST(0.0 AS DOUBLE) END) > 0.3)
+         |    AND NOT (token_count_g < 5)),
+         |scrub AS (
+         |  SELECT doc_id,
+         |    regexp_replace(regexp_replace(regexp_replace(text,
+         |      '[a-z0-9]+@[a-z0-9]+\\.[a-z]+', '<EMAIL>', 'g'),
+         |      '\\+1[0-9]{10}', '<PHONE>', 'g'),
+         |      '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g')
+         |      AS masked
+         |  FROM gate),
+         |dedup AS (
+         |  SELECT doc_id, masked,
+         |    row_number() OVER (PARTITION BY
+         |      md5(regexp_replace(lower(trim(masked)), '\\s+', ' ', 'g'))
+         |      ORDER BY doc_id) AS rn
+         |  FROM scrub),
+         |released AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_split_to_array(lower(trim(masked)), ' +'))
+         |      AS BIGINT) AS token_count,
+         |    md5('rel:' || CAST(doc_id AS VARCHAR)) AS k
+         |  FROM dedup WHERE rn = 1),
+         |packed AS (
+         |  SELECT doc_id, token_count,
+         |    SUM(token_count) OVER (ORDER BY k
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM released)
+         |SELECT doc_id, token_count,
+         |  CAST(cum - token_count AS BIGINT) AS offset,
+         |  CAST((cum - token_count) // 512 AS BIGINT) AS ctx_start,
+         |  CAST((cum - 1) // 512 AS BIGINT) AS ctx_end,
+         |  (cum - 1) // 512 > (cum - token_count) // 512 AS crosses
+         |FROM packed ORDER BY doc_id""".stripMargin,
     "q240_context_packing" ->
       s"""WITH t AS (
          |  SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS token_count,

@@ -106,4 +106,41 @@ class ManifestSpec extends SparkSpec {
     assert(got.values.map(_.getAs[Long]("offset")).toSeq.sorted ===
       counted.scanLeft(0L)((a, d) => a + d._2).init.sorted.toSeq)
   }
+
+  test("q242 release pipeline ≡ its certified stages composed independently") {
+    import org.apache.spark.sql.functions._
+    val got = CurationOps.q242ReleasePipeline(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // expected survivors: q212's kept set, masked, deduped by
+    // fingerprint-of-masked with the min-doc_id survivor — each stage
+    // via the standalone certified kernels, composed in the spec
+    val kept = MixOps.q212FilterReport(spark, sfDir)
+      .filter(col("kept")).select("doc_id")
+    val expected = graft.Tables.documents(spark, sfDir)
+      .join(kept, "doc_id")
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.piiMask(col("text")).as("masked"))
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.fingerprint(col("masked")).as("fp"),
+        graft.operators.TextAnalysis.tokenCount(col("masked"))
+          .cast("long").as("tc"))
+      .collect().groupBy(_.getString(1))
+      .map { case (_, rows) => rows.minBy(_.getLong(0)) }
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.keySet === expected.keySet)
+    for ((id, tc) <- expected)
+      assert(got(id).getAs[Long]("token_count") === tc, s"tc doc $id")
+    // offsets tile [0, total): the packing stage preserved q240's law
+    val total = got.values.map(_.getAs[Long]("token_count")).sum
+    val offs = got.values.map(_.getAs[Long]("offset")).toSeq.sorted
+    val sums = got.values.toSeq
+      .sortBy(_.getAs[Long]("offset")).map(_.getAs[Long]("token_count"))
+      .scanLeft(0L)(_ + _).init
+    assert(offs === sums)
+    assert(got.values.forall(r =>
+      r.getAs[Long]("ctx_end") >= r.getAs[Long]("ctx_start")))
+    assert(total === sums.lastOption.getOrElse(0L) +
+      got.values.toSeq.sortBy(_.getAs[Long]("offset")).last
+        .getAs[Long]("token_count"))
+  }
 }
