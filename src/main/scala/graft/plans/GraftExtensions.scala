@@ -128,6 +128,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CmsSketchAgg(children.head, intLit(children(1), "depth"), intLit(children(2), "width"))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_hdr"),
+      new ExpressionInfo(classOf[HdrQuantileAgg].getName, "graft_hdr"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"graft_hdr requires (value, b literal, pct literal), got ${children.length} args")
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        def intLit(e: Expression, what: String): Int = e match {
+          case Literal(v: Int, _) => v
+          case Literal(v: Long, _) =>
+            require(v >= 1 && v <= Int.MaxValue, s"graft_hdr $what must fit a positive Int, got $v")
+            v.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_hdr $what must be an integer literal, got $other")
+        }
+        HdrQuantileAgg(children.head, intLit(children(1), "b"), intLit(children(2), "pct"))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_might_contain"),
       new ExpressionInfo(classOf[BloomMightContain].getName, "graft_might_contain"),
       (children: Seq[Expression]) => {

@@ -262,6 +262,33 @@ object Quality {
         expr("percentile(vs, 0.95)").as("p95_est"))
   }
 
+  /** Mergeable quantile SKETCH with a hard relative-error bound —
+    * the native-aggregate scale path the percentile family was
+    * missing: q23/q85's exact `percentile()` legs merge every value
+    * at one reducer and q128's funnel takes two passes, while
+    * [[graft.plans.HdrQuantileAgg]] (`graft_hdr`) is ONE pass whose
+    * shuffle carries a bounded bucket map per group (≤ ~1.9k entries
+    * at b=5, independent of n) and whose partial states merge by
+    * count addition — the percentile_approx slot, but with a
+    * guarantee (lb ≤ Q_true < lb·(1+2⁻ᵇ)) and INTEGER-exact
+    * portability: the log-linear bucket law is shifts and bit
+    * lengths, so the oracle replays it bit-for-bit (DuckDB's
+    * length(bin(v)) is the JVM's 64 − numberOfLeadingZeros).
+    * Mirrors the reference's percentile/median quality gates
+    * (soda_checks avg/median thresholds) at the cardinality where
+    * exact percentile stops fitting one reducer. */
+  def q243HdrQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val cents = (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    Tables.orders(s, dir)
+      .select(col("o_orderstatus").as("status"), cents.as("v"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"),
+        call_function("graft_hdr", col("v"), lit(5), lit(50)).as("p50_lb"),
+        call_function("graft_hdr", col("v"), lit(5), lit(95)).as("p95_lb"),
+        call_function("graft_hdr", col("v"), lit(5), lit(99)).as("p99_lb"))
+      .orderBy("status")
+  }
+
   /** Sketch ROLLUP — re-aggregation without re-scan: weekly distinct
     * users estimated by MERGING each week's daily KMV sketches
     * (flatten + distinct + sort + take-k = the exact min-k union;
@@ -1321,6 +1348,7 @@ object Quality {
     "q76_kmv_distinct" -> q76KmvDistinct _,
     "q82_kmv_overlap" -> q82KmvOverlap _,
     "q85_sample_quantiles" -> q85SampleQuantiles _,
+    "q243_hdr_quantiles" -> q243HdrQuantiles _,
     "q18_worst_status" -> q18WorstStatus _,
     "q20_zscore_anomaly" -> q20ZscoreAnomaly _,
     "q21_null_rates" -> q21NullRates _,
@@ -2125,6 +2153,44 @@ object Quality {
         |                     / 281474976710656.0)
         |       END AS DOUBLE) AS kmv_est
         |FROM agg ORDER BY status""".stripMargin,
+    // graft_hdr replay: bucket = identity below 2^5, else exponent +
+    // top-5 mantissa bits (length(bin(v)) - 1 is floor(log2 v));
+    // quantile = lower bound of the first bucket whose running count
+    // reaches ceil(n*pct/100). Pure integer shifts — bit-exact.
+    "q243_hdr_quantiles" ->
+      """WITH v AS (
+        |  SELECT o_orderstatus AS status,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM orders),
+        |bl AS (
+        |  SELECT status,
+        |    CASE WHEN v < 32 THEN v
+        |         ELSE ((length(ltrim(bin(v), '0')) - 6) * 32)
+        |              + (v >> (length(ltrim(bin(v), '0')) - 6)) END AS idx
+        |  FROM v),
+        |cnt AS (SELECT status, idx, COUNT(*) AS c FROM bl GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT status, idx,
+        |    SUM(c) OVER (PARTITION BY status ORDER BY idx) AS cum,
+        |    SUM(c) OVER (PARTITION BY status) AS n
+        |  FROM cnt),
+        |pick AS (
+        |  SELECT status, MAX(n) AS n,
+        |    MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN idx END) AS i50,
+        |    MIN(CASE WHEN cum >= (n * 95 + 99) // 100 THEN idx END) AS i95,
+        |    MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN idx END) AS i99
+        |  FROM cum GROUP BY status)
+        |SELECT status, CAST(n AS BIGINT) AS n,
+        |  CAST(CASE WHEN i50 < 32 THEN i50
+        |    ELSE (i50 - ((i50 // 32 - 1) * 32)) << (i50 // 32 - 1) END
+        |    AS BIGINT) AS p50_lb,
+        |  CAST(CASE WHEN i95 < 32 THEN i95
+        |    ELSE (i95 - ((i95 // 32 - 1) * 32)) << (i95 // 32 - 1) END
+        |    AS BIGINT) AS p95_lb,
+        |  CAST(CASE WHEN i99 < 32 THEN i99
+        |    ELSE (i99 - ((i99 // 32 - 1) * 32)) << (i99 // 32 - 1) END
+        |    AS BIGINT) AS p99_lb
+        |FROM pick ORDER BY status""".stripMargin,
     "q17_conditional_agg" ->
       """SELECT o_orderpriority AS priority, COUNT(*) AS order_count,
         |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS fulfilled_count,
