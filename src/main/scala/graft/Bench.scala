@@ -58,6 +58,7 @@ object Bench {
       Tables.names.foreach(t => Tables.load(spark, sfDir, t).count())
       queries.TelecomOps.warmFixtures(spark, sfDir)
       queries.MultimodalOps.warmFixtures(spark, sfDir)
+      queries.TextOps.warmFixtures(spark, sfDir)
       SparkEntry.queries.get("q01_pricing_summary")
         .foreach(fn => fn(spark, sfDir).write.format("noop")
           .mode("overwrite").save())

@@ -525,7 +525,90 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Root for the JSONL corpus fixture; absolute because the path
+    * is embedded in oracle SQL the driver's DuckDB executes from an
+    * unknown working directory. */
+  private[graft] val JsonlFixtureDir = "/root/repo/target/jsonl_fixture"
+
+  /** Bump when the generator or its schema changes. */
+  private val JsonlFixtureVersion = "v1"
+
+  private def jsonlSize(dir: String): Int =
+    if (dir.contains("sf0.1")) 50000 else if (dir.contains("sf0.01")) 5000 else 1000
+
+  /** Materialize the deterministic JSONL corpus fixture (valid lines
+    * rendered with to_json + two injected corrupt lines — a 100 TB
+    * crawl dump always has malformed lines) and return its path.
+    * Content is deterministic in (version, size); each size gets its
+    * own directory so scale factors never clobber each other (the
+    * telecom-fixture rules, TelecomOps.fixture). */
+  private[graft] def jsonlCorpusPath(s: SparkSession, dir: String): String = {
+    val n = jsonlSize(dir)
+    val path = s"$JsonlFixtureDir/corpus_n$n"
+    val marker = new java.io.File(s"$path/_graft_$JsonlFixtureVersion")
+    if (!marker.exists()) {
+      import s.implicits._
+      val valid = s.range(n).select(to_json(struct(
+        col("id").as("doc_id"),
+        when(pmod(col("id"), lit(10)) < 6, lit("en"))
+          .when(pmod(col("id"), lit(10)) < 9, lit("de"))
+          .otherwise(lit("fr")).as("lang"),
+        concat(lit("src"), pmod(col("id"), lit(20)).cast("string")).as("source"),
+        concat_ws(" ", transform(sequence(lit(0L), pmod(col("id"), lit(13))),
+          i => concat(lit("w"), pmod(col("id") + i, lit(29)).cast("string"))))
+          .as("text"))).as("line"))
+      val corrupt = Seq("{\"doc_id\": 13, \"lang\":", "not json at all")
+        .toDS().toDF("line")
+      valid.unionAll(corrupt).write.mode("overwrite").text(path)
+      marker.createNewFile()
+    }
+    path
+  }
+
+  /** Bench hook: pre-materialize the fixture so per-query timers
+    * exclude input generation (the TelecomOps.warmFixtures rule). */
+  private[graft] def warmFixtures(s: SparkSession, dir: String): Unit = {
+    jsonlCorpusPath(s, dir)
+    ()
+  }
+
+  /** JSONL corpus ingest through [[graft.sources.JsonLines]] — the
+    * interchange format LLM corpora ship in, read with the two
+    * production contracts: explicit schema (no inference scan) and
+    * corrupt-line QUARANTINE (P2 at the parse edge — malformed lines
+    * are counted data, never silent drops, never job aborts; the
+    * reference's bronze JSON parse, kafka_to_bronze.py:90-128, lands
+    * nulls the same way). Output: per-lang doc/token/char rollup of
+    * the parsed lane plus one '_corrupt' row counting the quarantine
+    * lane. Scale: splittable newline input, one codegen'd parse
+    * projection, then a 4-group aggregate — scan-speed. */
+  def q244JsonlIngest(s: SparkSession, dir: String): DataFrame = {
+    val path = jsonlCorpusPath(s, dir)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("lang", "string")
+      .add("source", "string").add("text", "string")
+    val parsed = graft.sources.JsonLines.readQuarantined(s, path, schema)
+    val corruptCol = graft.sources.JsonLines.CorruptCol
+    // ONE scan, lanes routed by a `when` on the corrupt column: a
+    // separate quarantine-only aggregate would prune the JSON scan
+    // down to just the corrupt column, which Spark disallows
+    // (SPARK-21610) — and PERMISSIVE keeps partially-parsed fields
+    // (the truncated line lands doc_id=13 WITH the corrupt marker),
+    // so lane membership must key on the marker alone.
+    parsed
+      .groupBy(when(col(corruptCol).isNotNull, lit("_corrupt"))
+        .otherwise(col("lang")).as("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col(corruptCol).isNull,
+          size(split(col("text"), " ")).cast("long"))
+          .otherwise(lit(0L))).as("sum_tokens"),
+        sum(when(col(corruptCol).isNull, length(col("text")).cast("long"))
+          .otherwise(lit(0L))).as("sum_chars"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q244_jsonl_ingest" -> q244JsonlIngest _,
     "q236_pii_scrub" -> q236PiiScrub _,
     "q196_bpe_merges" -> q196BpeMerges _,
     "q202_rbo" -> q202Rbo _,
@@ -611,6 +694,24 @@ object TextOps {
        |FROM freqs ORDER BY freq DESC, subword LIMIT 30""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // read_json with ignore_errors renders each corrupt line as an
+    // all-NULL row — doc_id IS NULL is exactly Spark's quarantine
+    // lane (the generator never emits a null doc_id)
+    "q244_jsonl_ingest" ->
+      s"""WITH j AS (
+         |  SELECT * FROM read_json('$JsonlFixtureDir/corpus_n5000/*.txt',
+         |    columns={'doc_id': 'BIGINT', 'lang': 'VARCHAR',
+         |             'source': 'VARCHAR', 'text': 'VARCHAR'},
+         |    ignore_errors=true, format='newline_delimited'))
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+         |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+         |FROM j WHERE doc_id IS NOT NULL GROUP BY lang
+         |UNION ALL
+         |SELECT '_corrupt' AS lang, COUNT(*) AS n_docs,
+         |  CAST(0 AS BIGINT) AS sum_tokens, CAST(0 AS BIGINT) AS sum_chars
+         |FROM j WHERE doc_id IS NULL
+         |ORDER BY lang""".stripMargin,
     "q236_pii_scrub" ->
       s"""WITH l AS (
          |  SELECT doc_id, text ||
