@@ -374,6 +374,54 @@ object CurationOps {
       .orderBy("doc_id")
   }
 
+  /** q245 — the RELEASE DIFF between two corpus versions: the
+    * changelog a dataset team ships when v(n+1) replaces v(n)
+    * (Dolma's versioned releases, C4's variant family — every public
+    * corpus publishes "docs added / removed / changed" between
+    * versions). The two releases are derived deterministically from
+    * the documents table (v1 missing one residue class, v2 missing
+    * another and re-editing a third — the remove/add/edit mix a real
+    * re-scrub produces); the diff is a full-outer join on the doc PK
+    * with content identity decided by the canonical fingerprint, so
+    * formatting noise is not a "change". Per status: doc count, net
+    * token delta (added:+, removed:−, changed: edit delta,
+    * unchanged: 0), and an order-invariant XOR checksum of 60-bit
+    * md5(doc_id) prefixes — the auditable identity of each status
+    * set. XOR, not q222's ordered-list md5: a per-status list is
+    * CORPUS-sized for 'unchanged' (q222's lists are bounded by shard
+    * budget), while the XOR folds in O(1) state, merges map-side,
+    * and is partition-order independent — the only set digest that
+    * stays exact AND bounded at 100 TB.
+    *
+    * Scale: fingerprints are scan-side expressions; the only
+    * exchange is the doc_id-keyed full-outer join — both releases of
+    * a 100 TB corpus are bucketed by the PK, so the join co-locates
+    * without a shuffle; the status rollup is a 4-group aggregate. */
+  def q245ReleaseDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    def leg(df: DataFrame, fp: String, tc: String) = df.select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as(fp),
+      TextAnalysis.tokenCount(col("text")).cast("bigint").as(tc))
+    val v1 = leg(docs.filter(pmod(col("doc_id"), lit(17)) =!= 3), "fp1", "tc1")
+    val v2 = leg(docs.filter(pmod(col("doc_id"), lit(23)) =!= 5)
+      .withColumn("text", when(pmod(col("doc_id"), lit(11)) === 7,
+        concat(col("text"), lit(" rev2"))).otherwise(col("text"))),
+      "fp2", "tc2")
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("fp1").isNull, lit("added"))
+          .when(col("fp2").isNull, lit("removed"))
+          .when(col("fp1") =!= col("fp2"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("tc2"), lit(0L)) - coalesce(col("tc1"), lit(0L)))
+          .as("token_delta"),
+        bit_xor(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long")).as("ids_xor"))
+      .orderBy("status")
+  }
+
   /** q222 — the SHARD MANIFEST for q200's epoch-0 packing: one row
     * per shard with doc/token counts, the doc_id span, and an md5
     * content hash of the ordered doc_id list. This is the
@@ -453,6 +501,7 @@ object CurationOps {
     "q200_epoch_shards" -> q200EpochShards _,
     "q240_context_packing" -> q240ContextPacking _,
     "q242_release_pipeline" -> q242ReleasePipeline _,
+    "q245_release_diff" -> q245ReleaseDiff _,
     "q222_shard_manifest" -> q222ShardManifest _,
     "q223_shuffle_stability" -> q223ShuffleStability _,
     "q152_systematic_sample" -> q152SystematicSample _,
@@ -529,6 +578,38 @@ object CurationOps {
          |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
          |    AS manifest_md5
          |FROM e0p GROUP BY shard_id ORDER BY shard_id""".stripMargin,
+    "q245_release_diff" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents),
+         |v1 AS (
+         |  SELECT doc_id,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp1,
+         |    CAST(len($tokensSql) AS BIGINT) AS tc1
+         |  FROM d WHERE doc_id % 17 <> 3),
+         |v2d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 11 = 7 THEN text || ' rev2' ELSE text END AS text
+         |  FROM d WHERE doc_id % 23 <> 5),
+         |v2 AS (
+         |  SELECT doc_id,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp2,
+         |    CAST(len($tokensSql) AS BIGINT) AS tc2
+         |  FROM v2d),
+         |j AS (
+         |  SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id, fp1, fp2, tc1, tc2
+         |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id),
+         |st AS (
+         |  SELECT doc_id,
+         |    CASE WHEN fp1 IS NULL THEN 'added'
+         |         WHEN fp2 IS NULL THEN 'removed'
+         |         WHEN fp1 <> fp2 THEN 'changed'
+         |         ELSE 'unchanged' END AS status,
+         |    COALESCE(tc2, 0) - COALESCE(tc1, 0) AS delta
+         |  FROM j)
+         |SELECT status, COUNT(*) AS n_docs,
+         |  CAST(SUM(delta) AS BIGINT) AS token_delta,
+         |  CAST(bit_xor(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+         |    AS BIGINT)) AS BIGINT) AS ids_xor
+         |FROM st GROUP BY status ORDER BY status""".stripMargin,
     "q242_release_pipeline" ->
       s"""WITH feat AS (
          |  SELECT doc_id, lang, text,

@@ -107,6 +107,40 @@ class ManifestSpec extends SparkSpec {
       counted.scanLeft(0L)((a, d) => a + d._2).init.sorted.toSeq)
   }
 
+  test("q245 release diff: statuses partition both releases, deltas are exact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val got = CurationOps.q245ReleaseDiff(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val tok = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.tokenCount(col("text")).cast("long").as("tc"))
+      .as[(Long, Long)].collect().toMap
+    val ids = tok.keySet
+    val v1 = ids.filter(_ % 17 != 3)
+    val v2 = ids.filter(_ % 23 != 5)
+    val added = v2 -- v1
+    val removed = v1 -- v2
+    val both = v1 & v2
+    val changed = both.filter(_ % 11 == 7) // ' rev2' always changes the fingerprint
+    val unchanged = both -- changed
+    def n(st: String) = got.get(st).map(_._1).getOrElse(0L)
+    def delta(st: String) = got.get(st).map(_._2).getOrElse(0L)
+    assert(n("added") === added.size.toLong)
+    assert(n("removed") === removed.size.toLong)
+    assert(n("changed") === changed.size.toLong)
+    assert(n("unchanged") === unchanged.size.toLong)
+    assert(n("added") + n("removed") + n("changed") + n("unchanged") ===
+      (v1 ++ v2).size.toLong)
+    // added docs enter at their v2 token count — which includes the
+    // ' rev2' edit when the doc is also in the edited residue class
+    assert(delta("added") ===
+      added.toSeq.map(id => tok(id) + (if (id % 11 == 7) 1L else 0L)).sum)
+    assert(delta("removed") === -removed.toSeq.map(tok).sum)
+    assert(delta("changed") === changed.size.toLong) // exactly one appended token each
+    assert(delta("unchanged") === 0L)
+  }
+
   test("q242 release pipeline ≡ its certified stages composed independently") {
     import org.apache.spark.sql.functions._
     val got = CurationOps.q242ReleasePipeline(spark, sfDir).collect()
