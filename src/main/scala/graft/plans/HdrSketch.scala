@@ -155,6 +155,28 @@ case class HdrQuantileAgg(
   * engine that wants to replay it (DuckDB: e = length(bin(v)) - 1).
   */
 object HdrSketch {
+  /** The bucket law as a SQL expression over a non-negative BIGINT
+    * column — the compositional twin of [[bucketOf]] for places a
+    * native aggregate can't go (streaming windowed counts keep
+    * per-bucket rows; Spark's bin() strips leading zeros, so
+    * length(bin(v)) - 1 is floor(log2 v), the same integers as
+    * numberOfLeadingZeros). HdrSketchSpec asserts pointwise
+    * agreement with [[bucketOf]]. */
+  def bucketExpr(colName: String, b: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr(
+      s"""CAST(CASE WHEN $colName < ${1L << b} THEN $colName
+         |  ELSE (length(bin($colName)) - 1 - $b) * ${1 << b}
+         |       + shiftright($colName, length(bin($colName)) - 1 - $b)
+         |END AS BIGINT)""".stripMargin)
+
+  /** [[lowerBound]] as a SQL expression over a bucket-index column. */
+  def lowerBoundExpr(colName: String, b: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr(
+      s"""CAST(CASE WHEN $colName < ${1 << b} THEN $colName
+         |  ELSE shiftleft($colName - (($colName DIV ${1 << b} - 1) * ${1 << b}),
+         |                 CAST($colName DIV ${1 << b} - 1 AS INT))
+         |END AS BIGINT)""".stripMargin)
+
   /** Monotone log-linear bucket index: identity below 2^b, else
     * exponent and top b mantissa bits. */
   def bucketOf(v: Long, b: Int): Int = {
