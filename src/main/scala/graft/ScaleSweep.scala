@@ -53,7 +53,13 @@ object ScaleSweep {
     // round-7 part 3: scan-speed scrub, prefix-sum packing, and the
     // pair-shaped attribution audit
     "q236_pii_scrub", "q240_context_packing", "q241_contamination_pairs",
-    "q242_release_pipeline")
+    "q242_release_pipeline",
+    // round-7 part 4: the mergeable quantile sketch (bounded-state
+    // scan+agg) and the release-diff changelog (PK-keyed full-outer
+    // join + constant-state set checksums). q244's JSONL ingest is
+    // fixture-backed like the telecom queries, so it has no
+    // sfN-derived scale point and is not swept.
+    "q243_hdr_quantiles", "q245_release_diff")
 
   /** Queries excluded from the sf1→sf10 decade, each with its
     * documented ceiling — these are superlinear BY CONSTRUCTION, so
