@@ -776,6 +776,49 @@ object Quality {
       .orderBy("segment")
   }
 
+  /** The streaming cardinality monitor's BATCH FACE as an oracle row
+    * (the ST-parity pattern of q226/q227): per-hour distinct-user
+    * estimates through [[graft.streaming.CardinalityStream]] — the
+    * SAME registerWindows/estimates code path the stream runs
+    * (Spark's unified semantics; CardinalityStreamSpec certifies
+    * stream ≡ batch, this row certifies batch ≡ DuckDB), with the
+    * exact per-window countDistinct riding along to show sketch
+    * error. State story at 100 TB: 64 register rows per hour window
+    * vs the unbounded key universe an exact streaming distinct would
+    * hold. */
+  def q246WindowCardinality(s: SparkSession, dir: String): DataFrame = {
+    val est = graft.streaming.CardinalityStream.estimates(
+      graft.streaming.CardinalityStream.registerWindows(
+        Tables.events(s, dir)
+          .select(col("ts"), col("user_id").cast("string").as("key")),
+        windowDuration = "1 hour"))
+    val exact = Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      .select(col("window.start").as("window_start"), col("exact_distinct"))
+    est.join(exact, Seq("window_start"))
+      .select(col("window_start"), col("window_end"), col("buckets_seen"),
+        col("sum_inv"), col("hll_estimate"), col("exact_distinct"))
+      .orderBy("window_start")
+  }
+
+  /** The streaming latency-quantile monitor's BATCH FACE as an
+    * oracle row: per-hour p50/p95/p99 of the value column (as
+    * integer cents) through [[graft.streaming.HdrQuantileStream]] —
+    * the same bucketWindows/quantiles path the stream runs, over the
+    * same HDR law q243's native aggregate certifies. Cents via
+    * floor(value·100): floor of the SAME IEEE double is identical in
+    * both engines (a bare cast would round in DuckDB and truncate in
+    * Spark). */
+  def q247WindowQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("ts"), floor(col("value") * 100).cast("long").as("v"))
+    graft.streaming.HdrQuantileStream.quantiles(
+        graft.streaming.HdrQuantileStream.bucketWindows(ev,
+          windowDuration = "1 hour"))
+      .orderBy("window_start")
+  }
+
   /** TRAILING-window z-score gate — the reference's actual 14-day
     * volume monitor shape (pipeline_observability.py's z > 3 over a
     * 14-day history), upgraded from q20's all-history baseline: each
@@ -1349,6 +1392,8 @@ object Quality {
     "q82_kmv_overlap" -> q82KmvOverlap _,
     "q85_sample_quantiles" -> q85SampleQuantiles _,
     "q243_hdr_quantiles" -> q243HdrQuantiles _,
+    "q246_window_cardinality" -> q246WindowCardinality _,
+    "q247_window_quantiles" -> q247WindowQuantiles _,
     "q18_worst_status" -> q18WorstStatus _,
     "q20_zscore_anomaly" -> q20ZscoreAnomaly _,
     "q21_null_rates" -> q21NullRates _,
@@ -1801,6 +1846,80 @@ object Quality {
         |  CAST((0.709 * 64.0 * 64.0 / sum_inv)
         |    / CAST(exact_distinct AS DOUBLE) AS DOUBLE) AS est_ratio
         |FROM agg, ex""".stripMargin,
+    // q149's register law per hour window; empty registers enter the
+    // harmonic sum as 2^-0 = 1 via (64 - buckets_seen)
+    "q246_window_cardinality" ->
+      """WITH e AS (
+        |  SELECT date_trunc('hour', ts) AS window_start, user_id FROM events),
+        |h AS (
+        |  SELECT window_start,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+        |      AS BIGINT) AS h
+        |  FROM e),
+        |rk AS (
+        |  SELECT window_start, h // 4398046511104 AS bucket,
+        |    CASE WHEN h % 4398046511104 = 0 THEN 43
+        |      ELSE 43 - length(bin(h % 4398046511104)) END AS rank
+        |  FROM h),
+        |regs AS (
+        |  SELECT window_start, bucket, MAX(rank) AS r
+        |  FROM rk GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT window_start, COUNT(*) AS buckets_seen,
+        |    SUM(POW(0.5, r)) AS sum_inv_seen
+        |  FROM regs GROUP BY 1),
+        |ex AS (
+        |  SELECT date_trunc('hour', ts) AS window_start,
+        |    COUNT(DISTINCT user_id) AS exact_distinct
+        |  FROM events GROUP BY 1)
+        |SELECT agg.window_start,
+        |  agg.window_start + INTERVAL 1 HOUR AS window_end,
+        |  CAST(buckets_seen AS BIGINT) AS buckets_seen,
+        |  CAST(sum_inv_seen + (64 - buckets_seen) AS DOUBLE) AS sum_inv,
+        |  CAST(0.709 * 64.0 * 64.0 / (sum_inv_seen + (64 - buckets_seen))
+        |    AS DOUBLE) AS hll_estimate,
+        |  exact_distinct
+        |FROM agg JOIN ex USING (window_start)
+        |ORDER BY window_start""".stripMargin,
+    // q243's bucket law and rank rule per hour window; cents via
+    // floor(value*100) — floor of the same IEEE double is identical
+    // cross-engine where a bare cast would round vs truncate
+    "q247_window_quantiles" ->
+      """WITH e AS (
+        |  SELECT date_trunc('hour', ts) AS window_start,
+        |    CAST(floor(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |bl AS (
+        |  SELECT window_start,
+        |    CASE WHEN v < 32 THEN v
+        |         ELSE ((length(ltrim(bin(v), '0')) - 6) * 32)
+        |              + (v >> (length(ltrim(bin(v), '0')) - 6)) END AS idx
+        |  FROM e),
+        |cnt AS (
+        |  SELECT window_start, idx, COUNT(*) AS c FROM bl GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT window_start, idx,
+        |    SUM(c) OVER (PARTITION BY window_start ORDER BY idx) AS cum,
+        |    SUM(c) OVER (PARTITION BY window_start) AS n
+        |  FROM cnt),
+        |pick AS (
+        |  SELECT window_start, MAX(n) AS n,
+        |    MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN idx END) AS i50,
+        |    MIN(CASE WHEN cum >= (n * 95 + 99) // 100 THEN idx END) AS i95,
+        |    MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN idx END) AS i99
+        |  FROM cum GROUP BY 1)
+        |SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+        |  CAST(n AS BIGINT) AS n,
+        |  CAST(CASE WHEN i50 < 32 THEN i50
+        |    ELSE (i50 - ((i50 // 32 - 1) * 32)) << (i50 // 32 - 1) END
+        |    AS BIGINT) AS p50_lb,
+        |  CAST(CASE WHEN i95 < 32 THEN i95
+        |    ELSE (i95 - ((i95 // 32 - 1) * 32)) << (i95 // 32 - 1) END
+        |    AS BIGINT) AS p95_lb,
+        |  CAST(CASE WHEN i99 < 32 THEN i99
+        |    ELSE (i99 - ((i99 // 32 - 1) * 32)) << (i99 // 32 - 1) END
+        |    AS BIGINT) AS p99_lb
+        |FROM pick ORDER BY window_start""".stripMargin,
     "q148_cusum" ->
       """WITH daily AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
