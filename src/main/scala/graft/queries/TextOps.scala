@@ -607,7 +607,45 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** q248 — TOKENIZER FIT per source: fertility (subwords per word)
+    * and compression (chars per subword) of the q196-trained BPE
+    * against each source's word distribution — the report a
+    * pretraining team runs before committing a tokenizer (fertility
+    * disparities across languages/domains are the standard
+    * multilingual-tokenizer complaint; high fertility = wasted
+    * context budget on that source). Encoding is a pure per-word
+    * function, so it runs ONCE over the bounded vocabulary and joins
+    * back to the per-(source, word) counts — the per-source rollup
+    * never re-encodes; at 100 TB the vocab side broadcasts and the
+    * whole audit is one scan + one vocab-keyed shuffle. */
+  def q248TokenizerFit(s: SparkSession, dir: String): DataFrame = {
+    val words = bpeWords(s, dir).persist()
+    try {
+      val merges = graft.operators.Bpe.trainMerges(words, rounds = 8)
+      val encoded = graft.operators.Bpe.applyMerges(words, merges)
+        .select(regexp_replace(col("sym"), " ", "").as("tok"),
+          size(split(trim(col("sym")), "  ")).cast("long").as("n_sub"))
+      val perSource = Tables.documents(s, dir)
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .where(col("tok").rlike("^[a-z]+$") && length(col("tok")) >= 2)
+        .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+      perSource.join(broadcast(encoded), "tok")
+        .groupBy("source")
+        .agg(sum(col("cnt")).as("n_words"),
+          sum(col("cnt") * col("n_sub")).as("n_subwords"),
+          sum(col("cnt") * length(col("tok"))).as("n_chars"))
+        .withColumn("fertility",
+          (col("n_subwords").cast("double") / col("n_words").cast("double"))
+            .cast("double"))
+        .withColumn("compression",
+          (col("n_chars").cast("double") / col("n_subwords").cast("double"))
+            .cast("double"))
+        .orderBy("source")
+    } finally words.unpersist(blocking = false)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q248_tokenizer_fit" -> q248TokenizerFit _,
     "q244_jsonl_ingest" -> q244JsonlIngest _,
     "q236_pii_scrub" -> q236PiiScrub _,
     "q196_bpe_merges" -> q196BpeMerges _,
@@ -694,6 +732,32 @@ object TextOps {
        |FROM freqs ORDER BY freq DESC, subword LIMIT 30""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the shared BPE prefix trains the same 8 merges; enc maps each
+    // vocab word (spaces stripped from its spaced-symbol form) to
+    // its subword count, then joins the per-(source, word) table
+    "q248_tokenizer_fit" ->
+      s"""$bpeCtes,
+         |enc AS (
+         |  SELECT replace(trim(sym), ' ', '') AS tok,
+         |    len(string_split(trim(sym), '  ')) AS n_sub
+         |  FROM w${bpeRounds + 1}),
+         |ps AS (
+         |  SELECT source, tok, COUNT(*) AS cnt
+         |  FROM (SELECT source, unnest($tokensSql) AS tok FROM documents)
+         |  WHERE regexp_matches(tok, '^[a-z]+${"$"}') AND len(tok) >= 2
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT ps.source, ps.cnt, ps.tok, enc.n_sub
+         |  FROM ps JOIN enc ON ps.tok = enc.tok)
+         |SELECT source,
+         |  CAST(SUM(cnt) AS BIGINT) AS n_words,
+         |  CAST(SUM(cnt * n_sub) AS BIGINT) AS n_subwords,
+         |  CAST(SUM(cnt * len(tok)) AS BIGINT) AS n_chars,
+         |  CAST(CAST(SUM(cnt * n_sub) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)
+         |    AS DOUBLE) AS fertility,
+         |  CAST(CAST(SUM(cnt * len(tok)) AS DOUBLE)
+         |    / CAST(SUM(cnt * n_sub) AS DOUBLE) AS DOUBLE) AS compression
+         |FROM j GROUP BY source ORDER BY source""".stripMargin,
     // read_json with ignore_errors renders each corrupt line as an
     // all-NULL row — doc_id IS NULL is exactly Spark's quarantine
     // lane (the generator never emits a null doc_id)

@@ -70,4 +70,23 @@ class BpeSpec extends SparkSpec {
       assert(Bpe.trainMerges(words.select("sym", "cnt"), rounds = merges.length) === merges)
     }
   }
+
+  test("q248 tokenizer fit: per-source laws and corpus-total consistency") {
+    val got = graft.queries.TextOps.q248TokenizerFit(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (nw, ns, nc) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      // every word is >= 1 subword, every subword >= 1 char
+      assert(ns >= nw && nc >= ns, s"${r.getString(0)}: $nw/$ns/$nc")
+      assert(r.getDouble(4) === ns.toDouble / nw.toDouble) // fertility
+      assert(r.getDouble(5) === nc.toDouble / ns.toDouble) // compression
+    }
+    // per-source word totals must re-add to the corpus word count the
+    // BPE training itself sees (same filter, independent aggregation)
+    val corpusWords = graft.Tables.documents(spark, sfDir)
+      .select(explode(split(lower(trim(col("text"))), " +")).as("tok"))
+      .where(col("tok").rlike("^[a-z]+$") && length(col("tok")) >= 2)
+      .count()
+    assert(got.map(_.getLong(1)).sum === corpusWords)
+  }
 }
