@@ -55,11 +55,13 @@ object ScaleSweep {
     "q236_pii_scrub", "q240_context_packing", "q241_contamination_pairs",
     "q242_release_pipeline",
     // round-7 part 4: the mergeable quantile sketch (bounded-state
-    // scan+agg) and the release-diff changelog (PK-keyed full-outer
-    // join + constant-state set checksums). q244's JSONL ingest is
-    // fixture-backed like the telecom queries, so it has no
-    // sfN-derived scale point and is not swept.
-    "q243_hdr_quantiles", "q245_release_diff")
+    // scan+agg), the release-diff changelog (PK-keyed full-outer
+    // join + constant-state set checksums), and the tokenizer-fit
+    // audit (vocab-bounded encode + broadcast join). Not swept:
+    // q244 (fixture-backed, like the telecom queries) and q246/q247
+    // (events is byte-copied by ScaleUp, so their "scale points"
+    // would all scan the same data).
+    "q243_hdr_quantiles", "q245_release_diff", "q248_tokenizer_fit")
 
   /** Queries excluded from the sf1→sf10 decade, each with its
     * documented ceiling — these are superlinear BY CONSTRUCTION, so
