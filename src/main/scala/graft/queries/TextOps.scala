@@ -644,7 +644,32 @@ object TextOps {
     } finally words.unpersist(blocking = false)
   }
 
+  /** q249 — the corpus datasheet's LENGTH-DISTRIBUTION panel:
+    * per-source token-count quantiles (p10/p50/p90) from the
+    * `graft_hdr` sketch, with the grand-total row from the SAME
+    * single pass via ROLLUP — the native aggregate running under
+    * grouping sets, which is exactly how a 100 TB datasheet gets its
+    * per-source AND overall rows without a second scan (each input
+    * row updates both its source group's buffer and the total's;
+    * state stays two bounded bucket maps per quantile). b=4 here:
+    * token counts span ~3 decades, so ±6.25% buckets keep the panel
+    * readable while the certificate still holds. */
+  def q249LengthPanel(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), tokenCount(col("text")).cast("long").as("tc"))
+      .rollup("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tc")).as("n_tokens"),
+        call_function("graft_hdr", col("tc"), lit(4), lit(10)).as("p10_lb"),
+        call_function("graft_hdr", col("tc"), lit(4), lit(50)).as("p50_lb"),
+        call_function("graft_hdr", col("tc"), lit(4), lit(90)).as("p90_lb"))
+      .select(coalesce(col("source"), lit("ALL")).as("source"),
+        col("n_docs"), col("n_tokens"),
+        col("p10_lb"), col("p50_lb"), col("p90_lb"))
+      .orderBy("source")
+
   val queries: Map[String, Q] = Map(
+    "q249_length_panel" -> q249LengthPanel _,
     "q248_tokenizer_fit" -> q248TokenizerFit _,
     "q244_jsonl_ingest" -> q244JsonlIngest _,
     "q236_pii_scrub" -> q236PiiScrub _,
@@ -732,6 +757,48 @@ object TextOps {
        |FROM freqs ORDER BY freq DESC, subword LIMIT 30""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // graft_hdr's law at b=4 per rollup group (16 = 2^b everywhere
+    // q243's replay used 32); the ALL row comes from GROUP BY ROLLUP
+    "q249_length_panel" ->
+      s"""WITH d AS (
+         |  SELECT source,
+         |    CAST(len($tokensSql) AS BIGINT) AS tc
+         |  FROM documents),
+         |bl AS (
+         |  SELECT source,
+         |    CASE WHEN tc < 16 THEN tc
+         |         ELSE ((length(ltrim(bin(tc), '0')) - 5) * 16)
+         |              + (tc >> (length(ltrim(bin(tc), '0')) - 5)) END AS idx,
+         |    tc
+         |  FROM d),
+         |g AS (
+         |  SELECT COALESCE(source, 'ALL') AS source, idx,
+         |    COUNT(*) AS c, CAST(SUM(tc) AS BIGINT) AS tok
+         |  FROM bl GROUP BY ROLLUP(source), idx),
+         |cum AS (
+         |  SELECT source, idx,
+         |    SUM(c) OVER (PARTITION BY source ORDER BY idx) AS cum,
+         |    SUM(c) OVER (PARTITION BY source) AS n,
+         |    SUM(tok) OVER (PARTITION BY source) AS toks
+         |  FROM g),
+         |pick AS (
+         |  SELECT source, MAX(n) AS n, MAX(toks) AS toks,
+         |    MIN(CASE WHEN cum >= (n * 10 + 99) // 100 THEN idx END) AS i10,
+         |    MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN idx END) AS i50,
+         |    MIN(CASE WHEN cum >= (n * 90 + 99) // 100 THEN idx END) AS i90
+         |  FROM cum GROUP BY source)
+         |SELECT source, CAST(n AS BIGINT) AS n_docs,
+         |  CAST(toks AS BIGINT) AS n_tokens,
+         |  CAST(CASE WHEN i10 < 16 THEN i10
+         |    ELSE (i10 - ((i10 // 16 - 1) * 16)) << (i10 // 16 - 1) END
+         |    AS BIGINT) AS p10_lb,
+         |  CAST(CASE WHEN i50 < 16 THEN i50
+         |    ELSE (i50 - ((i50 // 16 - 1) * 16)) << (i50 // 16 - 1) END
+         |    AS BIGINT) AS p50_lb,
+         |  CAST(CASE WHEN i90 < 16 THEN i90
+         |    ELSE (i90 - ((i90 // 16 - 1) * 16)) << (i90 // 16 - 1) END
+         |    AS BIGINT) AS p90_lb
+         |FROM pick ORDER BY source""".stripMargin,
     // the shared BPE prefix trains the same 8 merges; enc maps each
     // vocab word (spaces stripped from its spaced-symbol form) to
     // its subword count, then joins the per-(source, word) table

@@ -73,6 +73,23 @@ class HdrSketchSpec extends SparkSpec {
     }
   }
 
+  test("rollup ALL row equals a direct global aggregate (grouping-sets path)") {
+    // the q249 shape: one pass produces per-group AND grand-total
+    // quantiles; the total buffer must see every row exactly once
+    val rolled = values.rollup("g")
+      .agg(call_function("graft_hdr", col("v"), lit(5), lit(95)).as("p95"))
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getLong(1))
+      .toMap
+    val direct = values
+      .agg(call_function("graft_hdr", col("v"), lit(5), lit(95)).as("p95"))
+      .collect().head.getLong(0)
+    assert(rolled(-1L) === direct)
+    val perGroup = values.groupBy("g")
+      .agg(call_function("graft_hdr", col("v"), lit(5), lit(95)).as("p95"))
+      .as[(Long, Long)].collect().toMap
+    assert(rolled.filter(_._1 >= 0) == perGroup)
+  }
+
   test("empty groups evaluate to null; negative input fails the named contract") {
     val empty = spark.range(0, 10).select(col("id").as("g"), col("id").as("v"))
       .filter(col("v") < 0)
