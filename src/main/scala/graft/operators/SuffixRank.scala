@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
+
+/** Distributed suffix ranking by prefix doubling — the exact
+  * repeated-substring primitive behind suffix-array dedup
+  * (Lee et al. 2022 "Deduplicating Training Data Makes Language
+  * Models Better" builds the same structure with a single-machine
+  * suffix array; reference `dbt_project` has no equivalent — this is
+  * a scale-path extension).
+  *
+  * ranks(i) = lexicographic dense rank of the suffix text[pos..] of
+  * each document, truncated to `maxLen` chars, among ALL suffixes of
+  * all documents. Classic prefix doubling (Manber–Myers 1990): after
+  * the round with shift k, ranks order suffixes by their first 2k
+  * chars; O(log maxLen) rounds total.
+  *
+  * Spark shape per round — two exchanges, no global window, no join:
+  *   1. `lead(rank, k)` over a PER-DOCUMENT window (partitions
+  *      bounded by maxLen rows) pairs each suffix with the rank k
+  *      positions ahead (sentinel -1 past the end, so a short suffix
+  *      sorts before every extension — exactly string order);
+  *   2. dense rank of the (rank, nextRank) pairs via range
+  *      repartition + in-partition scan + a P-row driver collect of
+  *      per-partition (count, changes, boundary pairs) — the
+  *      PrefixSum two-phase pattern; a pair group spanning a
+  *      partition boundary is stitched by comparing each partition's
+  *      first pair with its predecessor's last.
+  * Rounds early-stop when every rank is distinct (total order
+  * reached), and each round cuts lineage ([[Lineage.cut]]) so the
+  * logical plan stays O(1) across rounds.
+  *
+  * 100 TB notes: state per row is (docId, pos, rank) — 3 longs + an
+  * int, independent of maxLen; the only driver state is P stats rows
+  * per round. The truncation budget `maxLen` is the explicit knob: it
+  * bounds per-doc window size, round count (log2 maxLen), and the
+  * suffix-string bytes the downstream LCP panel touches.
+  */
+object SuffixRank {
+
+  // (pid, rows, changes, (firstR1, firstR2), (lastR1, lastR2)) —
+  // Encoders.tuple, not a nested case class: janino can't codegen
+  // object-nested case-class constructors (falls back to interpreted)
+  private type PairStats = (Int, Long, Long, (Long, Long), (Long, Long))
+  private val pairStatsEnc = Encoders.tuple(
+    Encoders.scalaInt, Encoders.scalaLong, Encoders.scalaLong,
+    Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+    Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+
+  private val frameSchema = new StructType()
+    .add("_id", LongType, nullable = false)
+    .add("_pos", IntegerType, nullable = false)
+    .add("_r1", LongType, nullable = false)
+
+  /** (doc_id, pos, rank) for every suffix of `textCol` truncated at
+    * `maxLen` chars; `rank` is dense over the whole corpus and equal
+    * ranks mean equal (truncated) suffix strings. */
+  def ranks(docs: DataFrame, idCol: String, textCol: String,
+            maxLen: Int): DataFrame = {
+    require(maxLen >= 1, s"maxLen must be >= 1, got $maxLen")
+    // one row per character of the truncated text; initial rank =
+    // code point (order-preserving; dense-ness is not required, only
+    // the early-stop check needs true dense ranks and that uses the
+    // per-round distinct count, not the initial one)
+    var cur = Lineage.cut(docs
+      .select(col(idCol).cast("long").as("_id"),
+        substring(col(textCol), 1, maxLen).as("_t"))
+      .select(col("_id"), posexplode(split(col("_t"), "")))
+      .filter(length(col("col")) === 1) // split() may emit a trailing ""
+      .select(col("_id"), col("pos").cast("int").as("_pos"),
+        ascii(col("col")).cast("long").as("_r1")))
+    val total = cur.count()
+    val perDoc = Window.partitionBy("_id").orderBy("_pos")
+    var k = 1
+    var done = false
+    while (k < maxLen && !done) {
+      val paired = cur.withColumn("_r2",
+        lead(col("_r1"), k, -1L).over(perDoc))
+      val (ranked, sorted, distinctCnt) = denseRankByPair(paired)
+      cur = Lineage.cut(ranked) // eager: materializes before unpersist
+      sorted.unpersist(blocking = false)
+      done = distinctCnt == total
+      k *= 2
+    }
+    cur.select(col("_id").as(idCol), col("_pos").as("pos"),
+      col("_r1").as("rank"))
+  }
+
+  /** Dense rank of (_r1,_r2) pairs over a (_id,_pos,_r1,_r2) frame.
+    * Returns (frame with _r1 := new rank and _r2 dropped, the
+    * persisted sorted frame for the caller to unpersist AFTER
+    * materializing, distinct pair count). */
+  private def denseRankByPair(df: DataFrame): (DataFrame, DataFrame, Long) = {
+    val spark = df.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    val sorted = df
+      .repartitionByRange(n, col("_r1"), col("_r2"))
+      .sortWithinPartitions("_r1", "_r2")
+      .persist()
+    val stats = sorted.select("_r1", "_r2")
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val first = it.next()
+          val f1 = first.getLong(0); val f2 = first.getLong(1)
+          var l1 = f1; var l2 = f2
+          var rows = 1L; var changes = 0L
+          while (it.hasNext) {
+            val r = it.next()
+            val a = r.getLong(0); val b = r.getLong(1)
+            if (a != l1 || b != l2) changes += 1
+            l1 = a; l2 = b; rows += 1
+          }
+          Iterator((TaskContext.getPartitionId(), rows, changes,
+            (f1, f2), (l1, l2)): PairStats)
+        }
+      }(pairStatsEnc)
+      .collect()
+      .sortBy(_._1)
+    // driver stitch: offset per partition = distinct pairs before it,
+    // minus 1 when its first pair continues the previous partition's
+    // last group (equal pairs CAN span a range boundary)
+    val offsets = new Array[Long](n)
+    var off = 0L
+    var prev: Option[(Long, Long)] = None
+    stats.foreach { case (pid, _, changes, first, last) =>
+      val continues = prev.contains(first)
+      offsets(pid) = off - (if (continues) 1L else 0L)
+      off += (changes + 1L) - (if (continues) 1L else 0L)
+      prev = Some(last)
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val out = sorted.mapPartitions { it =>
+      val base = bc.value(TaskContext.getPartitionId())
+      var localDense = 0L
+      var l1 = 0L; var l2 = 0L; var started = false
+      it.map { row =>
+        val a = row.getLong(2); val b = row.getLong(3)
+        if (started && (a != l1 || b != l2)) localDense += 1
+        started = true; l1 = a; l2 = b
+        Row(row.getLong(0), row.getInt(1), base + localDense)
+      }
+    }(Encoders.row(frameSchema))
+    (out, sorted, off)
+  }
+
+  /** Global sequential index (0-based) in `sortCols` order, appended
+    * as `outCol` — the scale-safe stand-in for an unpartitioned
+    * `row_number()` window (same two-phase shape as
+    * [[PrefixSum.withRunningSum]]; `sortCols` must be a unique key).
+    * Lineage is cut before returning, so the internal persist is
+    * already released. */
+  def zipWithIndex(df: DataFrame, sortCols: Seq[String],
+                   outCol: String = "_gi"): DataFrame = {
+    val spark = df.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    val sorted = df
+      .repartitionByRange(n, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .persist()
+    val counts = sorted
+      .mapPartitions(it =>
+        Iterator((TaskContext.getPartitionId(), it.size.toLong))
+      )(Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong))
+      .collect()
+    val offsets = new Array[Long](n)
+    counts.sortBy(_._1).foreach { case (pid, rows) =>
+      if (pid + 1 < n) offsets(pid + 1) = rows
+    }
+    var i = 1
+    while (i < n) { offsets(i) += offsets(i - 1); i += 1 }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val outSchema = sorted.schema.add(outCol, LongType, nullable = false)
+    val out = sorted.mapPartitions { it =>
+      var idx = bc.value(TaskContext.getPartitionId())
+      it.map { row =>
+        val r = Row.fromSeq(row.toSeq :+ idx)
+        idx += 1
+        r
+      }
+    }(Encoders.row(outSchema))
+    val res = Lineage.cut(out)
+    sorted.unpersist(blocking = false)
+    res
+  }
+}

@@ -152,6 +152,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_might_contain requires (bloom, hash), got ${children.length} args")
         BloomMightContain(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_lcp"),
+      new ExpressionInfo(classOf[CommonPrefixLength].getName, "graft_lcp"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"graft_lcp requires (string, string), got ${children.length} args")
+        CommonPrefixLength(children.head, children(1))
+      }))
     ext.injectOptimizerRule(_ => RewriteDotProduct)
     ext.injectOptimizerRule(_ => RewriteBoundedLevenshtein)
     ext.injectPlannerStrategy(_ => SessionizeStrategy)

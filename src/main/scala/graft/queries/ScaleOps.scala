@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.Funcs
-import graft.operators.{SemanticDedup, Similarity, TextAnalysis}
+import graft.operators.{SemanticDedup, Similarity, SuffixRank, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -176,6 +176,62 @@ object ScaleOps {
           .as("removed_tokens"),
         md5(coalesce(col("clean_text"), lit(""))).as("clean_md5"))
       .orderBy("doc_id")
+  }
+
+  /** q250 — repeated-substring panel over TRUE SUFFIX RANKS
+    * (Lee et al. 2022 §3 builds a suffix array for ExactSubstr dedup;
+    * q237's word 8-grams approximate it at fixed resolution — this
+    * computes the real structure at character granularity via
+    * distributed prefix doubling, [[graft.operators.SuffixRank]]).
+    * Every suffix of every document (truncated to the explicit
+    * `maxLen` budget) is ranked lexicographically corpus-wide; the
+    * panel reports the 20 longest repeats: for adjacent suffixes in
+    * rank order, the longest-common-prefix length (native codegen'd
+    * `graft_lcp`), whether the repeat crosses documents, and the
+    * repeated snippet. The classic suffix-array fact makes adjacency
+    * sufficient: the max LCP between ANY two suffixes is attained by
+    * some neighbors in sorted order.
+    *
+    * Scale shape: O(log maxLen) rounds of (per-doc window + range
+    * exchange + P-row collect) build the ranks; adjacency is a
+    * self-join on a distributed zipWithIndex (never an unpartitioned
+    * window); suffix STRINGS are only materialized for the final
+    * LCP pass, bounded by maxLen bytes per row. The DuckDB oracle
+    * sorts the truncated suffix strings directly — algorithm-
+    * independent ground truth (binary collation ≡ rank order on the
+    * ASCII corpus). */
+  def q250SuffixPanel(s: SparkSession, dir: String): DataFrame = {
+    val T = 240 // truncation budget: bounds rounds, window size, LCP bytes
+    val docs = Tables.documents(s, dir)
+    val r = SuffixRank.ranks(docs, "doc_id", "text", T)
+    val txt = docs.select(col("doc_id"), substring(col("text"), 1, T).as("_t"))
+    val withSfx = r.join(txt, "doc_id")
+      .withColumn("sfx", expr(s"substring(_t, pos + 1, $T)"))
+      .select("doc_id", "pos", "rank", "sfx")
+    val gi = SuffixRank.zipWithIndex(withSfx, Seq("rank", "doc_id", "pos"))
+    // native byte-scan LCP under the graft extension; HOF fold in
+    // bare sessions (identical result, O(T) single-char substrings)
+    val lcpCol =
+      if (s.catalog.functionExists("graft_lcp"))
+        call_function("graft_lcp", col("sfx_a"), col("sfx_b"))
+      else expr(
+        """IF(length(sfx_a) = 0 OR length(sfx_b) = 0, 0,
+          |  aggregate(sequence(1, least(length(sfx_a), length(sfx_b))), 0,
+          |    (acc, k) -> IF(acc = k - 1 AND
+          |      substring(sfx_a, k, 1) = substring(sfx_b, k, 1), k, acc)))
+          |""".stripMargin)
+    val a = gi.select(col("_gi"), col("doc_id").as("doc_a"),
+      col("pos").cast("long").as("pos_a"), col("sfx").as("sfx_a"))
+    val b = gi.select((col("_gi") - 1).as("_gi"), col("doc_id").as("doc_b"),
+      col("pos").cast("long").as("pos_b"), col("sfx").as("sfx_b"))
+    a.join(b, "_gi")
+      .withColumn("lcp", lcpCol.cast("long"))
+      .withColumn("cross_doc", col("doc_a") =!= col("doc_b"))
+      .withColumn("snippet",
+        expr("substring(sfx_a, 1, least(cast(lcp as int), 32))"))
+      .select("doc_a", "pos_a", "doc_b", "pos_b", "lcp", "cross_doc", "snippet")
+      .orderBy(col("lcp").desc, col("doc_a"), col("pos_a"))
+      .limit(20)
   }
 
   /** PQ-ADC ANN: 4 subspaces × 16 codes over the 64-dim embeddings —
@@ -674,6 +730,7 @@ object ScaleOps {
     "q99_domain_cap" -> q99DomainCap _,
     "q100_dup_spans" -> q100DupSpans _,
     "q237_dup_span_removal" -> q237DupSpanRemoval _,
+    "q250_suffix_panel" -> q250SuffixPanel _,
     "q101_pq_ann" -> q101PqAnn _,
     "q102_mixture_sample" -> q102MixtureSample _,
   )
@@ -1255,6 +1312,26 @@ object ScaleOps {
         |  md5(COALESCE(kept.clean_text, '')) AS clean_md5
         |FROM tot LEFT JOIN kept USING (doc_id)
         |ORDER BY tot.doc_id""".stripMargin,
+    "q250_suffix_panel" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 240) AS t FROM documents),
+        |sfx AS (SELECT doc_id, i - 1 AS pos, substr(t, i) AS sfx
+        |        FROM d, unnest(range(1, length(t) + 1)) AS r(i)),
+        |ord AS (SELECT *, ROW_NUMBER() OVER (ORDER BY sfx, doc_id, pos) AS gi
+        |        FROM sfx),
+        |pairs AS (SELECT a.doc_id AS doc_a, a.pos AS pos_a,
+        |    b.doc_id AS doc_b, b.pos AS pos_b, a.sfx AS sa, b.sfx AS sb
+        |  FROM ord a JOIN ord b ON b.gi = a.gi + 1),
+        |l AS (SELECT doc_a, pos_a, doc_b, pos_b,
+        |    COALESCE(list_aggregate(list_transform(
+        |      range(1, least(length(sa), length(sb)) + 1),
+        |      k -> CASE WHEN substr(sa, 1, k) = substr(sb, 1, k)
+        |           THEN k ELSE 0 END), 'max'), 0) AS lcp, sa
+        |  FROM pairs)
+        |SELECT doc_a, CAST(pos_a AS BIGINT) AS pos_a, doc_b,
+        |  CAST(pos_b AS BIGINT) AS pos_b, CAST(lcp AS BIGINT) AS lcp,
+        |  doc_a <> doc_b AS cross_doc,
+        |  substr(sa, 1, least(lcp, 32)) AS snippet
+        |FROM l ORDER BY lcp DESC, doc_a, pos_a LIMIT 20""".stripMargin,
     "q100_dup_spans" ->
       """WITH t AS (SELECT doc_id,
         |    regexp_split_to_array(lower(trim(text)), ' +') AS toks FROM documents),
