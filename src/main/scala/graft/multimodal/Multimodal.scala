@@ -120,6 +120,108 @@ object Multimodal {
     }
   }
 
+  case class ImageHash(media_id: Long, dhash: Long)
+
+  /** 64-bit difference hash (dHash) of a decoded BGR image — the
+    * standard perceptual fingerprint for image near-dup detection
+    * (Krawetz 2013 "Kind of Like That"; the image-modality analogue
+    * of SimHash for text). The image is sampled on a 9×8 grid by
+    * nearest neighbor (sx = x·W/9, sy = y·H/8 — integer division,
+    * matching [[Codec.resizeBmp]]'s kernel), grayscale is the raw
+    * channel sum b+g+r (order-preserving, division-free, so the
+    * DuckDB oracle replays it in exact integers), and bit (y·8+x)
+    * is set iff gray(x+1,y) > gray(x,y). Row-adjacent gradients are
+    * invariant to uniform brightness shifts and compress JPEG-ish
+    * perturbations into a few flipped bits — near-dups land within
+    * a small Hamming radius and pigeonhole banding
+    * ([[graft.operators.Dedup.simhashNearDups]]) finds every pair
+    * at radius ≤ 7 with zero false negatives. */
+  def dhash64(width: Int, height: Int, bgr: Array[Byte]): Long = {
+    val grays = new Array[Int](9 * 8)
+    var gy = 0
+    while (gy < 8) {
+      val sy = gy * height / 8
+      var gx = 0
+      while (gx < 9) {
+        val sx = gx * width / 9
+        val o = (sy * width + sx) * 3
+        grays(gy * 9 + gx) =
+          (bgr(o) & 0xFF) + (bgr(o + 1) & 0xFF) + (bgr(o + 2) & 0xFF)
+        gx += 1
+      }
+      gy += 1
+    }
+    var h = 0L
+    var k = 0
+    while (k < 64) {
+      val x = k % 8
+      val y = k / 8
+      if (grays(y * 9 + x + 1) > grays(y * 9 + x)) h |= (1L << k)
+      k += 1
+    }
+    h
+  }
+
+  /** Per-image dHash over the binary column: BMP rows decode through
+    * the real codec; non-image or undecodable rows are dropped (the
+    * hash of garbage is noise, not signal). mapPartitions batch
+    * decode, same shape as [[extractFeatures]]. */
+  def imageDhash(media: Dataset[MediaRow]): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.filter(_.meta.media_type == "image").mapPartitions { it =>
+      it.flatMap { m =>
+        Codec.decodeBmp(m.content).map { bmp =>
+          ImageHash(m.media_id, dhash64(bmp.width, bmp.height, bmp.pixels))
+        }
+      }
+    }
+  }
+
+  /** Deterministic image fixture WITH planted near-duplicates, for
+    * perceptual dedup: groups of 4 where i%4 picks the variant —
+    * 0 = base (random 16×16 BGR, channels in 16..231); 1 = noisy
+    * copy (3 seeded grid-sampled pixels forced to an extreme — each
+    * touches ≤2 comparison bits, so Hamming ≤ 6, inside the banding
+    * guarantee); 2 = uniform brightness +8 on every channel (no
+    * clipping by construction — dHash-invariant, byte-different);
+    * 3 = an INDEPENDENT random image (the negative control). Every
+    * group is derived from its own seed, so content is
+    * order-independent and the parquet fixture is bit-stable across
+    * runs. */
+  def syntheticImageDups(spark: SparkSession, n: Int, seed: Long = 97L): Dataset[MediaRow] = {
+    import spark.implicits._
+    val w = 16
+    val rows = (0 until n).map { i =>
+      val g = i / 4
+      val base = {
+        val rnd = new scala.util.Random(seed + 1000L * g)
+        Array.fill(w * w * 3)((16 + rnd.nextInt(216)).toByte)
+      }
+      val bgr = i % 4 match {
+        case 0 => base
+        case 1 =>
+          val rnd = new scala.util.Random(seed + 1000L * g + 3L)
+          val noisy = base.clone()
+          (0 until 3).foreach { _ =>
+            // a grid-sampled position (the only pixels dHash reads)
+            val sx = (1 + rnd.nextInt(8)) * w / 9
+            val sy = rnd.nextInt(8) * w / 8
+            val o = (sy * w + sx) * 3
+            noisy(o) = 250.toByte; noisy(o + 1) = 250.toByte; noisy(o + 2) = 250.toByte
+          }
+          noisy
+        case 2 => base.map(b => ((b & 0xFF) + 8).toByte)
+        case _ =>
+          val rnd = new scala.util.Random(seed + 1000L * g + 7L)
+          Array.fill(w * w * 3)((16 + rnd.nextInt(216)).toByte)
+      }
+      MediaRow(i.toLong, s"mem://media/dups/$i.bmp",
+        MediaMeta("image", w, w, 0L, "bmp"),
+        Codec.encodeBmp(w, w, bgr, topDown = true))
+    }
+    rows.toDS()
+  }
+
   /** Size-balanced repartitioning for skewed blob sizes: each output
     * partition receives ~equal total BYTES, not equal row counts.
     * The byte offsets come from the two-phase distributed prefix sum

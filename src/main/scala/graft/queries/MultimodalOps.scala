@@ -46,10 +46,53 @@ object MultimodalOps {
     s.read.parquet(path)
   }
 
+  private def dupCount(dir: String): Int =
+    if (dir.contains("sf0.1")) 1200 else if (dir.contains("sf0.01")) 240 else 120
+
+  /** Image near-dup fixture: deterministic BMPs with PLANTED
+    * duplicate structure (exact / noisy / brightness-shifted copies
+    * plus independent negatives — Multimodal.syntheticImageDups),
+    * materialized once like `media` so pipeline and oracle read
+    * identical bytes. */
+  private def mediaDups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = dupCount(dir)
+    val path = s"$FixtureDir/media_dups_n$n"
+    val marker = new java.io.File(s"$path/_graft_v1")
+    if (!marker.exists()) {
+      Multimodal.syntheticImageDups(s, n).toDF()
+        .write.mode("overwrite").parquet(path)
+      marker.createNewFile()
+    }
+    s.read.parquet(path)
+  }
+
   /** Pre-materialize the media fixture (see TelecomOps.warmFixtures —
     * input materialization is excluded from Bench per-query timers). */
-  private[graft] def warmFixtures(s: SparkSession, dir: String): Unit =
+  private[graft] def warmFixtures(s: SparkSession, dir: String): Unit = {
     media(s, dir)
+    mediaDups(s, dir)
+  }
+
+  /** q251 — perceptual image near-dup pairs: decode BMP → 64-bit
+    * dHash (Multimodal.dhash64: 9×8 nearest-neighbor grid, integer
+    * gray b+g+r, row-gradient bits) → pigeonhole banding
+    * (Dedup.simhashNearDups, 8×8-bit chunks) → exact Hamming ≤ 7.
+    * The multimodal face of the text near-dup family (q46-q48):
+    * banding guarantees zero false negatives at radius ≤ 7, so the
+    * banded plan is HASH-EXACT against the oracle's brute-force
+    * all-pairs scan — at fixture scale the oracle can afford O(n²),
+    * the engine never does. Brightness-shifted copies land at
+    * Hamming 0 (gradient invariance), noisy copies within 6. */
+  def q251ImageNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = mediaDups(s, dir).as[Multimodal.MediaRow]
+    val hashes = Multimodal.imageDhash(m).toDF()
+      .select(col("media_id"), col("dhash").as("simhash"))
+    graft.operators.Dedup.simhashNearDups(hashes, "media_id", maxHamming = 7)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+      .orderBy("id_a", "id_b")
+  }
 
   /** Binary decode → per-media feature rows, aggregated per type.
     * avg_feature_0 needs no rounding: every feature is k/256, so the
@@ -79,7 +122,17 @@ object MultimodalOps {
   val queries: Map[String, Q] = Map(
     "q70_media_features" -> q70MediaFeatures _,
     "q71_frame_sample" -> q71FrameSample _,
+    "q251_image_neardup" -> q251ImageNearDup _,
   )
+
+  /** Gray sum b+g+r of the dHash grid sample at column expr `gx`
+    * (the lambda variable `k` = bit index is in scope): 16×16
+    * top-down pad-free BMP, pixel (sx, sy) at payload 3·(sy·16+sx),
+    * sx = gx·16//9, sy = (k//8)·2. */
+  private def dupGray(gx: String): String = {
+    val off = s"(54 + 3*(((k//8)*2)*16 + (($gx)*16)//9))"
+    s"(${hexByte(off)} + ${hexByte(s"($off) + 1")} + ${hexByte(s"($off) + 2")})"
+  }
 
   // Byte k (0-based) of a BLOB via its hex dump: chars 2k+1, 2k+2.
   private def hexByte(pos: String): String =
@@ -135,5 +188,27 @@ object MultimodalOps {
          |FROM read_parquet('$FixtureDir/media_n300/*.parquet')
          |WHERE meta.media_type = 'video' AND meta.duration_ms // 500 >= 1
          |ORDER BY media_id""".stripMargin,
+    // Replays dhash64 bit-for-bit from the blob's hex dump (grid
+    // sample offsets are closed-form on the canonical 16x16 BMP),
+    // then brute-forces ALL pairs — the banded engine plan must match
+    // exactly because pigeonhole banding has no false negatives at
+    // Hamming <= 7 and the final filter is exact.
+    "q251_image_neardup" ->
+      s"""WITH m AS (SELECT media_id, hex(content) AS hx
+         |  FROM read_parquet('$FixtureDir/media_dups_n240/*.parquet')
+         |  WHERE meta.media_type = 'image'),
+         |h AS (SELECT media_id,
+         |  list_transform(generate_series(0, 63), k ->
+         |    CASE WHEN ${dupGray("(k%8)+1")} > ${dupGray("k%8")}
+         |         THEN 1 ELSE 0 END) AS bits
+         |  FROM m)
+         |SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |  CAST(list_aggregate(list_transform(generate_series(1, 64), i ->
+         |    CASE WHEN a.bits[i] <> b.bits[i] THEN 1 ELSE 0 END), 'sum')
+         |    AS BIGINT) AS hamming
+         |FROM h a JOIN h b ON a.media_id < b.media_id
+         |WHERE list_aggregate(list_transform(generate_series(1, 64), i ->
+         |    CASE WHEN a.bits[i] <> b.bits[i] THEN 1 ELSE 0 END), 'sum') <= 7
+         |ORDER BY id_a, id_b""".stripMargin,
   )
 }
