@@ -276,6 +276,45 @@ object MixOps {
       .orderBy("source")
   }
 
+  /** q252 — UniMax budget allocation (Chung et al. 2023 "UniMax:
+    * Fairer and More Effective Language Sampling for Large-Scale
+    * Multilingual Pretraining", Algorithm 1): distribute a total
+    * token budget across sources by WATER-FILLING under a per-source
+    * epoch cap — sources too small to absorb an equal share are
+    * granted at most `epochCap` epochs of their own data, and the
+    * leftover budget re-spreads over the remaining (larger) sources.
+    * The principled alternative to q211's temperature heuristic:
+    * explicit repetition bounds instead of a global exponent.
+    *
+    * All arithmetic is integer (floor divisions; epochs reported in
+    * fixed-point millionths), so the DuckDB oracle replays the
+    * sequential fill exactly with a recursive CTE. Distributed work
+    * is the per-source token count (one scan + |sources|-group agg);
+    * the fill itself touches k = |sources| rows — a bounded driver
+    * loop in the codebook-collect idiom (k is domain cardinality,
+    * never data volume). */
+  def q252UnimaxAlloc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val epochCap = 4L
+    val bySrc = Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(sum(TextAnalysis.tokenCount(col("text")).cast("bigint")).as("n_tokens"))
+      .as[(String, Long)].collect()
+      .sortBy { case (src, n) => (n, src) } // ascending fill order
+    val budget = bySrc.map(_._2).sum / 3 // fixed corpus fraction
+    val k = bySrc.length
+    var remaining = budget
+    val filled = bySrc.zipWithIndex.map { case ((src, n), i) =>
+      val fairShare = remaining / (k - i)
+      val alloc = math.min(epochCap * n, fairShare)
+      remaining -= alloc
+      (src, n, alloc, alloc * 1000000L / n, alloc == epochCap * n)
+    }
+    filled.toSeq
+      .toDF("source", "n_tokens", "alloc_tokens", "epochs_e6", "capped")
+      .orderBy("source")
+  }
+
   /** q218 — fastText-shaped hashed linear quality classifier
     * (Joulin et al. 2016 "Bag of Tricks for Efficient Text
     * Classification"; the MODEL-BASED filter of CCNet/FineWeb-Edu —
@@ -753,6 +792,7 @@ object MixOps {
     "q241_contamination_pairs" -> q241ContaminationPairs _,
     "q210_mmr_select" -> q210MmrSelect _,
     "q211_mixture_weights" -> q211MixtureWeights _,
+    "q252_unimax_alloc" -> q252UnimaxAlloc _,
     "q218_hash_classifier" -> q218HashClassifier _,
     "q238_trained_classifier" -> q238TrainedClassifier _,
     "q219_adaptive_threshold" -> q219AdaptiveThreshold _,
@@ -1239,6 +1279,33 @@ object MixOps {
          |FROM sc
          |WINDOW w AS (PARTITION BY source ORDER BY quality, doc_id)
          |ORDER BY source, doc_id""".stripMargin,
+    // Recursive-CTE replay of the sequential water-fill: row i takes
+    // min(cap*n_i, remaining // (k-i)) in ascending-n order. Pure
+    // integer arithmetic, so the fill is bit-identical to the
+    // driver-loop fill in q252UnimaxAlloc.
+    "q252_unimax_alloc" ->
+      """WITH RECURSIVE src AS (
+        |  SELECT source,
+        |    CAST(SUM(len(regexp_split_to_array(lower(trim(text)), ' +')))
+        |      AS BIGINT) AS n,
+        |    ROW_NUMBER() OVER (ORDER BY
+        |      CAST(SUM(len(regexp_split_to_array(lower(trim(text)), ' +')))
+        |        AS BIGINT), source) AS rk,
+        |    COUNT(*) OVER () AS k
+        |  FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT CAST(0 AS BIGINT) AS rk, CAST(NULL AS VARCHAR) AS source,
+        |    CAST(0 AS BIGINT) AS n, CAST(0 AS BIGINT) AS alloc,
+        |    (SELECT CAST(SUM(n) AS BIGINT) // 3 FROM src) AS remaining
+        |  UNION ALL
+        |  SELECT CAST(s.rk AS BIGINT), s.source, s.n,
+        |    LEAST(4 * s.n, w.remaining // (s.k - w.rk)) AS alloc,
+        |    w.remaining - LEAST(4 * s.n, w.remaining // (s.k - w.rk))
+        |  FROM w JOIN src s ON s.rk = w.rk + 1)
+        |SELECT source, n AS n_tokens, alloc AS alloc_tokens,
+        |  CAST(alloc * 1000000 // n AS BIGINT) AS epochs_e6,
+        |  alloc = 4 * n AS capped
+        |FROM w WHERE rk > 0 ORDER BY source""".stripMargin,
     "q211_mixture_weights" ->
       s"""WITH by_src AS (
          |  SELECT source, COUNT(*) AS n_docs,

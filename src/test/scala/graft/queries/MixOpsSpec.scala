@@ -274,6 +274,30 @@ class MixOpsSpec extends SparkSpec {
     for (i <- 10L until 20L) assert(got(i).getAs[Long]("score1") < 0)
   }
 
+  test("q252: water-filling fills ascending, caps small sources, conserves the budget") {
+    val dir = java.nio.file.Files.createTempDirectory("unimax").toString
+    // token counts by source: tiny=1, small=8, big=40 → total 49,
+    // budget 49/3=16. Fill: tiny min(4·1, 16/3=5)=4 CAPPED → rem 12;
+    // small min(32, 12/2=6)=6 → rem 6; big min(160, 6/1=6)=6.
+    Seq(
+      (0L, "t", "en", "srcTiny"),
+      (1L, "a b c d e f g h", "en", "srcSmall"),
+      (2L, (1 to 40).map(i => s"w$i").mkString(" "), "en", "srcBig"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = MixOps.q252UnimaxAlloc(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(got("srcTiny") === ((1L, 4L, 4000000L, true)))
+    assert(got("srcSmall") === ((8L, 6L, 750000L, false)))
+    assert(got("srcBig") === ((40L, 6L, 150000L, false)))
+    // laws: epoch cap respected everywhere; budget fully spent
+    // whenever some source is uncapped
+    got.values.foreach { case (n, alloc, _, _) => assert(alloc <= 4 * n) }
+    assert(got.values.map(_._2).sum === 16L)
+  }
+
   test("q239 (bloom-prefiltered) is row-identical to q209 (exact)") {
     val exact = MixOps.q209Decontamination(spark, sfDir).collect().toSeq
     val bloom = MixOps.q239BloomDecontam(spark, sfDir).collect().toSeq
