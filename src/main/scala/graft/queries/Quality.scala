@@ -819,6 +819,34 @@ object Quality {
       .orderBy("window_start")
   }
 
+  /** q253 — the streaming TOP-K monitor's BATCH FACE as an oracle
+    * row (the heavy-hitters corner of the monitor triangle next to
+    * q246 cardinality and q247 quantiles): per-hour top-5 keys
+    * through [[graft.streaming.TopKStream]]'s Misra–Gries windowed
+    * aggregate — the same sketchWindows/topK path the stream runs.
+    * At fixture scale every window's distinct keys sit far below the
+    * 1024-entry capacity, so no decrement ever fires and the sketch
+    * is provably the exact frequency table for any arrival order —
+    * that is what lets DuckDB certify the sketch path with a plain
+    * GROUP BY. The `distinct_keys` rider documents the margin; past
+    * capacity the monitor degrades to the MG guarantee set instead
+    * of growing state (TopKStream scaladoc). */
+  def q253WindowTopk(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("ts"), col("user_id").cast("string").as("key"))
+    val top = graft.streaming.TopKStream.topK(
+      graft.streaming.TopKStream.sketchWindows(ev, capacity = 1024), k = 5)
+    val exact = Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(countDistinct(col("user_id")).as("distinct_keys"))
+      .select(col("window.start").as("window_start"), col("distinct_keys"))
+    top.join(exact, Seq("window_start"))
+      .select(col("window_start"), col("window_end"),
+        col("rk").cast("long").as("rk"), col("item"), col("cnt"),
+        col("n_events"), col("distinct_keys"))
+      .orderBy("window_start", "rk")
+  }
+
   /** TRAILING-window z-score gate — the reference's actual 14-day
     * volume monitor shape (pipeline_observability.py's z > 3 over a
     * 14-day history), upgraded from q20's all-history baseline: each
@@ -1394,6 +1422,7 @@ object Quality {
     "q243_hdr_quantiles" -> q243HdrQuantiles _,
     "q246_window_cardinality" -> q246WindowCardinality _,
     "q247_window_quantiles" -> q247WindowQuantiles _,
+    "q253_window_topk" -> q253WindowTopk _,
     "q18_worst_status" -> q18WorstStatus _,
     "q20_zscore_anomaly" -> q20ZscoreAnomaly _,
     "q21_null_rates" -> q21NullRates _,
@@ -1848,6 +1877,31 @@ object Quality {
         |FROM agg, ex""".stripMargin,
     // q149's register law per hour window; empty registers enter the
     // harmonic sum as 2^-0 = 1 via (64 - buckets_seen)
+    // q253: in the no-decrement regime (distinct keys <= capacity per
+    // window) the MG sketch IS the exact per-key frequency table, so
+    // the oracle is a plain windowed GROUP BY + rank.
+    "q253_window_topk" ->
+      """WITH e AS (
+        |  SELECT date_trunc('hour', ts) AS window_start,
+        |    CAST(user_id AS VARCHAR) AS item
+        |  FROM events),
+        |cnts AS (
+        |  SELECT window_start, item, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM e GROUP BY 1, 2),
+        |n AS (
+        |  SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(COUNT(DISTINCT item) AS BIGINT) AS distinct_keys
+        |  FROM e GROUP BY 1),
+        |rnk AS (
+        |  SELECT window_start, item, cnt, ROW_NUMBER() OVER (
+        |    PARTITION BY window_start ORDER BY cnt DESC, item) AS rk
+        |  FROM cnts)
+        |SELECT rnk.window_start,
+        |  rnk.window_start + INTERVAL 1 HOUR AS window_end,
+        |  CAST(rk AS BIGINT) AS rk, item, cnt, n_events, distinct_keys
+        |FROM rnk JOIN n USING (window_start)
+        |WHERE rk <= 5
+        |ORDER BY window_start, rk""".stripMargin,
     "q246_window_cardinality" ->
       """WITH e AS (
         |  SELECT date_trunc('hour', ts) AS window_start, user_id FROM events),
