@@ -153,6 +153,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BloomMightContain(children.head, children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_hilbert"),
+      new ExpressionInfo(classOf[HilbertIndex].getName, "graft_hilbert"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"graft_hilbert requires (x, y, bits literal), got ${children.length} args")
+        val bits = children(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) =>
+            require(v >= 1 && v <= 31, s"graft_hilbert bits out of range: $v")
+            v.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_hilbert bits must be an integer literal, got $other")
+        }
+        HilbertIndex(children.head, children(1), bits)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_lcp"),
       new ExpressionInfo(classOf[CommonPrefixLength].getName, "graft_lcp"),
       (children: Seq[Expression]) => {

@@ -348,6 +348,27 @@ object TelecomOps {
       .orderBy("zvalue", "doc_id")
   }
 
+  /** q254 — O4's LOCALITY UPGRADE as an oracle row: the Hilbert-curve
+    * index over the same two bounded 10-bit keys q233 Morton-
+    * interleaves. Unlike the Z-curve, consecutive Hilbert positions
+    * are always grid-adjacent (HilbertSpec proves it exhaustively),
+    * so a layout sorted by this value keeps 2-D range scans inside
+    * contiguous file runs with no power-of-two jumps — the clustering
+    * order modern lakehouses (Delta liquid clustering) moved to. The
+    * index is the native codegen'd `graft_hilbert`
+    * (plans/HilbertIndex); the oracle replays the per-level
+    * rotate-and-fold with a recursive CTE, bit-identical integer
+    * arithmetic. */
+  def q254HilbertValues(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.documents(s, dir)
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(1024L)).as("zx"),
+        pmod(col("n_chars"), lit(1024L)).as("zy"))
+      .withColumn("hvalue",
+        call_function("graft_hilbert", col("zx"), col("zy"), lit(10)))
+      .orderBy("hvalue", "doc_id")
+  }
+
   /** S10/S13 as an oracle row: the query goes THROUGH the serving
     * layer — Serving.registerCatalog's view catalog + Serving.sql's
     * ANSI entry — not through DataFrame calls, certifying that a SQL
@@ -370,6 +391,7 @@ object TelecomOps {
     "q231_seed_towers" -> q231SeedTowers _,
     "q232_schema_drift" -> q232SchemaDrift _,
     "q233_zorder_values" -> q233ZorderValues _,
+    "q254_hilbert_values" -> q254HilbertValues _,
     "q234_serving_sql" -> q234ServingSql _,
     "q226_windowed_rollup" -> q226WindowedRollup _,
     "q227_landing_layout" -> q227LandingLayout _,
@@ -441,6 +463,33 @@ object TelecomOps {
         |  GROUP BY doc_id, zx, zy)
         |SELECT doc_id, zx, zy, CAST(zvalue AS BIGINT) AS zvalue
         |FROM z ORDER BY zvalue, doc_id""".stripMargin,
+    // Per-level Hilbert rotate-and-fold replayed as a recursive CTE:
+    // each recursion step consumes one bit plane (s halves), exactly
+    // the loop in plans/HilbertIndex.nullSafeEval.
+    "q254_hilbert_values" -> {
+      val rx = "(CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END)"
+      val ry = "(CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END)"
+      val fx = s"(CASE WHEN $ry = 0 AND $rx = 1 THEN s - 1 - x ELSE x END)"
+      val fy = s"(CASE WHEN $ry = 0 AND $rx = 1 THEN s - 1 - y ELSE y END)"
+      s"""WITH RECURSIVE hc AS (
+         |  SELECT doc_id,
+         |    CAST(doc_id % 1024 AS BIGINT) AS zx,
+         |    CAST(n_chars % 1024 AS BIGINT) AS zy,
+         |    CAST(doc_id % 1024 AS BIGINT) AS x,
+         |    CAST(n_chars % 1024 AS BIGINT) AS y,
+         |    CAST(512 AS BIGINT) AS s, CAST(0 AS BIGINT) AS d
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, zx, zy,
+         |    CASE WHEN $ry = 0 THEN $fy ELSE $fx END AS x,
+         |    CASE WHEN $ry = 0 THEN $fx ELSE $fy END AS y,
+         |    s // 2 AS s,
+         |    d + s * s * xor(3 * $rx, $ry) AS d
+         |  FROM hc WHERE s >= 1)
+         |SELECT doc_id, zx, zy, CAST(d AS BIGINT) AS hvalue
+         |FROM hc WHERE s = 0
+         |ORDER BY hvalue, doc_id""".stripMargin
+    },
     "q234_serving_sql" -> {
       import TextOps.{reCount, tokensSql}
       s"""WITH scored AS (
