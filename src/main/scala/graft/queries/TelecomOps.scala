@@ -387,7 +387,38 @@ object TelecomOps {
         |ORDER BY detected_lang, lang""".stripMargin)
   }
 
+  /** q255 — O-layout family, the CO-LOCATED JOIN: orders and customer
+    * written as bucketed tables hashed on the join key into the same
+    * bucket count ([[graft.operators.Bucketing]]), then joined with
+    * the strategy pinned to sort-merge — the plan reads both sides'
+    * `HashPartitioning` straight off the bucketed scans and carries
+    * ZERO shuffle exchanges (BucketingSpec asserts it on the physical
+    * plan). At 100 TB this is the recurring-join amortization: the
+    * fact-side exchange every nightly join would pay is paid once at
+    * write time. The merge hint pins at test scale what the planner
+    * picks unaided at fact×fact scale (a broadcast would hide the
+    * co-location being certified). Money is summed in integer cents
+    * (floor of the same IEEE double is identical cross-engine); the
+    * bucketed copies hold byte-identical rows to the raw parquet, so
+    * the oracle certifies the bucketed layout round-trip too. */
+  def q255BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val o = graft.operators.Bucketing.ensureBucketed(s,
+      graft.Tables.orders(s, dir), s"graft_b_orders_$tag", "o_custkey", 8)
+    val c = graft.operators.Bucketing.ensureBucketed(s,
+      graft.Tables.customer(s, dir), s"graft_b_customer_$tag", "c_custkey", 8)
+    s.table(o).hint("merge")
+      .join(s.table(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100).cast("long")).as("revenue_cents"),
+        countDistinct(col("c_custkey")).as("n_customers"))
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q255_bucketed_join" -> q255BucketedJoin _,
     "q231_seed_towers" -> q231SeedTowers _,
     "q232_schema_drift" -> q232SchemaDrift _,
     "q233_zorder_values" -> q233ZorderValues _,
@@ -426,6 +457,15 @@ object TelecomOps {
        |  WHERE _rn = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q255_bucketed_join" ->
+      """SELECT c_mktsegment,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents,
+        |  COUNT(DISTINCT c_custkey) AS n_customers
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     "q231_seed_towers" ->
       s"""SELECT tower_id, city, state, latitude, longitude, tower_type,
          |  capacity_erlangs, radio_technology, install_date,

@@ -40,4 +40,42 @@ class BucketedJoinSpec extends SparkSpec {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("q255: Bucketing operator joins exchange-free under the join and matches raw tables") {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    try {
+      val got = graft.queries.TelecomOps.q255BucketedJoin(spark, sfDir)
+
+      // the join subtree (before the aggregate, which legitimately
+      // exchanges on c_mktsegment) must carry no shuffle: assert on
+      // the bare bucketed join the query composes
+      val o = spark.table(s"graft_b_orders_$tag").hint("merge")
+      val c = spark.table(s"graft_b_customer_$tag")
+      val join = o.join(c, col("o_custkey") === col("c_custkey"))
+      val planStr = join.queryExecution.executedPlan.toString
+      assert(planStr.contains("SortMergeJoin"), planStr)
+      assert(!planStr.contains("Exchange hashpartitioning"),
+        s"bucketed q255 join must not shuffle:\n$planStr")
+
+      // result parity with the same aggregation over the raw parquet
+      val raw = Tables.orders(spark, sfDir)
+        .join(Tables.customer(spark, sfDir),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * 100).cast("long")).as("revenue_cents"),
+          countDistinct(col("c_custkey")).as("n_customers"))
+        .orderBy("c_mktsegment")
+      assert(got.collect().toSeq === raw.collect().toSeq)
+
+      // idempotence: a second call reuses the catalog entry (no
+      // rewrite) and the same rows come back
+      val again = graft.queries.TelecomOps.q255BucketedJoin(spark, sfDir)
+      assert(again.collect().toSeq === raw.collect().toSeq)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS graft_b_orders_$tag")
+      spark.sql(s"DROP TABLE IF EXISTS graft_b_customer_$tag")
+    }
+  }
 }
