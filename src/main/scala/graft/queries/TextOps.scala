@@ -668,7 +668,55 @@ object TextOps {
         col("p10_lb"), col("p50_lb"), col("p90_lb"))
       .orderBy("source")
 
+  /** q256 — the GOPHER quality-rule panel (Rae et al. 2021, app. A1.1
+    * — the rule set C4's successors standardized on): per-doc word
+    * count bounds, mean word length band, symbol-to-word ratio,
+    * bullet-start / ellipsis-end line ratios, alphabetic-word ratio,
+    * stopword floor; a failed-rule count and the conjunctive pass
+    * flag. Every feature is integer counts + one double division, so
+    * the DuckDB oracle replays it bit-for-bit. The fixture docs are
+    * single-line word streams, so the two line-shape ratios evaluate
+    * on the one line (the flags stay certified cross-engine; organic
+    * corpora light them up). Pure scan-speed projections — no
+    * shuffle, no UDF; at 100 TB this runs at parquet read speed. */
+  def q256GopherRules(s: SparkSession, dir: String): DataFrame = {
+    val t = lower(trim(col("text")))
+    val words = graft.operators.TextAnalysis.tokens(col("text"))
+    graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        words.as("words"),
+        length(regexp_replace(t, "\\s+", "")).as("char_sum"))
+      .select(
+        col("doc_id"),
+        size(col("words")).as("n_words"),
+        (col("char_sum").cast("double") /
+          greatest(size(col("words")), lit(1)).cast("double"))
+          .as("mean_word_len"),
+        ((regexp_count(col("text"), lit("#")) +
+          regexp_count(col("text"), lit("\\.\\.\\."))).cast("double") /
+          greatest(size(col("words")), lit(1)).cast("double"))
+          .as("symbol_ratio"),
+        (size(filter(col("words"), w => w.rlike("[a-z]"))).cast("double") /
+          greatest(size(col("words")), lit(1)).cast("double"))
+          .as("alpha_ratio"),
+        graft.operators.TextAnalysis.stopwordCount(col("text")).as("stop_hits"),
+        trim(col("text")).startsWith("-")
+          .or(trim(col("text")).startsWith("*")).as("bullet_line"),
+        trim(col("text")).endsWith("...").as("ellipsis_line"))
+      .withColumn("failed_rules",
+        when(col("n_words") < 50 || col("n_words") > 100000, 1).otherwise(0) +
+        when(col("mean_word_len") < 3.0 || col("mean_word_len") > 10.0, 1).otherwise(0) +
+        when(col("symbol_ratio") > 0.1, 1).otherwise(0) +
+        when(col("bullet_line"), 1).otherwise(0) +
+        when(col("ellipsis_line"), 1).otherwise(0) +
+        when(col("alpha_ratio") < 0.8, 1).otherwise(0) +
+        when(col("stop_hits") < 2, 1).otherwise(0))
+      .withColumn("gopher_pass", col("failed_rules") === 0)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q256_gopher_rules" -> q256GopherRules _,
     "q249_length_panel" -> q249LengthPanel _,
     "q248_tokenizer_fit" -> q248TokenizerFit _,
     "q244_jsonl_ingest" -> q244JsonlIngest _,
@@ -1166,6 +1214,38 @@ object TextOps {
          |       WHEN score_fr >= score_zh THEN 'fr'
          |       ELSE 'zh' END = labeled_lang AS agrees_with_label
          |FROM scored ORDER BY doc_id""".stripMargin,
+    "q256_gopher_rules" ->
+      s"""WITH feat AS (
+         |  SELECT doc_id,
+         |    CAST(len($tokensSql) AS INTEGER) AS n_words,
+         |    length(regexp_replace(lower(trim(text)), '\\s+', '', 'g')) AS char_sum,
+         |    ${reCount("text", "#")} + ${reCount("text", "\\.\\.\\.")} AS sym_hits,
+         |    len(list_filter($tokensSql, w -> regexp_matches(w, '[a-z]'))) AS alpha_words,
+         |    CAST(${reCount("lower(text)", "\\b(the|and|is|of|to|a|in|it)\\b")} AS INTEGER) AS stop_hits,
+         |    (starts_with(trim(text), '-') OR starts_with(trim(text), '*')) AS bullet_line,
+         |    ends_with(trim(text), '...') AS ellipsis_line
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, n_words,
+         |    CAST(char_sum AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) AS mean_word_len,
+         |    CAST(sym_hits AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) AS symbol_ratio,
+         |    CAST(alpha_words AS DOUBLE) / CAST(greatest(n_words, 1) AS DOUBLE) AS alpha_ratio,
+         |    stop_hits, bullet_line, ellipsis_line
+         |  FROM feat),
+         |f AS (
+         |  SELECT *,
+         |    CAST((CASE WHEN n_words < 50 OR n_words > 100000 THEN 1 ELSE 0 END)
+         |      + (CASE WHEN mean_word_len < 3.0 OR mean_word_len > 10.0 THEN 1 ELSE 0 END)
+         |      + (CASE WHEN symbol_ratio > 0.1 THEN 1 ELSE 0 END)
+         |      + (CASE WHEN bullet_line THEN 1 ELSE 0 END)
+         |      + (CASE WHEN ellipsis_line THEN 1 ELSE 0 END)
+         |      + (CASE WHEN alpha_ratio < 0.8 THEN 1 ELSE 0 END)
+         |      + (CASE WHEN stop_hits < 2 THEN 1 ELSE 0 END) AS INTEGER) AS failed_rules
+         |  FROM r)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_ratio,
+         |  stop_hits, bullet_line, ellipsis_line, failed_rules,
+         |  (failed_rules = 0) AS gopher_pass
+         |FROM f ORDER BY doc_id""".stripMargin,
     "q42_quality_score" ->
       s"""WITH feat AS (
          |  SELECT doc_id,

@@ -144,4 +144,37 @@ class ScrubSpec extends SparkSpec {
       assert(cm === md5hex(kept.mkString(" ")), s"clean doc $id")
     }
   }
+
+  // ---- q256 Gopher rule panel ----
+
+  test("q256: each crafted defect trips exactly its Gopher rule") {
+    // 8 stopwords + 52 filler words: 60 words, mean len 225/60=3.75,
+    // all-alpha, no symbols -> passes every rule
+    val base = "the and is of to a in it " + Seq.fill(52)("data").mkString(" ")
+    val dir = writeDocs(Seq(
+      1L -> base,                                        // healthy
+      2L -> "the and is of to data data data data data", // 10 words: count rule only
+      3L -> ("- " + base),                               // bullet start only
+      4L -> (base + " data..."),                         // ellipsis end only
+      5L -> (base + " " + Seq.fill(10)("#").mkString(" ")), // symbol ratio only
+      6L -> Seq.fill(60)("1234").mkString(" ")))         // alpha + stopword rules
+    val got = TextOps.q256GopherRules(spark, dir)
+      .select("doc_id", "failed_rules", "gopher_pass")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    assert(got(1L) === ((0, true)))
+    assert(got(2L) === ((1, false)))
+    assert(got(3L) === ((1, false)))
+    assert(got(4L) === ((1, false)))
+    assert(got(5L) === ((1, false)))
+    assert(got(6L) === ((2, false)))
+
+    // feature spot checks on the healthy doc: the panel's numbers,
+    // not just the flags
+    val h = TextOps.q256GopherRules(spark, dir)
+      .filter(col("doc_id") === 1L).head
+    assert(h.getAs[Int]("n_words") === 60)
+    assert(h.getAs[Double]("mean_word_len") === 225.0 / 60.0)
+    assert(h.getAs[Int]("stop_hits") === 8)
+    assert(h.getAs[Double]("alpha_ratio") === 1.0)
+  }
 }
