@@ -847,6 +847,28 @@ object Quality {
       .orderBy("window_start", "rk")
   }
 
+  /** q257 — the streaming SESSIONIZATION's batch face as an oracle
+    * row (the dynamic-gap corner of the monitor triangle: q246
+    * cardinality, q247 quantiles, q253 top-k are all fixed tumbling
+    * windows; sessions are the one window shape whose EXTENT is
+    * data-dependent). Runs [[graft.streaming.WindowedAggs.userSessions]]
+    * — the exact `session_window` aggregate the stream executes
+    * (StreamingIngestSpec pins the watermark-finalization behavior) —
+    * in batch over the events table; the DuckDB oracle replays the
+    * classic gaps-and-islands formulation (LAG gap flag → running
+    * island id → per-island agg), certifying Spark's native session
+    * merge ≡ the SQL-textbook definition. Values are summed as
+    * integer cents (floor of the same IEEE double — exact
+    * cross-engine); session_end = last event + gap by session_window
+    * semantics. */
+  def q257SessionPanel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(
+      col("ts").as("event_ts"), col("user_id"),
+      floor(col("value") * 100).cast("long").as("value"))
+    graft.streaming.WindowedAggs.userSessions(ev, gap = "30 minutes")
+      .orderBy("user_id", "session_start")
+  }
+
   /** TRAILING-window z-score gate — the reference's actual 14-day
     * volume monitor shape (pipeline_observability.py's z > 3 over a
     * 14-day history), upgraded from q20's all-history baseline: each
@@ -1423,6 +1445,7 @@ object Quality {
     "q246_window_cardinality" -> q246WindowCardinality _,
     "q247_window_quantiles" -> q247WindowQuantiles _,
     "q253_window_topk" -> q253WindowTopk _,
+    "q257_session_panel" -> q257SessionPanel _,
     "q18_worst_status" -> q18WorstStatus _,
     "q20_zscore_anomaly" -> q20ZscoreAnomaly _,
     "q21_null_rates" -> q21NullRates _,
@@ -1877,6 +1900,29 @@ object Quality {
         |FROM agg, ex""".stripMargin,
     // q149's register law per hour window; empty registers enter the
     // harmonic sum as 2^-0 = 1 via (64 - buckets_seen)
+    // q257: gaps-and-islands replay of session_window — merge iff the
+    // gap is STRICTLY under 30 min (half-open [ts, ts+gap) windows);
+    // session_end = last event + gap.
+    "q257_session_panel" ->
+      """WITH e AS (
+        |  SELECT ts, user_id, CAST(FLOOR(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |g AS (
+        |  SELECT ts, user_id, v,
+        |    CASE WHEN ts < LAG(ts) OVER w + INTERVAL 30 MINUTE
+        |      THEN 0 ELSE 1 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  user_id,
+        |  COUNT(*) AS event_count,
+        |  CAST(SUM(v) AS BIGINT) AS session_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     // q253: in the no-decrement regime (distinct keys <= capacity per
     // window) the MG sketch IS the exact per-key frequency table, so
     // the oracle is a plain windowed GROUP BY + rank.
