@@ -715,7 +715,42 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q258 — BLOCKLIST token filter (C4's badwords stage, Raffel et
+    * al. 2020 §2.2: drop any page containing a blocklisted word; the
+    * Dolma/RefinedWeb pipelines keep the same stage with counts for
+    * audit). Membership is a token-level exact match — NOT a
+    * substring scan, which is the documented C4 failure mode
+    * (clbuttic filtering) — expressed as one HOF filter against the
+    * list literal: zero shuffle, scan speed, constant-folded list.
+    * At real blocklist sizes (~2k entries) this stays a single
+    * codegen'd projection; past that the shape becomes the broadcast
+    * token semi-join q63 already certifies. The demo list uses
+    * fixture-vocabulary words so the filter provably bites; the
+    * first offending token and its position ride along for the
+    * audit trail. */
+  def q258BlocklistFilter(s: SparkSession, dir: String): DataFrame = {
+    val blocked = Seq("slow", "corrupt", "spark")
+    val words = graft.operators.TextAnalysis.tokens(col("text"))
+    graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), words.as("words"))
+      .select(
+        col("doc_id"), col("source"),
+        size(col("words")).as("n_words"),
+        size(filter(col("words"), w => w.isInCollection(blocked)))
+          .as("blocklist_hits"),
+        // get() is the ANSI-safe 0-based accessor (null, not an
+        // error, on an empty hit list)
+        get(filter(col("words"), w => w.isInCollection(blocked)), lit(0))
+          .as("first_hit"),
+        array_position(col("words"),
+          get(filter(col("words"), w => w.isInCollection(blocked)), lit(0)))
+          .as("first_hit_pos"))
+      .withColumn("kept", col("blocklist_hits") === 0)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q258_blocklist_filter" -> q258BlocklistFilter _,
     "q256_gopher_rules" -> q256GopherRules _,
     "q249_length_panel" -> q249LengthPanel _,
     "q248_tokenizer_fit" -> q248TokenizerFit _,
@@ -1214,6 +1249,20 @@ object TextOps {
          |       WHEN score_fr >= score_zh THEN 'fr'
          |       ELSE 'zh' END = labeled_lang AS agrees_with_label
          |FROM scored ORDER BY doc_id""".stripMargin,
+    "q258_blocklist_filter" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, $tokensSql AS words FROM documents),
+         |f AS (
+         |  SELECT doc_id, source, words,
+         |    CAST(len(words) AS INTEGER) AS n_words,
+         |    list_filter(words, w -> w IN ('slow', 'corrupt', 'spark')) AS hits
+         |  FROM t)
+         |SELECT doc_id, source, n_words,
+         |  CAST(len(hits) AS INTEGER) AS blocklist_hits,
+         |  hits[1] AS first_hit,
+         |  CAST(list_position(words, hits[1]) AS BIGINT) AS first_hit_pos,
+         |  (len(hits) = 0) AS kept
+         |FROM f ORDER BY doc_id""".stripMargin,
     "q256_gopher_rules" ->
       s"""WITH feat AS (
          |  SELECT doc_id,

@@ -177,4 +177,23 @@ class ScrubSpec extends SparkSpec {
     assert(h.getAs[Int]("stop_hits") === 8)
     assert(h.getAs[Double]("alpha_ratio") === 1.0)
   }
+
+  // ---- q258 blocklist filter ----
+
+  test("q258: token-exact blocklist — hits counted, substring words NOT matched") {
+    val dir = writeDocs(Seq(
+      1L -> "fast table scan value",            // clean
+      2L -> "fast slow table slow value",       // two hits, first at pos 2
+      3L -> "slowly unsparkly corruption data", // substrings only: the clbuttic law
+      4L -> "corrupt row"))                     // hit at pos 1
+    val got = TextOps.q258BlocklistFilter(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("blocklist_hits"), Option(r.getAs[String]("first_hit")),
+          Option(r.getAs[Any]("first_hit_pos")), r.getAs[Boolean]("kept")))).toMap
+    assert(got(1L) === ((0, None, None, true)))
+    assert(got(2L) === ((2, Some("slow"), Some(2L), false)))
+    assert(got(3L) === ((0, None, None, true)),
+      "substring containment must not trip a token blocklist")
+    assert(got(4L) === ((1, Some("corrupt"), Some(1L), false)))
+  }
 }
