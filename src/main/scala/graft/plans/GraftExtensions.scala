@@ -176,6 +176,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_lcp requires (string, string), got ${children.length} args")
         CommonPrefixLength(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"graft_topk requires (score, payload, k literal), got ${children.length} args")
+        val k = children(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) =>
+            require(v >= 1 && v <= Int.MaxValue,
+              s"graft_topk k must fit a positive Int, got $v")
+            v.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_topk k must be an integer literal, got $other")
+        }
+        TopKAgg(children.head, children(1), k)
+      }))
     ext.injectOptimizerRule(_ => RewriteDotProduct)
     ext.injectOptimizerRule(_ => RewriteBoundedLevenshtein)
     ext.injectPlannerStrategy(_ => SessionizeStrategy)

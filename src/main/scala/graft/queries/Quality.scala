@@ -869,6 +869,33 @@ object Quality {
       .orderBy("user_id", "session_start")
   }
 
+  /** q259 — exact per-group TOP-K through the native bounded-heap
+    * aggregate (`graft_topk`, plans/TopKAgg): top-3 orders by price
+    * within each priority, riding the SAME hash-aggregate pass as the
+    * group's row count — the composability a window-rank top-k can't
+    * give (it needs its own sorted pass joined back). The order is
+    * total (cents DESC, zero-padded orderkey ASC), so the aggregate
+    * is partition-invariant outright and the DuckDB oracle is the
+    * plain ROW_NUMBER formulation. State is O(k) per group; no sort
+    * at any stage. */
+  def q259GroupedTopk(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_orderpriority"),
+      floor(col("o_totalprice") * 100).cast("long").as("cents"),
+      lpad(col("o_orderkey").cast("string"), 12, "0").as("okey"))
+    o.groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        call_function("graft_topk", col("cents"), col("okey"), lit(3)).as("top"))
+      .select(col("o_orderpriority"), col("n_orders"),
+        posexplode(col("top")))
+      .select(col("o_orderpriority"), col("n_orders"),
+        (col("pos") + 1).cast("int").as("rk"),
+        col("col.score").as("price_cents"),
+        col("col.payload").as("o_orderkey_pad"))
+      .orderBy("o_orderpriority", "rk")
+  }
+
   /** TRAILING-window z-score gate — the reference's actual 14-day
     * volume monitor shape (pipeline_observability.py's z > 3 over a
     * 14-day history), upgraded from q20's all-history baseline: each
@@ -1446,6 +1473,7 @@ object Quality {
     "q247_window_quantiles" -> q247WindowQuantiles _,
     "q253_window_topk" -> q253WindowTopk _,
     "q257_session_panel" -> q257SessionPanel _,
+    "q259_grouped_topk" -> q259GroupedTopk _,
     "q18_worst_status" -> q18WorstStatus _,
     "q20_zscore_anomaly" -> q20ZscoreAnomaly _,
     "q21_null_rates" -> q21NullRates _,
@@ -1900,6 +1928,24 @@ object Quality {
         |FROM agg, ex""".stripMargin,
     // q149's register law per hour window; empty registers enter the
     // harmonic sum as 2^-0 = 1 via (64 - buckets_seen)
+    "q259_grouped_topk" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority,
+        |    CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+        |    lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS okey
+        |  FROM orders),
+        |n AS (
+        |  SELECT o_orderpriority, COUNT(*) AS n_orders FROM o GROUP BY 1),
+        |r AS (
+        |  SELECT o_orderpriority, cents, okey,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY cents DESC, okey ASC) AS rk
+        |  FROM o)
+        |SELECT r.o_orderpriority, n_orders, CAST(rk AS INTEGER) AS rk,
+        |  cents AS price_cents, okey AS o_orderkey_pad
+        |FROM r JOIN n USING (o_orderpriority)
+        |WHERE rk <= 3
+        |ORDER BY o_orderpriority, rk""".stripMargin,
     // q257: gaps-and-islands replay of session_window — merge iff the
     // gap is STRICTLY under 30 min (half-open [ts, ts+gap) windows);
     // session_end = last event + gap.
