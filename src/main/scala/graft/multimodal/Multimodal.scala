@@ -222,6 +222,70 @@ object Multimodal {
     rows.toDS()
   }
 
+  case class SceneDiff(media_id: Long, frame_idx: Int, ts_ms: Long,
+                       sad: Long, is_cut: Boolean)
+
+  /** Scene-structured synthetic videos for cut detection: each clip
+    * is 8×8 C420 Y4M at 2 fps with 8 + i%20 frames; within a scene
+    * every frame is the scene's base plane plus ±1 per-byte jitter
+    * (SAD against the previous frame stays ≤ ySize), and a scene CUT
+    * replaces the base with an independent random plane (expected
+    * per-pixel |Δ| of two uniform bytes ≈ 85, SAD ≈ 85·ySize — two
+    * orders above the jitter band, so the 16·ySize threshold cleanly
+    * separates). Cut positions are seeded per clip (≈ every 4th
+    * frame); all content derives from (seed, i), so the parquet
+    * fixture is bit-stable across runs. */
+  def syntheticScenes(spark: SparkSession, n: Int, seed: Long = 131L): Dataset[MediaRow] = {
+    import spark.implicits._
+    val w = 8; val h = 8
+    val fs = Codec.y4mFrameSize(w, h)
+    val rows = (0 until n).map { i =>
+      val rnd = new scala.util.Random(seed + i)
+      val nFrames = 8 + i % 20
+      var base = { val b = new Array[Byte](fs); rnd.nextBytes(b); b }
+      val frames = (0 until nFrames).map { k =>
+        if (k > 0 && rnd.nextInt(4) == 0) { // scene cut
+          base = { val b = new Array[Byte](fs); rnd.nextBytes(b); b }
+        }
+        base.map { b =>
+          val v = (b & 0xFF) + rnd.nextInt(3) - 1
+          math.max(0, math.min(255, v)).toByte
+        }
+      }
+      MediaRow(i.toLong, s"mem://media/scenes/$i.y4m",
+        MediaMeta("video", w, h, nFrames * 500L, "y4m"),
+        Codec.encodeY4m(w, h, fpsNum = 2, fpsDen = 1, frames))
+    }
+    rows.toDS()
+  }
+
+  /** Scene-cut detection: per consecutive frame pair, the sum of
+    * absolute Y-plane differences (SAD — the standard first-pass
+    * shot-boundary feature, cf. ffmpeg's scene-change score and
+    * PySceneDetect's content detector, both thresholded frame
+    * deltas); a pair is a CUT when SAD exceeds 16 gray levels per
+    * pixel (16·w·h). Integer arithmetic end to end, so the DuckDB
+    * oracle replays the exact SADs from the blob's hex dump.
+    * mapPartitions decode, flatMap explode — no driver involvement;
+    * undecodable or single-frame clips emit no rows. */
+  def sceneDiffs(media: Dataset[MediaRow]): Dataset[SceneDiff] = {
+    import media.sparkSession.implicits._
+    media.filter(_.meta.media_type == "video").flatMap { m =>
+      Codec.decodeY4m(m.content).toSeq.flatMap { y =>
+        val ySize = y.width * y.height
+        val cutSad = 16L * ySize
+        (1 until y.frames.size).map { k =>
+          val prev = y.frames(k - 1); val cur = y.frames(k)
+          var sad = 0L; var p = 0
+          while (p < ySize) {
+            sad += math.abs((cur(p) & 0xFF) - (prev(p) & 0xFF)); p += 1
+          }
+          SceneDiff(m.media_id, k, k * y.frameMs, sad, sad > cutSad)
+        }
+      }
+    }
+  }
+
   /** Size-balanced repartitioning for skewed blob sizes: each output
     * partition receives ~equal total BYTES, not equal row counts.
     * The byte offsets come from the two-phase distributed prefix sum

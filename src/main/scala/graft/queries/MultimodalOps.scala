@@ -72,6 +72,26 @@ object MultimodalOps {
   private[graft] def warmFixtures(s: SparkSession, dir: String): Unit = {
     media(s, dir)
     mediaDups(s, dir)
+    mediaScenes(s, dir)
+  }
+
+  private def sceneCount(dir: String): Int =
+    if (dir.contains("sf0.1")) 300 else if (dir.contains("sf0.01")) 60 else 30
+
+  /** Scene-structured video fixture (Multimodal.syntheticScenes),
+    * materialized once like `media` so pipeline and oracle read
+    * identical bytes. */
+  private def mediaScenes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = sceneCount(dir)
+    val path = s"$FixtureDir/media_scenes_n$n"
+    val marker = new java.io.File(s"$path/_graft_$FixtureVersion")
+    if (!marker.exists()) {
+      Multimodal.syntheticScenes(s, n).toDF()
+        .write.mode("overwrite").parquet(path)
+      marker.createNewFile()
+    }
+    s.read.parquet(path)
   }
 
   /** q251 — perceptual image near-dup pairs: decode BMP → 64-bit
@@ -119,10 +139,27 @@ object MultimodalOps {
       .orderBy("media_id")
   }
 
+  /** q260 — SCENE-CUT detection over the video column: per
+    * consecutive-frame Y-plane SAD with a 16-gray-levels-per-pixel
+    * threshold ([[Multimodal.sceneDiffs]] — the ffmpeg/PySceneDetect
+    * shot-boundary feature), over a fixture with PLANTED scene
+    * structure (within-scene ±1 jitter vs independent planes at
+    * cuts). Integer SADs end to end: the oracle replays every frame
+    * delta from the blob's hex dump (Y plane of frame k at
+    * closed-form offset 40 + 102k on the canonical 8×8 C420 header),
+    * so the whole decode → delta → threshold path sits under the
+    * hash gate. The video analogue of q251's image near-dup face. */
+  def q260SceneCuts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = mediaScenes(s, dir).as[Multimodal.MediaRow]
+    Multimodal.sceneDiffs(m).toDF().orderBy("media_id", "frame_idx")
+  }
+
   val queries: Map[String, Q] = Map(
     "q70_media_features" -> q70MediaFeatures _,
     "q71_frame_sample" -> q71FrameSample _,
     "q251_image_neardup" -> q251ImageNearDup _,
+    "q260_scene_cuts" -> q260SceneCuts _,
   )
 
   /** Gray sum b+g+r of the dHash grid sample at column expr `gx`
@@ -188,6 +225,30 @@ object MultimodalOps {
          |FROM read_parquet('$FixtureDir/media_n300/*.parquet')
          |WHERE meta.media_type = 'video' AND meta.duration_ms // 500 >= 1
          |ORDER BY media_id""".stripMargin,
+    // Replays every consecutive-frame Y-plane SAD from the hex dump:
+    // frame k's Y plane sits at byte 40 + 102k (34-byte header,
+    // 6-byte FRAME marker, 96-byte C420 payload), 64 bytes; the cut
+    // threshold is 16 gray levels x 64 pixels. The constant series
+    // bound (27) is the fixture's max frame count; k <= nf-1 prunes.
+    "q260_scene_cuts" -> {
+      val cur = hexByte("(40 + 102*k + q)")
+      val prev = hexByte("(40 + 102*(k-1) + q)")
+      s"""WITH m AS (
+         |  SELECT media_id, hex(content) AS hx,
+         |    CAST(meta.duration_ms // 500 AS INTEGER) AS nf
+         |  FROM read_parquet('$FixtureDir/media_scenes_n60/*.parquet')),
+         |d AS (
+         |  SELECT media_id, k,
+         |    list_aggregate(list_transform(generate_series(0, 63), q ->
+         |      abs($cur - $prev)), 'sum') AS sad
+         |  FROM m, generate_series(1, 27) g(k)
+         |  WHERE k <= nf - 1)
+         |SELECT media_id, CAST(k AS INTEGER) AS frame_idx,
+         |  CAST(k * 500 AS BIGINT) AS ts_ms,
+         |  CAST(sad AS BIGINT) AS sad,
+         |  (sad > 1024) AS is_cut
+         |FROM d ORDER BY media_id, frame_idx""".stripMargin
+    },
     // Replays dhash64 bit-for-bit from the blob's hex dump (grid
     // sample offsets are closed-form on the canonical 16x16 BMP),
     // then brute-forces ALL pairs — the banded engine plan must match

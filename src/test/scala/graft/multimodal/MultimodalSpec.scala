@@ -163,6 +163,23 @@ class MultimodalSpec extends SparkSpec {
     assert(sampled.forall(f => f.frame_bytes(0) === f.frame_idx.toByte))
   }
 
+  test("scene cuts: planted cuts separate cleanly from within-scene jitter") {
+    val m = Multimodal.syntheticScenes(spark, 12)
+    val got = Multimodal.sceneDiffs(m).collect()
+    // every clip emits exactly nFrames-1 consecutive-pair rows
+    val perClip = got.groupBy(_.media_id).view.mapValues(_.length).toMap
+    (0 until 12).foreach { i =>
+      assert(perClip(i.toLong) === (8 + i % 20) - 1, s"clip $i pair count")
+    }
+    val (cuts, within) = got.partition(_.is_cut)
+    assert(cuts.nonEmpty && within.nonEmpty)
+    // within-scene: prev/cur are base±1 jitters, so per-pixel |Δ| ≤ 2
+    // and SAD ≤ 128 — structurally below the 1024 threshold
+    assert(within.forall(_.sad <= 128), s"jitter SAD leaked: ${within.map(_.sad).max}")
+    // cuts are independent planes: an order of magnitude above
+    assert(cuts.forall(_.sad > 2000), s"weak cut: ${cuts.map(_.sad).min}")
+  }
+
   test("repartitionBySize balances byte budget across partitions") {
     val media = Multimodal.syntheticMedia(spark, 100).toDF()
       .withColumn("byte_count", length(col("content")))
