@@ -417,8 +417,41 @@ object TelecomOps {
       .orderBy("c_mktsegment")
   }
 
+  /** q261 — the STREAM-STREAM interval join's batch face as an
+    * oracle row (J9's missing corner: FraudDetection covers the
+    * stateful self-join, this is the two-stream enrichment).
+    * [[graft.streaming.StreamEnrich.callsWithTowerLoad]] — watermarks
+    * on BOTH sides plus the bounded probe_ts ∈ [call_ts−10min,
+    * call_ts] range give Spark eviction horizons for both state
+    * stores (StreamEnrichSpec pins stream ≡ batch) — executed in
+    * batch over the telecom fixtures and rolled up per call: probes
+    * seen, max and sum of tower load in the lead-up window. Decimal
+    * load keeps the sum order-independent; the oracle replays the
+    * silver dedups and the interval join in plain SQL. */
+  def q261StreamJoinFace(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val calls = Silver.silverCalls(bronzeCalls(s, dir))
+      .select(col("call_id").as("event_id"), col("tower_id"),
+        col("call_start_ts").as("call_ts"))
+    val probes = Silver.silverProbes(
+        fixture(s, Generators.probeEvents(s, hours = 24).toDF(), "probes", 24))
+      .select(col("tower_id"), col("probe_ts"), col("load_pct"))
+    graft.streaming.StreamEnrich.callsWithTowerLoad(calls, probes,
+        tolerance = "10 minutes")
+      .groupBy(col("event_id"), col("tower_id"), col("call_ts"))
+      .agg(
+        count(lit(1)).as("probes_seen"),
+        max(col("load_pct")).cast("double").as("max_load_pct"),
+        sum(col("load_pct")).cast("double").as("sum_load_pct"))
+      .select(col("event_id"), col("tower_id"),
+        date_format(col("call_ts"), "yyyy-MM-dd HH:mm:ss").as("call_ts"),
+        col("probes_seen"), col("max_load_pct"), col("sum_load_pct"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q255_bucketed_join" -> q255BucketedJoin _,
+    "q261_stream_join_face" -> q261StreamJoinFace _,
     "q231_seed_towers" -> q231SeedTowers _,
     "q232_schema_drift" -> q232SchemaDrift _,
     "q233_zorder_values" -> q233ZorderValues _,
@@ -466,6 +499,33 @@ object TelecomOps {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+    "q261_stream_join_face" ->
+      s"""WITH bc AS (SELECT * FROM read_parquet('$FixtureDir/calls_n20000/*.parquet')),
+         |bp AS (SELECT * FROM read_parquet('$FixtureDir/probes_n24/*.parquet')),
+         |${silverCallsSql(
+             """event_id AS call_id, tower_id,
+               |    CAST(call_start_timestamp AS TIMESTAMP) AS call_start_ts""".stripMargin)},
+         |sp AS (
+         |  SELECT tower_id,
+         |    CAST(event_timestamp AS TIMESTAMP) AS probe_ts,
+         |    CAST(load_pct AS DECIMAL(6,2)) AS load_pct
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |          ORDER BY _bronze_ingested_at DESC) AS _rn
+         |        FROM bp WHERE probe_id IS NOT NULL AND tower_id IS NOT NULL)
+         |  WHERE _rn = 1),
+         |j AS (
+         |  SELECT sc.call_id AS event_id, sc.tower_id,
+         |    sc.call_start_ts AS call_ts, sp.load_pct
+         |  FROM sc JOIN sp ON sc.tower_id = sp.tower_id
+         |    AND sp.probe_ts >= sc.call_start_ts - INTERVAL 10 MINUTE
+         |    AND sp.probe_ts <= sc.call_start_ts)
+         |SELECT event_id, tower_id,
+         |  strftime(call_ts, '%Y-%m-%d %H:%M:%S') AS call_ts,
+         |  CAST(COUNT(*) AS BIGINT) AS probes_seen,
+         |  CAST(MAX(load_pct) AS DOUBLE) AS max_load_pct,
+         |  CAST(SUM(CAST(load_pct AS DECIMAL(18,2))) AS DOUBLE) AS sum_load_pct
+         |FROM j GROUP BY 1, 2, 3
+         |ORDER BY event_id""".stripMargin,
     "q231_seed_towers" ->
       s"""SELECT tower_id, city, state, latitude, longitude, tower_type,
          |  capacity_erlangs, radio_technology, install_date,
