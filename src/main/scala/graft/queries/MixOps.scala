@@ -782,7 +782,49 @@ object MixOps {
       .orderBy("doc_id")
   }
 
+  /** q262 — URL PROVENANCE panel: host extraction, www-stripped
+    * registered host, TLD, scheme split, per-host doc/lang rollup —
+    * the parse step behind every web-corpus provenance discipline
+    * (RefinedWeb §3.1 URL filtering, FineWeb's per-domain accounting,
+    * Dolma's URL dedup all start from exactly this normalization).
+    * The fixture has no organic URLs, so each doc's URL is derived
+    * deterministically from (source, doc_id) INLINE — both engines
+    * build the identical string, then both parse it back with the
+    * same regexes (the q236 PII-lacing pattern: the certified object
+    * is the parsing kernel, not the synthesis). The www-merge is
+    * provably exercised: doc_id%3 adds a www. prefix, so every base
+    * host appears in both spellings and the rollup must merge them.
+    * Scan-speed projections + one host-keyed aggregate. */
+  def q262UrlPanel(s: SparkSession, dir: String): DataFrame = {
+    val tld = array(lit("com"), lit("org"), lit("net"), lit("io"))
+    val url = concat(
+      when(pmod(col("doc_id"), lit(7)) === 0, lit("http://")).otherwise(lit("https://")),
+      when(pmod(col("doc_id"), lit(3)) === 0, lit("www.")).otherwise(lit("")),
+      col("source"), lit("-"), pmod(col("doc_id"), lit(97)).cast("string"),
+      lit("."), element_at(tld, pmod(col("doc_id"), lit(4)).cast("int") + 1),
+      lit("/"), col("lang"), lit("/page-"), col("doc_id").cast("string"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), url.as("url"))
+      .withColumn("host", regexp_extract(col("url"), "^https?://([^/]+)", 1))
+      .withColumn("reg_host", regexp_replace(col("host"), "^www\\.", ""))
+      .groupBy("reg_host")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("url").startsWith("https://"), 1L).otherwise(0L))
+          .as("https_docs"),
+        sum(when(col("host").startsWith("www."), 1L).otherwise(0L))
+          .as("www_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        min(col("doc_id")).as("min_doc_id"))
+      .select(col("reg_host"),
+        regexp_extract(col("reg_host"), "\\.([a-z]+)$", 1).as("tld"),
+        col("n_docs"), col("https_docs"), col("www_docs"),
+        col("n_langs"), col("min_doc_id"))
+      .orderBy("reg_host")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q262_url_panel" -> q262UrlPanel _,
     "q208_repetition_signals" -> q208RepetitionSignals _,
     "q212_filter_report" -> q212FilterReport _,
     "q214_curation_v2" -> q214CurationV2 _,
@@ -856,6 +898,34 @@ object MixOps {
        |WHERE t.frac >= $TestFrac ORDER BY t.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q262_url_panel" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang,
+        |    (CASE WHEN doc_id % 7 = 0 THEN 'http://' ELSE 'https://' END ||
+        |     CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||
+        |     source || '-' || CAST(doc_id % 97 AS VARCHAR) || '.' ||
+        |     (['com','org','net','io'])[CAST(doc_id % 4 AS INTEGER) + 1] ||
+        |     '/' || lang || '/page-' || CAST(doc_id AS VARCHAR)) AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, lang, url,
+        |    regexp_extract(url, '^https?://([^/]+)', 1) AS host
+        |  FROM u),
+        |r AS (
+        |  SELECT doc_id, lang, url, host,
+        |    regexp_replace(host, '^www\.', '') AS reg_host
+        |  FROM p)
+        |SELECT reg_host,
+        |  regexp_extract(reg_host, '\.([a-z]+)$', 1) AS tld,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN starts_with(url, 'https://') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS https_docs,
+        |  CAST(SUM(CASE WHEN starts_with(host, 'www.') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS www_docs,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  MIN(doc_id) AS min_doc_id
+        |FROM r GROUP BY reg_host
+        |ORDER BY reg_host""".stripMargin,
     "q214_curation_v2" ->
       s"""WITH t AS (
          |  SELECT doc_id, source, lang, text, $toksSql AS toks,
