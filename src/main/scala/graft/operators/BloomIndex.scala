@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level BLOOM-FILTER INDEX for point lookups on a non-layout
+  * column — the lakehouse data-skipping feature (Delta's
+  * `bloomfilter` index, Iceberg puffin blobs; the reference's bronze
+  * tables expose only min/max zone pruning, reference
+  * `bronze_compaction.py` sort-order rewrite): the table is laid out
+  * by one key (here doc_id buckets), but lookups arrive on ANOTHER
+  * key (content fingerprint) that min/max envelopes can't prune —
+  * every bucket's [min,max] fingerprint range spans the hash space.
+  * A per-bucket bloom sidecar (one `graft_bloom_agg` byte blob per
+  * data file/bucket) restores skipping: a probe reads the sidecar
+  * (buckets rows — bounded metadata, the codebook-collect idiom),
+  * keeps only buckets whose bloom might contain it, and pushes the
+  * surviving bucket ids as a STATIC partition filter so the data
+  * scan prunes at file-listing time. Bloom false positives cost one
+  * extra bucket read and die in the exact join; false negatives are
+  * impossible, so the lookup is BIT-identical to a full-scan join —
+  * which is exactly what q263's DuckDB oracle certifies.
+  *
+  * Layout: `$path/data` hive-partitioned by bucket (doc_id,
+  * fingerprint per row), `$path/bloom` (bucket, bloom bytes), and
+  * `$path/_GRAFT_BUILD_OK` written LAST carrying rows+buckets — the
+  * IvfIndex completion discipline: an aborted build or a regenerated
+  * corpus at the same path triggers a rebuild instead of silently
+  * serving stale files.
+  */
+object BloomIndex {
+
+  private val MarkerFile = "_GRAFT_BUILD_OK"
+
+  private def fs(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  }
+
+  /** One corpus scan: bucket by doc_id, fingerprint the content,
+    * persist the bucketed data and the per-bucket bloom sidecar
+    * (sized at rows/buckets keys each), then stamp the marker. */
+  def build(docs: DataFrame, buckets: Int, path: String): Unit = {
+    val sp = docs.sparkSession
+    val hfs = fs(sp, path)
+    val marker = new org.apache.hadoop.fs.Path(s"$path/$MarkerFile")
+    hfs.delete(marker, false)
+    val keyed = docs.select(
+      col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fingerprint"),
+      pmod(col("doc_id"), lit(buckets)).cast("int").as("bucket"))
+    keyed.write.partitionBy("bucket").mode(SaveMode.Overwrite)
+      .parquet(s"$path/data")
+    val rows = sp.read.parquet(s"$path/data").count()
+    val perBucket = math.max(rows / buckets + 1, 64L)
+    sp.read.parquet(s"$path/data")
+      .groupBy("bucket")
+      .agg(call_function("graft_bloom_agg",
+        xxhash64(col("fingerprint")), lit(perBucket)).as("bloom"))
+      .repartition(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/bloom")
+    val out = hfs.create(marker, true)
+    out.write(s"rows=$rows\nbuckets=$buckets\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  /** True iff a completed build exists whose fingerprint matches. */
+  def isValid(spark: SparkSession, path: String,
+              expectedRows: Long, buckets: Int): Boolean = {
+    val hfs = fs(spark, path)
+    val marker = new org.apache.hadoop.fs.Path(s"$path/$MarkerFile")
+    if (!hfs.exists(marker)) return false
+    val in = hfs.open(marker)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val kv = txt.linesIterator.flatMap { l =>
+      l.split("=", 2) match { case Array(k, v) => Some(k -> v.trim); case _ => None }
+    }.toMap
+    kv.get("rows").contains(expectedRows.toString) &&
+      kv.get("buckets").contains(buckets.toString)
+  }
+
+  def ensureBuilt(docs: DataFrame, buckets: Int, path: String): Unit = {
+    val sp = docs.sparkSession
+    if (!isValid(sp, path, docs.count(), buckets)) build(docs, buckets, path)
+  }
+
+  /** (probe fp, bucket) candidate pairs. The sidecar is collected to
+    * the driver first — `buckets` rows of bloom bytes, bounded index
+    * metadata, never data (graft_might_contain requires the bloom as
+    * a literal so the probe membership tests constant-fold into one
+    * scan-speed projection over the probes: per probe, the array of
+    * might-contain bucket ids, exploded). Zero data-file reads. */
+  def candidates(spark: SparkSession, path: String, probes: DataFrame): DataFrame = {
+    val sidecar = spark.read.parquet(s"$path/bloom")
+      .collect().map(r => (r.getAs[Int]("bucket"), r.getAs[Array[Byte]]("bloom")))
+    val hits = array(sidecar.map { case (b, bytes) =>
+      when(call_function("graft_might_contain", lit(bytes), xxhash64(col("fp"))),
+        lit(b)).otherwise(lit(null).cast("int"))
+    }.toIndexedSeq: _*)
+    probes.select(col("fp"),
+        explode(filter(hits, x => x.isNotNull)).as("bucket"))
+  }
+
+  /** The data read, pruned to the candidate buckets via a static
+    * isin filter — the file-skipping step (spec-asserted to carry
+    * PartitionFilters). */
+  def readData(spark: SparkSession, path: String, bucketIds: Seq[Int]): DataFrame =
+    spark.read.parquet(s"$path/data")
+      .filter(col("bucket").isin(bucketIds: _*))
+
+  /** Point lookup: every probe's matching (doc_id, bucket) rows,
+    * bit-identical to a full-scan fingerprint join (no bloom false
+    * negatives; false positives die in the exact join). */
+  def lookup(spark: SparkSession, path: String, probes: DataFrame): DataFrame = {
+    val cand = candidates(spark, path, probes)
+      .withColumnRenamed("bucket", "cand_bucket")
+    // bounded collect: ≤ buckets small ints — the probe-set prune,
+    // same idiom as IvfIndex's probed-cid partition filter
+    val bucketIds = cand.select("cand_bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val data = readData(spark, path, bucketIds)
+    data.join(cand,
+        data("fingerprint") === cand("fp") &&
+          data("bucket") === cand("cand_bucket"))
+      .select(col("fp"), col("doc_id"), data("bucket").as("bucket"))
+  }
+}

@@ -497,7 +497,36 @@ object CurationOps {
     } finally packed.unpersist(blocking = false)
   }
 
+  /** q263 — file-level BLOOM-INDEX point lookup
+    * ([[graft.operators.BloomIndex]]): the corpus laid out by doc_id
+    * buckets, probed by content FINGERPRINT — a column min/max zone
+    * maps can't prune (every bucket's fingerprint envelope spans the
+    * hash space; contrast q114's zonemap on the layout key). The
+    * per-bucket bloom sidecar restores file skipping: probes read
+    * the 16-row sidecar, keep might-contain buckets, and push the
+    * survivors as a static partition filter (BloomIndexSpec asserts
+    * the PartitionFilters and the skipped-bucket count). No false
+    * negatives, so the result is BIT-identical to the full-scan
+    * fingerprint join the oracle runs — the losslessness
+    * certificate, q239's pattern applied to data skipping. The
+    * probe set mixes present fingerprints (doc_id%10=3) with absent
+    * ones (exercising the exact-join FP kill). */
+  def q263BloomPointLookup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"/root/repo/target/graft_bloomidx/$tag"
+    graft.operators.BloomIndex.ensureBuilt(docs, 16, path)
+    val present = docs.filter(pmod(col("doc_id"), lit(10)) === 3)
+      .select(TextAnalysis.fingerprint(col("text")).as("fp"))
+    val absent = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
+      .select(md5(concat(lit("absent-"), col("doc_id").cast("string"))).as("fp"))
+    val probes = present.union(absent).distinct()
+    graft.operators.BloomIndex.lookup(s, path, probes)
+      .orderBy("fp", "doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q263_bloom_point_lookup" -> q263BloomPointLookup _,
     "q200_epoch_shards" -> q200EpochShards _,
     "q240_context_packing" -> q240ContextPacking _,
     "q242_release_pipeline" -> q242ReleasePipeline _,
@@ -518,6 +547,24 @@ object CurationOps {
   private val tokensSql = "regexp_split_to_array(lower(trim(text)), ' +')"
 
   val oracles: Map[String, String] = Map(
+    // q263: the algorithm-independent ground truth — a plain
+    // fingerprint join over the raw table; bloom skipping must be
+    // bit-identical (no false negatives, FPs die in the exact join).
+    "q263_bloom_point_lookup" ->
+      """WITH probes AS (
+        |  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE doc_id % 10 = 3
+        |  UNION
+        |  SELECT md5('absent-' || CAST(doc_id AS VARCHAR))
+        |  FROM documents WHERE doc_id % 100 = 0),
+        |d AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |    CAST(doc_id % 16 AS INTEGER) AS bucket
+        |  FROM documents)
+        |SELECT p.fp, d.doc_id, d.bucket
+        |FROM probes p JOIN d ON p.fp = d.fp
+        |ORDER BY p.fp, d.doc_id""".stripMargin,
     "q223_shuffle_stability" ->
       s"""WITH t AS (
          |  SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS token_count

@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** File-level bloom index: point lookups on a non-layout column are
+  * bit-identical to the full-scan join (no bloom false negatives),
+  * the data scan is partition-pruned to might-contain buckets, and
+  * the build marker gates stale/aborted reuse. */
+class BloomIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val path =
+    java.nio.file.Files.createTempDirectory("bloomidx").toString + "/idx"
+
+  private lazy val docs = {
+    // 120 docs over 16 buckets; doc 7 and 107 share text (dup pair)
+    val rows = (0L until 120L).map { i =>
+      val text = if (i == 107L) "shared dup text seven"
+        else if (i == 7L) "shared dup text seven"
+        else s"unique body ${i} of document"
+      (i, text)
+    }
+    rows.toDF("doc_id", "text")
+  }
+
+  private def fpOf(texts: Seq[String]) = {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    texts.map(t => md5hex(t.trim.toLowerCase.replaceAll("\\s+", " ")))
+  }
+
+  test("lookup ≡ full-scan fingerprint join; absent probes return nothing") {
+    BloomIndex.ensureBuilt(docs, 16, path)
+    val probes = (fpOf(Seq("shared dup text seven", "unique body 42 of document"))
+      :+ "0123456789abcdef0123456789abcdef") // absent
+      .toDF("fp")
+    val got = BloomIndex.lookup(spark, path, probes)
+      .select("fp", "doc_id").as[(String, Long)].collect().toSet
+    val full = docs.select(TextAnalysis.fingerprint(col("text")).as("fp"),
+        col("doc_id"))
+      .join(probes, "fp")
+      .as[(String, Long)].collect().toSet
+    assert(got === full)
+    // the dup pair comes back under one fingerprint; every present
+    // probe found (no false negatives), the absent one killed
+    assert(got.map(_._2).intersect(Set(7L, 107L)) === Set(7L, 107L))
+    assert(!got.exists(_._1 == "0123456789abcdef0123456789abcdef"))
+  }
+
+  test("data scan is partition-pruned to might-contain buckets") {
+    BloomIndex.ensureBuilt(docs, 16, path)
+    val one = fpOf(Seq("unique body 42 of document")).toDF("fp")
+    val cand = BloomIndex.candidates(spark, path, one)
+      .select("bucket").distinct().collect().map(_.getInt(0)).toSeq
+    // bucket 42%16=10 must be a candidate; blooms keep the rest rare
+    assert(cand.contains(10))
+    assert(cand.length < 16, s"no skipping: all buckets candidates")
+    val scan = BloomIndex.readData(spark, path, cand)
+    val scans = scan.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+      "data scan carries no partition filter — the isin prune was lost")
+  }
+
+  test("marker gates aborted and stale builds") {
+    BloomIndex.ensureBuilt(docs, 16, path)
+    assert(BloomIndex.isValid(spark, path, 120L, 16))
+    assert(!BloomIndex.isValid(spark, path, 121L, 16), "stale row count accepted")
+    assert(!BloomIndex.isValid(spark, path, 120L, 8), "bucket mismatch accepted")
+    // simulate an aborted build: marker gone, dirs still present
+    new java.io.File(s"$path/_GRAFT_BUILD_OK").delete()
+    assert(!BloomIndex.isValid(spark, path, 120L, 16), "aborted build accepted")
+    // ensureBuilt must rebuild and restore validity
+    BloomIndex.ensureBuilt(docs, 16, path)
+    assert(BloomIndex.isValid(spark, path, 120L, 16))
+  }
+}
