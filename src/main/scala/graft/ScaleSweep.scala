@@ -61,7 +61,16 @@ object ScaleSweep {
     // q244 (fixture-backed, like the telecom queries) and q246/q247
     // (events is byte-copied by ScaleUp, so their "scale points"
     // would all scan the same data).
-    "q243_hdr_quantiles", "q245_release_diff", "q248_tokenizer_fit")
+    "q243_hdr_quantiles", "q245_release_diff", "q248_tokenizer_fit",
+    // round-7 part 5: bucketed co-located join (orders grows, the
+    // exchange-free join must hold), scan-speed rule panels
+    // (Gopher, blocklist, URL parse), the native grouped top-k
+    // aggregate, and the bloom point-lookup index (build + probe).
+    // Not swept: q257 (events is byte-copied by ScaleUp), q260/q261
+    // (fixture-backed like q244).
+    "q255_bucketed_join", "q256_gopher_rules", "q258_blocklist_filter",
+    "q259_grouped_topk", "q262_url_panel", "q263_bloom_point_lookup",
+    "q264_compaction_plan")
 
   /** Queries excluded from the sf1→sf10 decade, each with its
     * documented ceiling — these are superlinear BY CONSTRUCTION, so

@@ -449,8 +449,39 @@ object TelecomOps {
       .orderBy("event_id")
   }
 
+  /** q264 — small-file COMPACTION PLANNER (S6's decision layer as an
+    * oracle row: Iceberg `rewrite_data_files(strategy => 'binpack')`,
+    * the reference's bronze maintenance loop): a file inventory
+    * (derived from the documents table at 50 docs/file — at 100 TB
+    * this is the metastore listing, metadata-scale but potentially
+    * millions of rows) is packed in file-id order into target-sized
+    * rewrite bins by the two-phase distributed prefix sum — a file
+    * lands wholly in the bin where its byte offset starts, no global
+    * window at any size. Output: per-file bin assignment plus the
+    * per-bin file/byte totals a rewrite job would be sized from.
+    * Pure integer arithmetic (DIV), replayed exactly by the oracle's
+    * window formulation. */
+  def q264CompactionPlan(s: SparkSession, dir: String): DataFrame = {
+    val inv = graft.Tables.documents(s, dir)
+      .groupBy(expr("doc_id DIV 50").as("file_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("file_bytes"))
+    val cum = graft.operators.PrefixSum.withRunningSum(
+      inv, "file_id", "file_bytes", "cum_bytes")
+    val planned = cum.withColumn("bin",
+      expr("(cum_bytes - file_bytes) DIV 16384"))
+    val bins = planned.groupBy("bin")
+      .agg(count(lit(1)).as("bin_files"),
+        sum(col("file_bytes")).as("bin_bytes"))
+    planned.join(bins, "bin")
+      .select(col("file_id"), col("n_docs"), col("file_bytes"),
+        col("bin"), col("bin_files"), col("bin_bytes"))
+      .orderBy("file_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q255_bucketed_join" -> q255BucketedJoin _,
+    "q264_compaction_plan" -> q264CompactionPlan _,
     "q261_stream_join_face" -> q261StreamJoinFace _,
     "q231_seed_towers" -> q231SeedTowers _,
     "q232_schema_drift" -> q232SchemaDrift _,
@@ -499,6 +530,26 @@ object TelecomOps {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+    "q264_compaction_plan" ->
+      """WITH inv AS (
+        |  SELECT doc_id // 50 AS file_id, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS file_bytes
+        |  FROM documents GROUP BY 1),
+        |c AS (
+        |  SELECT *, SUM(file_bytes) OVER (ORDER BY file_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM inv),
+        |b AS (
+        |  SELECT file_id, n_docs, file_bytes,
+        |    CAST((cum - file_bytes) // 16384 AS BIGINT) AS bin
+        |  FROM c),
+        |g AS (
+        |  SELECT bin, COUNT(*) AS bin_files,
+        |    CAST(SUM(file_bytes) AS BIGINT) AS bin_bytes
+        |  FROM b GROUP BY 1)
+        |SELECT file_id, n_docs, file_bytes, bin, bin_files, bin_bytes
+        |FROM b JOIN g USING (bin)
+        |ORDER BY file_id""".stripMargin,
     "q261_stream_join_face" ->
       s"""WITH bc AS (SELECT * FROM read_parquet('$FixtureDir/calls_n20000/*.parquet')),
          |bp AS (SELECT * FROM read_parquet('$FixtureDir/probes_n24/*.parquet')),
