@@ -70,7 +70,10 @@ object ScaleSweep {
     // (fixture-backed like q244).
     "q255_bucketed_join", "q256_gopher_rules", "q258_blocklist_filter",
     "q259_grouped_topk", "q262_url_panel", "q263_bloom_point_lookup",
-    "q264_compaction_plan")
+    "q264_compaction_plan",
+    // SQ8 ADC: budgeted like q49 (fixed query slice x corpus — one
+    // broadcast scan, linear in corpus)
+    "q265_sq8_ann")
 
   /** Queries excluded from the sf1→sf10 decade, each with its
     * documented ceiling — these are superlinear BY CONSTRUCTION, so

@@ -44,6 +44,42 @@ object SimilarityOps {
       .limit(budget)
       .select(col("query_id"), col("qvec"))
 
+  /** q265 — SCALAR-QUANTIZED (SQ8) ANN, the missing rung of the
+    * FAISS compression ladder between full precision (q49) and PQ
+    * codes (q101): each dimension is independently quantized to an
+    * 8-bit code against per-dim [min,max] bounds (one d-row agg
+    * collected as the quantizer — bounded by dimension, never data;
+    * 4× smaller vectors than the milli-unit longs), and scoring is
+    * ASYMMETRIC (ADC): full-precision queries against integer-
+    * reconstructed corpus codes, the Jégou et al. 2011 §III trick
+    * that keeps quantization error one-sided. Every step is integer
+    * floor arithmetic + one exact double division, so the oracle
+    * replays code assignment, reconstruction, and ranking exactly —
+    * the recall-vs-exact rider lives in SimilaritySpec. */
+  def q265Sq8Ann(s: SparkSession, dir: String): DataFrame = {
+    val c = quantized(s, dir)
+    val st = c.select(posexplode(col("query_vec")).as(Seq("pos", "v")))
+      .groupBy("pos").agg(min("v").as("mn"), max("v").as("mx"))
+      .orderBy("pos").collect()
+    val mn = st.map(r => r.getLong(1))
+    val span = st.map(r => math.max(r.getLong(2) - r.getLong(1), 1L))
+    val mnL = array(mn.toIndexedSeq.map(lit): _*)
+    val spL = array(span.toIndexedSeq.map(lit): _*)
+    val recon = transform(col("query_vec"), (v, i) => {
+      val m = get(mnL, i)
+      val w = get(spL, i)
+      val code = floor(((v - m) * lit(255L)) / w) // exact: spans < 2^26
+      m + floor((code * w) / lit(255L))
+    })
+    val reconCorpus = c.select(col("vec_id"), col("label"),
+      recon.as("query_vec"))
+    Similarity.bruteForceTopK(reconCorpus,
+        querySetSampled(c, ExactBaselineBudget), k = 5)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        col("cosine"), col("label"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Exact cosine top-5 over the full corpus for a fixed-budget,
     * md5-sampled query slice (ExactBaselineBudget queries) — the
     * recall ground truth for the ANN ladder, runnable at any corpus
@@ -440,6 +476,7 @@ object SimilarityOps {
     "q179_retrieval_eval" -> q179RetrievalEval _,
     "q235_retrieval_eval_auto" -> q235RetrievalEvalAuto _,
     "q49_cosine_topk" -> q49CosineTopK _,
+    "q265_sq8_ann" -> q265Sq8Ann _,
     "q80_multiprobe_ann" -> q80MultiprobeAnn _,
     "q50_ann_topk" -> q50AnnTopK _,
     "q51_embedding_stats" -> q51EmbeddingStats _,
@@ -790,6 +827,40 @@ object SimilarityOps {
          |  JOIN e cv ON cv.vec_id = cand.vec_id
          |  JOIN e qv ON qv.vec_id = cand.query_id)
          |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, cosine FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // q265: quantizer bounds → SQ8 code → integer reconstruction →
+    // ADC scoring, every floor replayed exactly (integer numerators
+    // stay far below 2^53, so the double divisions are exact and
+    // floor(a/b) IS integer division in both engines).
+    "q265_sq8_ann" ->
+      s"""WITH e AS (SELECT vec_id, label, $qvBig AS v FROM embeddings),
+         |st AS (
+         |  SELECT i, MIN(v[i]) AS mn,
+         |    GREATEST(MAX(v[i]) - MIN(v[i]), 1) AS sp
+         |  FROM e, generate_series(1, 64) g(i) GROUP BY i),
+         |p AS (SELECT list(mn ORDER BY i) AS mns, list(sp ORDER BY i) AS sps FROM st),
+         |r AS (
+         |  SELECT vec_id, label,
+         |    list_transform(v, (x, i) -> CAST(mns[i] +
+         |      CAST(FLOOR(CAST(
+         |        CAST(FLOOR(CAST((x - mns[i]) * 255 AS DOUBLE) / sps[i]) AS BIGINT)
+         |        * sps[i] AS DOUBLE) / 255) AS BIGINT) AS DOUBLE)) AS rvec
+         |  FROM e, p),
+         |q AS (
+         |  SELECT vec_id AS query_id,
+         |    list_transform(v, x -> CAST(x AS DOUBLE)) AS qvec
+         |  FROM e WHERE vec_id % 10 = 0
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $ExactBaselineBudget),
+         |scored AS (
+         |  SELECT q.query_id, r.vec_id, r.label,
+         |    CAST(list_dot_product(q.qvec, r.rvec) /
+         |      sqrt(list_dot_product(q.qvec, q.qvec) * list_dot_product(r.rvec, r.rvec))
+         |      AS DOUBLE) AS cosine
+         |  FROM q, r WHERE r.vec_id != q.query_id)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, cosine, label FROM (
          |  SELECT *, ROW_NUMBER() OVER (
          |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
          |  FROM scored)

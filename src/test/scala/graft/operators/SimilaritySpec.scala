@@ -28,6 +28,16 @@ class SimilaritySpec extends SparkSpec {
     assert(c.forall(v => math.abs(v - 1.0) < 1e-12))
   }
 
+  test("SQ8 ADC (q265) recall vs exact: 8-bit per-dim codes are near-lossless") {
+    val exact = graft.queries.SimilarityOps.q49CosineTopK(spark, sfDir)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val sq8 = graft.queries.SimilarityOps.q265Sq8Ann(spark, sfDir)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & sq8).size.toDouble / exact.size
+    info(f"SQ8 ADC recall@5 = $recall%.3f over ${exact.size} exact pairs")
+    assert(recall >= 0.9, f"8-bit scalar quantization lost too much: $recall%.3f")
+  }
+
   test("ANN recall vs brute force is reasonable (SRP-LSH 8 bands × 4 bits)") {
     val ps = Similarity.planes(32, 64)
     val bf = Similarity.bruteForceTopK(quantized, queries, k = 5)
