@@ -65,6 +65,33 @@ object DedupOps {
       .orderBy("cluster_id", "doc_id")
   }
 
+  /** q266 — q77's clustering with the STAR-CONTRACTION engine
+    * ([[Dedup.starContraction]] — Kiveris et al. 2014 alternating
+    * large-star/small-star, O(log n) rounds regardless of component
+    * diameter; min-label propagation's round count is O(diameter),
+    * which a pathological chain component blows up at 100 TB). Same
+    * LSH+verify graph, same output shape, and the ORACLE IS q77's
+    * VERBATIM — the two CC engines must agree row-for-row through
+    * the driver's hash gate (the q216-shares-q75 equivalence
+    * pattern). Both labelings are the component-min id, so
+    * agreement is exact, not just up to relabeling. */
+  def q266StarccClusters(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val sigs = Dedup.minhashSignatures(d, "doc_id", "text", k = 16, shingleN = 3)
+    val cand = Dedup.lshCandidatePairs(sigs, "doc_id", bands = 4, rowsPerBand = 4)
+    val pairs = Dedup.verifyJaccard(cand, d, "doc_id", "text", shingleN = 3)
+      .filter(col("jaccard") >= 0.2)
+      .select("id_a", "id_b")
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val cc = Dedup.starContraction(sym)
+    val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "cluster_id")
+      .select(col("id").as("doc_id"), col("cluster_id"),
+        col("cluster_size"), (col("id") === col("cluster_id")).as("is_survivor"))
+      .orderBy("cluster_id", "doc_id")
+  }
+
   /** q220 — QUALITY-argmax survivor selection over the near-dup
     * clusters (the policy step after q77's clustering: SlimPajama/
     * FineWeb pipelines keep the BEST document of each duplicate
@@ -392,6 +419,7 @@ object DedupOps {
     "q47_simhash_fingerprint" -> q47SimhashFingerprint _,
     "q48_simhash_neardup" -> q48SimhashNearDup _,
     "q77_dedup_clusters" -> q77DedupClusters _,
+    "q266_starcc_clusters" -> q266StarccClusters _,
     "q220_quality_survivor" -> q220QualitySurvivor _,
   )
 
@@ -715,6 +743,20 @@ object DedupOps {
     // the closure stays small even though it is quadratic per
     // component in the worst case.
     "q77_dedup_clusters" ->
+      s"""WITH RECURSIVE $tokHashCte,
+         |$shinglesCte,
+         |$sigBandedCtes,
+         |$cpairsCte,
+         |$ccReachCtes,
+         |lab AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+         |SELECT id AS doc_id, cluster_id,
+         |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+         |  id = cluster_id AS is_survivor
+         |FROM lab ORDER BY cluster_id, doc_id""".stripMargin,
+    // q266 shares q77's oracle VERBATIM: star contraction and
+    // min-label propagation must produce the identical component-min
+    // labeling — the algorithm-equivalence certificate.
+    "q266_starcc_clusters" ->
       s"""WITH RECURSIVE $tokHashCte,
          |$shinglesCte,
          |$sigBandedCtes,
