@@ -73,7 +73,11 @@ object ScaleSweep {
     "q264_compaction_plan",
     // SQ8 ADC: budgeted like q49 (fixed query slice x corpus — one
     // broadcast scan, linear in corpus)
-    "q265_sq8_ann")
+    "q265_sq8_ann",
+    // star-contraction CC (the O(log n) deep-graph engine) and the
+    // nested scaling ladder (one scan + bounded explode). q268 is
+    // events-based (byte-copied by ScaleUp) — excluded like q246.
+    "q266_starcc_clusters", "q267_scaling_ladder")
 
   /** Queries excluded from the sf1→sf10 decade, each with its
     * documented ceiling — these are superlinear BY CONSTRUCTION, so

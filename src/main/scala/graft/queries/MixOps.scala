@@ -823,8 +823,51 @@ object MixOps {
       .orderBy("reg_host")
   }
 
+  /** q267 — NESTED SCALING-LAW subsets: the 1/16 ⊂ 1/8 ⊂ 1/4 ⊂ 1/2 ⊂
+    * 1 data ladder a Chinchilla-style scaling experiment trains on
+    * (Hoffmann et al. 2022 vary data at fixed recipe; Kaplan et al.
+    * 2020 §3 subsample the same corpus). Nesting is BY CONSTRUCTION —
+    * one md5-derived draw per doc, rung k keeps draws below a halving
+    * threshold, so every smaller rung is a subset of every larger one
+    * and per-rung metrics are comparable (independent per-rung
+    * samples would confound the ladder with sampling noise). The
+    * violations column is the certificate: docs in rung k missing
+    * from rung k+1 — structurally zero, and a broken sampler (fresh
+    * coin per rung) lights it up. One scan; the rung explode is ≤5
+    * rows per doc. */
+  def q267ScalingLadder(s: SparkSession, dir: String): DataFrame = {
+    val draw = conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+      .cast("long")
+    val full = 16777216L // 16^6
+    val d = Tables.documents(s, dir).select(
+      col("doc_id"),
+      graft.operators.TextAnalysis.tokenCount(col("text")).cast("long").as("tc"),
+      draw.as("h"))
+    // halving thresholds full>>4 .. full>>0, indexed by rung (a
+    // literal array — shiftright takes only literal shift amounts)
+    val thrL = array((4 to 0 by -1).map(m => lit(full >> m)): _*)
+    val rungs = d.select(col("doc_id"), col("tc"), col("h"),
+        explode(filter(sequence(lit(0), lit(4)),
+          k => col("h") < get(thrL, k)))
+          .as("rung"))
+    // violations re-evaluates the NEXT rung's membership predicate
+    // (thr(k+1) = 2·thr(k)) instead of assuming nesting — a sampler
+    // rewritten to draw a fresh coin per rung lights this up
+    rungs.groupBy("rung")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tc")).as("n_tokens"),
+        sum(when(col("rung") < 4 &&
+            col("h") >= get(thrL, col("rung")) * 2,
+          1L).otherwise(0L)).as("violations"))
+      .withColumn("threshold", get(thrL, col("rung")))
+      .select("rung", "threshold", "n_docs", "n_tokens", "violations")
+      .orderBy("rung")
+  }
+
   val queries: Map[String, Q] = Map(
     "q262_url_panel" -> q262UrlPanel _,
+    "q267_scaling_ladder" -> q267ScalingLadder _,
     "q208_repetition_signals" -> q208RepetitionSignals _,
     "q212_filter_report" -> q212FilterReport _,
     "q214_curation_v2" -> q214CurationV2 _,
@@ -898,6 +941,24 @@ object MixOps {
        |WHERE t.frac >= $TestFrac ORDER BY t.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q267_scaling_ladder" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(lower(trim(text)), ' +')) AS BIGINT) AS tc,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT d.doc_id, d.tc, d.h, k.rung
+        |  FROM d, (SELECT unnest(range(0, 5)) AS rung) k
+        |  WHERE d.h < (16777216 >> (4 - k.rung)))
+        |SELECT CAST(rung AS INTEGER) AS rung,
+        |  CAST(16777216 >> (4 - rung) AS BIGINT) AS threshold,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(tc) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN rung < 4
+        |    AND h >= (16777216 >> (4 - rung)) * 2 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS violations
+        |FROM r GROUP BY rung ORDER BY rung""".stripMargin,
     "q262_url_panel" ->
       """WITH u AS (
         |  SELECT doc_id, lang,

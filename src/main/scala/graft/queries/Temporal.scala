@@ -702,7 +702,43 @@ object Temporal {
       .orderBy("lag")
   }
 
+  /** q268 — EMBARGOED temporal split (purged time-series validation,
+    * López de Prado 2018 ch.7; every time-split eval of a model on
+    * user behavior needs it): train strictly before the cutoff, test
+    * strictly after cutoff + embargo, the gap quarantined — plus the
+    * leakage AUDIT a time split must ship: per split, how many of its
+    * users also appear in train (entity overlap across a time split
+    * is the usual leak even when timestamps don't overlap; reported,
+    * not silently dropped — dropping is q122's group-split job). One
+    * scan + one distinct (user, split) frame joined back. */
+  def q268EmbargoSplit(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("2024-01-20 00:00:00").cast("timestamp")
+    val testStart = lit("2024-01-21 00:00:00").cast("timestamp")
+    val tagged = graft.Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withColumn("split",
+        when(col("ts") < cutoff, "train")
+          .when(col("ts") >= testStart, "test")
+          .otherwise("embargoed"))
+    val summary = tagged.groupBy("split")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
+    val us = tagged.select("user_id", "split").distinct()
+    val trainUsers = us.filter(col("split") === "train").select("user_id")
+    val overlap = us.join(trainUsers, "user_id")
+      .groupBy("split").agg(count(lit(1)).as("users_also_in_train"))
+    summary.join(overlap, Seq("split"), "left")
+      .select(col("split"), col("n_events"), col("n_users"),
+        col("first_ts"), col("last_ts"),
+        coalesce(col("users_also_in_train"), lit(0L)).as("users_also_in_train"))
+      .orderBy("split")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q268_embargo_split" -> q268EmbargoSplit _,
     "q181_acf" -> q181Acf _,
     "q182_lead_lag" -> q182LeadLag _,
     "q176_theil_sen" -> q176TheilSen _,
@@ -729,6 +765,29 @@ object Temporal {
   )
 
   val oracles: Map[String, String] = Map(
+    "q268_embargo_split" ->
+      """WITH tagged AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN 'train'
+        |         WHEN ts >= TIMESTAMP '2024-01-21 00:00:00' THEN 'test'
+        |         ELSE 'embargoed' END AS split
+        |  FROM events),
+        |summary AS (
+        |  SELECT split, COUNT(*) AS n_events,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |    strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+        |    strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+        |  FROM tagged GROUP BY split),
+        |us AS (SELECT DISTINCT user_id, split FROM tagged),
+        |ov AS (
+        |  SELECT us.split, COUNT(*) AS users_also_in_train
+        |  FROM us JOIN (SELECT user_id FROM us WHERE split = 'train') t
+        |    ON us.user_id = t.user_id
+        |  GROUP BY us.split)
+        |SELECT s.split, s.n_events, s.n_users, s.first_ts, s.last_ts,
+        |  COALESCE(ov.users_also_in_train, 0) AS users_also_in_train
+        |FROM summary s LEFT JOIN ov ON s.split = ov.split
+        |ORDER BY s.split""".stripMargin,
     "q181_acf" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt,
