@@ -77,7 +77,11 @@ object ScaleSweep {
     // star-contraction CC (the O(log n) deep-graph engine) and the
     // nested scaling ladder (one scan + bounded explode). q268 is
     // events-based (byte-copied by ScaleUp) — excluded like q246.
-    "q266_starcc_clusters", "q267_scaling_ladder")
+    "q266_starcc_clusters", "q267_scaling_ladder",
+    // retention sweep: rebuilds its scratch index every run BY
+    // CONTRACT (a sweep is destructive), so the measured time is
+    // build + candidate-pruned rewrite — both linear
+    "q269_retention_sweep")
 
   /** Queries excluded from the sf1→sf10 decade, each with its
     * documented ceiling — these are superlinear BY CONSTRUCTION, so

@@ -525,7 +525,28 @@ object CurationOps {
       .orderBy("fp", "doc_id")
   }
 
+  /** q269 — content-keyed RETENTION SWEEP as an oracle row
+    * ([[graft.operators.Retention]]): erase every copy of the listed
+    * content fingerprints (doc_id%37 draw — exact dups under other
+    * ids are erased too, the "all copies" contract of a takedown)
+    * from the bucket-partitioned table, rewriting ONLY bloom-candidate
+    * buckets via dynamic partition overwrite. The scratch table is
+    * rebuilt fresh each invocation (a sweep is destructive, so reuse
+    * would make the second run vacuous); the audit's rows_after is
+    * measured from the post-sweep FILES, so the oracle's
+    * before−deleted arithmetic certifies the on-disk result. */
+  def q269RetentionSweep(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"/root/repo/target/graft_retention/$tag"
+    graft.operators.BloomIndex.build(docs, 16, path)
+    val fps = docs.filter(pmod(col("doc_id"), lit(37)) === 5)
+      .select(TextAnalysis.fingerprint(col("text")).as("fp")).distinct()
+    graft.operators.Retention.sweep(s, path, fps).orderBy("bucket")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q269_retention_sweep" -> q269RetentionSweep _,
     "q263_bloom_point_lookup" -> q263BloomPointLookup _,
     "q200_epoch_shards" -> q200EpochShards _,
     "q240_context_packing" -> q240ContextPacking _,
@@ -550,6 +571,25 @@ object CurationOps {
     // q263: the algorithm-independent ground truth — a plain
     // fingerprint join over the raw table; bloom skipping must be
     // bit-identical (no false negatives, FPs die in the exact join).
+    // q269: before − deleted from the raw corpus must equal the
+    // post-sweep on-disk counts the engine measured.
+    "q269_retention_sweep" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |    CAST(doc_id % 16 AS INTEGER) AS bucket
+        |  FROM documents),
+        |del AS (
+        |  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE doc_id % 37 = 5)
+        |SELECT bucket,
+        |  COUNT(*) AS rows_before,
+        |  CAST(SUM(CASE WHEN fp IN (SELECT fp FROM del) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS rows_deleted,
+        |  COUNT(*) - CAST(SUM(CASE WHEN fp IN (SELECT fp FROM del) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS rows_after
+        |FROM d GROUP BY bucket
+        |ORDER BY bucket""".stripMargin,
     "q263_bloom_point_lookup" ->
       """WITH probes AS (
         |  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp

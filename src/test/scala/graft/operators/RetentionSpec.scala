@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Retention.sweep: every copy of a listed content erased, only
+  * bloom-candidate bucket files rewritten, audit law holds against
+  * the post-sweep files. */
+class RetentionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+    .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("sweep: all copies erased, untouched buckets' files not rewritten, audit law") {
+    val path =
+      java.nio.file.Files.createTempDirectory("retention").toString + "/idx"
+    // ids 5 and 21 share content across ids (both land in bucket 5:
+    // 21%16=5) — deleting doc 5's content must also erase doc 21;
+    // ids 3 and 67 share an UNRELATED content and must both survive
+    val docs = (0L until 80L).map { i =>
+      val text = if (i == 67L || i == 3L) "carbon copy alpha"
+        else if (i == 21L || i == 5L) "carbon copy beta"
+        else s"unique content $i"
+      (i, text)
+    }.toDF("doc_id", "text")
+    BloomIndex.build(docs, 16, path)
+
+    // file fingerprint (name, length, modtime) per bucket dir
+    def bucketFiles(b: Int): Set[(String, Long, Long)] = {
+      val dir = new java.io.File(s"$path/data/bucket=$b")
+      if (!dir.exists()) Set.empty
+      else dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length(), f.lastModified())).toSet
+    }
+    val before = (0 until 16).map(b => b -> bucketFiles(b)).toMap
+
+    val fps = Seq(md5hex("carbon copy beta")).toDF("fp")
+    val audit = Retention.sweep(spark, path, fps)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
+    // all copies of the content gone — both doc 5 and doc 21
+    val left = spark.read.parquet(s"$path/data")
+      .select("doc_id").as[Long].collect().toSet
+    assert(!left.contains(5L) && !left.contains(21L))
+    assert(left.contains(3L) && left.contains(67L), "unrelated dup pair survived")
+    assert(left.size === 78)
+    assert(audit(5)._2 === 2L, "both copies counted in bucket 5's deletions")
+
+    // audit law per bucket, and rows_after measured from disk
+    val onDisk = spark.read.parquet(s"$path/data")
+      .groupBy("bucket").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    audit.foreach { case (b, (nb, nd, na)) =>
+      assert(na === nb - nd, s"audit law broken for bucket $b")
+      assert(na === onDisk.getOrElse(b, 0L),
+        s"rows_after != on-disk rows for bucket $b")
+    }
+
+    // file skipping: the deleting bucket was rewritten, most weren't
+    val rewritten = (0 until 16).filter(b => bucketFiles(b) != before(b))
+    assert(rewritten.contains(5), "the deleting bucket must be rewritten")
+    assert(rewritten.size < 16,
+      s"every bucket was rewritten — skipping lost: $rewritten")
+  }
+}
