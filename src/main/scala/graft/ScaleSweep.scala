@@ -81,7 +81,9 @@ object ScaleSweep {
     // retention sweep: rebuilds its scratch index every run BY
     // CONTRACT (a sweep is destructive), so the measured time is
     // build + candidate-pruned rewrite — both linear
-    "q269_retention_sweep")
+    "q269_retention_sweep",
+    // contrastive mining: q49's budgeted broadcast scan shape
+    "q270_contrastive_mining")
 
   /** Queries excluded from the sf1→sf10 decade, each with its
     * documented ceiling — these are superlinear BY CONSTRUCTION, so

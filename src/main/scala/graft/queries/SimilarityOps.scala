@@ -80,6 +80,44 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  /** q270 — CONTRASTIVE PAIR MINING (the training-data face of the
+    * ANN ladder: metric-learning pipelines mine, per anchor, its
+    * positive and its HARDEST negatives — the highest-similarity
+    * wrong-label neighbors, Schroff et al. 2015 §3.2 semi-hard
+    * mining, batch-offline form): for the budgeted md5-sampled
+    * anchor slice, rank the corpus per (anchor, role) where role
+    * splits on label agreement; keep the top positive and the top-3
+    * hard negatives. Budget × corpus broadcast scan — same linear
+    * scale shape as q49 — with one WindowGroupLimit rank per role. */
+  def q270ContrastiveMining(s: SparkSession, dir: String): DataFrame = {
+    val c = quantized(s, dir)
+    val anchors = querySetSampled(c, ExactBaselineBudget)
+      .join(c.select(col("vec_id").as("query_id"), col("label").as("anchor_label")),
+        "query_id")
+    val c2 = c.withColumn("_n2c",
+      Similarity.dotFast(s, col("query_vec"), col("query_vec")))
+    val q2 = anchors.withColumn("_n2q",
+      Similarity.dotFast(s, col("qvec"), col("qvec")))
+    val scored = c2.crossJoin(broadcast(q2))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cosine",
+        (Similarity.dotFast(s, col("query_vec"), col("qvec")).cast("double") /
+          sqrt(col("_n2q").cast("double") * col("_n2c").cast("double")))
+          .cast("double"))
+      .withColumn("role",
+        when(col("label") === col("anchor_label"), "positive")
+          .otherwise("negative"))
+    val w = Window.partitionBy("query_id", "role")
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter((col("role") === "positive" && col("rk") <= 1) ||
+        (col("role") === "negative" && col("rk") <= 3))
+      .select(col("query_id").as("anchor_id"), col("anchor_label"),
+        col("role"), col("rk").cast("int").as("rk"),
+        col("vec_id"), col("label"), col("cosine"))
+      .orderBy("anchor_id", "role", "rk")
+  }
+
   /** Exact cosine top-5 over the full corpus for a fixed-budget,
     * md5-sampled query slice (ExactBaselineBudget queries) — the
     * recall ground truth for the ANN ladder, runnable at any corpus
@@ -477,6 +515,7 @@ object SimilarityOps {
     "q235_retrieval_eval_auto" -> q235RetrievalEvalAuto _,
     "q49_cosine_topk" -> q49CosineTopK _,
     "q265_sq8_ann" -> q265Sq8Ann _,
+    "q270_contrastive_mining" -> q270ContrastiveMining _,
     "q80_multiprobe_ann" -> q80MultiprobeAnn _,
     "q50_ann_topk" -> q50AnnTopK _,
     "q51_embedding_stats" -> q51EmbeddingStats _,
@@ -831,6 +870,29 @@ object SimilarityOps {
          |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
          |  FROM scored)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q270_contrastive_mining" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, label AS anchor_label, $qv AS qvec
+         |  FROM embeddings WHERE vec_id % 10 = 0
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $ExactBaselineBudget),
+         |c AS (SELECT vec_id, label, $qv AS cvec FROM embeddings),
+         |scored AS (
+         |  SELECT q.query_id AS anchor_id, q.anchor_label, c.vec_id, c.label,
+         |    CAST(list_dot_product(q.qvec, c.cvec) /
+         |      sqrt(list_dot_product(q.qvec, q.qvec) * list_dot_product(c.cvec, c.cvec))
+         |      AS DOUBLE) AS cosine,
+         |    CASE WHEN c.label = q.anchor_label THEN 'positive'
+         |         ELSE 'negative' END AS role
+         |  FROM q, c WHERE c.vec_id != q.query_id),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id, role
+         |    ORDER BY cosine DESC, vec_id) AS rk
+         |  FROM scored)
+         |SELECT anchor_id, anchor_label, role, CAST(rk AS INTEGER) AS rk,
+         |  vec_id, label, cosine
+         |FROM ranked
+         |WHERE (role = 'positive' AND rk <= 1) OR (role = 'negative' AND rk <= 3)
+         |ORDER BY anchor_id, role, rk""".stripMargin,
     // q265: quantizer bounds → SQ8 code → integer reconstruction →
     // ADC scoring, every floor replayed exactly (integer numerators
     // stay far below 2^53, so the double divisions are exact and

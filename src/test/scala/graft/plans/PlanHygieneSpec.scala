@@ -129,6 +129,12 @@ class PlanHygieneSpec extends SparkSpec {
     // the 1-row corpus-token-total and weight-total crosses (q07
     // idiom); the source aggregate itself is |sources|-bounded
     "q211_mixture_weights" -> "1-row token/weight-total crosses",
+    // SQ8 ADC: q49's bounded-query-set broadcast scan against the
+    // reconstructed corpus codes
+    "q265_sq8_ann" -> "ADC scan (broadcast query set vs reconstructed codes)",
+    // contrastive mining: the same budgeted anchor-slice broadcast
+    // scan; the per-role pick is a keyed WindowGroupLimit
+    "q270_contrastive_mining" -> "broadcast anchor slice vs corpus (budgeted mining scan)",
   )
 
   private def offenders(plan: SparkPlan): Seq[String] = plan.collect {
