@@ -60,9 +60,93 @@ object BloomIndex {
       .repartition(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/bloom")
     val out = hfs.create(marker, true)
-    out.write(s"rows=$rows\nbuckets=$buckets\n"
+    // perbucket freezes the bloom sizing: append must build its delta
+    // blooms with IDENTICAL parameters or the byte-wise OR is invalid
+    out.write(s"rows=$rows\nbuckets=$buckets\nperbucket=$perBucket\n"
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     out.close()
+  }
+
+  private def markerKv(spark: SparkSession, path: String): Map[String, String] = {
+    val hfs = fs(spark, path)
+    val marker = new org.apache.hadoop.fs.Path(s"$path/$MarkerFile")
+    if (!hfs.exists(marker)) return Map.empty
+    val in = hfs.open(marker)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    txt.linesIterator.flatMap { l =>
+      l.split("=", 2) match { case Array(k, v) => Some(k -> v.trim); case _ => None }
+    }.toMap
+  }
+
+  /** Incremental APPEND under the frozen layout (the IvfIndex
+    * `assignOnly` contract for the bloom index): new docs land in
+    * their buckets with SaveMode.Append, and the sidecar is updated
+    * by byte-wise OR of the delta blooms — valid because bloom
+    * filters with identical (bits, hashes) parameters merge by OR
+    * (Broder & Mitzenmacher 2004 §4), and `perbucket` was frozen in
+    * the marker at build time exactly so deltas size identically.
+    * The OR runs on the driver over `buckets` rows of sidecar bytes
+    * (bounded index metadata). Appends SATURATE the blooms (set-bit
+    * fraction rises, FP rate with it) — `saturation` is the monitor,
+    * rebuild via `build` is the reset, mirroring IvfIndex.skewRatio/
+    * rebuild. */
+  def append(docs: DataFrame, path: String): Unit = {
+    val sp = docs.sparkSession
+    val kv = markerKv(sp, path)
+    val buckets = kv("buckets").toInt
+    val perBucket = kv("perbucket").toLong
+    val keyed = docs.select(
+      col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fingerprint"),
+      pmod(col("doc_id"), lit(buckets)).cast("int").as("bucket"))
+    keyed.write.partitionBy("bucket").mode(SaveMode.Append)
+      .parquet(s"$path/data")
+    val delta = keyed.groupBy("bucket")
+      .agg(call_function("graft_bloom_agg",
+        xxhash64(col("fingerprint")), lit(perBucket)).as("bloom"))
+      .collect().map(r => r.getAs[Int]("bucket") -> r.getAs[Array[Byte]]("bloom"))
+      .toMap
+    val merged = sp.read.parquet(s"$path/bloom")
+      .collect().map { r =>
+        val b = r.getAs[Int]("bucket")
+        val cur = r.getAs[Array[Byte]]("bloom")
+        val out = delta.get(b) match {
+          case Some(d) =>
+            require(d.length == cur.length,
+              s"bloom size drift on bucket $b: ${d.length} vs ${cur.length}")
+            val m = new Array[Byte](cur.length)
+            var i = 0
+            while (i < m.length) { m(i) = (cur(i) | d(i)).toByte; i += 1 }
+            m
+          case None => cur
+        }
+        (b, out)
+      }
+    import sp.implicits._
+    merged.toSeq.toDF("bucket", "bloom")
+      .repartition(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/bloom")
+    // refresh the fingerprint so isValid reflects the appended corpus
+    val rows = sp.read.parquet(s"$path/data").count()
+    val hfs = fs(sp, path)
+    val out = hfs.create(new org.apache.hadoop.fs.Path(s"$path/$MarkerFile"), true)
+    out.write(s"rows=$rows\nbuckets=$buckets\nperbucket=$perBucket\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  /** Max per-bucket set-bit fraction of the sidecar — the saturation
+    * monitor (FP rate ≈ fraction^hashes): appends push it up, and
+    * past ~0.5 the skipping power is gone and a rebuild resizes. */
+  def saturation(spark: SparkSession, path: String): Double = {
+    val rows = spark.read.parquet(s"$path/bloom")
+      .collect().map(_.getAs[Array[Byte]]("bloom"))
+    rows.map { b =>
+      var set = 0L
+      b.foreach(x => set += java.lang.Integer.bitCount(x & 0xFF))
+      set.toDouble / (b.length * 8L)
+    }.max
   }
 
   /** True iff a completed build exists whose fingerprint matches. */

@@ -749,7 +749,35 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q271 — longest-documents panel: per-source AND corpus-total
+    * top-3 by token count from ONE pass, `graft_topk` under ROLLUP
+    * grouping sets (q249's one-pass idiom with the bounded-heap
+    * aggregate instead of the quantile sketch — the concrete form of
+    * TopKAgg's composability claim: a window-rank top-k cannot ride
+    * grouping sets, it needs one sorted pass per grouping). Payload
+    * is the zero-padded doc id, so the heap's total order is the
+    * rank order and ties are deterministic. State: one k-element
+    * heap per (group, grand-total) cell. */
+  def q271TopkPanel(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.documents(s, dir).select(
+      col("source"),
+      graft.operators.TextAnalysis.tokenCount(col("text")).cast("long").as("tc"),
+      lpad(col("doc_id").cast("string"), 12, "0").as("okey"))
+    d.rollup("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        call_function("graft_topk", col("tc"), col("okey"), lit(3)).as("top"))
+      .select(coalesce(col("source"), lit("ALL")).as("source"),
+        col("n_docs"), posexplode(col("top")))
+      .select(col("source"), col("n_docs"),
+        (col("pos") + 1).cast("int").as("rk"),
+        col("col.score").as("token_count"),
+        col("col.payload").as("doc_id_pad"))
+      .orderBy("source", "rk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q271_topk_panel" -> q271TopkPanel _,
     "q258_blocklist_filter" -> q258BlocklistFilter _,
     "q256_gopher_rules" -> q256GopherRules _,
     "q249_length_panel" -> q249LengthPanel _,
@@ -1249,6 +1277,32 @@ object TextOps {
          |       WHEN score_fr >= score_zh THEN 'fr'
          |       ELSE 'zh' END = labeled_lang AS agrees_with_label
          |FROM scored ORDER BY doc_id""".stripMargin,
+    // q271: per-source ranks + the ALL row from a rank over the whole
+    // corpus — the same (score DESC, id ASC) total order the heap uses
+    "q271_topk_panel" ->
+      s"""WITH d AS (
+         |  SELECT source,
+         |    CAST(len($tokensSql) AS BIGINT) AS tc,
+         |    lpad(CAST(doc_id AS VARCHAR), 12, '0') AS okey
+         |  FROM documents),
+         |n AS (
+         |  SELECT source, COUNT(*) AS n_docs FROM d GROUP BY source
+         |  UNION ALL
+         |  SELECT 'ALL', COUNT(*) FROM d),
+         |r AS (
+         |  SELECT source, tc, okey,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY tc DESC, okey ASC) AS rk
+         |  FROM d
+         |  UNION ALL
+         |  SELECT 'ALL', tc, okey,
+         |    ROW_NUMBER() OVER (ORDER BY tc DESC, okey ASC) AS rk
+         |  FROM d)
+         |SELECT r.source, n.n_docs, CAST(rk AS INTEGER) AS rk,
+         |  tc AS token_count, okey AS doc_id_pad
+         |FROM r JOIN n ON r.source = n.source
+         |WHERE rk <= 3
+         |ORDER BY r.source, rk""".stripMargin,
     "q258_blocklist_filter" ->
       s"""WITH t AS (
          |  SELECT doc_id, source, $tokensSql AS words FROM documents),

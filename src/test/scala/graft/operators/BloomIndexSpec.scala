@@ -65,6 +65,29 @@ class BloomIndexSpec extends SparkSpec {
       "data scan carries no partition filter — the isin prune was lost")
   }
 
+  test("append: new docs searchable, sidecar OR-merged, saturation monotone") {
+    val path2 =
+      java.nio.file.Files.createTempDirectory("bloomidx2").toString + "/idx"
+    BloomIndex.build(docs, 16, path2)
+    val sat0 = BloomIndex.saturation(spark, path2)
+    val extra = (1000L until 1040L)
+      .map(i => (i, s"appended body $i arrives later")).toDF("doc_id", "text")
+    BloomIndex.append(extra, path2)
+    // fingerprint refreshed: the index is valid for the GROWN corpus
+    assert(BloomIndex.isValid(spark, path2, 160L, 16))
+    // an appended doc's fingerprint is found through the merged sidecar
+    val probe = fpOf(Seq("appended body 1007 arrives later")).toDF("fp")
+    val hit = BloomIndex.lookup(spark, path2, probe)
+      .select("doc_id").as[Long].collect().toSet
+    assert(hit === Set(1007L))
+    // pre-append content still found (the OR kept the old bits)
+    val old = fpOf(Seq("unique body 42 of document")).toDF("fp")
+    assert(BloomIndex.lookup(spark, path2, old)
+      .select("doc_id").as[Long].collect().toSet === Set(42L))
+    // appends only ever SET bits: saturation is monotone non-decreasing
+    assert(BloomIndex.saturation(spark, path2) >= sat0)
+  }
+
   test("marker gates aborted and stale builds") {
     BloomIndex.ensureBuilt(docs, 16, path)
     assert(BloomIndex.isValid(spark, path, 120L, 16))

@@ -61,6 +61,34 @@ class TopKAggSpec extends SparkSpec {
     assert(got(3) === Seq((1L, "only")))
   }
 
+  test("under ROLLUP, the grand-total cell ≡ the direct global aggregate") {
+    val rnd = new scala.util.Random(11)
+    val df = Seq.tabulate(200)(i =>
+      (s"s${rnd.nextInt(4)}", rnd.nextInt(30).toLong, f"p${rnd.nextInt(40)}%02d"))
+      .toDF("g", "s", "p")
+    val rolled = df.rollup("g")
+      .agg(call_function("graft_topk", col("s"), col("p"), lit(4)).as("top"))
+    val allRow = rolled.filter(col("g").isNull)
+      .select("top").collect().head.getSeq[Row](0)
+      .map(x => (x.getLong(0), x.getString(1)))
+    val direct = df.agg(
+        call_function("graft_topk", col("s"), col("p"), lit(4)).as("top"))
+      .collect().head.getSeq[Row](0)
+      .map(x => (x.getLong(0), x.getString(1)))
+    assert(allRow === direct)
+    // and each per-group cell matches its plain groupBy twin
+    val perGroup = rolled.filter(col("g").isNotNull)
+      .select("g", "top").collect()
+      .map(r => r.getString(0) -> r.getSeq[Row](1).map(x => (x.getLong(0), x.getString(1))))
+      .toMap
+    val plain = df.groupBy("g")
+      .agg(call_function("graft_topk", col("s"), col("p"), lit(4)).as("top"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Row](1).map(x => (x.getLong(0), x.getString(1))))
+      .toMap
+    assert(perGroup === plain)
+  }
+
   test("null score or payload is skipped") {
     val df = Seq(
       (1, Some(3L), Some("a")), (1, None, Some("b")), (1, Some(9L), None)
