@@ -92,6 +92,56 @@ object DedupOps {
       .orderBy("cluster_id", "doc_id")
   }
 
+  /** q272 — LSH PARAMETER TUNER: for every (bands, rows) factoring
+    * of the 16-hash signature, the expected miss/false-candidate
+    * weights of the banding S-curve p(s) = 1 − (1 − s^r)^b
+    * (Leskovec/Rajaraman/Ullman MMDS §3.4.3) evaluated against the
+    * CORPUS'S OWN observed pair-similarity histogram (q44's linear
+    * adjacent-pair kernel, binned) — the design table behind q46's
+    * bands=4/rows=4 choice, recomputed per corpus instead of folklore.
+    * The S-curve is evaluated by literal multiplication chains (not
+    * pow — engines' pow may differ in the last ulp) and fixed-pointed
+    * at micro precision, so every weight is an exact integer both
+    * engines agree on. Error weights split at the τ=0.2 bin edge:
+    * fn_weight = missed true pairs, fp_weight = caught sub-τ pairs;
+    * pick_rank orders by total error. All post-aggregation math over
+    * a ≤10-row histogram × 5 configs. */
+  def q272LshTuner(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextAnalysis.tokens
+    val d = Tables.documents(s, dir)
+    val a = d.select(col("doc_id").as("doc_a"),
+      array_distinct(tokens(col("text"))).as("ta"))
+    val b = d.select(col("doc_id").as("doc_b"),
+      array_distinct(tokens(col("text"))).as("tb"))
+    val inter = size(array_intersect(col("ta"), col("tb")))
+    val jac = a.join(b, col("doc_b") === col("doc_a") + 1)
+      .select((inter.cast("double") /
+        (size(col("ta")) + size(col("tb")) - inter)).as("jaccard"))
+    val hist = jac
+      .select(least(floor(col("jaccard") * 10).cast("int"), lit(9)).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+    val sMid = col("bin").cast("double") * 0.1 + 0.05
+    val perConfig = Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1)).map {
+      case (bands, rows) =>
+        val sr = (1 until rows).foldLeft(sMid)((e, _) => e * sMid)
+        val miss = (1 until bands).foldLeft(lit(1.0) - sr)((e, _) => e * (lit(1.0) - sr))
+        hist.select(
+          lit(bands).as("bands"), lit(rows).as("rows_per_band"),
+          col("bin"), col("cnt"),
+          floor((lit(1.0) - miss) * 1e6).cast("long").as("p_micro"))
+    }.reduce(_ unionAll _)
+    perConfig.groupBy("bands", "rows_per_band")
+      .agg(
+        sum(when(col("bin") >= 2, col("cnt") * (lit(1000000L) - col("p_micro")))
+          .otherwise(0L)).as("fn_weight"),
+        sum(when(col("bin") < 2, col("cnt") * col("p_micro"))
+          .otherwise(0L)).as("fp_weight"))
+      .withColumn("total_error", col("fn_weight") + col("fp_weight"))
+      .withColumn("pick_rank", row_number().over(
+        Window.orderBy(col("total_error").asc, col("bands").asc)).cast("int"))
+      .orderBy("bands")
+  }
+
   /** q220 — QUALITY-argmax survivor selection over the near-dup
     * clusters (the policy step after q77's clustering: SlimPajama/
     * FineWeb pipelines keep the BEST document of each duplicate
@@ -420,6 +470,7 @@ object DedupOps {
     "q48_simhash_neardup" -> q48SimhashNearDup _,
     "q77_dedup_clusters" -> q77DedupClusters _,
     "q266_starcc_clusters" -> q266StarccClusters _,
+    "q272_lsh_tuner" -> q272LshTuner _,
     "q220_quality_survivor" -> q220QualitySurvivor _,
   )
 
@@ -753,6 +804,47 @@ object DedupOps {
          |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
          |  id = cluster_id AS is_survivor
          |FROM lab ORDER BY cluster_id, doc_id""".stripMargin,
+    // q272: the S-curve by literal multiplication chains (left-assoc,
+    // matching the Scala folds exactly — no pow), micro fixed-point.
+    "q272_lsh_tuner" -> {
+      val sm = "(CAST(bin AS DOUBLE) * CAST(0.1 AS DOUBLE) + CAST(0.05 AS DOUBLE))"
+      def cfg(bands: Int, rows: Int): String = {
+        val sr = Seq.fill(rows)(sm).mkString(" * ")
+        val miss = Seq.fill(bands)(s"(1.0 - ($sr))").mkString(" * ")
+        s"""SELECT $bands AS bands, $rows AS rows_per_band, bin, cnt,
+           |    CAST(FLOOR((1.0 - ($miss)) * 1000000.0) AS BIGINT) AS p_micro
+           |  FROM hist""".stripMargin
+      }
+      val cfgs = Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1))
+        .map((cfg _).tupled).mkString("\n  UNION ALL\n")
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |    list_distinct(regexp_split_to_array(lower(trim(text)), ' +')) AS t
+         |  FROM documents),
+         |j AS (
+         |  SELECT CAST(CAST(len(list_filter(a.t, x -> list_contains(b.t, x))) AS DOUBLE)
+         |    / (len(a.t) + len(b.t) - len(list_filter(a.t, x -> list_contains(b.t, x))))
+         |    AS DOUBLE) AS jaccard
+         |  FROM tok a JOIN tok b ON b.doc_id = a.doc_id + 1),
+         |hist AS (
+         |  SELECT LEAST(CAST(FLOOR(jaccard * 10) AS INTEGER), 9) AS bin,
+         |    COUNT(*) AS cnt
+         |  FROM j GROUP BY 1),
+         |p AS (
+         |  $cfgs),
+         |w AS (
+         |  SELECT bands, rows_per_band,
+         |    CAST(SUM(CASE WHEN bin >= 2 THEN cnt * (1000000 - p_micro) ELSE 0 END)
+         |      AS BIGINT) AS fn_weight,
+         |    CAST(SUM(CASE WHEN bin < 2 THEN cnt * p_micro ELSE 0 END)
+         |      AS BIGINT) AS fp_weight
+         |  FROM p GROUP BY 1, 2)
+         |SELECT bands, rows_per_band, fn_weight, fp_weight,
+         |  fn_weight + fp_weight AS total_error,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY fn_weight + fp_weight ASC, bands ASC)
+         |    AS INTEGER) AS pick_rank
+         |FROM w ORDER BY bands""".stripMargin
+    },
     // q266 shares q77's oracle VERBATIM: star contraction and
     // min-label propagation must produce the identical component-min
     // labeling — the algorithm-equivalence certificate.

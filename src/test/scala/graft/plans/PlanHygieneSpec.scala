@@ -135,6 +135,8 @@ class PlanHygieneSpec extends SparkSpec {
     // contrastive mining: the same budgeted anchor-slice broadcast
     // scan; the per-role pick is a keyed WindowGroupLimit
     "q270_contrastive_mining" -> "broadcast anchor slice vs corpus (budgeted mining scan)",
+    // pick-rank window over the 5-row config aggregate (q25 idiom)
+    "q272_lsh_tuner" -> "rank window over the 5-row config aggregate",
   )
 
   private def offenders(plan: SparkPlan): Seq[String] = plan.collect {
