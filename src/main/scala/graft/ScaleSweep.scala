@@ -83,7 +83,10 @@ object ScaleSweep {
     // build + candidate-pruned rewrite — both linear
     "q269_retention_sweep",
     // contrastive mining: q49's budgeted broadcast scan shape
-    "q270_contrastive_mining")
+    "q270_contrastive_mining",
+    // one-pass rollup top-k panel; LSH tuner (linear adjacent-pair
+    // kernel + constant config math)
+    "q271_topk_panel", "q272_lsh_tuner")
 
   /** Queries excluded from the sf1→sf10 decade, each with its
     * documented ceiling — these are superlinear BY CONSTRUCTION, so
