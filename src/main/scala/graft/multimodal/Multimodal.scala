@@ -286,6 +286,75 @@ object Multimodal {
     }
   }
 
+  case class AudioQa(media_id: Long, n_samples: Int, n_clipped: Long,
+                     sum_sq: Long, max_abs: Int, longest_silence: Int)
+
+  /** QA-structured synthetic audio: 8 kHz mono PCM16 WAV clips with a
+    * PLANTED leading silence section (±2 dither), a noise body
+    * (|s| ≤ 20000), and — on every third clip — a 10-sample full-scale
+    * clipping burst (±32767/−32768). Sample counts are multiples of 8
+    * so duration_ms·8 recovers them exactly (the oracle derives n from
+    * the typed metadata). All content derives from (seed, i). */
+  def syntheticAudioQa(spark: SparkSession, n: Int, seed: Long = 173L): Dataset[MediaRow] = {
+    import spark.implicits._
+    val rows = (0 until n).map { i =>
+      val rnd = new scala.util.Random(seed + i)
+      val nSamples = 400 + (i % 5) * 80
+      val silLen = 50 + rnd.nextInt(100)
+      val s = new Array[Short](nSamples)
+      var k = 0
+      while (k < nSamples) {
+        s(k) = if (k < silLen) (rnd.nextInt(5) - 2).toShort
+          else (rnd.nextInt(40001) - 20000).toShort
+        k += 1
+      }
+      if (i % 3 == 0) {
+        val p = silLen + 20 + rnd.nextInt(nSamples - silLen - 40)
+        (0 until 10).foreach { j =>
+          s(p + j) = if (j % 2 == 0) 32767.toShort else (-32768).toShort
+        }
+      }
+      val bytes = new Array[Byte](2 * nSamples)
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      s.foreach(bb.putShort)
+      MediaRow(i.toLong, s"mem://media/audioqa/$i.wav",
+        MediaMeta("audio", 0, 0, nSamples / 8L, "pcm_s16le"),
+        Codec.encodeWav(channels = 1, sampleRate = 8000, bytes))
+    }
+    rows.toDS()
+  }
+
+  /** Per-clip audio QA panel — the audio modality's curation gate
+    * (clipping and silence are the standard reject signals in speech
+    * corpus pipelines, cf. librosa/ffmpeg silencedetect + astats
+    * clip counts): clipped-sample count (|s| ≥ 32760), energy as the
+    * exact integer sum of squares (no float RMS — the oracle replays
+    * it exactly), max |s|, and the longest silence run (|s| ≤ 2).
+    * mapPartitions decode; integer arithmetic end to end. */
+  def audioQa(media: Dataset[MediaRow]): Dataset[AudioQa] = {
+    import media.sparkSession.implicits._
+    media.filter(_.meta.media_type == "audio").flatMap { m =>
+      Codec.decodeWav(m.content).toSeq.map { w =>
+        val s = w.samples
+        var clipped = 0L; var sumSq = 0L; var maxAbs = 0
+        var run = 0; var best = 0
+        var k = 0
+        while (k < s.length) {
+          val v = s(k).toInt
+          val a = math.abs(v)
+          if (a >= 32760) clipped += 1
+          sumSq += v.toLong * v.toLong
+          if (a > maxAbs) maxAbs = a
+          if (a <= 2) { run += 1; if (run > best) best = run }
+          else run = 0
+          k += 1
+        }
+        AudioQa(m.media_id, s.length, clipped, sumSq, maxAbs, best)
+      }
+    }
+  }
+
   /** Size-balanced repartitioning for skewed blob sizes: each output
     * partition receives ~equal total BYTES, not equal row counts.
     * The byte offsets come from the two-phase distributed prefix sum

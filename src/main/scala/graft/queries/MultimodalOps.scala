@@ -73,6 +73,25 @@ object MultimodalOps {
     media(s, dir)
     mediaDups(s, dir)
     mediaScenes(s, dir)
+    mediaAudioQa(s, dir)
+  }
+
+  private def audioQaCount(dir: String): Int =
+    if (dir.contains("sf0.1")) 300 else if (dir.contains("sf0.01")) 60 else 30
+
+  /** Audio-QA fixture (Multimodal.syntheticAudioQa), materialized
+    * once like `media`. */
+  private def mediaAudioQa(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = audioQaCount(dir)
+    val path = s"$FixtureDir/media_audioqa_n$n"
+    val marker = new java.io.File(s"$path/_graft_$FixtureVersion")
+    if (!marker.exists()) {
+      Multimodal.syntheticAudioQa(s, n).toDF()
+        .write.mode("overwrite").parquet(path)
+      marker.createNewFile()
+    }
+    s.read.parquet(path)
   }
 
   private def sceneCount(dir: String): Int =
@@ -155,11 +174,28 @@ object MultimodalOps {
     Multimodal.sceneDiffs(m).toDF().orderBy("media_id", "frame_idx")
   }
 
+  /** q273 — per-clip AUDIO QA panel over the WAV column
+    * ([[Multimodal.audioQa]]): clipping count, exact integer energy
+    * (sum of squares — no float RMS, so the oracle replays it
+    * exactly), max amplitude, longest silence run; over a fixture
+    * with PLANTED silence sections and full-scale clipping bursts.
+    * The audio corner of the modality-QA triangle (q251 image
+    * near-dup, q260 video scene cuts). The oracle re-derives every
+    * PCM16LE sample from the blob's hex dump (sample k at byte
+    * 44 + 2k of the canonical header) and replays the silence-run
+    * law with gaps-and-islands. */
+  def q273AudioQa(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = mediaAudioQa(s, dir).as[Multimodal.MediaRow]
+    Multimodal.audioQa(m).toDF().orderBy("media_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q70_media_features" -> q70MediaFeatures _,
     "q71_frame_sample" -> q71FrameSample _,
     "q251_image_neardup" -> q251ImageNearDup _,
     "q260_scene_cuts" -> q260SceneCuts _,
+    "q273_audio_qa" -> q273AudioQa _,
   )
 
   /** Gray sum b+g+r of the dHash grid sample at column expr `gx`
@@ -225,6 +261,42 @@ object MultimodalOps {
          |FROM read_parquet('$FixtureDir/media_n300/*.parquet')
          |WHERE meta.media_type = 'video' AND meta.duration_ms // 500 >= 1
          |ORDER BY media_id""".stripMargin,
+    // Replays every PCM16LE sample from the hex dump (little-endian
+    // byte pair at 44 + 2k), then the clip/energy/silence-run laws.
+    "q273_audio_qa" -> {
+      val lo = hexByte("(44 + 2*k)")
+      val hi = hexByte("(45 + 2*k)")
+      s"""WITH m AS (
+         |  SELECT media_id, hex(content) AS hx,
+         |    CAST(meta.duration_ms * 8 AS INTEGER) AS n
+         |  FROM read_parquet('$FixtureDir/media_audioqa_n60/*.parquet')),
+         |s AS (
+         |  SELECT media_id, k,
+         |    CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
+         |  FROM (
+         |    SELECT media_id, k, $lo + 256 * ($hi) AS v
+         |    FROM m, generate_series(0, 719) g(k) WHERE k < n)),
+         |runs AS (
+         |  SELECT media_id,
+         |    k - ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY k) AS grp
+         |  FROM s WHERE abs(s) <= 2),
+         |sil AS (
+         |  SELECT media_id, CAST(MAX(cnt) AS INTEGER) AS longest_silence
+         |  FROM (SELECT media_id, grp, COUNT(*) AS cnt FROM runs GROUP BY 1, 2)
+         |  GROUP BY media_id),
+         |agg AS (
+         |  SELECT media_id,
+         |    CAST(COUNT(*) AS INTEGER) AS n_samples,
+         |    CAST(SUM(CASE WHEN abs(s) >= 32760 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_clipped,
+         |    CAST(SUM(CAST(s AS BIGINT) * s) AS BIGINT) AS sum_sq,
+         |    CAST(MAX(abs(s)) AS INTEGER) AS max_abs
+         |  FROM s GROUP BY media_id)
+         |SELECT a.media_id, a.n_samples, a.n_clipped, a.sum_sq, a.max_abs,
+         |  sil.longest_silence
+         |FROM agg a JOIN sil USING (media_id)
+         |ORDER BY a.media_id""".stripMargin
+    },
     // Replays every consecutive-frame Y-plane SAD from the hex dump:
     // frame k's Y plane sits at byte 40 + 102k (34-byte header,
     // 6-byte FRAME marker, 96-byte C420 payload), 64 bytes; the cut

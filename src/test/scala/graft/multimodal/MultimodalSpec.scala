@@ -180,6 +180,23 @@ class MultimodalSpec extends SparkSpec {
     assert(cuts.forall(_.sad > 2000), s"weak cut: ${cuts.map(_.sad).min}")
   }
 
+  test("audio QA: planted clipping bursts and silence sections surface exactly") {
+    val qa = Multimodal.audioQa(Multimodal.syntheticAudioQa(spark, 12)).collect()
+    assert(qa.length === 12)
+    qa.foreach { r =>
+      if (r.media_id % 3 == 0) {
+        assert(r.n_clipped === 10L, s"clip ${r.media_id}: planted burst is 10 samples")
+        assert(r.max_abs === 32768, s"clip ${r.media_id}: full-scale negative peak")
+      } else {
+        assert(r.n_clipped === 0L, s"clip ${r.media_id}: no clipping planted")
+        assert(r.max_abs <= 20000, s"clip ${r.media_id}: body bounded")
+      }
+      // every clip opens with >= 50 dithered-silence samples
+      assert(r.longest_silence >= 50, s"clip ${r.media_id}: planted silence missing")
+      assert(r.n_samples === 400 + (r.media_id % 5).toInt * 80)
+    }
+  }
+
   test("repartitionBySize balances byte budget across partitions") {
     val media = Multimodal.syntheticMedia(spark, 100).toDF()
       .withColumn("byte_count", length(col("content")))
