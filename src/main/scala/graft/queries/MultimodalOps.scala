@@ -190,7 +190,60 @@ object MultimodalOps {
     Multimodal.audioQa(m).toDF().orderBy("media_id")
   }
 
+  /** q274 — MULTIMODAL CURATION pipeline (the media-side composite
+    * matching the text side's q105/q214/q225/q242): three modality
+    * lanes composed into one release manifest —
+    * image: dHash near-dup clusters (q251's banded pairs) → CC →
+    * min-id survivor (exact dups and perceptual copies collapse to
+    * one released image); audio: the q273 QA gate (any full-scale
+    * clipping rejects the clip); video: a minimum-length gate
+    * (≥ 10 frames) straight off the typed metadata, no decode.
+    * Output: per media type, total/kept/rejected counts and released
+    * bytes. Every lane is a certified kernel reused verbatim; the
+    * oracle replays all three (brute-force dHash pairs + recursive
+    * CC closure, PCM hex replay, metadata gate) — at fixture scale
+    * the oracle can afford O(n²) pairs, the engine never does. */
+  def q274MediaCuration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // image lane
+    val imgs = mediaDups(s, dir).as[Multimodal.MediaRow]
+    val hashes = Multimodal.imageDhash(imgs).toDF()
+      .select(col("media_id"), col("dhash").as("simhash"))
+    val pairs = graft.operators.Dedup
+      .simhashNearDups(hashes, "media_id", maxHamming = 7)
+      .select("id_a", "id_b")
+    val cc = graft.operators.Dedup.connectedComponents(pairs)
+      .withColumnRenamed("id", "media_id")
+    val img = imgs.toDF()
+      .select(col("media_id"), length(col("content")).as("bytes"))
+      .join(cc, Seq("media_id"), "left")
+      .withColumn("kept",
+        coalesce(col("cluster_id"), col("media_id")) === col("media_id"))
+    // audio lane
+    val audM = mediaAudioQa(s, dir)
+    val aud = Multimodal.audioQa(audM.as[Multimodal.MediaRow]).toDF()
+      .join(audM.select(col("media_id"), length(col("content")).as("bytes")),
+        "media_id")
+      .withColumn("kept", col("n_clipped") === 0)
+    // video lane: metadata-only gate
+    val vid = mediaScenes(s, dir)
+      .select(col("media_id"), length(col("content")).as("bytes"),
+        (expr("meta.duration_ms DIV 500") >= 10).as("kept"))
+    def lane(df: org.apache.spark.sql.DataFrame, mt: String) =
+      df.agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("kept"), 1L).otherwise(0L)).as("n_rejected"),
+        sum(when(col("kept"), col("bytes").cast("long")).otherwise(0L))
+          .as("kept_bytes"))
+        .select(lit(mt).as("media_type"), col("n_total"), col("n_kept"),
+          col("n_rejected"), col("kept_bytes"))
+    lane(img, "image").unionAll(lane(aud, "audio")).unionAll(lane(vid, "video"))
+      .orderBy("media_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q274_media_curation" -> q274MediaCuration _,
     "q70_media_features" -> q70MediaFeatures _,
     "q71_frame_sample" -> q71FrameSample _,
     "q251_image_neardup" -> q251ImageNearDup _,
@@ -261,6 +314,68 @@ object MultimodalOps {
          |FROM read_parquet('$FixtureDir/media_n300/*.parquet')
          |WHERE meta.media_type = 'video' AND meta.duration_ms // 500 >= 1
          |ORDER BY media_id""".stripMargin,
+    // q274: all three lanes replayed — brute-force dHash pairs +
+    // recursive min-label closure (image), PCM hex replay (audio),
+    // metadata gate (video) — then the three manifest rows.
+    "q274_media_curation" -> {
+      val lo = hexByte("(44 + 2*k)")
+      val hi = hexByte("(45 + 2*k)")
+      def manifest(mt: String, from: String): String =
+        s"""SELECT '$mt' AS media_type, COUNT(*) AS n_total,
+           |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           |  CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_rejected,
+           |  CAST(SUM(CASE WHEN kept THEN bytes ELSE 0 END) AS BIGINT) AS kept_bytes
+           |FROM $from""".stripMargin
+      s"""WITH RECURSIVE im AS (
+         |  SELECT media_id, octet_length(content) AS bytes, hex(content) AS hx
+         |  FROM read_parquet('$FixtureDir/media_dups_n240/*.parquet')),
+         |h AS (SELECT media_id,
+         |  list_transform(generate_series(0, 63), k ->
+         |    CASE WHEN ${dupGray("(k%8)+1")} > ${dupGray("k%8")}
+         |         THEN 1 ELSE 0 END) AS bits
+         |  FROM im),
+         |dp AS (
+         |  SELECT a.media_id AS id_a, b.media_id AS id_b
+         |  FROM h a JOIN h b ON a.media_id < b.media_id
+         |  WHERE list_aggregate(list_transform(generate_series(1, 64), i ->
+         |    CASE WHEN a.bits[i] <> b.bits[i] THEN 1 ELSE 0 END), 'sum') <= 7),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM dp
+         |      UNION SELECT id_b, id_a FROM dp),
+         |reach AS (
+         |  SELECT media_id AS id, media_id AS r FROM im
+         |  UNION
+         |  SELECT e.dst AS id, reach.r FROM reach JOIN e ON reach.id = e.src),
+         |lab AS (SELECT id, MIN(r) AS cid FROM reach GROUP BY id),
+         |imgl AS (
+         |  SELECT im.media_id, im.bytes, (lab.cid = im.media_id) AS kept
+         |  FROM im JOIN lab ON im.media_id = lab.id),
+         |am AS (
+         |  SELECT media_id, octet_length(content) AS bytes, hex(content) AS hx,
+         |    CAST(meta.duration_ms * 8 AS INTEGER) AS n
+         |  FROM read_parquet('$FixtureDir/media_audioqa_n60/*.parquet')),
+         |sam AS (
+         |  SELECT media_id, CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
+         |  FROM (SELECT media_id, $lo + 256 * ($hi) AS v
+         |        FROM am, generate_series(0, 719) g(k) WHERE k < n)),
+         |ac AS (
+         |  SELECT media_id,
+         |    SUM(CASE WHEN abs(s) >= 32760 THEN 1 ELSE 0 END) AS clipped
+         |  FROM sam GROUP BY 1),
+         |audl AS (
+         |  SELECT am.media_id, am.bytes, (ac.clipped = 0) AS kept
+         |  FROM am JOIN ac USING (media_id)),
+         |vidl AS (
+         |  SELECT media_id, octet_length(content) AS bytes,
+         |    (meta.duration_ms // 500 >= 10) AS kept
+         |  FROM read_parquet('$FixtureDir/media_scenes_n60/*.parquet'))
+         |SELECT * FROM (
+         |  ${manifest("image", "imgl")}
+         |  UNION ALL
+         |  ${manifest("audio", "audl")}
+         |  UNION ALL
+         |  ${manifest("video", "vidl")})
+         |ORDER BY media_type""".stripMargin
+    },
     // Replays every PCM16LE sample from the hex dump (little-endian
     // byte pair at 44 + 2k), then the clip/energy/silence-run laws.
     "q273_audio_qa" -> {
