@@ -342,10 +342,21 @@ object CurationOps {
     * dedup/sampling decision layer; this is the privacy/packaging
     * layer. */
   def q242ReleasePipeline(s: SparkSession, dir: String): DataFrame = {
-    // stage 1: rule gate (q212 kernel, survivors only)
+    // stage 1: rule gate (q212 kernel, survivors only). The
+    // localCheckpoint is a PUSHDOWN BARRIER, not a convenience:
+    // filtering directly on `kept` lets PushPredicateThroughNonJoin
+    // inline the alias chain into the predicate — including the
+    // token split inside the gate's nested repetition lambdas, which
+    // then re-tokenizes the document per array element (measured:
+    // the bare gate projection runs ~4 s at sf1, the collapsed
+    // filter 70 s). Materializing the annotated frame once keeps
+    // `kept` an attribute; at 100 TB this stage is a staged table
+    // anyway (the gate report IS a pipeline artifact, q212). */
     val gated = MixOps.withFilterRules(
         Tables.documents(s, dir).select(col("doc_id"), col("lang"),
           col("text")))
+      .select(col("doc_id"), col("text"), col("kept"))
+      .localCheckpoint()
       .filter(col("kept"))
       .select(col("doc_id"), col("text"))
     // stage 2: anonymize before anything else sees the text
@@ -361,17 +372,28 @@ object CurationOps {
       .select(col("doc_id"),
         TextAnalysis.tokenCount(col("masked")).cast("bigint")
           .as("token_count"))
-    // stage 4: 512-token context packing of the survivors (q240)
-    val keyed = released.withColumn("shuffle_key",
-      md5(concat_ws(":", lit("rel"), col("doc_id"))))
-    graft.operators.PrefixSum
-      .withRunningSum(keyed, "shuffle_key", "token_count", "cum_tokens")
-      .select(col("doc_id"), col("token_count"),
-        (col("cum_tokens") - col("token_count")).as("offset"),
-        expr("(cum_tokens - token_count) DIV 512").as("ctx_start"),
-        expr("(cum_tokens - 1) DIV 512").as("ctx_end"))
-      .withColumn("crosses", col("ctx_end") > col("ctx_start"))
-      .orderBy("doc_id")
+    // stage 4: 512-token context packing of the survivors (q240).
+    // `released` is persisted across PrefixSum's THREE upstream reads
+    // (range-boundary sampling, subtotal pass, phase-2 materialize) —
+    // the q214/q238 fan-out lesson: without it every read replays the
+    // gate's O(n²)-per-doc repetition HOFs and the mask cascade
+    // (measured 31.7 s in-suite; ~3 s with the 2-column frame cached).
+    // Safe to release right after withRunningSum returns: its phase 1
+    // has already materialized the internal sorted persist that all
+    // downstream reads consume.
+    val rel = released.persist()
+    try {
+      val keyed = rel.withColumn("shuffle_key",
+        md5(concat_ws(":", lit("rel"), col("doc_id"))))
+      graft.operators.PrefixSum
+        .withRunningSum(keyed, "shuffle_key", "token_count", "cum_tokens")
+        .select(col("doc_id"), col("token_count"),
+          (col("cum_tokens") - col("token_count")).as("offset"),
+          expr("(cum_tokens - token_count) DIV 512").as("ctx_start"),
+          expr("(cum_tokens - 1) DIV 512").as("ctx_end"))
+        .withColumn("crosses", col("ctx_end") > col("ctx_start"))
+        .orderBy("doc_id")
+    } finally rel.unpersist(blocking = false)
   }
 
   /** q245 — the RELEASE DIFF between two corpus versions: the
