@@ -21,9 +21,24 @@ object QualityGateStream {
   def annotate(docs: DataFrame): DataFrame =
     graft.queries.MixOps.withFilterRules(docs)
 
-  /** The kept stream: documents passing every rule. */
+  /** The kept stream: documents passing every rule.
+    *
+    * The throwaway nondeterministic column is a PUSHDOWN BARRIER
+    * (the q242 hazard class, PLANS.md "filter-pushdown
+    * re-tokenization"): filtering directly on `kept` lets
+    * PushPredicateThroughNonJoin inline the gate's alias chain into
+    * the predicate — including the token split inside the nested
+    * repetition lambdas, which re-tokenizes each document per array
+    * element. A projection containing any nondeterministic field is
+    * not pushed through (canPushThrough requires all-deterministic
+    * fields), so `kept` stays a once-per-row attribute. Batch
+    * callers stage behind localCheckpoint instead (q242); a stream
+    * cannot, hence the barrier column. */
   def gate(docs: DataFrame): DataFrame =
-    annotate(docs).filter(col("kept"))
+    annotate(docs)
+      .withColumn("_gate_barrier", rand())
+      .filter(col("kept"))
+      .drop("_gate_barrier")
 
   /** Tumbling-window per-rule rejection counts over event time —
     * the observability side of the gate. Emits one row per (window,
