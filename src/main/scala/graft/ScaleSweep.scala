@@ -86,7 +86,10 @@ object ScaleSweep {
     "q270_contrastive_mining",
     // one-pass rollup top-k panel; LSH tuner (linear adjacent-pair
     // kernel + constant config math)
-    "q271_topk_panel", "q272_lsh_tuner")
+    "q271_topk_panel", "q272_lsh_tuner",
+    // release novelty (gram-keyed left join, q209's shuffle class)
+    // and the class-scatter moment cells (|labels|·d aggregate)
+    "q275_release_novelty", "q276_class_scatter")
 
   /** Queries excluded from the sf1→sf10 decade, each with its
     * documented ceiling — these are superlinear BY CONSTRUCTION, so

@@ -567,7 +567,52 @@ object CurationOps {
     graft.operators.Retention.sweep(s, path, fps).orderBy("bucket")
   }
 
+  /** q275 — RELEASE NOVELTY profile: for every document of release
+    * v2, the fraction of its distinct 5-grams UNSEEN in release v1
+    * (the content-level "what is actually new" a release changelog
+    * can't show — q245 counts added/changed DOCS, this measures new
+    * MATERIAL inside them; same versions derivation as q245, so the
+    * two artifacts reconcile). Edited docs score low-but-nonzero
+    * (only the appended span is new), carried-over docs score 0,
+    * genuinely new docs score high. Scale shape: distinct 5-grams on
+    * both sides, one gram-keyed left join (the q209 decontamination
+    * shuffle), per-doc aggregate; v2 docs too short for grams keep a
+    * NULL novelty through the universe left-join (the q195 lesson —
+    * never drop rows the panel is supposed to account for). */
+  def q275ReleaseNovelty(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val v1 = docs.filter(pmod(col("doc_id"), lit(17)) =!= 3)
+    val v2 = docs.filter(pmod(col("doc_id"), lit(23)) =!= 5)
+      .withColumn("text", when(pmod(col("doc_id"), lit(11)) === 7,
+        concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(when(size(col("toks")) >= 5,
+          array_distinct(transform(sequence(lit(1), size(col("toks")) - 4),
+            i => concat_ws(" ",
+              element_at(col("toks"), i), element_at(col("toks"), i + 1),
+              element_at(col("toks"), i + 2), element_at(col("toks"), i + 3),
+              element_at(col("toks"), i + 4)))))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+    val g1 = grams(v1).select("gram").distinct()
+      .withColumn("seen", lit(1))
+    val per = grams(v2).join(g1, Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("novel_grams"))
+    v2.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("novel_grams"), lit(0L)).as("novel_grams"),
+        when(col("n_grams") > 0,
+          col("novel_grams").cast("double") / col("n_grams").cast("double"))
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q275_release_novelty" -> q275ReleaseNovelty _,
     "q269_retention_sweep" -> q269RetentionSweep _,
     "q263_bloom_point_lookup" -> q263BloomPointLookup _,
     "q200_epoch_shards" -> q200EpochShards _,
@@ -593,6 +638,44 @@ object CurationOps {
     // q263: the algorithm-independent ground truth — a plain
     // fingerprint join over the raw table; bloom skipping must be
     // bit-identical (no false negatives, FPs die in the exact join).
+    "q275_release_novelty" ->
+      s"""WITH v1 AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 17 != 3),
+         |v2 AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 11 = 7 THEN text || ' rev2'
+         |    ELSE text END AS text
+         |  FROM documents WHERE doc_id % 23 != 5),
+         |t1 AS (SELECT doc_id, $tokensSql AS toks FROM v1),
+         |t2 AS (SELECT doc_id, $tokensSql AS toks FROM v2),
+         |g1 AS (
+         |  SELECT DISTINCT unnest(list_distinct(
+         |    CASE WHEN len(toks) >= 5 THEN
+         |      list_transform(range(1, len(toks) - 3),
+         |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         |          || ' ' || toks[i+3] || ' ' || toks[i+4])
+         |    ELSE [] END)) AS gram
+         |  FROM t1),
+         |g2 AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    CASE WHEN len(toks) >= 5 THEN
+         |      list_transform(range(1, len(toks) - 3),
+         |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         |          || ' ' || toks[i+3] || ' ' || toks[i+4])
+         |    ELSE [] END)) AS gram
+         |  FROM t2),
+         |per AS (
+         |  SELECT g2.doc_id, COUNT(*) AS n_grams,
+         |    CAST(SUM(CASE WHEN g1.gram IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS novel_grams
+         |  FROM g2 LEFT JOIN g1 ON g2.gram = g1.gram
+         |  GROUP BY g2.doc_id)
+         |SELECT v2.doc_id,
+         |  COALESCE(per.n_grams, 0) AS n_grams,
+         |  COALESCE(per.novel_grams, 0) AS novel_grams,
+         |  CASE WHEN per.n_grams > 0
+         |    THEN CAST(per.novel_grams AS DOUBLE) / per.n_grams END AS novelty
+         |FROM v2 LEFT JOIN per ON v2.doc_id = per.doc_id
+         |ORDER BY v2.doc_id""".stripMargin,
     // q269: before − deleted from the raw corpus must equal the
     // post-sweep on-disk counts the engine measured.
     "q269_retention_sweep" ->

@@ -118,6 +118,43 @@ object SimilarityOps {
       .orderBy("anchor_id", "role", "rk")
   }
 
+  /** q276 — CLASS-SCATTER panel (Fisher/LDA separability moments of
+    * the embedding space per label — the standard "are my labels
+    * actually separable in this representation" audit before
+    * training a probe, Fisher 1936 / Murphy PML §9.2.6): per label,
+    * the exact integer moments (count, Σ‖v‖², ‖Σv‖²) and the
+    * within-class scatter ssq − ‖s‖²/n; the ALL row carries the
+    * total scatter, so between-class = ALL.within − Σ label.within
+    * is reader-derivable without cross-label double sums (each row's
+    * only float ops are its own two — deterministic cross-engine).
+    * Scale shape: the PCA moment-cell idiom — one (label, pos)-keyed
+    * aggregate over the exploded vectors (|labels|·d cells), then
+    * |labels|-row arithmetic; no driver collect, no d² matrix. */
+  def q276ClassScatter(s: SparkSession, dir: String): DataFrame = {
+    val base = quantized(s, dir).select(col("label"), col("query_vec"))
+      .withColumn("n2", Similarity.dotFast(s, col("query_vec"), col("query_vec")))
+    val cells = base
+      .select(col("label"), posexplode(col("query_vec")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(sum(col("x")).as("sv"))
+    val perLabel = base.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("n2")).as("ssq"))
+      .join(cells.groupBy("label").agg(sum(col("sv") * col("sv")).as("s_norm2")),
+        "label")
+      .select(col("label").cast("string").as("label"),
+        col("n_vecs"), col("ssq"), col("s_norm2"))
+    val globalRow = perLabel.agg(
+        sum(col("n_vecs")).as("n_vecs"), sum(col("ssq")).as("ssq"))
+      .crossJoin(
+        cells.groupBy("pos").agg(sum(col("sv")).as("gv"))
+          .agg(sum(col("gv") * col("gv")).as("s_norm2")))
+      .select(lit("ALL").as("label"), col("n_vecs"), col("ssq"), col("s_norm2"))
+    perLabel.unionAll(globalRow)
+      .withColumn("within_scatter",
+        col("ssq").cast("double") -
+          col("s_norm2").cast("double") / col("n_vecs").cast("double"))
+      .orderBy("label")
+  }
+
   /** Exact cosine top-5 over the full corpus for a fixed-budget,
     * md5-sampled query slice (ExactBaselineBudget queries) — the
     * recall ground truth for the ANN ladder, runnable at any corpus
@@ -516,6 +553,7 @@ object SimilarityOps {
     "q49_cosine_topk" -> q49CosineTopK _,
     "q265_sq8_ann" -> q265Sq8Ann _,
     "q270_contrastive_mining" -> q270ContrastiveMining _,
+    "q276_class_scatter" -> q276ClassScatter _,
     "q80_multiprobe_ann" -> q80MultiprobeAnn _,
     "q50_ann_topk" -> q50AnnTopK _,
     "q51_embedding_stats" -> q51EmbeddingStats _,
@@ -870,6 +908,38 @@ object SimilarityOps {
          |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
          |  FROM scored)
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q276_class_scatter" ->
+      s"""WITH e AS (SELECT label, $qvBig AS v FROM embeddings),
+         |cells AS (
+         |  SELECT label, i AS pos, CAST(SUM(v[i]) AS BIGINT) AS sv
+         |  FROM e, generate_series(1, 64) g(i) GROUP BY 1, 2),
+         |pl AS (
+         |  SELECT label, COUNT(*) AS n_vecs,
+         |    CAST(SUM(CAST(list_dot_product(
+         |      list_transform(v, x -> CAST(x AS DOUBLE)),
+         |      list_transform(v, x -> CAST(x AS DOUBLE))) AS BIGINT)) AS BIGINT)
+         |      AS ssq
+         |  FROM e GROUP BY 1),
+         |s2 AS (
+         |  SELECT label, CAST(SUM(sv * sv) AS BIGINT) AS s_norm2
+         |  FROM cells GROUP BY 1),
+         |lab AS (
+         |  SELECT CAST(pl.label AS VARCHAR) AS label, n_vecs, ssq, s_norm2
+         |  FROM pl JOIN s2 USING (label)),
+         |gcells AS (SELECT pos, CAST(SUM(sv) AS BIGINT) AS gv FROM cells GROUP BY 1),
+         |tot AS (
+         |  SELECT 'ALL' AS label, CAST(SUM(n_vecs) AS BIGINT) AS n_vecs,
+         |    CAST(SUM(ssq) AS BIGINT) AS ssq
+         |  FROM lab),
+         |gs AS (SELECT CAST(SUM(gv * gv) AS BIGINT) AS s_norm2 FROM gcells),
+         |u AS (
+         |  SELECT * FROM lab
+         |  UNION ALL
+         |  SELECT tot.label, tot.n_vecs, tot.ssq, gs.s_norm2 FROM tot, gs)
+         |SELECT label, n_vecs, ssq, s_norm2,
+         |  CAST(CAST(ssq AS DOUBLE) - CAST(s_norm2 AS DOUBLE) / n_vecs AS DOUBLE)
+         |    AS within_scatter
+         |FROM u ORDER BY label""".stripMargin,
     "q270_contrastive_mining" ->
       s"""WITH q AS (
          |  SELECT vec_id AS query_id, label AS anchor_label, $qv AS qvec

@@ -137,6 +137,8 @@ class PlanHygieneSpec extends SparkSpec {
     "q270_contrastive_mining" -> "broadcast anchor slice vs corpus (budgeted mining scan)",
     // pick-rank window over the 5-row config aggregate (q25 idiom)
     "q272_lsh_tuner" -> "rank window over the 5-row config aggregate",
+    // the ALL row's 1-row totals cross (q07 idiom)
+    "q276_class_scatter" -> "1-row totals cross for the ALL scatter row",
   )
 
   private def offenders(plan: SparkPlan): Seq[String] = plan.collect {
