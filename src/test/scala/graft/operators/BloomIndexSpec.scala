@@ -88,6 +88,34 @@ class BloomIndexSpec extends SparkSpec {
     assert(BloomIndex.saturation(spark, path2) >= sat0)
   }
 
+  test("property: random probe sets never miss a present fingerprint") {
+    val path3 =
+      java.nio.file.Files.createTempDirectory("bloomidx3").toString + "/idx"
+    val rnd = new scala.util.Random(313)
+    val texts = (0L until 200L).map(i => i -> s"prop body ${rnd.nextInt(150)} x$i")
+    BloomIndex.build(texts.toDF("doc_id", "text"), 16, path3)
+    // 5 random rounds: mixed present/absent probes, ground truth by
+    // plain JVM fingerprint lookup — bloom skipping must be lossless
+    val fpToIds = texts.groupBy { case (_, t) =>
+      fpOf(Seq(t)).head
+    }.view.mapValues(_.map(_._1).toSet).toMap
+    (1 to 5).foreach { round =>
+      val present = rnd.shuffle(texts).take(8).map(t => fpOf(Seq(t._2)).head)
+      val absent = (1 to 4).map(i => f"${rnd.nextLong()}%016x" * 2)
+      val probes = (present ++ absent).distinct.toDF("fp")
+      val got = BloomIndex.lookup(spark, path3, probes)
+        .select("fp", "doc_id").as[(String, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      present.foreach { fp =>
+        assert(got.getOrElse(fp, Set.empty) === fpToIds(fp),
+          s"round $round: probe $fp missed ids")
+      }
+      absent.foreach { fp =>
+        assert(!got.contains(fp), s"round $round: absent probe returned rows")
+      }
+    }
+  }
+
   test("marker gates aborted and stale builds") {
     BloomIndex.ensureBuilt(docs, 16, path)
     assert(BloomIndex.isValid(spark, path, 120L, 16))

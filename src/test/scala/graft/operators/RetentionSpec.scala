@@ -63,5 +63,14 @@ class RetentionSpec extends SparkSpec {
     assert(rewritten.contains(5), "the deleting bucket must be rewritten")
     assert(rewritten.size < 16,
       s"every bucket was rewritten — skipping lost: $rewritten")
+
+    // idempotence: sweeping the same fingerprints again deletes
+    // nothing and preserves every survivor
+    val audit2 = Retention.sweep(spark, path, fps)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(audit2.values.forall(_ == 0L), s"second sweep deleted rows: $audit2")
+    val left2 = spark.read.parquet(s"$path/data")
+      .select("doc_id").as[Long].collect().toSet
+    assert(left2 === left, "second sweep changed the survivor set")
   }
 }
