@@ -74,4 +74,38 @@ class StreamEnrichSpec extends SparkSpec {
     assert(batch.filter(_._1 != "cx") == expected)
     assert(streamed.filter(_._1 != "cx") == expected)
   }
+
+  test("stream-stream join state EVICTS: rows plateau as watermarks advance") {
+    implicit val sqlCtx = spark.sqlContext
+    val cMem = MemoryStream[(String, String, Timestamp)]
+    val pMem = MemoryStream[(String, Timestamp, Double)]
+    val joined = StreamEnrich.callsWithTowerLoad(
+      cMem.toDF().toDF("event_id", "tower_id", "call_ts"),
+      pMem.toDF().toDF("tower_id", "probe_ts", "load_pct"),
+      tolerance = "10 minutes", lateness = "1 second")
+    val q = joined.writeStream.format("memory")
+      .queryName("evict").outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 08:00:00").getTime
+    def at(min: Long) = new Timestamp(t0 + min * 60000)
+    try {
+      // 30 micro-batches marching event time forward 5 min each: with
+      // the 10-min join range + 1 s lateness, both state stores hold
+      // only the trailing window, not the whole history
+      val totals = (1 to 30).map { b =>
+        cMem.addData((s"c$b", "T1", at(b * 5)))
+        pMem.addData(("T1", at(b * 5), b.toDouble))
+        q.processAllAvailable()
+        q.lastProgress.stateOperators.head.numRowsTotal
+      }
+      // plateau: the last 10 batches never exceed the max of the
+      // first 20 — state is bounded by the range condition, not by
+      // stream length (an unbounded store grows monotonically)
+      val ramp = totals.take(20).max
+      assert(totals.takeRight(10).forall(_ <= ramp),
+        s"state still growing after 30 batches: $totals")
+      // and it is SMALL: bounded by tolerance x arrival rate (≤ ~2-3
+      // events per side in range), never ~60 (the full history)
+      assert(totals.last < 20, s"state rows at end: ${totals.last}")
+    } finally q.stop()
+  }
 }
