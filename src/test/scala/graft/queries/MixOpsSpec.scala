@@ -305,4 +305,33 @@ class MixOpsSpec extends SparkSpec {
     // the bloom path must really be active in this session
     assert(spark.catalog.functionExists("graft_might_contain"))
   }
+
+  test("q267 nesting certificate: zero on the shared draw, LIGHTS UP on a fresh-coin sampler") {
+    import org.apache.spark.sql.functions._
+    val ladder = MixOps.q267ScalingLadder(spark, sfDir).collect()
+    assert(ladder.length === 5)
+    assert(ladder.forall(_.getAs[Long]("violations") === 0L),
+      "shared-draw ladder must nest violation-free")
+    // rung sizes roughly halve upward (hash uniformity, loose band)
+    val sizes = ladder.sortBy(_.getAs[Int]("rung")).map(_.getAs[Long]("n_docs"))
+    assert(sizes.zip(sizes.tail).forall { case (a, b) => a < b },
+      s"rungs must strictly grow: ${sizes.toSeq}")
+    // falsifiability: a BROKEN sampler drawing a fresh coin per rung
+    // (md5(doc_id || rung)) violates nesting and the same violation
+    // predicate catches it
+    val full = 16777216L
+    val thrL = array((4 to 0 by -1).map(m => lit(full >> m)): _*)
+    def coin(rung: org.apache.spark.sql.Column) = conv(substring(
+      md5(concat_ws("-", col("doc_id").cast("string"), rung.cast("string"))),
+      1, 6), 16, 10).cast("long")
+    val fresh = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("rung"))
+      .withColumn("hk", coin(col("rung")))
+      .withColumn("hk1", coin(col("rung") + 1))
+      // in rung k by k's coin, NOT in rung k+1 by k+1's coin → leak
+      .filter(col("hk") < get(thrL, col("rung")) &&
+        col("hk1") >= get(thrL, col("rung") + 1))
+      .count()
+    assert(fresh > 0L, "fresh-coin sampler must trip the certificate")
+  }
 }
