@@ -135,8 +135,13 @@ object StreamBench {
     val s = stateSeries(spark, batches)
     val rows = s.map(_._1)
     def at(frac: Double) = rows(math.min(rows.size - 1, (frac * rows.size).toInt))
-    val q2Max = rows.slice(rows.size / 4, rows.size / 2).max
-    val q4Max = rows.slice(3 * rows.size / 4, rows.size).max
+    // maxOption: for batches < 4 the quarter slices are empty — fall
+    // back to the overall max so short runs still emit the artifact
+    // instead of losing it to an UnsupportedOperationException
+    val q2Max = rows.slice(rows.size / 4, rows.size / 2).maxOption
+      .getOrElse(rows.max)
+    val q4Max = rows.slice(3 * rows.size / 4, rows.size).maxOption
+      .getOrElse(rows.max)
     val ratio = q4Max.toDouble / math.max(1L, q2Max)
     def fmt(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     s"""{"metric":"stream_state","unit":"rows","batches":$batches,""" +

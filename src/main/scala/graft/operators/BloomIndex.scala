@@ -51,7 +51,7 @@ object BloomIndex {
       pmod(col("doc_id"), lit(buckets)).cast("int").as("bucket"))
     keyed.write.partitionBy("bucket").mode(SaveMode.Overwrite)
       .parquet(s"$path/data")
-    val rows = sp.read.parquet(s"$path/data").count()
+    val (rows, fpHash) = contentStamp(sp.read.parquet(s"$path/data"))
     val perBucket = math.max(rows / buckets + 1, 64L)
     sp.read.parquet(s"$path/data")
       .groupBy("bucket")
@@ -62,9 +62,23 @@ object BloomIndex {
     val out = hfs.create(marker, true)
     // perbucket freezes the bloom sizing: append must build its delta
     // blooms with IDENTICAL parameters or the byte-wise OR is invalid
-    out.write(s"rows=$rows\nbuckets=$buckets\nperbucket=$perBucket\n"
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.write(
+      s"rows=$rows\nbuckets=$buckets\nperbucket=$perBucket\nfphash=$fpHash\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     out.close()
+  }
+
+  /** (rows, order-independent content fingerprint) in ONE pass: the
+    * xor-fold of xxhash64(fingerprint) detects a regenerated corpus
+    * with the SAME row count but different text (row count alone
+    * would serve the stale index and return pre-regeneration
+    * matches). Xor is commutative so partition order is irrelevant. */
+  private def contentStamp(data: DataFrame): (Long, Long) = {
+    val r = data.agg(
+      count(lit(1)).as("n"),
+      coalesce(bit_xor(xxhash64(col("fingerprint"))), lit(0L)).as("h"))
+      .head()
+    (r.getLong(0), r.getLong(1))
   }
 
   private def markerKv(spark: SparkSession, path: String): Map[String, String] = {
@@ -107,7 +121,7 @@ object BloomIndex {
         xxhash64(col("fingerprint")), lit(perBucket)).as("bloom"))
       .collect().map(r => r.getAs[Int]("bucket") -> r.getAs[Array[Byte]]("bloom"))
       .toMap
-    val merged = sp.read.parquet(s"$path/bloom")
+    val existing = sp.read.parquet(s"$path/bloom")
       .collect().map { r =>
         val b = r.getAs[Int]("bucket")
         val cur = r.getAs[Array[Byte]]("bloom")
@@ -123,16 +137,24 @@ object BloomIndex {
         }
         (b, out)
       }
+    // buckets EMPTY at build time have no sidecar row yet — their
+    // delta blooms must be APPENDED, not dropped, or docs landing in
+    // them are invisible to candidates() (bloom false negatives,
+    // breaking the full-scan-equivalence contract)
+    val existingBuckets = existing.map(_._1).toSet
+    val merged = existing ++
+      delta.filter { case (b, _) => !existingBuckets(b) }
     import sp.implicits._
     merged.toSeq.toDF("bucket", "bloom")
       .repartition(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/bloom")
-    // refresh the fingerprint so isValid reflects the appended corpus
-    val rows = sp.read.parquet(s"$path/data").count()
+    // refresh the stamp so isValid reflects the appended corpus
+    val (rows, fpHash) = contentStamp(sp.read.parquet(s"$path/data"))
     val hfs = fs(sp, path)
     val out = hfs.create(new org.apache.hadoop.fs.Path(s"$path/$MarkerFile"), true)
-    out.write(s"rows=$rows\nbuckets=$buckets\nperbucket=$perBucket\n"
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.write(
+      s"rows=$rows\nbuckets=$buckets\nperbucket=$perBucket\nfphash=$fpHash\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     out.close()
   }
 
@@ -149,25 +171,30 @@ object BloomIndex {
     }.max
   }
 
-  /** True iff a completed build exists whose fingerprint matches. */
-  def isValid(spark: SparkSession, path: String,
-              expectedRows: Long, buckets: Int): Boolean = {
-    val hfs = fs(spark, path)
-    val marker = new org.apache.hadoop.fs.Path(s"$path/$MarkerFile")
-    if (!hfs.exists(marker)) return false
-    val in = hfs.open(marker)
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    val kv = txt.linesIterator.flatMap { l =>
-      l.split("=", 2) match { case Array(k, v) => Some(k -> v.trim); case _ => None }
-    }.toMap
+  /** True iff a completed build exists whose stamp matches. Pass
+    * `expectedFpHash` (the xor-fold of xxhash64(fingerprint) over the
+    * corpus) to ALSO catch a regenerated corpus with the same row
+    * count but different text — row count + bucket count alone would
+    * serve the stale index. Markers from pre-fphash builds fail the
+    * check (forcing one rebuild), which is the safe direction. */
+  def isValid(spark: SparkSession, path: String, expectedRows: Long,
+              buckets: Int, expectedFpHash: Option[Long] = None): Boolean = {
+    val kv = markerKv(spark, path)
     kv.get("rows").contains(expectedRows.toString) &&
-      kv.get("buckets").contains(buckets.toString)
+      kv.get("buckets").contains(buckets.toString) &&
+      expectedFpHash.forall(h => kv.get("fphash").contains(h.toString))
   }
 
   def ensureBuilt(docs: DataFrame, buckets: Int, path: String): Unit = {
     val sp = docs.sparkSession
-    if (!isValid(sp, path, docs.count(), buckets)) build(docs, buckets, path)
+    // one pass over docs for (count, content hash) — same cost as the
+    // old docs.count() gate, now stale-content-proof
+    val r = docs.agg(
+      count(lit(1)).as("n"),
+      coalesce(bit_xor(xxhash64(TextAnalysis.fingerprint(col("text")))),
+        lit(0L)).as("h")).head()
+    if (!isValid(sp, path, r.getLong(0), buckets, Some(r.getLong(1))))
+      build(docs, buckets, path)
   }
 
   /** (probe fp, bucket) candidate pairs. The sidecar is collected to

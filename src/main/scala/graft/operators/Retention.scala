@@ -49,6 +49,20 @@ object Retention {
     kept.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket").parquet(s"$path/data")
+    // Dynamic overwrite only rewrites partitions PRESENT in `kept`: a
+    // candidate bucket whose every row matched the delete set has no
+    // kept rows, so its old files would silently survive — the exact
+    // failure the takedown contract forbids. Delete those bucket dirs
+    // explicitly (bounded: ≤ candidate-bucket count of metadata ops).
+    val keptBuckets = kept.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val hfs = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/data")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    }
+    cand.filterNot(keptBuckets).foreach { b =>
+      hfs.delete(new org.apache.hadoop.fs.Path(s"$path/data/bucket=$b"), true)
+    }
     val after = spark.read.parquet(s"$path/data")
       .groupBy("bucket").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap

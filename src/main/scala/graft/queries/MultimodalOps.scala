@@ -58,7 +58,7 @@ object MultimodalOps {
     import s.implicits._
     val n = dupCount(dir)
     val path = s"$FixtureDir/media_dups_n$n"
-    val marker = new java.io.File(s"$path/_graft_v1")
+    val marker = new java.io.File(s"$path/_graft_$FixtureVersion")
     if (!marker.exists()) {
       Multimodal.syntheticImageDups(s, n).toDF()
         .write.mode("overwrite").parquet(path)

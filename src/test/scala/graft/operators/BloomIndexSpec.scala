@@ -88,6 +88,49 @@ class BloomIndexSpec extends SparkSpec {
     assert(BloomIndex.saturation(spark, path2) >= sat0)
   }
 
+  test("append into a build-time-EMPTY bucket grows the sidecar (no false negatives)") {
+    val path4 =
+      java.nio.file.Files.createTempDirectory("bloomidx4").toString + "/idx"
+    // build with bucket 9 empty: no doc_id ≡ 9 (mod 16) → no sidecar
+    // row for bucket 9 at build time
+    val sparse = (0L until 120L).filter(_ % 16 != 9)
+      .map(i => (i, s"sparse body $i")).toDF("doc_id", "text")
+    BloomIndex.build(sparse, 16, path4)
+    val bloomBuckets0 = spark.read.parquet(s"$path4/bloom")
+      .select("bucket").as[Int].collect().toSet
+    assert(!bloomBuckets0.contains(9), "precondition: bucket 9 empty at build")
+    // append docs that land ONLY in bucket 9
+    val late = Seq(9L, 25L, 41L)
+      .map(i => (i, s"late arrival $i")).toDF("doc_id", "text")
+    BloomIndex.append(late, path4)
+    // the delta's new bucket must be UNIONED into the sidecar, not
+    // dropped — otherwise these docs are unfindable forever
+    val bloomBuckets1 = spark.read.parquet(s"$path4/bloom")
+      .select("bucket").as[Int].collect().toSet
+    assert(bloomBuckets1.contains(9), "appended bucket missing from sidecar")
+    val probe = fpOf(Seq("late arrival 25")).toDF("fp")
+    assert(BloomIndex.lookup(spark, path4, probe)
+      .select("doc_id").as[Long].collect().toSet === Set(25L))
+  }
+
+  test("regenerated corpus (same rows, different text) triggers rebuild") {
+    val path5 =
+      java.nio.file.Files.createTempDirectory("bloomidx5").toString + "/idx"
+    val gen1 = (0L until 64L).map(i => (i, s"generation one $i")).toDF("doc_id", "text")
+    BloomIndex.ensureBuilt(gen1, 16, path5)
+    // same row count, same buckets, different content: row-count-only
+    // validation would serve the stale index and return gen-1 matches
+    val gen2 = (0L until 64L).map(i => (i, s"generation two $i")).toDF("doc_id", "text")
+    BloomIndex.ensureBuilt(gen2, 16, path5)
+    val probeNew = fpOf(Seq("generation two 13")).toDF("fp")
+    assert(BloomIndex.lookup(spark, path5, probeNew)
+      .select("doc_id").as[Long].collect().toSet === Set(13L),
+      "stale index served after corpus regeneration")
+    val probeOld = fpOf(Seq("generation one 13")).toDF("fp")
+    assert(BloomIndex.lookup(spark, path5, probeOld).isEmpty,
+      "pre-regeneration content still matches")
+  }
+
   test("property: random probe sets never miss a present fingerprint") {
     val path3 =
       java.nio.file.Files.createTempDirectory("bloomidx3").toString + "/idx"

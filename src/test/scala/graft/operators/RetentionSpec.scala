@@ -73,4 +73,33 @@ class RetentionSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(left2 === left, "second sweep changed the survivor set")
   }
+
+  test("sweep: a bucket whose EVERY row matches is physically emptied") {
+    val path =
+      java.nio.file.Files.createTempDirectory("retention").toString + "/idx"
+    // bucket 7 = ids {7,23,39,55,71}; give ALL of them the doomed
+    // content so dynamic overwrite has no kept rows to rewrite the
+    // partition with — the silent-survival corner the takedown
+    // contract forbids
+    val doomedIds = Set(7L, 23L, 39L, 55L, 71L)
+    val docs = (0L until 80L).map { i =>
+      (i, if (doomedIds(i)) "erase all of bucket seven" else s"unique content $i")
+    }.toDF("doc_id", "text")
+    BloomIndex.build(docs, 16, path)
+    val fps = Seq(md5hex("erase all of bucket seven")).toDF("fp")
+    val audit = Retention.sweep(spark, path, fps)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
+    assert(audit(7) === ((5L, 5L, 0L)), s"bucket-7 audit: ${audit(7)}")
+    // the on-disk partition must be GONE, not just absent from the plan
+    val dir = new java.io.File(s"$path/data/bucket=7")
+    assert(!dir.exists() ||
+      dir.listFiles().forall(!_.getName.endsWith(".parquet")),
+      "fully-swept bucket still has parquet files on disk")
+    val left = spark.read.parquet(s"$path/data")
+      .select("doc_id").as[Long].collect().toSet
+    assert(left.intersect(doomedIds).isEmpty, "erased rows survived on disk")
+    assert(left.size === 75)
+  }
 }
