@@ -22,13 +22,48 @@ object Checks {
       passed: Boolean,
       observed: Double,
       threshold: Double,
-      severity: String) // "error" blocks, "warn" degrades
+      severity: String, // "error" blocks, "warn" degrades
+      source: String = "scan") // "observed" = write-path observe counter
 
   private def gate(df: DataFrame, name: String, table: String, agg: Column,
                    pass: Double => Boolean, threshold: Double,
                    severity: String): CheckResult = {
     val v = df.agg(agg.cast("double")).head().getDouble(0)
     CheckResult(name, table, pass(v), v, threshold, severity)
+  }
+
+  // ---- Observed-metric variants ----
+  // The same gates, fed from Dataset.observe counters collected by
+  // the landing write's OWN tasks instead of a post-write scan — at
+  // 100 TB the reference's write-then-check pattern
+  // (pipeline_observability.py:92-173 re-reading bronze) pays a full
+  // extra pass per aggregate check; these cost zero reads and cannot
+  // drift from what was actually written. Only pure per-row
+  // aggregates qualify (not_null / row count / range violations);
+  // unique and relationship need a shuffle or a join and stay on the
+  // scan path.
+
+  /** dbt not_null from an observed null counter. */
+  def notNullObserved(table: String, column: String, nulls: Long,
+                      severity: String = "error"): CheckResult =
+    CheckResult(s"not_null_$column", table, nulls == 0, nulls.toDouble,
+      0, severity, "observed")
+
+  /** GX min row count from an observed row counter. */
+  def minRowCountObserved(table: String, minRows: Long, rows: Long,
+                          severity: String = "error"): CheckResult =
+    CheckResult("min_row_count", table, rows >= minRows, rows.toDouble,
+      minRows.toDouble, severity, "observed")
+
+  /** Range gate from observed (rows, violation) counters; violations
+    * must count nulls as non-matches to mirror [[inRange]]'s
+    * matchRate semantics exactly. */
+  def inRangeObserved(table: String, column: String, rows: Long,
+                      violations: Long, mostly: Double = 1.0,
+                      severity: String = "error"): CheckResult = {
+    val rate = if (rows == 0) 0.0 else (rows - violations).toDouble / rows
+    CheckResult(s"range_$column", table, rate >= mostly, rate,
+      mostly, severity, "observed")
   }
 
   /** dbt not_null. */

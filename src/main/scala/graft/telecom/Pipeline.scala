@@ -219,13 +219,42 @@ object Pipeline {
       case "agg_customer_monthly_summary" =>
         Gold.aggCustomerMonthly(tables("fact_calls"), tables("dim_customers"))
     }
+    // write-path observation metrics per table: the gate checks that
+    // are pure per-row aggregates ride the persist write's own tasks
+    // (Dataset.observe) instead of re-scanning the written files —
+    // the reference's check-after-write second pass
+    // (pipeline_observability.py:92-173) eliminated. Uniqueness and
+    // FK checks need a shuffle/join and stay scan-sourced.
+    def obsMetrics(name: String): Seq[org.apache.spark.sql.Column] = name match {
+      case "silver_calls" => Seq(
+        count(lit(1)).as("rows"),
+        sum(when(col("call_id").isNull, 1L).otherwise(0L)).as("null_call_id"))
+      case "fact_calls" => Seq(count(lit(1)).as("rows"))
+      case "silver_network_probes" => Seq(
+        count(lit(1)).as("rows"),
+        // nulls count as violations, mirroring matchRate's semantics
+        sum(when(col("load_pct").cast("double").between(0, 100), 0L)
+          .otherwise(1L)).as("range_viol_load_pct"))
+      case _ => Seq.empty
+    }
+    val observed = scala.collection.mutable.Map[String, Map[String, Long]]()
     // inventory covers EVERY table on disk (untouched parents carry
     // seconds = 0.0); the returned manifest lists only rebuilt tables
     val inventory = topoOrder().map { name =>
       if (rebuild(name)) {
         val t0 = System.nanoTime()
         val df = mutate(name, build(name))
-        df.write.mode("overwrite").parquet(s"$outDir/$name")
+        val metrics = obsMetrics(name)
+        if (metrics.nonEmpty) {
+          val obs = org.apache.spark.sql.Observation()
+          df.observe(obs, metrics.head, metrics.tail: _*)
+            .write.mode("overwrite").parquet(s"$outDir/$name")
+          observed(name) = obs.get.map { case (k, v) =>
+            k -> (if (v == null) 0L else v.asInstanceOf[Number].longValue())
+          }
+        } else {
+          df.write.mode("overwrite").parquet(s"$outDir/$name")
+        }
         val persisted = spark.read.parquet(s"$outDir/$name")
         tables(name) = persisted
         (TableRun(name, persisted.count(), (System.nanoTime() - t0) / 1e9), true)
@@ -237,7 +266,7 @@ object Pipeline {
       }
     }
     val manifest = inventory.collect { case (run, true) => run }
-    val checks = gateChecks(tables)
+    val checks = gateChecks(tables, observed)
     val status = Checks.verdict(checks)
     // serving stage: the dashboard query the gates protect (reference
     // "tests block the dashboard refresh"). BLOCKED skips it — that IS
@@ -266,7 +295,8 @@ object Pipeline {
     }.mkString("[", ",", "]")
     val checksJson = checks.map { c =>
       s"""{"check": "${c.checkName}", "table": "${c.table}", "passed": ${c.passed}, """ +
-        s""""observed": ${c.observed}, "threshold": ${c.threshold}, "severity": "${c.severity}"}"""
+        s""""observed": ${c.observed}, "threshold": ${c.threshold}, """ +
+        s""""severity": "${c.severity}", "source": "${c.source}"}"""
     }.mkString("[", ",", "]")
     val servingJson = serving
       .map(s => s"""{"query": "${s.table}", "rows": ${s.rows}, "seconds": ${s.seconds}, "refreshed": true}""")
@@ -288,15 +318,34 @@ object Pipeline {
     * runner so specs can drive the gate over injected-fault tables
     * and assert the BLOCKED/DEGRADED transitions the runner itself
     * only exhibits on healthy generated data. */
-  def gateChecks(tables: collection.Map[String, DataFrame]): Seq[Checks.CheckResult] = Seq(
-    Checks.notNull(tables("silver_calls"), "silver_calls", "call_id"),
+  def gateChecks(tables: collection.Map[String, DataFrame]): Seq[Checks.CheckResult] =
+    gateChecks(tables, Map.empty[String, Map[String, Long]])
+
+  /** Gate suite with write-path observed counters: a table present in
+    * `observed` sources its aggregate checks (not_null / row count /
+    * range) from the counters its persist write already collected —
+    * zero extra reads, same thresholds, same severity routing. Tables
+    * absent from `observed` (untouched parents in a partial rebuild,
+    * spec-built frames) fall back to the scan path, so the verdict is
+    * identical either way — PipelineObservedDqSpec pins the parity
+    * and the saved scan. */
+  def gateChecks(tables: collection.Map[String, DataFrame],
+                 observed: collection.Map[String, Map[String, Long]]): Seq[Checks.CheckResult] = Seq(
+    observed.get("silver_calls")
+      .map(m => Checks.notNullObserved("silver_calls", "call_id", m("null_call_id")))
+      .getOrElse(Checks.notNull(tables("silver_calls"), "silver_calls", "call_id")),
     Checks.unique(tables("silver_calls"), "silver_calls", "call_id"),
     Checks.unique(tables("dim_customers"), "dim_customers", "customer_key"),
     Checks.relationship(
       tables("fact_calls").filter(col("customer_key") =!= "UNKNOWN"),
       tables("dim_customers"), "fact_calls", "customer_key", "customer_key"),
-    Checks.minRowCount(tables("fact_calls"), "fact_calls", 1),
-    Checks.inRange(
-      tables("silver_network_probes").withColumn("load_pct", col("load_pct").cast("double")),
-      "silver_network_probes", "load_pct", 0, 100))
+    observed.get("fact_calls")
+      .map(m => Checks.minRowCountObserved("fact_calls", 1, m("rows")))
+      .getOrElse(Checks.minRowCount(tables("fact_calls"), "fact_calls", 1)),
+    observed.get("silver_network_probes")
+      .map(m => Checks.inRangeObserved("silver_network_probes", "load_pct",
+        m("rows"), m("range_viol_load_pct")))
+      .getOrElse(Checks.inRange(
+        tables("silver_network_probes").withColumn("load_pct", col("load_pct").cast("double")),
+        "silver_network_probes", "load_pct", 0, 100)))
 }
