@@ -127,13 +127,113 @@ object StreamBench {
     series
   }
 
-  /** One JSON object for the bench artifact: state rows at the
-    * quarter points plus maxima and the plateau ratio (max of the
-    * last quarter over max of the second quarter — ≈1 means bounded
-    * state, ≈2 means the expiry is not holding). */
-  def measureState(spark: SparkSession, batches: Int): String = {
-    val s = stateSeries(spark, batches)
-    val rows = s.map(_._1)
+  /** Per-micro-batch state footprint of the streaming QUOTA ADMISSION
+    * (QuotaAdmission, transformWithState): state is ONE counter per
+    * source key, so over a fixed source universe the row count
+    * plateaus at |sources| no matter how many events flow — the
+    * O(|keys|) bound the operator's scaladoc claims, now measured.
+    * RocksDB provider set for the query and restored after
+    * (transformWithState's contract). */
+  def quotaStateSeries(spark: SparkSession, batches: Int,
+                       sources: Int = 50): Seq[(Long, Long)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{AdmissionEvent, QuotaAdmission}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[AdmissionEvent]
+      val q = QuotaAdmission.admitStream(mem.toDS(), limit = 100)
+        .writeStream.format("noop").outputMode("append").start()
+      val series = (0 until batches).map { b =>
+        mem.addData((0 until sources).flatMap { s =>
+          (0 until 4).map(i =>
+            AdmissionEvent(s"src$s", b * 1000L + s * 4 + i, b * 4L + i))
+        })
+        q.processAllAvailable()
+        stateOf(q)
+      }
+      q.stop()
+      series
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** Per-micro-batch state footprint of the streaming TOP-K monitor
+    * (TopKStream): state per in-flight window is one Misra–Gries
+    * buffer of ≤ capacity pairs; event time advances 30 s per batch
+    * with a FRESH key vocabulary each batch, so without window
+    * finalization state would grow one window's sketch per batch —
+    * with the watermark it plateaus at the in-flight window count. */
+  def topkStateSeries(spark: SparkSession, batches: Int): Seq[(Long, Long)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val q = graft.streaming.TopKStream.sketchWindows(
+        mem.toDF().toDF("ts", "key"),
+        capacity = 64, windowDuration = "1 minute",
+        watermarkDelay = "10 seconds")
+      .writeStream.format("noop").outputMode("append").start()
+    val t0 = 1704067200000L
+    val series = (0 until batches).map { b =>
+      mem.addData((0 until 40).map(i =>
+        (new Timestamp(t0 + b * 30000L + (i % 10) * 1000L), s"k${b}x${i % 8}")))
+      q.processAllAvailable()
+      stateOf(q)
+    }
+    q.stop()
+    series
+  }
+
+  /** Per-micro-batch state footprint of the stream-stream interval
+    * join (StreamEnrich.callsWithTowerLoad): both sides buffer rows
+    * until the watermark clears the derived horizons, so state is
+    * bounded by tolerance × arrival rate; event time advances 30 s
+    * per batch and rows older than the 2-minute tolerance must
+    * evict — the ≥100-batch artifact behind StreamEnrichSpec's
+    * 30-batch eviction evidence. */
+  def enrichStateSeries(spark: SparkSession, batches: Int): Seq[(Long, Long)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cMem = MemoryStream[(String, String, Timestamp)]
+    val pMem = MemoryStream[(String, Timestamp, Double)]
+    val q = graft.streaming.StreamEnrich.callsWithTowerLoad(
+        cMem.toDF().toDF("event_id", "tower_id", "call_ts"),
+        pMem.toDF().toDF("tower_id", "probe_ts", "load_pct"),
+        tolerance = "2 minutes", lateness = "10 seconds")
+      .writeStream.format("noop").outputMode("append").start()
+    val t0 = 1704067200000L
+    val series = (0 until batches).map { b =>
+      val t = t0 + b * 30000L
+      cMem.addData((0 until 10).map(c =>
+        (s"e$b-$c", s"T${c % 5}", new Timestamp(t + c * 1000L))))
+      pMem.addData((0 until 10).map(p =>
+        (s"T${p % 5}", new Timestamp(t + p * 1500L), (p * 7 % 100).toDouble)))
+      q.processAllAvailable()
+      stateOf(q)
+    }
+    q.stop()
+    series
+  }
+
+  /** Total state (rows, bytes) across all stateful operators of the
+    * query's last progress. */
+  private def stateOf(q: org.apache.spark.sql.streaming.StreamingQuery): (Long, Long) = {
+    val p = q.lastProgress
+    if (p == null || p.stateOperators.isEmpty) (0L, 0L)
+    else (p.stateOperators.map(_.numRowsTotal).sum,
+      p.stateOperators.map(_.memoryUsedBytes).sum)
+  }
+
+  /** Quarter-point summary + plateau ratio (max of the last quarter
+    * over max of the second quarter — ≈1 means bounded state, ≈2
+    * means the expiry is not holding) for one state series. */
+  private def plateauJson(series: Seq[(Long, Long)], batches: Int): String = {
+    val rows = series.map(_._1)
     def at(frac: Double) = rows(math.min(rows.size - 1, (frac * rows.size).toInt))
     // maxOption: for batches < 4 the quarter slices are empty — fall
     // back to the overall max so short runs still emit the artifact
@@ -144,10 +244,36 @@ object StreamBench {
       .getOrElse(rows.max)
     val ratio = q4Max.toDouble / math.max(1L, q2Max)
     def fmt(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    s"""{"metric":"stream_state","unit":"rows","batches":$batches,""" +
+    s"""{"batches":$batches,""" +
       s""""rows_q1":${at(0.25)},"rows_q2":${at(0.5)},"rows_q3":${at(0.75)},""" +
       s""""rows_final":${rows.last},"rows_max":${rows.max},""" +
-      s""""bytes_max":${s.map(_._2).max},"plateau_ratio":${fmt(ratio)}}"""
+      s""""bytes_max":${series.map(_._2).max},"plateau_ratio":${fmt(ratio)}}"""
+  }
+
+  /** One JSON object for the bench artifact. Top-level fields are the
+    * at-ingest dedup's series (the r6/r7 artifact contract, shape
+    * unchanged); `streams` adds the same plateau evidence for the
+    * OTHER three stateful streams (round-8 verdict item 4): quota
+    * admission (state = |keys| counters), windowed top-k (state =
+    * in-flight window sketches), and the stream-stream interval join
+    * (state = tolerance-horizon buffers). A stream whose soak throws
+    * reports an "error" field instead of silently vanishing. */
+  def measureState(spark: SparkSession, batches: Int): String = {
+    val dedup = plateauJson(stateSeries(spark, batches), batches)
+    val others = Seq(
+      "quota" -> (() => quotaStateSeries(spark, batches)),
+      "topk" -> (() => topkStateSeries(spark, batches)),
+      "enrich" -> (() => enrichStateSeries(spark, batches))
+    ).map { case (name, run) =>
+      val body =
+        try plateauJson(run(), batches)
+        catch { case t: Throwable =>
+          s"""{"error":"${t.getClass.getSimpleName}"}"""
+        }
+      s""""$name":$body"""
+    }.mkString(",")
+    val inner = dedup.stripPrefix("{").stripSuffix("}")
+    s"""{"metric":"stream_state","unit":"rows",$inner,"streams":{$others}}"""
   }
 
   def main(args: Array[String]): Unit = {

@@ -541,11 +541,14 @@ object ScaleOps {
     * codes × exact re-rank of the 50 ADC-best — FAISS's canonical
     * IVF16,PQ8 as one composed Spark plan. The candidate stage is a
     * broadcast hash join on the list id (no cross join): ~25% of the
-    * corpus is touched, at m=8 lookups per pair. */
+    * corpus is touched, at m=8 lookups per pair. Queries ride the
+    * [[SimilarityOps.FixedIvfQueryBudget]] md5-sampled slice (the
+    * q49 sampled contract): the fixed-16 occupancy growth stays the
+    * measured contrast, without the corpus-proportional query
+    * multiplier that made this family quadratic+spilling at sf10. */
   def q119IvfPqAnn(s: SparkSession, dir: String): DataFrame = {
     val c = quantized(s, dir)
-    val q = c.filter(col("vec_id") % 10 === 0)
-      .select(col("vec_id").as("query_id"), col("query_vec").as("qvec"))
+    val q = SimilarityOps.querySetSampled(c, SimilarityOps.FixedIvfQueryBudget)
     Similarity.ivfPqTopK(c, q, k = 5, numCentroids = 16, nprobe = 4,
         ks = 16, m = 8, dim = 64, shortlist = 50)
       .orderBy("query_id", "rank")
@@ -805,6 +808,9 @@ object ScaleOps {
         |ORDER BY event_type, event_date""".stripMargin,
     "q119_ivfpq_ann" ->
       s"""WITH e AS (SELECT vec_id, $qv AS v FROM embeddings),
+         |qs AS (SELECT vec_id, v FROM e WHERE vec_id % 10 = 0
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         |  LIMIT ${SimilarityOps.FixedIvfQueryBudget}),
          |cent AS (SELECT vec_id AS cid, v FROM e
          |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
          |assign AS (SELECT vec_id, cid FROM (
@@ -816,7 +822,7 @@ object ScaleOps {
          |    SELECT q.vec_id AS query_id, c.cid, ROW_NUMBER() OVER (PARTITION BY q.vec_id
          |      ORDER BY list_dot_product(q.v, c.v) /
          |               sqrt(list_dot_product(c.v, c.v)) DESC, c.cid) AS rn
-         |    FROM e q, cent c WHERE q.vec_id % 10 = 0) WHERE rn <= 4),
+         |    FROM qs q, cent c) WHERE rn <= 4),
          |pqc AS (SELECT ROW_NUMBER() OVER (
          |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS k, v
          |  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
@@ -830,7 +836,7 @@ object ScaleOps {
          |      ORDER BY s.cn2 - 2 * list_dot_product(e.v[s.j*8+1 : s.j*8+8], s.cv),
          |        s.k) rn
          |  FROM e, sub s) WHERE rn = 1),
-         |q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id % 10 = 0),
+         |q AS (SELECT vec_id AS query_id, v FROM qs),
          |dt AS (SELECT q.query_id, s.j, s.k,
          |    CAST(list_dot_product(q.v[s.j*8+1 : s.j*8+8], q.v[s.j*8+1 : s.j*8+8])
          |      - 2 * list_dot_product(q.v[s.j*8+1 : s.j*8+8], s.cv)

@@ -38,11 +38,24 @@ object SimilarityOps {
     * (lowercase-hex md5 of the decimal vec_id string, ties broken by
     * vec_id). orderBy+limit compiles to TakeOrderedAndProject — a
     * per-partition top-B then a B-row merge, no global sort. */
-  private def querySetSampled(c: DataFrame, budget: Int): DataFrame =
+  private[queries] def querySetSampled(c: DataFrame, budget: Int): DataFrame =
     querySet(c)
       .orderBy(md5(col("query_id").cast("string")), col("query_id"))
       .limit(budget)
       .select(col("query_id"), col("qvec"))
+
+  /** Query cap for the FIXED-16 IVF contrast family (q75/q216/q119,
+    * round-8 verdict item 3 — the q49 sampled-contract treatment).
+    * The fixed codebook is the pedagogical point these queries keep:
+    * at 16 lists, per-query candidate work is ~nprobe/16 of the
+    * CORPUS, growing linearly where the auto-⌈√n⌉ family's stays
+    * ~√n — but serving that growing scan to a corpus-proportional
+    * query set made the family the suite's only quadratic+spilling
+    * members (measured e≈1.85-2.10, 8-13 GB spill at sf10, r7). The
+    * md5-sampled budget bounds the query set exactly like q49's
+    * recall baseline, so the remaining growth IS the occupancy
+    * contrast: budget × n/4 scoring, linear, spill-free. */
+  val FixedIvfQueryBudget = 64
 
   /** q265 — SCALAR-QUANTIZED (SQ8) ANN, the missing rung of the
     * FAISS compression ladder between full precision (q49) and PQ
@@ -210,7 +223,8 @@ object SimilarityOps {
     // silently serving stale/partial lists.
     if (!graft.operators.IvfIndex.isValid(s, path, c.count(), numCentroids = 16))
       graft.operators.IvfIndex.build(c, numCentroids = 16, path)
-    graft.operators.IvfIndex.topK(s, path, querySet(c), k = 5, nprobe = 4)
+    graft.operators.IvfIndex.topK(s, path,
+        querySetSampled(c, FixedIvfQueryBudget), k = 5, nprobe = 4)
       .orderBy("query_id", "rank")
   }
 
@@ -242,11 +256,16 @@ object SimilarityOps {
   }
 
   /** IVF-flat ANN with a deterministic md5-picked codebook (16 lists,
-    * 4 probes) — the second scale path next to q50's SRP-LSH; the
-    * oracle rebuilds the identical index from the same md5 draw. */
+    * 4 probes) over the [[FixedIvfQueryBudget]]-sampled query slice —
+    * the fixed-resolution contrast baseline for q228's auto-⌈√n⌉
+    * codebook (list occupancy grows linearly at fixed list count;
+    * the budget keeps that measurable without the quadratic
+    * query-load multiplier). The oracle rebuilds the identical index
+    * from the same md5 draw and derives the same query slice. */
   def q75IvfAnn(s: SparkSession, dir: String): DataFrame = {
     val c = quantized(s, dir)
-    Similarity.ivfTopK(c, querySet(c), k = 5, numCentroids = 16, nprobe = 4)
+    Similarity.ivfTopK(c, querySetSampled(c, FixedIvfQueryBudget),
+        k = 5, numCentroids = 16, nprobe = 4)
       .orderBy("query_id", "rank")
   }
 
@@ -255,11 +274,13 @@ object SimilarityOps {
     * native single-projection expressions, top-k under
     * WindowGroupLimit. The scale-safe member of the IVF family —
     * q75/q216 keep the fixed-16 pedagogical configuration (measured
-    * quadratic with spill at the sf10 sweep point); this is the
-    * configuration a 100 TB corpus actually runs, at the documented
-    * n^1.5 IVF asymptote under corpus-proportional query load (the
-    * sub-n^1.5 alternatives are q215's constant-occupancy SRP and
-    * the q46 LSH family). The oracle derives the identical ⌈√n⌉ from
+    * quadratic with 8-13 GB spill at sf10 in r7 when serving
+    * corpus-proportional queries; budget-capped per the q49 contract
+    * since round 8, so the linear occupancy growth remains the
+    * measured contrast); this is the configuration a 100 TB corpus
+    * actually runs, at the documented n^1.5 IVF asymptote under
+    * corpus-proportional query load (the sub-n^1.5 alternatives are
+    * q215's constant-occupancy SRP and the q46 LSH family). The oracle derives the identical ⌈√n⌉ from
     * COUNT(*) and replays the same md5 codebook draw. */
   def q228IvfAutoAnn(s: SparkSession, dir: String): DataFrame = {
     val c = quantized(s, dir)
@@ -496,14 +517,27 @@ object SimilarityOps {
         "query_vec", Dim)
       .orderBy("d_i", "d_j")
 
-  private def topDirection(s: SparkSession, dir: String): Array[Long] = {
-    val cells = Pca.momentCells(quantized(s, dir).select(col("query_vec")),
-        "query_vec", Dim)
-      .collect()
-      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2),
-        r.getLong(3), r.getLong(4), r.getLong(5)))
-    Pca.fixedPointTopDirection(cells, Dim, PowerIters)
-  }
+  /** Session-scoped memo of the fitted principal direction, keyed by
+    * data dir: q188 and q189 share ONE moment pass + eigen solve per
+    * input instead of re-fitting the identical model each (round-8
+    * verdict item 5 — the family replayed the same 120-iteration
+    * fixed-point solve three times per suite run). The cached state
+    * is the MODEL, not data: Dim longs per dir, the same bounded
+    * model-collect idiom as the IVF codebook. q187 stays uncached —
+    * it IS the timed distributed face of the moment pass, and its
+    * output is the sufficient statistics themselves. */
+  private val directionCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+
+  private def topDirection(s: SparkSession, dir: String): Array[Long] =
+    directionCache.computeIfAbsent(dir, _ => {
+      val cells = Pca.momentCells(quantized(s, dir).select(col("query_vec")),
+          "query_vec", Dim)
+        .collect()
+        .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+      Pca.fixedPointTopDirection(cells, Dim, PowerIters)
+    })
 
   /** Dominant principal direction by FIXED-POINT integer power
     * iteration (Pca.fixedPointTopDirection). Like the IVF codebook
@@ -1092,6 +1126,10 @@ object SimilarityOps {
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q75_ivf_ann" ->
       s"""WITH e AS (SELECT vec_id, $qv AS v FROM embeddings),
+         |qs AS (
+         |  SELECT vec_id, v FROM e WHERE vec_id % 10 = 0
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         |  LIMIT $FixedIvfQueryBudget),
          |cent AS (
          |  SELECT vec_id AS cid, v FROM e
          |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
@@ -1106,7 +1144,7 @@ object SimilarityOps {
          |    SELECT q.vec_id AS query_id, c.cid, ROW_NUMBER() OVER (PARTITION BY q.vec_id
          |      ORDER BY list_dot_product(q.v, c.v) /
          |               sqrt(list_dot_product(c.v, c.v)) DESC, c.cid) AS rn
-         |    FROM e q, cent c WHERE q.vec_id % 10 = 0) WHERE rn <= 4),
+         |    FROM qs q, cent c) WHERE rn <= 4),
          |cand AS (
          |  SELECT p.query_id, a.vec_id
          |  FROM probe p JOIN assign a ON a.cid = p.cid
