@@ -27,6 +27,7 @@ object SparkEntry {
     q.ScaleOps.queries,
     q.GraphOps.queries,
     q.MixOps.queries,
+    q.CorpusStats.queries,
   )
   private def oracleModules: Seq[Map[String, String]] = Seq(
     q.Relational.oracles,
@@ -44,6 +45,7 @@ object SparkEntry {
     q.ScaleOps.oracles,
     q.GraphOps.oracles,
     q.MixOps.oracles,
+    q.CorpusStats.oracles,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -75,6 +75,16 @@ object SuffixRank {
         ascii(col("col")).cast("long").as("_r1")))
     val total = cur.count()
     val perDoc = Window.partitionBy("_id").orderBy("_pos")
+    // maxLen == 1 never enters the doubling loop, which is the only
+    // place ranks get DENSE-ranked — without this pass the output
+    // would be raw code points (correct order, wrong contract; found
+    // by SuffixRankPropertySpec's degenerate corpus)
+    if (maxLen == 1) {
+      val (ranked, sorted, _) =
+        denseRankByPair(cur.withColumn("_r2", lit(-1L)))
+      cur = Lineage.cut(ranked)
+      sorted.unpersist(blocking = false)
+    }
     var k = 1
     var done = false
     while (k < maxLen && !done) {

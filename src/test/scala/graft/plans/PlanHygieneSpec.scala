@@ -66,6 +66,9 @@ class PlanHygieneSpec extends SparkSpec {
     "q33_range_join" -> "broadcast range join vs 12-row month dim",
     // post-aggregation windows over driver-sized frames (≤ ~30 rows)
     "q25_trailing_avg" -> "trailing window over a 30-row daily aggregate",
+    // cumulative vocabulary over the fixed 8-row shard dimension —
+    // both inputs are post-aggregation 8-row frames
+    "q277_shard_vocab_curve" -> "cumulative window over the 8-row shard dimension",
     // sketch-pair cross: |groups|^2 rows of k-hash summaries, both
     // sides post-aggregation (3 statuses here)
     "q82_kmv_overlap" -> "cross join of per-group sketch summaries",
