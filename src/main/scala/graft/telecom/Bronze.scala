@@ -17,15 +17,31 @@ import org.apache.spark.sql.functions._
 object Bronze {
 
   /** Partitioned Hive-layout landing write (reference
-    * kafka_to_bronze.py:57-87, S5). */
-  def writeLanding(df: DataFrame, path: String, eventTsCol: String): Unit =
+    * kafka_to_bronze.py:57-87, S5). Returns write-path DQ metrics
+    * (rows, null event-times, event-time bounds in µs) collected by
+    * the write's OWN tasks via Dataset.observe — the landing is
+    * self-auditing with zero extra reads, where the reference
+    * re-scans bronze per check batch
+    * (pipeline_observability.py:92-173). */
+  def writeLanding(df: DataFrame, path: String,
+                   eventTsCol: String): Map[String, Long] = {
+    val obs = org.apache.spark.sql.Observation()
     df.withColumn("year", year(col(eventTsCol)))
       .withColumn("month", month(col(eventTsCol)))
       .withColumn("day", dayofmonth(col(eventTsCol)))
+      .observe(obs,
+        count(lit(1)).as("rows"),
+        sum(when(col(eventTsCol).isNull, 1L).otherwise(0L)).as("null_ts"),
+        min(unix_micros(col(eventTsCol))).as("min_ts_us"),
+        max(unix_micros(col(eventTsCol))).as("max_ts_us"))
       .write.mode(SaveMode.Append)
       .partitionBy("year", "month", "day")
       .option("compression", "snappy")
       .parquet(path)
+    obs.get.map { case (k, v) =>
+      k -> (if (v == null) 0L else v.asInstanceOf[Number].longValue())
+    }
+  }
 
   /** Compaction of a landing table (reference bronze_compaction.py:
     * 88-136): dedup on pk keeping the LATEST by version column

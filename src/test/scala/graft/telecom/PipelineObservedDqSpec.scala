@@ -78,6 +78,25 @@ class PipelineObservedDqSpec extends SparkSpec {
       s"observed gate should skip the aggregate re-reads: $obsInput vs $scanInput")
   }
 
+  test("writeLanding returns write-path metrics matching the landed files") {
+    import spark.implicits._
+    val t0 = 1704067200000L
+    val rows = (0L until 5000L).map { i =>
+      (s"e$i",
+        if (i % 211 == 0) null
+        else new java.sql.Timestamp(t0 + (i % 90) * 86400000L))
+    }
+    val out = java.nio.file.Files.createTempDirectory("landing").toString + "/t"
+    val got = Bronze.writeLanding(rows.toDF("event_id", "ts"), out, "ts")
+    val disk = spark.read.parquet(out).agg(
+      count(lit(1)), sum(when(col("ts").isNull, 1L).otherwise(0L)),
+      min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head
+    assert(got("rows") === disk.getLong(0))
+    assert(got("null_ts") === disk.getLong(1) && got("null_ts") > 0)
+    assert(got("min_ts_us") === disk.getLong(2))
+    assert(got("max_ts_us") === disk.getLong(3))
+  }
+
   test("observed counters see injected faults exactly like the scan path (routing unchanged)") {
     // inject null call_ids: the write-path counter must trip not_null
     // (severity error → BLOCKED) just as the post-write scan did
