@@ -117,7 +117,17 @@ object ScaleSweep {
     "q151_similarity_join" ->
       "output-bound: pair count grows ~quadratically by construction; LSH family is the scale path",
     "q80_multiprobe_ann" ->
-      "fixed-resolution contrast baseline for q215 (documented e~1.1)")
+      "fixed-resolution contrast baseline for q215 (documented e~1.1)",
+    // r8 decade-1 measurements on the self-similar replica corpus:
+    // both are candidate-pair kernels whose PAIR COUNT is the output
+    // of interest — replicating every doc ~100x multiplies both join
+    // sides of every shared token/grid cell, so candidates grow
+    // ~quadratically BY CORPUS CONSTRUCTION (q151's class, not a plan
+    // defect; shuffle at sf10 projected ~400 GB, aborted at 34 GB).
+    "q63_contamination" ->
+      "prefix-candidate generation is output-bound on the replica corpus: d1 measured e_sh=2.016 (pair count ~quadratic under 10x replication); the bloom-prefiltered q239 and banded q46 are the swept scale paths",
+    "q185_density_outliers" ->
+      "grid-cell neighbor pairs are output-bound on the replica corpus: d1 measured e_sh=1.918 (replicas co-locate in cells); the banded/bucketed similarity family is the swept scale path")
     // the fixed-16 IVF family (q75/q216/q119) measured e=2.10/2.03/
     // 1.85 with 8-13 GB spill at sf10 in r7 under corpus-proportional
     // query load; round 8 applied the q49 sampled contract

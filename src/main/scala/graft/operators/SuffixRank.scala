@@ -74,6 +74,17 @@ object SuffixRank {
       .select(col("_id"), col("pos").cast("int").as("_pos"),
         ascii(col("col")).cast("long").as("_r1")))
     val total = cur.count()
+    // Partition count must track the SUFFIX ROW count, not the
+    // session default: at sf10 the frame is ~1.4e9 rows, and 8
+    // session partitions would put ~175M rows (≈5 GB) in every
+    // in-partition sort — guaranteed external-sort spill (measured:
+    // 19 GB spill, time exponent 1.21 vs shuffle exponent 0.98 in
+    // the r8 sweep). ~8M rows (~250 MB) per partition sorts
+    // in-memory; the two-phase stitch is P-row driver state, so the
+    // 4096 cap keeps that bounded at any corpus size.
+    val parts = math.max(
+      docs.sparkSession.sessionState.conf.numShufflePartitions,
+      math.min(4096L, total / 8000000L + 1L).toInt)
     val perDoc = Window.partitionBy("_id").orderBy("_pos")
     // maxLen == 1 never enters the doubling loop, which is the only
     // place ranks get DENSE-ranked — without this pass the output
@@ -81,7 +92,7 @@ object SuffixRank {
     // by SuffixRankPropertySpec's degenerate corpus)
     if (maxLen == 1) {
       val (ranked, sorted, _) =
-        denseRankByPair(cur.withColumn("_r2", lit(-1L)))
+        denseRankByPair(cur.withColumn("_r2", lit(-1L)), parts)
       cur = Lineage.cut(ranked)
       sorted.unpersist(blocking = false)
     }
@@ -90,7 +101,7 @@ object SuffixRank {
     while (k < maxLen && !done) {
       val paired = cur.withColumn("_r2",
         lead(col("_r1"), k, -1L).over(perDoc))
-      val (ranked, sorted, distinctCnt) = denseRankByPair(paired)
+      val (ranked, sorted, distinctCnt) = denseRankByPair(paired, parts)
       cur = Lineage.cut(ranked) // eager: materializes before unpersist
       sorted.unpersist(blocking = false)
       done = distinctCnt == total
@@ -104,9 +115,9 @@ object SuffixRank {
     * Returns (frame with _r1 := new rank and _r2 dropped, the
     * persisted sorted frame for the caller to unpersist AFTER
     * materializing, distinct pair count). */
-  private def denseRankByPair(df: DataFrame): (DataFrame, DataFrame, Long) = {
+  private def denseRankByPair(df: DataFrame,
+                              n: Int): (DataFrame, DataFrame, Long) = {
     val spark = df.sparkSession
-    val n = spark.sessionState.conf.numShufflePartitions
     val sorted = df
       .repartitionByRange(n, col("_r1"), col("_r2"))
       .sortWithinPartitions("_r1", "_r2")
@@ -165,9 +176,13 @@ object SuffixRank {
     * Lineage is cut before returning, so the internal persist is
     * already released. */
   def zipWithIndex(df: DataFrame, sortCols: Seq[String],
-                   outCol: String = "_gi"): DataFrame = {
+                   outCol: String = "_gi", minPartitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
-    val n = spark.sessionState.conf.numShufflePartitions
+    // callers indexing data-sized frames pass minPartitions derived
+    // from a known row count so the in-partition sorts stay in memory
+    // regardless of the session default (same rationale as ranks())
+    val n = math.max(spark.sessionState.conf.numShufflePartitions,
+      minPartitions)
     val sorted = df
       .repartitionByRange(n, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)

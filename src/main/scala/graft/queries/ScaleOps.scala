@@ -208,7 +208,12 @@ object ScaleOps {
     val withSfx = r.join(txt, "doc_id")
       .withColumn("sfx", expr(s"substring(_t, pos + 1, $T)"))
       .select("doc_id", "pos", "rank", "sfx")
-    val gi = SuffixRank.zipWithIndex(withSfx, Seq("rank", "doc_id", "pos"))
+    // suffix rows carry ≤T-char strings: size the index sort at ~2M
+    // rows (~0.5 GB) per partition so it never external-sorts; the
+    // count is cheap (r is checkpoint-materialized by ranks())
+    val sfxParts = math.min(4096L, r.count() / 2000000L + 1L).toInt
+    val gi = SuffixRank.zipWithIndex(withSfx, Seq("rank", "doc_id", "pos"),
+      minPartitions = sfxParts)
     // native byte-scan LCP under the graft extension; HOF fold in
     // bare sessions (identical result, O(T) single-char substrings)
     val lcpCol =
