@@ -99,7 +99,13 @@ object SuffixRank {
     var k = 1
     var done = false
     while (k < maxLen && !done) {
-      val paired = cur.withColumn("_r2",
+      // pre-hash to `parts` on _id: HashPartitioning(_id, parts)
+      // satisfies the window's ClusteredDistribution, so the window
+      // sort runs in the sized partitions instead of re-exchanging
+      // to the session default (8 session partitions at sf10 put
+      // ~175M rows in every window sort — the remaining spill source
+      // after the dense-rank sorts were sized)
+      val paired = cur.repartition(parts, col("_id")).withColumn("_r2",
         lead(col("_r1"), k, -1L).over(perDoc))
       val (ranked, sorted, distinctCnt) = denseRankByPair(paired, parts)
       cur = Lineage.cut(ranked) // eager: materializes before unpersist

@@ -225,10 +225,15 @@ object ScaleOps {
           |    (acc, k) -> IF(acc = k - 1 AND
           |      substring(sfx_a, k, 1) = substring(sfx_b, k, 1), k, acc)))
           |""".stripMargin)
+    // size the adjacent-pair join's hash exchanges like the sorts:
+    // both sides are suffix-frame-sized, and an 8-partition SMJ sort
+    // at sf10 spills exactly like the unsized window did
     val a = gi.select(col("_gi"), col("doc_id").as("doc_a"),
       col("pos").cast("long").as("pos_a"), col("sfx").as("sfx_a"))
+      .repartition(sfxParts, col("_gi"))
     val b = gi.select((col("_gi") - 1).as("_gi"), col("doc_id").as("doc_b"),
       col("pos").cast("long").as("pos_b"), col("sfx").as("sfx_b"))
+      .repartition(sfxParts, col("_gi"))
     a.join(b, "_gi")
       .withColumn("lcp", lcpCol.cast("long"))
       .withColumn("cross_doc", col("doc_a") =!= col("doc_b"))
