@@ -99,7 +99,10 @@ object ScaleSweep {
     // constant — see NotSwept)
     "q250_suffix_panel", "q85_sample_quantiles", "q63_contamination",
     "q135_pagerank", "q185_density_outliers", "q212_filter_report",
-    "q187_embedding_cov", "q189_pca_project")
+    "q187_embedding_cov", "q189_pca_project",
+    // round-8 new queries: gram-keyed vocab curve, unpivoted stats
+    // scan (both measured sublinear, zero spill)
+    "q277_shard_vocab_curve", "q278_column_stats")
 
   /** Queries excluded from the sf1→sf10 decade, each with its
     * documented ceiling — these are superlinear BY CONSTRUCTION, so
