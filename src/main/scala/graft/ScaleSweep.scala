@@ -150,15 +150,20 @@ object ScaleSweep {
     "q188_pca_power" ->
       "driver-side d x d eigen solve over the collected moment cells (2080 rows, constant in corpus size) behind the session direction memo; the data-sized moment pass is swept as q187, the projection as q189")
 
-  /** Queries whose at-scale claims are FLAT (not merely sublinear) —
-    * the repo's headline facts, worth a third measured decade
+  /** Queries worth a third measured decade, two groups. FLAT claims
     * (round-8 verdict item 6): q255's exchange-free bucketed join
     * (shuffle bytes must stay flat at 1000×) and the byte-bounded
-    * top-k heap aggregates. Opt-in via SPARK_GRAFT_SF100=1 — the
-    * sf100 derivation writes ~14 GB under target/ (measured: sf10 is
-    * 1.4 GB), well inside the sandbox disk budget. */
+    * top-k heap aggregates. HEADLINE COMPOSITES (round-9 verdict
+    * item 1): the end-to-end curation/release pipelines and banded
+    * LSH near-dup — the operators a 100 TB corpus actually runs, so
+    * "survives 100×" needs a measured sf10→sf100 row, not an
+    * extrapolation from two decades. Opt-in via SPARK_GRAFT_SF100=1 —
+    * the sf100 derivation writes ~13 GB under target/ (measured),
+    * well inside the sandbox disk budget. */
   val ThirdDecadeTargets = Seq(
-    "q255_bucketed_join", "q259_grouped_topk", "q271_topk_panel")
+    "q255_bucketed_join", "q259_grouped_topk", "q271_topk_panel",
+    "q105_curation_pipeline", "q225_curation_v3",
+    "q242_release_pipeline", "q46_minhash_neardup")
 
   def main(args: Array[String]): Unit = {
     val sf01 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -197,15 +202,20 @@ object ScaleSweep {
       System.err.println(s"[sweep] generating $sf10 from $sf1 ...")
       ScaleUp.writeAll(spark, sf1, sf10, replicas = 10)
     }
-    if (runDecade3 && !ScaleUp.isComplete(sf100, sf10, replicas = 10)) {
-      System.err.println(s"[sweep] generating $sf100 from $sf10 ...")
-      ScaleUp.writeAll(spark, sf10, sf100, replicas = 10)
-    }
-
     val targets =
       if (args.nonEmpty) args.toSeq.flatMap(a =>
         SparkEntry.queries.keys.filter(k => k == a || k.takeWhile(_ != '_') == a))
       else DefaultTargets
+
+    // sf100 generation only when a requested target will actually
+    // sweep it — SPARK_GRAFT_SF100=1 plus a targeted non-d3 query
+    // list would otherwise derive ~13 GB the run never reads
+    // (mirrors the d3 decade guard below; round-8 advice)
+    if (runDecade3 && targets.exists(ThirdDecadeTargets.contains) &&
+        !ScaleUp.isComplete(sf100, sf10, replicas = 10)) {
+      System.err.println(s"[sweep] generating $sf100 from $sf10 ...")
+      ScaleUp.writeAll(spark, sf10, sf100, replicas = 10)
+    }
 
     // Profiled alongside the timers: shuffle BYTES are deterministic
     // (same plan + same data = same bytes, rep after rep), so the

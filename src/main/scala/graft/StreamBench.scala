@@ -56,18 +56,21 @@ object StreamBench {
         }
       }
 
-    // warm-up: codegen + state-store init outside the timed window
-    (0 until 5).foreach { b => mem.addData(batch(b)); q.processAllAvailable() }
-
-    val lat = (5 until 5 + batches).map { b =>
-      val data = batch(b)
-      val t = System.nanoTime()
-      mem.addData(data)
-      q.processAllAvailable()
-      (System.nanoTime() - t) / 1e9
-    }.sorted
+    // warm-up: codegen + state-store init outside the timed window;
+    // stop in finally so a mid-measure failure can't leak a running
+    // query into the rest of the bench
+    val lat =
+      try {
+        (0 until 5).foreach { b => mem.addData(batch(b)); q.processAllAvailable() }
+        (5 until 5 + batches).map { b =>
+          val data = batch(b)
+          val t = System.nanoTime()
+          mem.addData(data)
+          q.processAllAvailable()
+          (System.nanoTime() - t) / 1e9
+        }.sorted
+      } finally q.stop()
     val alerts = spark.table("latency_alerts").count()
-    q.stop()
     try spark.catalog.dropTempView("latency_alerts")
     catch { case _: Throwable => () }
 
@@ -112,16 +115,16 @@ object StreamBench {
         StreamingDedup.DocEvent(b.toLong * docsPerBatch + i, text,
           new Timestamp(t0 + b * 30000L + (i % 10) * 1000L))
       }
-    val series = (0 until batches).map { b =>
-      mem.addData(batch(b))
-      q.processAllAvailable()
-      val p = q.lastProgress
-      if (p != null && p.stateOperators.nonEmpty) {
-        val so = p.stateOperators(0)
-        (so.numRowsTotal, so.memoryUsedBytes)
-      } else (0L, 0L)
-    }
-    q.stop()
+    val series =
+      try (0 until batches).map { b =>
+        mem.addData(batch(b))
+        q.processAllAvailable()
+        val p = q.lastProgress
+        if (p != null && p.stateOperators.nonEmpty) {
+          val so = p.stateOperators(0)
+          (so.numRowsTotal, so.memoryUsedBytes)
+        } else (0L, 0L)
+      } finally q.stop()
     try spark.catalog.dropTempView("state_bench")
     catch { case _: Throwable => () }
     series
@@ -147,16 +150,17 @@ object StreamBench {
       val mem = MemoryStream[AdmissionEvent]
       val q = QuotaAdmission.admitStream(mem.toDS(), limit = 100)
         .writeStream.format("noop").outputMode("append").start()
-      val series = (0 until batches).map { b =>
+      // stop in finally: a mid-soak failure must not leave the query
+      // running (holding state-store memory and threads) for the rest
+      // of the bench — measureState catches and carries on
+      try (0 until batches).map { b =>
         mem.addData((0 until sources).flatMap { s =>
           (0 until 4).map(i =>
             AdmissionEvent(s"src$s", b * 1000L + s * 4 + i, b * 4L + i))
         })
         q.processAllAvailable()
         stateOf(q)
-      }
-      q.stop()
-      series
+      } finally q.stop()
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
@@ -179,14 +183,12 @@ object StreamBench {
         watermarkDelay = "10 seconds")
       .writeStream.format("noop").outputMode("append").start()
     val t0 = 1704067200000L
-    val series = (0 until batches).map { b =>
+    try (0 until batches).map { b =>
       mem.addData((0 until 40).map(i =>
         (new Timestamp(t0 + b * 30000L + (i % 10) * 1000L), s"k${b}x${i % 8}")))
       q.processAllAvailable()
       stateOf(q)
-    }
-    q.stop()
-    series
+    } finally q.stop()
   }
 
   /** Per-micro-batch state footprint of the stream-stream interval
@@ -207,7 +209,7 @@ object StreamBench {
         tolerance = "2 minutes", lateness = "10 seconds")
       .writeStream.format("noop").outputMode("append").start()
     val t0 = 1704067200000L
-    val series = (0 until batches).map { b =>
+    try (0 until batches).map { b =>
       val t = t0 + b * 30000L
       cMem.addData((0 until 10).map(c =>
         (s"e$b-$c", s"T${c % 5}", new Timestamp(t + c * 1000L))))
@@ -215,9 +217,7 @@ object StreamBench {
         (s"T${p % 5}", new Timestamp(t + p * 1500L), (p * 7 % 100).toDouble)))
       q.processAllAvailable()
       stateOf(q)
-    }
-    q.stop()
-    series
+    } finally q.stop()
   }
 
   /** Total state (rows, bytes) across all stateful operators of the

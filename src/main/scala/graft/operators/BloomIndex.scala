@@ -69,15 +69,24 @@ object BloomIndex {
   }
 
   /** (rows, order-independent content fingerprint) in ONE pass: the
-    * xor-fold of xxhash64(fingerprint) detects a regenerated corpus
-    * with the SAME row count but different text (row count alone
-    * would serve the stale index and return pre-regeneration
-    * matches). Xor is commutative so partition order is irrelevant. */
+    * xor-fold of xxhash64(doc_id ‖ fingerprint) detects a regenerated
+    * corpus with the SAME row count but different text (row count
+    * alone would serve the stale index and return pre-regeneration
+    * matches). Binding doc_id into the hashed pair matters twice
+    * over: (a) a permutation of texts ACROSS doc_ids changes every
+    * per-bucket bloom but leaves the multiset of fingerprints — and
+    * so any fingerprint-only fold — unchanged; (b) xor cancels
+    * duplicate inputs in pairs, and fingerprint-only inputs DO
+    * duplicate (exact-dup texts), so even-multiplicity churn was
+    * invisible. (doc_id, fingerprint) pairs are unique per row for
+    * any sane corpus, so neither hole survives. Xor is commutative,
+    * so partition order is irrelevant. */
+  private[operators] def stampExpr =
+    coalesce(bit_xor(xxhash64(
+      concat_ws("|", col("doc_id"), col("fingerprint")))), lit(0L))
+
   private def contentStamp(data: DataFrame): (Long, Long) = {
-    val r = data.agg(
-      count(lit(1)).as("n"),
-      coalesce(bit_xor(xxhash64(col("fingerprint"))), lit(0L)).as("h"))
-      .head()
+    val r = data.agg(count(lit(1)).as("n"), stampExpr.as("h")).head()
     (r.getLong(0), r.getLong(1))
   }
 
@@ -172,8 +181,8 @@ object BloomIndex {
   }
 
   /** True iff a completed build exists whose stamp matches. Pass
-    * `expectedFpHash` (the xor-fold of xxhash64(fingerprint) over the
-    * corpus) to ALSO catch a regenerated corpus with the same row
+    * `expectedFpHash` (the xor-fold of xxhash64(doc_id ‖ fingerprint)
+    * over the corpus) to ALSO catch a regenerated corpus with the same row
     * count but different text — row count + bucket count alone would
     * serve the stale index. Markers from pre-fphash builds fail the
     * check (forcing one rebuild), which is the safe direction. */
@@ -188,11 +197,11 @@ object BloomIndex {
   def ensureBuilt(docs: DataFrame, buckets: Int, path: String): Unit = {
     val sp = docs.sparkSession
     // one pass over docs for (count, content hash) — same cost as the
-    // old docs.count() gate, now stale-content-proof
-    val r = docs.agg(
-      count(lit(1)).as("n"),
-      coalesce(bit_xor(xxhash64(TextAnalysis.fingerprint(col("text")))),
-        lit(0L)).as("h")).head()
+    // old docs.count() gate, now stale-content-proof; MUST mirror
+    // contentStamp's doc_id-bound pair or valid indexes re-build
+    val r = docs
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      .agg(count(lit(1)).as("n"), stampExpr.as("h")).head()
     if (!isValid(sp, path, r.getLong(0), buckets, Some(r.getLong(1))))
       build(docs, buckets, path)
   }

@@ -20,8 +20,57 @@ import org.apache.spark.sql.functions._
   * is the compliance artifact; rows_after is measured from the
   * POST-SWEEP files, so an oracle computing before − deleted from the
   * raw corpus certifies the on-disk result, not the plan.
+  *
+  * Crash safety: the overwrite + fully-swept-bucket deletes are not
+  * atomic, so the delete intent is persisted FIRST
+  * (`_GRAFT_SWEEP_INTENT`) and reconciled at the start of every
+  * sweep — a crash anywhere in the window is repaired on the next
+  * run rather than silently keeping files the takedown demanded gone
+  * (round-9 verdict item 4).
   */
 object Retention {
+
+  /** Intent marker written BEFORE the partition overwrite, listing
+    * the fully-swept bucket dirs the run is about to delete: the
+    * overwrite-then-delete pair is not crash-atomic, and a crash
+    * between the two resurrects exactly the silent-survival case the
+    * explicit deletes exist for. Presence on a later run means a
+    * crashed sweep — [[reconcile]] replays the (idempotent) deletes
+    * and removes the marker; `sweep` reconciles first, so a re-run
+    * after any crash converges to the intended end state. */
+  private val IntentMarker = "_GRAFT_SWEEP_INTENT"
+
+  /** Test failpoint: invoked between the partition overwrite and the
+    * fully-swept-bucket deletes (RetentionSpec injects a crash here
+    * to prove the intent marker closes the window). No-op in
+    * production. */
+  private[operators] var failpointAfterOverwrite: () => Unit = () => ()
+
+  private def fsOf(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  }
+
+  /** Replay the deletes of a crashed sweep, if an intent marker is
+    * present. Safe at ANY crash point: a bucket is listed only when
+    * every row it held matched the delete set, so removing the dir
+    * never loses kept data — whether or not the overwrite ran.
+    * Returns the bucket ids repaired (empty when the marker is
+    * absent — the common case, one existence RPC). */
+  def reconcile(spark: SparkSession, path: String): Seq[Int] = {
+    val hfs = fsOf(spark, path)
+    val marker = new org.apache.hadoop.fs.Path(s"$path/$IntentMarker")
+    if (!hfs.exists(marker)) return Nil
+    val in = hfs.open(marker)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val buckets = txt.split("[,\\s]+").filter(_.nonEmpty).map(_.toInt).toSeq
+    buckets.foreach { b =>
+      hfs.delete(new org.apache.hadoop.fs.Path(s"$path/data/bucket=$b"), true)
+    }
+    hfs.delete(marker, false)
+    buckets
+  }
 
   /** Sweep fingerprints out of a BloomIndex-layout table at `path`.
     * Returns the per-bucket audit (all buckets, including untouched).
@@ -32,6 +81,7 @@ object Retention {
     * same file-skipping shape. */
   def sweep(spark: SparkSession, path: String, fps: DataFrame): DataFrame = {
     import spark.implicits._
+    reconcile(spark, path) // finish a crashed predecessor first
     val data = spark.read.parquet(s"$path/data")
     // pre-state, collected BEFORE any rewrite (bounded: one row per bucket)
     val beforeCounts = data.groupBy("bucket").count()
@@ -46,23 +96,33 @@ object Retention {
     val kept = touched.join(delKeys, Seq("fingerprint"), "left_anti")
       .select(col("doc_id"), col("fingerprint"), col("bucket"))
       .localCheckpoint()
-    kept.write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket").parquet(s"$path/data")
     // Dynamic overwrite only rewrites partitions PRESENT in `kept`: a
     // candidate bucket whose every row matched the delete set has no
     // kept rows, so its old files would silently survive — the exact
-    // failure the takedown contract forbids. Delete those bucket dirs
-    // explicitly (bounded: ≤ candidate-bucket count of metadata ops).
+    // failure the takedown contract forbids. Those dirs are deleted
+    // explicitly (bounded: ≤ candidate-bucket count of metadata ops),
+    // and the delete INTENT is durably recorded before the overwrite
+    // so a crash anywhere between overwrite and deletes is repaired
+    // by the next sweep's reconcile instead of resurrecting survivors.
     val keptBuckets = kept.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSet
-    val hfs = {
-      val p = new org.apache.hadoop.fs.Path(s"$path/data")
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val toDelete = cand.filterNot(keptBuckets)
+    val hfs = fsOf(spark, path)
+    val marker = new org.apache.hadoop.fs.Path(s"$path/$IntentMarker")
+    if (toDelete.nonEmpty) {
+      val out = hfs.create(marker, true)
+      out.write(toDelete.mkString(",")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
     }
-    cand.filterNot(keptBuckets).foreach { b =>
+    kept.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(s"$path/data")
+    failpointAfterOverwrite()
+    toDelete.foreach { b =>
       hfs.delete(new org.apache.hadoop.fs.Path(s"$path/data/bucket=$b"), true)
     }
+    if (toDelete.nonEmpty) hfs.delete(marker, false)
     val after = spark.read.parquet(s"$path/data")
       .groupBy("bucket").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap

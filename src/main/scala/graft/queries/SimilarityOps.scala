@@ -518,8 +518,8 @@ object SimilarityOps {
       .orderBy("d_i", "d_j")
 
   /** Session-scoped memo of the fitted principal direction, keyed by
-    * data dir: q188 and q189 share ONE moment pass + eigen solve per
-    * input instead of re-fitting the identical model each (round-8
+    * (data dir, file stamp): q188 and q189 share ONE moment pass +
+    * eigen solve per input instead of re-fitting the identical model each (round-8
     * verdict item 5 — the family replayed the same 120-iteration
     * fixed-point solve three times per suite run). The cached state
     * is the MODEL, not data: Dim longs per dir, the same bounded
@@ -527,10 +527,32 @@ object SimilarityOps {
     * it IS the timed distributed face of the moment pass, and its
     * output is the sufficient statistics themselves. */
   private val directionCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Array[Long]]()
+
+  /** Driver-side stamp of the embeddings table's FILES — an
+    * order-independent sum over (name, length, mtime) per file. Keys
+    * the direction memo so a corpus regenerated at the SAME dir
+    * within one JVM (a sweep run overwriting target/sf1, a fixture
+    * rebuild in a long test session) misses the memo instead of
+    * projecting with a stale principal direction while the oracle
+    * refits from the new data (round-8 advice). Pure file-metadata
+    * listing, no Spark job — microseconds next to the moment pass it
+    * guards. */
+  private def corpusStamp(s: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var h = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      h += (f.getPath.getName.hashCode.toLong * 1099511628211L +
+        f.getLen) * 31L + f.getModificationTime
+    }
+    h
+  }
 
   private def topDirection(s: SparkSession, dir: String): Array[Long] =
-    directionCache.computeIfAbsent(dir, _ => {
+    directionCache.computeIfAbsent((dir, corpusStamp(s, dir)), _ => {
       val cells = Pca.momentCells(quantized(s, dir).select(col("query_vec")),
           "query_vec", Dim)
         .collect()

@@ -257,7 +257,13 @@ object Pipeline {
         }
         val persisted = spark.read.parquet(s"$outDir/$name")
         tables(name) = persisted
-        (TableRun(name, persisted.count(), (System.nanoTime() - t0) / 1e9), true)
+        // manifest row count from the write-path observation when the
+        // table carries observe metrics — the exact count was already
+        // collected as the frame was written, so a count() here would
+        // re-pay the read the observed-DQ wiring exists to remove
+        val rowCount = observed.get(name).flatMap(_.get("rows"))
+          .getOrElse(persisted.count())
+        (TableRun(name, rowCount, (System.nanoTime() - t0) / 1e9), true)
       } else {
         // untouched parent: serve the persisted output, no rewrite
         val persisted = spark.read.parquet(s"$outDir/$name")

@@ -131,6 +131,26 @@ class BloomIndexSpec extends SparkSpec {
       "pre-regeneration content still matches")
   }
 
+  test("texts permuted across doc_ids (same fingerprint multiset) triggers rebuild") {
+    val path6 =
+      java.nio.file.Files.createTempDirectory("bloomidx6").toString + "/idx"
+    val gen1 = (0L until 64L).map(i => (i, s"permuted body $i")).toDF("doc_id", "text")
+    BloomIndex.ensureBuilt(gen1, 16, path6)
+    // reverse the doc_id↔text assignment: the MULTISET of fingerprints
+    // (and the row count) is unchanged, so a fingerprint-only content
+    // stamp cannot see the change — but every per-bucket bloom now
+    // holds different members, so serving the stale sidecar yields
+    // bloom false negatives (the failure class the stamp exists to
+    // prevent; round-8 advice)
+    val gen2 = (0L until 64L).map(i => (i, s"permuted body ${63 - i}"))
+      .toDF("doc_id", "text")
+    BloomIndex.ensureBuilt(gen2, 16, path6)
+    val probe = fpOf(Seq("permuted body 13")).toDF("fp")
+    assert(BloomIndex.lookup(spark, path6, probe)
+      .select("doc_id").as[Long].collect().toSet === Set(50L),
+      "stale sidecar served after a doc_id-permuting regeneration")
+  }
+
   test("property: random probe sets never miss a present fingerprint") {
     val path3 =
       java.nio.file.Files.createTempDirectory("bloomidx3").toString + "/idx"

@@ -102,4 +102,51 @@ class RetentionSpec extends SparkSpec {
     assert(left.intersect(doomedIds).isEmpty, "erased rows survived on disk")
     assert(left.size === 75)
   }
+
+  test("crash between overwrite and bucket deletes is repaired by the next sweep") {
+    val path =
+      java.nio.file.Files.createTempDirectory("retention").toString + "/idx"
+    val doomedIds = Set(7L, 23L, 39L, 55L, 71L) // all of bucket 7
+    val docs = (0L until 80L).map { i =>
+      (i, if (doomedIds(i)) "erase all of bucket seven" else s"unique content $i")
+    }.toDF("doc_id", "text")
+    BloomIndex.build(docs, 16, path)
+    val fps = Seq(md5hex("erase all of bucket seven")).toDF("fp")
+
+    // inject a crash in the non-atomic window: after the dynamic
+    // partition overwrite, before the fully-swept-bucket deletes
+    Retention.failpointAfterOverwrite =
+      () => throw new RuntimeException("injected crash")
+    try intercept[RuntimeException](Retention.sweep(spark, path, fps))
+    finally Retention.failpointAfterOverwrite = () => ()
+
+    // the crash resurrected the silent-survival case: bucket 7's old
+    // files are still on disk, but the intent marker recorded them
+    val dir = new java.io.File(s"$path/data/bucket=7")
+    assert(dir.exists() && dir.listFiles().exists(_.getName.endsWith(".parquet")),
+      "precondition: the crash left the fully-swept bucket's files behind")
+    assert(new java.io.File(s"$path/_GRAFT_SWEEP_INTENT").exists(),
+      "intent marker missing after the crash")
+
+    // a re-run reconciles first, so the survivors are gone and the
+    // audit/idempotence contract holds as if the crash never happened
+    // reconcile runs before the audit's pre-state scan, so the
+    // repaired bucket is already gone from the table: it either shows
+    // rows_after = 0 or is absent from the audit entirely
+    val audit = Retention.sweep(spark, path, fps)
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(audit.getOrElse(7, 0L) === 0L)
+    assert(!new java.io.File(s"$path/_GRAFT_SWEEP_INTENT").exists(),
+      "intent marker not cleared by the repairing sweep")
+    assert(!dir.exists() ||
+      dir.listFiles().forall(!_.getName.endsWith(".parquet")),
+      "crashed sweep's fully-swept bucket still has parquet files")
+    val left = spark.read.parquet(s"$path/data")
+      .select("doc_id").as[Long].collect().toSet
+    assert(left.intersect(doomedIds).isEmpty, "erased rows survived the repair")
+    assert(left.size === 75)
+
+    // standalone reconcile on a clean table is a no-op
+    assert(Retention.reconcile(spark, path).isEmpty)
+  }
 }
