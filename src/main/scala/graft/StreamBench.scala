@@ -29,8 +29,20 @@ object StreamBench {
     * the one-line JSON metric (no printing, no session lifecycle) —
     * shared by this main and graft.Bench, which embeds the line in
     * the per-round bench artifact so the reference's "within seconds"
-    * claim has a tracked number every round. */
-  def measure(spark: SparkSession, batches: Int): String = {
+    * claim has a tracked number every round.
+    *
+    * Band pinning (round-9 verdict item 5): per-batch latency is
+    * ~0.5 s of mostly state-store commit + scheduler fixed cost, so
+    * host noise shows up as whole slow BATCHES, not jitter within
+    * one — best-of-reps BY p50 is the streaming analogue of the
+    * batch bench's min-of-reps (PLANS.md "median → minimum"), and
+    * `batches` must be large enough that p95 is a real percentile
+    * (at the old 20, index ⌊0.95·20⌋ = 19 made "p95" the max). */
+  def measure(spark: SparkSession, batches: Int, reps: Int): String =
+    (1 to math.max(1, reps)).map(_ => measureOnce(spark, batches))
+      .minBy(_._1)._2
+
+  private def measureOnce(spark: SparkSession, batches: Int): (Double, String) = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val custs = 50
@@ -78,9 +90,10 @@ object StreamBench {
     val evPerBatch = custs * eventsPerCustPerBatch
     val throughput = evPerBatch * batches / lat.sum
     def fmt(v: Double) = "%.4f".formatLocal(java.util.Locale.ROOT, v)
-    s"""{"metric":"stream_latency","unit":"sec","batches":$batches,"events_per_batch":$evPerBatch,""" +
-      s""""p50":${fmt(pct(0.50))},"p95":${fmt(pct(0.95))},"max":${fmt(lat.last)},""" +
-      s""""events_per_sec":${fmt(throughput)},"alerts":$alerts}"""
+    (pct(0.50),
+      s"""{"metric":"stream_latency","unit":"sec","batches":$batches,"events_per_batch":$evPerBatch,""" +
+        s""""p50":${fmt(pct(0.50))},"p95":${fmt(pct(0.95))},"max":${fmt(lat.last)},""" +
+        s""""events_per_sec":${fmt(throughput)},"alerts":$alerts}""")
   }
 
   /** Per-micro-batch state-store footprint of the at-ingest MinHash
@@ -278,7 +291,8 @@ object StreamBench {
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val batches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "50").toInt
+    val batches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "60").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_STREAM_REPS", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -286,7 +300,7 @@ object StreamBench {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val line = measure(spark, batches)
+    val line = measure(spark, batches, reps)
     try spark.stop() catch { case _: Throwable => () }
     println(line)
     System.out.flush()

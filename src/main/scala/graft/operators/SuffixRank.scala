@@ -56,11 +56,26 @@ object SuffixRank {
     .add("_pos", IntegerType, nullable = false)
     .add("_r1", LongType, nullable = false)
 
+  /** Per-round probe record for the growth-attribution harness
+    * (graft.SuffixRankProbe): doubling shift k, distinct pair count
+    * after the round, seconds in the dense-rank stats leg (range
+    * exchange + in-partition sort + persist + P-row collect) and in
+    * the rank-apply leg (offset map + lineage-cut materialization).
+    * The callback costs nothing when unused (default no-op). */
+  final case class RoundProbe(shift: Int, distinct: Long,
+                              statsSecs: Double, applySecs: Double)
+
+  /** Test hook: forces the two-column sort path that production only
+    * takes past 2^31 suffix rows, so SuffixRankPropertySpec can pin
+    * packed ≡ unpacked at testable sizes. */
+  private[operators] var forceUnpacked: Boolean = false
+
   /** (doc_id, pos, rank) for every suffix of `textCol` truncated at
     * `maxLen` chars; `rank` is dense over the whole corpus and equal
     * ranks mean equal (truncated) suffix strings. */
   def ranks(docs: DataFrame, idCol: String, textCol: String,
-            maxLen: Int): DataFrame = {
+            maxLen: Int,
+            onRound: RoundProbe => Unit = _ => ()): DataFrame = {
     require(maxLen >= 1, s"maxLen must be >= 1, got $maxLen")
     // one row per character of the truncated text; initial rank =
     // code point (order-preserving; dense-ness is not required, only
@@ -74,6 +89,19 @@ object SuffixRank {
       .select(col("_id"), col("pos").cast("int").as("_pos"),
         ascii(col("col")).cast("long").as("_r1")))
     val total = cur.count()
+    // Packed-pair sort (round-9, the q250 residual-time item): when
+    // every rank fits in 31 bits — ranks are dense after round 1, so
+    // bounded by the suffix-row count; round-0 values are code points
+    // (≤ 0x10FFFF) — (_r1,_r2) packs ORDER-PRESERVINGLY into one long,
+    // (_r1 << 32) + (_r2 + 2). A single long sort key keeps the whole
+    // ordering inside the 8-byte sort prefix, so the in-partition
+    // sorts run pure radix (the two-column sort falls back to the
+    // record comparator on every prefix tie — and a dense-rank frame
+    // is MOSTLY prefix ties), and the sorted frame ships 3 longs per
+    // row instead of 4 through every range exchange. Corpora past
+    // 2^31 suffix rows (≈150 TB of text at the 240-char budget) take
+    // the unpacked path unchanged.
+    val packable = !forceUnpacked && total < ((1L << 31) - 2L)
     // Partition count must track the SUFFIX ROW count, not the
     // session default: at sf10 the frame is ~1.4e9 rows, and 8
     // session partitions would put ~175M rows (≈5 GB) in every
@@ -92,7 +120,7 @@ object SuffixRank {
     // by SuffixRankPropertySpec's degenerate corpus)
     if (maxLen == 1) {
       val (ranked, sorted, _) =
-        denseRankByPair(cur.withColumn("_r2", lit(-1L)), parts)
+        denseRankByPair(cur.withColumn("_r2", lit(-1L)), parts, packable)
       cur = Lineage.cut(ranked)
       sorted.unpersist(blocking = false)
     }
@@ -105,11 +133,15 @@ object SuffixRank {
       // to the session default (8 session partitions at sf10 put
       // ~175M rows in every window sort — the remaining spill source
       // after the dense-rank sorts were sized)
+      val t0 = System.nanoTime()
       val paired = cur.repartition(parts, col("_id")).withColumn("_r2",
         lead(col("_r1"), k, -1L).over(perDoc))
-      val (ranked, sorted, distinctCnt) = denseRankByPair(paired, parts)
+      val (ranked, sorted, distinctCnt) = denseRankByPair(paired, parts, packable)
+      val t1 = System.nanoTime()
       cur = Lineage.cut(ranked) // eager: materializes before unpersist
+      val t2 = System.nanoTime()
       sorted.unpersist(blocking = false)
+      onRound(RoundProbe(k, distinctCnt, (t1 - t0) / 1e9, (t2 - t1) / 1e9))
       done = distinctCnt == total
       k *= 2
     }
@@ -120,9 +152,13 @@ object SuffixRank {
   /** Dense rank of (_r1,_r2) pairs over a (_id,_pos,_r1,_r2) frame.
     * Returns (frame with _r1 := new rank and _r2 dropped, the
     * persisted sorted frame for the caller to unpersist AFTER
-    * materializing, distinct pair count). */
-  private def denseRankByPair(df: DataFrame,
-                              n: Int): (DataFrame, DataFrame, Long) = {
+    * materializing, distinct pair count). `packed` routes through the
+    * single-long sort key (see ranks() — radix sort + one fewer
+    * column per sorted row); both paths produce identical ranks
+    * because the packing is an order-preserving injection. */
+  private def denseRankByPair(df: DataFrame, n: Int,
+                              packed: Boolean): (DataFrame, DataFrame, Long) = {
+    if (packed) return denseRankByPackedPair(df, n)
     val spark = df.sparkSession
     val sorted = df
       .repartitionByRange(n, col("_r1"), col("_r2"))
@@ -169,6 +205,65 @@ object SuffixRank {
         val a = row.getLong(2); val b = row.getLong(3)
         if (started && (a != l1 || b != l2)) localDense += 1
         started = true; l1 = a; l2 = b
+        Row(row.getLong(0), row.getInt(1), base + localDense)
+      }
+    }(Encoders.row(frameSchema))
+    (out, sorted, off)
+  }
+
+  // (pid, rows, changes, firstPk, lastPk) for the packed path
+  private val packedStatsEnc = Encoders.tuple(
+    Encoders.scalaInt, Encoders.scalaLong, Encoders.scalaLong,
+    Encoders.scalaLong, Encoders.scalaLong)
+
+  /** The packed-key twin of the two-column path above: sort, count
+    * changes, and stitch on ONE long (_pk = (_r1 << 32) + _r2 + 2).
+    * Same two-phase shape, same driver state (P stats rows), same
+    * output schema. */
+  private def denseRankByPackedPair(df: DataFrame,
+                                    n: Int): (DataFrame, DataFrame, Long) = {
+    val spark = df.sparkSession
+    val sorted = df
+      .select(col("_id"), col("_pos"),
+        (shiftleft(col("_r1"), 32) + col("_r2") + lit(2L)).as("_pk"))
+      .repartitionByRange(n, col("_pk"))
+      .sortWithinPartitions("_pk")
+      .persist()
+    val stats = sorted.select("_pk")
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val first = it.next().getLong(0)
+          var last = first
+          var rows = 1L; var changes = 0L
+          while (it.hasNext) {
+            val v = it.next().getLong(0)
+            if (v != last) changes += 1
+            last = v; rows += 1
+          }
+          Iterator((TaskContext.getPartitionId(), rows, changes, first, last))
+        }
+      }(packedStatsEnc)
+      .collect()
+      .sortBy(_._1)
+    val offsets = new Array[Long](n)
+    var off = 0L
+    var prev = Long.MinValue // _pk is always ≥ 1, so MinValue never matches
+    stats.foreach { case (pid, _, changes, first, last) =>
+      val continues = prev == first
+      offsets(pid) = off - (if (continues) 1L else 0L)
+      off += (changes + 1L) - (if (continues) 1L else 0L)
+      prev = last
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val out = sorted.mapPartitions { it =>
+      val base = bc.value(TaskContext.getPartitionId())
+      var localDense = 0L
+      var lastPk = Long.MinValue
+      it.map { row =>
+        val pk = row.getLong(2)
+        if (lastPk != Long.MinValue && pk != lastPk) localDense += 1
+        lastPk = pk
         Row(row.getLong(0), row.getInt(1), base + localDense)
       }
     }(Encoders.row(frameSchema))

@@ -46,6 +46,22 @@ class SuffixRankPropertySpec extends SparkSpec {
     }
   }
 
+  test("packed and unpacked dense-rank paths produce identical ranks") {
+    // production only takes the two-column path past 2^31 suffix rows;
+    // this pins packed ≡ unpacked (≡ the JVM oracle) at testable sizes
+    val rnd = new scala.util.Random(77)
+    val docs = (0 until 12).map { id =>
+      (id.toLong, (0 until 1 + rnd.nextInt(20))
+        .map(_ => "abcα "(rnd.nextInt(5))).mkString)
+    } ++ Seq((50L, "abc abc"), (51L, "abc abc"))
+    val maxLen = 10
+    val packed = run(docs, maxLen)
+    SuffixRank.forceUnpacked = true
+    val unpacked = try run(docs, maxLen) finally SuffixRank.forceUnpacked = false
+    assert(packed === unpacked)
+    assert(packed === oracle(docs, maxLen))
+  }
+
   test("property: single-char and all-equal corpora (degenerate rank groups)") {
     val docs = Seq((1L, "aaaaaaaa"), (2L, "aaaa"), (3L, "a"))
     (1 to 3).foreach { maxLen =>
