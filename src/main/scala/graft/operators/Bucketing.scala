@@ -30,6 +30,16 @@ object Bucketing {
   private def tablePath(name: String): String =
     s"/root/repo/target/graft_bucketed/$name"
 
+  /** Serializes registration across THREADS of this JVM: two
+    * concurrent ensureBucketed calls for the same name would both
+    * pass the tableExists check and race saveAsTable into the same
+    * location (round-9 hardening). Registration is metadata-plus-one-
+    * write, so the lock costs nothing on the hot path (the common
+    * call finds the table registered and never takes a write).
+    * Cross-JVM writers are the metastore's transaction to referee at
+    * real scale — this lock covers the in-process story. */
+  private val registerLock = new Object
+
   /** Register `df` as a bucketed external table and return the table
     * name. Idempotent per session (catalog check); the overwrite on
     * first registration also refreshes files left by a prior session,
@@ -38,7 +48,7 @@ object Bucketing {
     * standing in for the marker (saveAsTable is atomic-enough here:
     * it rewrites the location then commits the catalog entry). */
   def ensureBucketed(s: SparkSession, df: DataFrame, name: String,
-                     key: String, buckets: Int): String = {
+                     key: String, buckets: Int): String = registerLock.synchronized {
     if (!s.catalog.tableExists(name)) {
       df.write.mode("overwrite")
         .option("path", tablePath(name))

@@ -22,6 +22,25 @@ import org.apache.spark.sql.functions._
   */
 object ObservedDq {
 
+  /** The five observed metrics, shared by the batch write and the
+    * streaming sink (MicroBatchIngest.startBronzeSinkObserved) so
+    * both faces report the same names with the same semantics. */
+  private[graft] def dqMetrics(corrupt: Column, key: Column, ts: Column): Seq[Column] = Seq(
+    count(lit(1)).as("rows"),
+    sum(when(corrupt, 1L).otherwise(0L)).as("corrupt"),
+    sum(when(key.isNull, 1L).otherwise(0L)).as("null_keys"),
+    min(unix_micros(ts)).as("min_ts_us"),
+    max(unix_micros(ts)).as("max_ts_us"))
+
+  private[graft] val MetricNames =
+    Seq("rows", "corrupt", "null_keys", "min_ts_us", "max_ts_us")
+
+  private[graft] def toLongMap(row: Map[String, Any]): Map[String, Long] =
+    MetricNames.map { k =>
+      val v = row(k)
+      k -> (if (v == null) 0L else v.asInstanceOf[Number].longValue())
+    }.toMap
+
   /** Write `df` as parquet while observing DQ metrics; returns
     * (rows, corrupt, null_keys, min_ts_micros, max_ts_micros) as a
     * name→value map. `corrupt` marks rows failing the caller's
@@ -30,17 +49,9 @@ object ObservedDq {
   def parquetWithDq(df: DataFrame, path: String,
                     corrupt: Column, key: Column, ts: Column): Map[String, Long] = {
     val obs = Observation()
-    df.observe(obs,
-        count(lit(1)).as("rows"),
-        sum(when(corrupt, 1L).otherwise(0L)).as("corrupt"),
-        sum(when(key.isNull, 1L).otherwise(0L)).as("null_keys"),
-        min(unix_micros(ts)).as("min_ts_us"),
-        max(unix_micros(ts)).as("max_ts_us"))
+    val ms = dqMetrics(corrupt, key, ts)
+    df.observe(obs, ms.head, ms.tail: _*)
       .write.mode("overwrite").parquet(path)
-    val row = obs.get
-    Seq("rows", "corrupt", "null_keys", "min_ts_us", "max_ts_us").map { k =>
-      val v = row(k)
-      k -> (if (v == null) 0L else v.asInstanceOf[Number].longValue())
-    }.toMap
+    toLongMap(obs.get)
   }
 }

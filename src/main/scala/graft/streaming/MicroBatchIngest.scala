@@ -176,6 +176,50 @@ object MicroBatchIngest {
       }
       .start()
 
+  /** One micro-batch's write-path DQ record from the observed bronze
+    * sink: rows / corrupt / null_keys / ts min-max, collected on the
+    * landing write's own tasks. */
+  final case class BatchDq(batchId: Long, metrics: Map[String, Long])
+
+  /** [[startBronzeSink]] with write-path observed-DQ counters — the
+    * streaming face of ObservedDq.parquetWithDq (round-9 hardening:
+    * the sink's counters previously existed only on the batch face).
+    * Every micro-batch's landing write observes (rows, corrupt,
+    * null_keys, min/max event time) via Dataset.observe on the SAME
+    * tasks that write the files: no second scan per batch, and the
+    * numbers cannot drift from what the batch actually landed —
+    * exactly the at-scale argument of the batch path, paid per
+    * micro-batch. `corrupt` rides `_parse_ok` when the frame carries
+    * it (parseFlagged output) and counts 0 otherwise. `onBatch`
+    * receives each record as the batch commits — the pipeline
+    * runner's hook for gate evaluation without re-reading bronze. */
+  def startBronzeSinkObserved(parsed: DataFrame, path: String, checkpoint: String,
+                              eventTsCol: String, keyCol: String,
+                              onBatch: BatchDq => Unit,
+                              triggerSecs: Int = 300): StreamingQuery = {
+    val corrupt =
+      if (parsed.columns.contains("_parse_ok")) !col("_parse_ok")
+      else lit(false)
+    parsed.writeStream
+      .trigger(Trigger.ProcessingTime(s"$triggerSecs seconds"))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val obs = org.apache.spark.sql.Observation()
+        val ms = graft.operators.ObservedDq.dqMetrics(
+          corrupt, col(keyCol), col(eventTsCol))
+        batch.observe(obs, ms.head, ms.tail: _*)
+          .withColumn("year", year(col(eventTsCol)))
+          .withColumn("month", month(col(eventTsCol)))
+          .withColumn("day", dayofmonth(col(eventTsCol)))
+          .write.mode("append")
+          .partitionBy("year", "month", "day")
+          .option("compression", "snappy")
+          .parquet(path)
+        onBatch(BatchDq(batchId, graft.operators.ObservedDq.toLongMap(obs.get)))
+      }
+      .start()
+  }
+
   /** Streaming upsert sink — the Iceberg "streaming MERGE" pattern:
     * every micro-batch keep-latest-merges into a SnapshotTable
     * version (Pipeline.mergeSnapshot), so the table always serves

@@ -78,4 +78,39 @@ class BucketedJoinSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS graft_b_customer_$tag")
     }
   }
+
+  test("concurrent ensureBucketed registrations: one write wins, refresh discipline holds") {
+    import spark.implicits._
+    val name = "graft_b_conc_test"
+    try {
+      val df = (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
+      // two threads race the first registration — without the
+      // registration lock both pass the tableExists check and race
+      // saveAsTable into the same catalog entry and location
+      import java.util.concurrent.{Executors, TimeUnit}
+      val pool = Executors.newFixedThreadPool(2)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      (1 to 2).foreach { _ =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            try Bucketing.ensureBucketed(spark, df, name, "k", 4)
+            catch { case t: Throwable => errs.add(t) }
+        })
+      }
+      pool.shutdown()
+      assert(pool.awaitTermination(120, TimeUnit.SECONDS), "registration hung")
+      assert(errs.isEmpty, s"concurrent registration failed: ${errs.peek()}")
+      assert(spark.table(name).count() === 100L)
+
+      // stale-layout refresh: a new session epoch (catalog entry gone,
+      // external files still on disk) re-registers with FRESH data and
+      // must serve the fresh rows, never the stale files
+      spark.sql(s"DROP TABLE IF EXISTS $name") // external: files survive the drop
+      val df2 = (1L to 50L).map(i => (i, s"w$i")).toDF("k", "v")
+      Bucketing.ensureBucketed(spark, df2, name, "k", 4)
+      assert(spark.table(name).count() === 50L,
+        "stale on-disk layout served after a refresh registration")
+      assert(spark.table(name).filter(col("v").startsWith("w")).count() === 50L)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_b_conc_test")
+  }
 }

@@ -73,6 +73,54 @@ class StreamingIngestSpec extends SparkSpec {
     assert(new java.io.File(s"$dir/data/year=2024/month=1/day=1").exists())
   }
 
+  test("observed bronze sink: per-micro-batch write-path DQ counters match the landed files") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("bronze-observed").toString
+    val mem = MemoryStream[String]
+    val flagged = MicroBatchIngest.parseFlagged(
+      mem.toDF(), callSchema, "call_events")
+      .withColumn("event_ts_t", to_timestamp(col("event_ts")))
+    val records = new java.util.concurrent.ConcurrentLinkedQueue[MicroBatchIngest.BatchDq]()
+    val q = MicroBatchIngest.startBronzeSinkObserved(
+      flagged, s"$dir/data", s"$dir/ckpt", "event_ts_t", "event_id",
+      records.add(_), triggerSecs = 1)
+    try {
+      // batch 1: two good rows + one unparseable payload
+      mem.addData(
+        """{"event_id":"e1","caller_msisdn":"+15551234567","event_ts":"2024-01-01T10:00:00Z","duration_seconds":60}""",
+        """{"event_id":"e2","caller_msisdn":"+15559876543","event_ts":"2024-02-15T11:30:00Z","duration_seconds":120}""",
+        """not json at all""")
+      q.processAllAvailable()
+      // batch 2: one good row + one null-key row
+      mem.addData(
+        """{"event_id":"e3","caller_msisdn":"+15550000001","event_ts":"2024-03-01T09:00:00Z","duration_seconds":30}""",
+        """{"event_id":null,"caller_msisdn":"+15550000002","event_ts":"2024-03-02T09:00:00Z","duration_seconds":45}""")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    import scala.jdk.CollectionConverters._
+    val dq = records.asScala.toSeq.sortBy(_.batchId)
+    assert(dq.size === 2, s"expected one record per micro-batch, got $dq")
+    def total(k: String) = dq.map(_.metrics(k)).sum
+    assert(total("rows") === 5)
+    assert(total("corrupt") === 1)
+    // the corrupt payload parses to all-null fields, so its key is
+    // null too: 1 (corrupt) + 1 (explicit null key)
+    assert(total("null_keys") === 2)
+
+    // parity: the observed counters equal a separate scan of the
+    // landed files — the claim is they measure what was WRITTEN
+    val out = spark.read.parquet(s"$dir/data")
+    assert(out.count() === total("rows"))
+    assert(out.filter(!col("_parse_ok")).count() === total("corrupt"))
+    assert(out.filter(col("event_id").isNull).count() === total("null_keys"))
+    val Seq((mn, mx)) = out.agg(
+        min(unix_micros(col("event_ts_t"))), max(unix_micros(col("event_ts_t"))))
+      .as[(Long, Long)].collect().toSeq
+    assert(dq.map(_.metrics("min_ts_us")).filter(_ != 0L).min === mn)
+    assert(dq.map(_.metrics("max_ts_us")).max === mx)
+  }
+
   test("multi-topic consumer: call/data/sms route to per-topic bronze with their own schemas") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("bronze-multi").toString
