@@ -18,12 +18,14 @@ from pathlib import Path
 
 def main():
     a, b = Path(sys.argv[1]), Path(sys.argv[2])
+    # graft.Verify lays out one DIRECTORY of parquet files per query
     names = sys.argv[3:] or sorted(
-        p.name[:-8] for p in a.glob("*.parquet") if (b / p.name).exists())
+        p.name for p in a.iterdir()
+        if p.is_dir() and (b / p.name).is_dir())
     con = duckdb.connect()
     bad = 0
     for name in names:
-        pa, pb = str(a / f"{name}.parquet"), str(b / f"{name}.parquet")
+        pa, pb = str(a / name), str(b / name)
         na = con.execute(f"SELECT count(*) FROM read_parquet('{pa}/*.parquet')").fetchone()[0]
         nb = con.execute(f"SELECT count(*) FROM read_parquet('{pb}/*.parquet')").fetchone()[0]
         d1 = con.execute(

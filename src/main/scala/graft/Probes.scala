@@ -66,6 +66,51 @@ object SuffixRankProbe {
   }
 }
 
+/** Per-STAGE task-metrics audit for one query at one scale dir: the
+  * suite profiler aggregates per QUERY, which locates a regression
+  * but not the operator — this prints one JSON line per completed
+  * stage (name, tasks, input/shuffle/spill bytes) so a deterministic
+  * spill can be pinned to the exchange/sort/aggregate that paid it
+  * (used to attribute q225's sf100 spill, round 9). */
+object SpillAudit {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val dir = if (args.length > 1) args(1) else "target/sf100"
+    val spark = Probes.session()
+    import Probes.fmt
+    val sc = spark.sparkContext
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = e.stageInfo
+        val m = si.taskMetrics
+        if (m != null) {
+          val j = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+          rows.add(s"""{"stage":${si.stageId},"name":${
+            j.writeValueAsString(si.name.take(160))},"tasks":${si.numTasks},""" +
+            s""""input":${m.inputMetrics.bytesRead},""" +
+            s""""shuffle_read":${m.shuffleReadMetrics.totalBytesRead},""" +
+            s""""shuffle_write":${m.shuffleWriteMetrics.bytesWritten},""" +
+            s""""mem_spill":${m.memoryBytesSpilled},"disk_spill":${m.diskBytesSpilled},""" +
+            s""""site":${j.writeValueAsString(
+              si.details.linesIterator.take(6).mkString(" | ").take(500))}}""")
+        }
+      }
+    })
+    val df = SparkEntry.queries(name)(spark, dir)
+    if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1"))
+      System.err.println(df.queryExecution.executedPlan.toString)
+    val t0 = System.nanoTime()
+    df.write.format("noop").mode("overwrite").save()
+    val dt = (System.nanoTime() - t0) / 1e9
+    import scala.jdk.CollectionConverters._
+    rows.asScala.toSeq.foreach(println)
+    println(s"""{"query":"$name","dir":"$dir","secs":${fmt(dt)}}""")
+    try spark.stop() catch { case _: Throwable => () }
+  }
+}
+
 /** Bucket-occupancy census of q215's auto-SRP configuration at each
   * given scale dir: the corpus count picks bits-per-band via
   * [[graft.operators.Similarity.autoBits]] (target occupancy 40,

@@ -93,7 +93,7 @@ object ScaleUp {
     * a bounded collect (distinct tokens of a synthetic corpus, ~50). */
   def scaleDocuments(d: DataFrame, replicas: Int): DataFrame = {
     val spark = d.sparkSession
-    val idSpan = d.agg(max("doc_id")).head.getLong(0) + 1
+    val idSpan = d.agg(max("doc_id")).head().getLong(0) + 1
     val vocab: Array[String] = d
       .select(explode(split(col("text"), " ")).as("tok"))
       .filter(col("tok") =!= "").distinct()
@@ -131,7 +131,7 @@ object ScaleUp {
     * in the driver data, so the `vec_id % 10` query-set convention
     * (q49 et al.) replicates with the corpus. */
   def scaleEmbeddings(d: DataFrame, replicas: Int): DataFrame = {
-    val idSpan = d.agg(max("vec_id")).head.getLong(0) + 1
+    val idSpan = d.agg(max("vec_id")).head().getLong(0) + 1
     val copies = (0 until replicas).map { r =>
       if (r == 0) d
       else d.select(
@@ -147,7 +147,7 @@ object ScaleUp {
   /** 10 replicas of a fact table, re-keying only the order key so
     * the customer/part/supplier universes stay fixed. */
   def scaleByOrderKey(d: DataFrame, orderKey: String, replicas: Int): DataFrame = {
-    val keySpan = d.agg(max(orderKey)).head.getLong(0) + 1
+    val keySpan = d.agg(max(orderKey)).head().getLong(0) + 1
     val copies = (0 until replicas).map { r =>
       d.withColumn(orderKey, col(orderKey) + lit(r.toLong * keySpan))
     }

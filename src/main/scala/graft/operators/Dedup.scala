@@ -327,7 +327,7 @@ object Dedup {
     // NO label moved, making convergence one cheap agg over the
     // just-checkpointed frame instead of a join-diff job
     def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val d = df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      val d = df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
       if (d == null) java.math.BigDecimal.ZERO else d
     }
     var prevSum = labelSum(labels)

@@ -54,7 +54,7 @@ object ExactQuantile {
       // the k-th order statistic)
       vals.filter((col("v") / bucketCents).cast("long") === bucket)
         .orderBy(col("v").asc).limit(localK)
-        .agg(max(col("v"))).head.getLong(0)
+        .agg(max(col("v"))).head().getLong(0)
     }.sum
     (n, midSum, ranks.size)
   }
@@ -93,7 +93,7 @@ object ExactQuantile {
     val med = vals.filter((col("v") / bucketCents).cast("long") === bucket)
       .withColumn("cw", sum(col("w")).over(w))
       .filter(col("cw") >= localK)
-      .agg(min(col("v"))).head.getLong(0)
+      .agg(min(col("v"))).head().getLong(0)
     (total, k, med)
   }
 

@@ -76,7 +76,7 @@ object PrefixSum {
                   numPartitions: Int): DataFrame = {
     val withCum = withRunningSum(df, orderCol, valueCol, "_cum")
     val total = math.max(1L,
-      withCum.agg(max(col("_cum"))).head.getLong(0))
+      withCum.agg(max(col("_cum"))).head().getLong(0))
     val chunk = math.max(1L, (total + numPartitions - 1) / numPartitions)
     withCum
       .withColumn("_target",

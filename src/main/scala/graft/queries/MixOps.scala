@@ -724,9 +724,37 @@ object MixOps {
       .otherwise(array().cast("array<string>"))
     val gAll = d.select(col("doc_id"), col("frac"),
       explode(fiveGrams).as("gram"))
-    val testGrams = gAll.filter(col("frac") < TestFrac)
+    // Gram-join exchange sized from the corpus, not the session
+    // default — the r8 partition-sizing hazard class (frames whose
+    // row count is DECOUPLED from the input tables), found again by
+    // the round-9 sf100 sweep: the exploded gram frame is ~46
+    // grams/doc (~230M rows at sf100), and the join's SMJ sort at 8
+    // session partitions spilled 2.4 GB. The doc count is parquet-
+    // metadata cheap; ×64 over-bounds grams/doc for this corpus
+    // (~300-char docs), and overestimating only shrinks partitions.
+    // GATED on actually exceeding the session default: below that
+    // the join side fits the default sorts (zero spill measured
+    // through sf10) and often broadcasts testGrams — an unconditional
+    // repartition would force a full gram exchange exactly where the
+    // planner had avoided one (measured: +5.3 MB shuffle at sf0.1).
+    // BOTH join inputs must carry HashPartitioning(gram, parts):
+    // unlike a window (single child — any partition count satisfies
+    // its ClusteredDistribution, the q250 fix), a join requires its
+    // two children CO-partitioned with EQUAL counts, and when they
+    // differ EnsureRequirements re-exchanges both to the session
+    // default — sizing one side alone is silently planned away
+    // (verified in the round-9 SpillAudit: the one-sided fix left
+    // the SMJ sorts at 8 partitions and the 2.4 GB spill intact).
+    val nDocs = Tables.documents(s, dir).count()
+    val gramParts =
+      math.min(4096L, nDocs * 64L / 8000000L + 1L).toInt
+    val sizeGrams = gramParts > s.sessionState.conf.numShufflePartitions
+    def sized(df: DataFrame): DataFrame =
+      if (sizeGrams) df.repartition(gramParts, col("gram")) else df
+    val trainGrams = sized(gAll.filter(col("frac") >= TestFrac))
+    val testGrams = sized(gAll.filter(col("frac") < TestFrac))
       .select("gram").distinct()
-    val contaminated = gAll.filter(col("frac") >= TestFrac)
+    val contaminated = trainGrams
       .join(testGrams, "gram").select("doc_id").distinct()
     val clean = gated.filter(col("frac") >= TestFrac)
       .join(contaminated, Seq("doc_id"), "left_anti")
