@@ -184,10 +184,16 @@ object Bench {
       stateLine.map(l => s""","stream_state":$l""").getOrElse("")
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir",$prov$streamField}"""
-    // The per-query line has outgrown the driver's tail capture (191
-    // entries truncated BENCH_r04 beyond recovery), so print it first
-    // for the record, then a SHORT summary line LAST — the driver
-    // parses the last line it captures, and this one always fits.
+    // The driver keeps only a ~2 KB stdout TAIL, and the full-suite
+    // per-query map is ~4.5 KB — every BENCH_r0N.json through r9
+    // truncated mid-map with parsed:null. So stdout carries the map
+    // INLINE only while it fits the tail budget; otherwise a pointer
+    // to BENCH_DETAIL.json (which always holds the full map) takes
+    // its place, and the whole stdout record fits the capture window
+    // intact (round-9 verdict item 7).
+    val stdoutLine =
+      if (qs.length <= 1200) line
+      else s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"nqueries":${results.length},"failed":$failed,"queries_file":"BENCH_DETAIL.json","sf":"$sfDir",$prov}"""
     val summary =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"nqueries":${results.length},"failed":$failed,"sf":"$sfDir",$prov}"""
     // Physical profile object: per-query bytes moved + suite totals.
@@ -214,7 +220,7 @@ object Bench {
       case Some(path) =>
         try java.nio.file.Files.writeString(
           java.nio.file.Paths.get(path),
-          s"""{"heap":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}","bench":$line,"profile":${profJson.getOrElse("null")}}""" + "\n")
+          s"""{"heap":"${Runtime.getRuntime.maxMemory() / (1024L * 1024)}m","bench":$line,"profile":${profJson.getOrElse("null")}}""" + "\n")
         catch { case t: Throwable => System.err.println(s"[bench] out write failed: $t") }
       case None =>
         // Full per-query detail lands in a repo file (overwritten per
@@ -233,7 +239,7 @@ object Bench {
     // stop FIRST so no Spark shutdown logging can trail the metric
     // lines on stdout; the driver parses the last line it captures.
     try spark.stop() catch { case _: Throwable => () }
-    println(line)
+    println(stdoutLine)
     streamLine.foreach(println)
     stateLine.foreach(println)
     println(summary)

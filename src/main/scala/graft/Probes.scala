@@ -104,10 +104,14 @@ object SpillAudit {
     val t0 = System.nanoTime()
     df.write.format("noop").mode("overwrite").save()
     val dt = (System.nanoTime() - t0) / 1e9
+    // stop() drains the async listener bus BEFORE the rows are read:
+    // onStageCompleted events are delivered off-thread, so printing
+    // right after the action returns can miss trailing stages and
+    // under-report spill (round-9 advice).
+    try spark.stop() catch { case _: Throwable => () }
     import scala.jdk.CollectionConverters._
     rows.asScala.toSeq.foreach(println)
     println(s"""{"query":"$name","dir":"$dir","secs":${fmt(dt)}}""")
-    try spark.stop() catch { case _: Throwable => () }
   }
 }
 

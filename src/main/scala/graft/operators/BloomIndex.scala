@@ -32,6 +32,16 @@ object BloomIndex {
 
   private val MarkerFile = "_GRAFT_BUILD_OK"
 
+  /** Test failpoint: invoked in append's non-atomic window, after the
+    * data files land but before the sidecar OR-merge and marker
+    * refresh (BloomIndexSpec injects a crash here: the stale marker
+    * fails the next ensureBuilt's stamp compare, forcing a rebuild
+    * instead of serving bloom false negatives). No-op in production.
+    * NOTE append is NOT retry-idempotent — re-running append with the
+    * same batch after a crash duplicates its rows; the recovery path
+    * is ensureBuilt/isValid + rebuild, as specced. */
+  private[operators] var failpointAfterDataAppend: () => Unit = () => ()
+
   private def fs(spark: SparkSession, path: String) = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -125,6 +135,7 @@ object BloomIndex {
       pmod(col("doc_id"), lit(buckets)).cast("int").as("bucket"))
     keyed.write.partitionBy("bucket").mode(SaveMode.Append)
       .parquet(s"$path/data")
+    failpointAfterDataAppend()
     val delta = keyed.groupBy("bucket")
       .agg(call_function("graft_bloom_agg",
         xxhash64(col("fingerprint")), lit(perBucket)).as("bloom"))

@@ -38,7 +38,14 @@ object Bucketing {
     * call finds the table registered and never takes a write).
     * Cross-JVM writers are the metastore's transaction to referee at
     * real scale — this lock covers the in-process story. */
-  private val registerLock = new Object
+  private val registerLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Per-NAME lock (round-9 advice): a single global lock serialized
+    * first registrations of DIFFERENT tables behind each other's data
+    * writes; concurrent callers racing the SAME name still serialize. */
+  private def registerLock(name: String): Object =
+    registerLocks.computeIfAbsent(name, _ => new Object)
 
   /** Register `df` as a bucketed external table and return the table
     * name. Idempotent per session (catalog check); the overwrite on
@@ -48,7 +55,7 @@ object Bucketing {
     * standing in for the marker (saveAsTable is atomic-enough here:
     * it rewrites the location then commits the catalog entry). */
   def ensureBucketed(s: SparkSession, df: DataFrame, name: String,
-                     key: String, buckets: Int): String = registerLock.synchronized {
+                     key: String, buckets: Int): String = registerLock(name).synchronized {
     if (!s.catalog.tableExists(name)) {
       df.write.mode("overwrite")
         .option("path", tablePath(name))

@@ -40,6 +40,17 @@ object Retention {
     * after any crash converges to the intended end state. */
   private val IntentMarker = "_GRAFT_SWEEP_INTENT"
 
+  /** Terminator appended to the marker body: a marker that does not
+    * end with it is a torn write and is discarded, never parsed. The
+    * write itself goes to a temp path and is renamed into place
+    * (atomic on HDFS/POSIX), so on those filesystems a torn marker
+    * cannot even appear — the terminator covers object stores whose
+    * rename is copy+delete. Discarding a torn marker is safe: the
+    * marker is durably renamed BEFORE the overwrite runs, so a torn
+    * body implies the sweep crashed before any destructive step and
+    * there is nothing to replay. */
+  private val MarkerEnd = "\n#END"
+
   /** Test failpoint: invoked between the partition overwrite and the
     * fully-swept-bucket deletes (RetentionSpec injects a crash here
     * to prove the intent marker closes the window). No-op in
@@ -64,7 +75,26 @@ object Retention {
     val in = hfs.open(marker)
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    val buckets = txt.split("[,\\s]+").filter(_.nonEmpty).map(_.toInt).toSeq
+    // Validate before acting: a body without the terminator, or with
+    // non-numeric residue, is a torn write — e.g. an intended "14"
+    // persisted as "1" would otherwise delete a bucket holding KEPT
+    // rows. Torn markers are discarded with a warning (see MarkerEnd
+    // for why that is safe), never parsed blind.
+    val parsed: Option[Seq[Int]] =
+      if (!txt.endsWith(MarkerEnd)) None
+      else {
+        val parts = txt.stripSuffix(MarkerEnd)
+          .split(",").toSeq.filter(_.nonEmpty)
+        if (parts.forall(_.matches("\\d{1,9}"))) Some(parts.map(_.toInt))
+        else None
+      }
+    val buckets = parsed.getOrElse {
+      System.err.println(
+        s"[retention] discarding torn intent marker at $marker " +
+          s"(${txt.length} bytes, no valid terminator/body)")
+      hfs.delete(marker, false)
+      return Nil
+    }
     buckets.foreach { b =>
       hfs.delete(new org.apache.hadoop.fs.Path(s"$path/data/bucket=$b"), true)
     }
@@ -110,10 +140,17 @@ object Retention {
     val hfs = fsOf(spark, path)
     val marker = new org.apache.hadoop.fs.Path(s"$path/$IntentMarker")
     if (toDelete.nonEmpty) {
-      val out = hfs.create(marker, true)
-      out.write(toDelete.mkString(",")
+      // temp + rename: the marker appears atomically, complete or not
+      // at all; the terminator lets reconcile reject a torn body on
+      // filesystems without atomic rename.
+      val tmp = new org.apache.hadoop.fs.Path(s"$path/$IntentMarker.tmp")
+      val out = hfs.create(tmp, true)
+      out.write((toDelete.mkString(",") + MarkerEnd)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       out.close()
+      hfs.delete(marker, false) // rename refuses an existing dest
+      if (!hfs.rename(tmp, marker))
+        throw new java.io.IOException(s"failed to publish intent marker $marker")
     }
     kept.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")

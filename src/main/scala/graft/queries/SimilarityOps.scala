@@ -526,8 +526,13 @@ object SimilarityOps {
     * model-collect idiom as the IVF codebook. q187 stays uncached —
     * it IS the timed distributed face of the moment pass, and its
     * output is the sufficient statistics themselves. */
+  /** At most ONE entry per dir survives: the value carries the stamp
+    * it was fitted under and is REPLACED on mismatch, so a long
+    * sweep/test session that regenerates the same dir many times
+    * holds one model per dir, not one per regeneration (round-9
+    * advice — the (dir, stamp) key leaked an entry per rebuild). */
   private val directionCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), Array[Long]]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Array[Long])]()
 
   /** Driver-side stamp of the embeddings table's FILES — an
     * order-independent sum over (name, length, mtime) per file. Keys
@@ -551,15 +556,19 @@ object SimilarityOps {
     h
   }
 
-  private def topDirection(s: SparkSession, dir: String): Array[Long] =
-    directionCache.computeIfAbsent((dir, corpusStamp(s, dir)), _ => {
-      val cells = Pca.momentCells(quantized(s, dir).select(col("query_vec")),
-          "query_vec", Dim)
-        .collect()
-        .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2),
-          r.getLong(3), r.getLong(4), r.getLong(5)))
-      Pca.fixedPointTopDirection(cells, Dim, PowerIters)
-    })
+  private def topDirection(s: SparkSession, dir: String): Array[Long] = {
+    val stamp = corpusStamp(s, dir)
+    directionCache.compute(dir, (_, cur) =>
+      if (cur != null && cur._1 == stamp) cur
+      else {
+        val cells = Pca.momentCells(quantized(s, dir).select(col("query_vec")),
+            "query_vec", Dim)
+          .collect()
+          .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2),
+            r.getLong(3), r.getLong(4), r.getLong(5)))
+        (stamp, Pca.fixedPointTopDirection(cells, Dim, PowerIters))
+      })._2
+  }
 
   /** Dominant principal direction by FIXED-POINT integer power
     * iteration (Pca.fixedPointTopDirection). Like the IVF codebook

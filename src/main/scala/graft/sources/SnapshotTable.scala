@@ -93,8 +93,19 @@ object SnapshotTable {
                       statsCols: Seq[String],
                       nowMs: Long = System.currentTimeMillis()): Long = {
     import org.apache.spark.sql.functions._
-    val v = commit(spark, df, path, nowMs)
-    val snap = snapshots(path).find(_.version == v).get
+    // Ordering is the crash contract (round-10 crash-window sweep):
+    // data dir → stats scan → zonemap INSIDE the dir → manifest swap
+    // LAST. The old shape (commit then zonemap) had a window where a
+    // crash published a snapshot with no zone map — correct answers
+    // but permanently unprunable files, a silent degradation no rerun
+    // repairs (commit() takes a NEW version; the crippled one stays
+    // current until then). Now a crash before the manifest swap
+    // leaves an orphan directory and an intact table (expire reaps
+    // it), and any snapshot the manifest can see carries its stats.
+    val snaps = snapshots(path)
+    val v = snaps.lastOption.map(_.version).getOrElse(0L) + 1
+    val snap = Snapshot(v, f"v$v%05d", nowMs)
+    df.write.mode(SaveMode.Overwrite).parquet(dataDir(path, snap))
     val written = spark.read.parquet(dataDir(path, snap))
     val aggs = statsCols.flatMap(c => Seq(
       min(col(c).cast("double")).as(s"min_$c"),
@@ -112,8 +123,16 @@ object SnapshotTable {
       }
     }
     Files.writeString(zonemapPath(path, snap), entries.mkString("[", ",", "]"))
+    failpointBeforeManifest()
+    writeManifest(path, snaps :+ snap) // the commit point
     v
   }
+
+  /** Test failpoint: invoked after the data+zonemap writes, before
+    * the manifest swap (SnapshotTableSpec injects a crash here to
+    * prove the table stays intact and the orphan is reaped). No-op in
+    * production. */
+  private[sources] var failpointBeforeManifest: () => Unit = () => ()
 
   /** The current snapshot's parquet files partitioned into
     * (kept, pruned) for a closed-range predicate on `colName` —

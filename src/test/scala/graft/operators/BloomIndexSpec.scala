@@ -191,4 +191,28 @@ class BloomIndexSpec extends SparkSpec {
     BloomIndex.ensureBuilt(docs, 16, path)
     assert(BloomIndex.isValid(spark, path, 120L, 16))
   }
+
+  test("append crash between data files and sidecar: stale marker forces rebuild, no false negatives") {
+    val path =
+      java.nio.file.Files.createTempDirectory("bloomidx").toString + "/idx"
+    BloomIndex.ensureBuilt(docs, 16, path)
+    val batch = Seq((200L, "late arrival two hundred"),
+      (201L, "late arrival two oh one")).toDF("doc_id", "text")
+    // crash in the non-atomic window: data appended, sidecar/marker stale
+    BloomIndex.failpointAfterDataAppend =
+      () => throw new RuntimeException("injected crash")
+    try intercept[RuntimeException](BloomIndex.append(batch, path))
+    finally BloomIndex.failpointAfterDataAppend = () => ()
+    // the window is live: data holds the batch the sidecar can't see
+    assert(spark.read.parquet(s"$path/data").count() === 122)
+    val all = docs.unionByName(batch)
+    // the stale marker fails the stamp compare → ensureBuilt rebuilds
+    BloomIndex.ensureBuilt(all, 16, path)
+    // recovery restores the lookup ≡ full-scan contract for the batch
+    val probes = fpOf(Seq("late arrival two hundred")).toDF("fp")
+    val got = BloomIndex.lookup(spark, path, probes)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === Set(200L), s"post-recovery lookup wrong: $got")
+    assert(spark.read.parquet(s"$path/data").count() === 122)
+  }
 }

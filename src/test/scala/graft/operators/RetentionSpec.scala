@@ -149,4 +149,31 @@ class RetentionSpec extends SparkSpec {
     // standalone reconcile on a clean table is a no-op
     assert(Retention.reconcile(spark, path).isEmpty)
   }
+
+  test("torn intent marker is discarded, never parsed — kept buckets survive") {
+    val path =
+      java.nio.file.Files.createTempDirectory("retention").toString + "/idx"
+    val docs = (0L until 80L).map(i => (i, s"unique content $i"))
+      .toDF("doc_id", "text")
+    BloomIndex.build(docs, 16, path)
+    // simulate a marker write torn mid-body on a non-atomic-rename
+    // filesystem: an intended "14" persisted as "1". Parsing it blind
+    // would delete bucket 1 — a bucket holding only KEPT rows.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/_GRAFT_SWEEP_INTENT"), "1")
+    assert(Retention.reconcile(spark, path).isEmpty,
+      "torn marker must repair nothing")
+    assert(!new java.io.File(s"$path/_GRAFT_SWEEP_INTENT").exists(),
+      "torn marker must be discarded")
+    assert(new java.io.File(s"$path/data/bucket=1").exists(),
+      "bucket 1 (kept rows) deleted from a torn marker")
+    val left = spark.read.parquet(s"$path/data")
+      .select("doc_id").as[Long].collect().toSet
+    assert(left.size === 80, "torn-marker reconcile lost rows")
+    // non-numeric residue is equally discarded
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/_GRAFT_SWEEP_INTENT"), "7,x9\n#END")
+    assert(Retention.reconcile(spark, path).isEmpty)
+    assert(spark.read.parquet(s"$path/data").count() === 80)
+  }
 }

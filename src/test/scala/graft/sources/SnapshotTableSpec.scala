@@ -150,4 +150,33 @@ class SnapshotTableSpec extends SparkSpec {
       .as[(String, Long, String)].collect().sortBy(_._1)
     assert(before.toSeq === Seq(("k1", 1L, "a"), ("k2", 1L, "b")))
   }
+
+  test("crash before the manifest swap: table intact, orphan reaped, stats never missing") {
+    val path = tmp()
+    val df1 = Seq((1, 10.0), (2, 20.0)).toDF("id", "v")
+    SnapshotTable.commitWithStats(spark, df1, path, Seq("v"), nowMs = 1000)
+    // inject a crash AFTER data+zonemap land, BEFORE the manifest swap
+    SnapshotTable.failpointBeforeManifest =
+      () => throw new RuntimeException("injected crash")
+    try intercept[RuntimeException](SnapshotTable.commitWithStats(
+      spark, Seq((3, 30.0)).toDF("id", "v"), path, Seq("v"), nowMs = 2000))
+    finally SnapshotTable.failpointBeforeManifest = () => ()
+    // the table is INTACT: v1 still current, the orphan dir invisible
+    val snaps = SnapshotTable.snapshots(path)
+    assert(snaps.map(_.version) === Seq(1L), s"manifest changed: $snaps")
+    assert(SnapshotTable.read(spark, path).count() === 2)
+    assert(Files.exists(Paths.get(s"$path/v00002")), "precondition: orphan dir")
+    // expire reaps the unreferenced orphan
+    SnapshotTable.expire(path, olderThanMs = 0L)
+    assert(!Files.exists(Paths.get(s"$path/v00002")), "orphan not reaped")
+    // a retry commits cleanly AND its snapshot carries stats — the
+    // reordering's invariant: no manifest-visible snapshot without a
+    // zone map (the old shape could publish one, silently unprunable)
+    val v = SnapshotTable.commitWithStats(
+      spark, Seq((3, 30.0)).toDF("id", "v"), path, Seq("v"), nowMs = 3000)
+    val snap = SnapshotTable.snapshots(path).find(_.version == v).get
+    assert(SnapshotTable.zonemap(path, snap).nonEmpty,
+      "manifest-visible snapshot without zone-map stats")
+    assert(SnapshotTable.read(spark, path).count() === 1)
+  }
 }
