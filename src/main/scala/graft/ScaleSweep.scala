@@ -163,7 +163,15 @@ object ScaleSweep {
   val ThirdDecadeTargets = Seq(
     "q255_bucketed_join", "q259_grouped_topk", "q271_topk_panel",
     "q105_curation_pipeline", "q225_curation_v3",
-    "q242_release_pipeline", "q46_minhash_neardup")
+    "q242_release_pipeline", "q46_minhash_neardup",
+    // round-10 item 2: the REGISTERED SCALE PATHS themselves — each
+    // is named as "the path X takes at corpus scale" for an exact
+    // counterpart proven superlinear (q228/q229 for the fixed-16 IVF
+    // family, q243/q249 for the exact percentile reducers, q239 for
+    // exact decontamination q63/q209), so the recommendation needs a
+    // measured sf10→sf100 row, not a two-decade extrapolation
+    "q228_ivf_auto", "q229_ivfadc_auto", "q243_hdr_quantiles",
+    "q249_length_panel", "q239_bloom_decontam")
 
   def main(args: Array[String]): Unit = {
     val sf01 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

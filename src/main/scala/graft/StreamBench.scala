@@ -233,6 +233,55 @@ object StreamBench {
     } finally q.stop()
   }
 
+  /** Per-micro-batch state footprint of the streaming HLL
+    * cardinality monitor (CardinalityStream): state per in-flight
+    * window is ≤ 64 register rows REGARDLESS of key cardinality, so
+    * a fresh 40-key vocabulary every batch (what would grow a naive
+    * distinct-count's state without bound) must plateau at
+    * in-flight-windows × 64 rows once the watermark finalizes old
+    * windows. Completes the soak over every stateful stream
+    * (round-9 verdict item 6). */
+  def cardinalityStateSeries(spark: SparkSession, batches: Int): Seq[(Long, Long)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val q = graft.streaming.CardinalityStream.registerWindows(
+        mem.toDF().toDF("ts", "key"),
+        windowDuration = "1 minute", watermarkDelay = "10 seconds")
+      .writeStream.format("noop").outputMode("append").start()
+    val t0 = 1704067200000L
+    try (0 until batches).map { b =>
+      mem.addData((0 until 40).map(i =>
+        (new Timestamp(t0 + b * 30000L + (i % 10) * 1000L), s"k${b}x$i")))
+      q.processAllAvailable()
+      stateOf(q)
+    } finally q.stop()
+  }
+
+  /** Per-micro-batch state footprint of the streaming HDR quantile
+    * monitor (HdrQuantileStream): state per in-flight window is one
+    * row per OCCUPIED bucket (≤ 32·(b+1) at b=5 for any value
+    * distribution), so values spanning fresh magnitudes every batch
+    * plateau at in-flight-windows × occupied-buckets under the
+    * watermark, never at rows-seen. */
+  def hdrStateSeries(spark: SparkSession, batches: Int): Seq[(Long, Long)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val q = graft.streaming.HdrQuantileStream.bucketWindows(
+        mem.toDF().toDF("ts", "v"),
+        b = 5, windowDuration = "1 minute", watermarkDelay = "10 seconds")
+      .writeStream.format("noop").outputMode("append").start()
+    val t0 = 1704067200000L
+    try (0 until batches).map { b =>
+      mem.addData((0 until 40).map(i =>
+        (new Timestamp(t0 + b * 30000L + (i % 10) * 1000L),
+          (i.toLong * 997 + b) % 100000L)))
+      q.processAllAvailable()
+      stateOf(q)
+    } finally q.stop()
+  }
+
   /** Total state (rows, bytes) across all stateful operators of the
     * query's last progress. */
   private def stateOf(q: org.apache.spark.sql.streaming.StreamingQuery): (Long, Long) = {
@@ -265,18 +314,22 @@ object StreamBench {
 
   /** One JSON object for the bench artifact. Top-level fields are the
     * at-ingest dedup's series (the r6/r7 artifact contract, shape
-    * unchanged); `streams` adds the same plateau evidence for the
-    * OTHER three stateful streams (round-8 verdict item 4): quota
+    * unchanged); `streams` adds the same plateau evidence for EVERY
+    * other stateful stream (round-8 item 4 + round-9 item 6): quota
     * admission (state = |keys| counters), windowed top-k (state =
-    * in-flight window sketches), and the stream-stream interval join
-    * (state = tolerance-horizon buffers). A stream whose soak throws
+    * in-flight window sketches), the stream-stream interval join
+    * (state = tolerance-horizon buffers), windowed HLL cardinality
+    * (state = windows × 64 registers), and windowed HDR quantiles
+    * (state = windows × occupied buckets). A stream whose soak throws
     * reports an "error" field instead of silently vanishing. */
   def measureState(spark: SparkSession, batches: Int): String = {
     val dedup = plateauJson(stateSeries(spark, batches), batches)
     val others = Seq(
       "quota" -> (() => quotaStateSeries(spark, batches)),
       "topk" -> (() => topkStateSeries(spark, batches)),
-      "enrich" -> (() => enrichStateSeries(spark, batches))
+      "enrich" -> (() => enrichStateSeries(spark, batches)),
+      "cardinality" -> (() => cardinalityStateSeries(spark, batches)),
+      "hdr_quantile" -> (() => hdrStateSeries(spark, batches))
     ).map { case (name, run) =>
       val body =
         try plateauJson(run(), batches)
@@ -298,11 +351,22 @@ object StreamBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // the top-k soak's sketch aggregate is a graft extension; the
+      // bare session made its soak row an AnalysisException here
+      // while the same code passed under Bench's extended session
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val line = measure(spark, batches, reps)
+    // standalone state-soak runner (SPARK_GRAFT_STATE_BATCHES=N):
+    // the same artifact Bench embeds, without the 278-query suite
+    val stateBatches =
+      sys.env.getOrElse("SPARK_GRAFT_STATE_BATCHES", "0").toInt
+    val stateLine =
+      if (stateBatches > 0) Some(measureState(spark, stateBatches)) else None
     try spark.stop() catch { case _: Throwable => () }
     println(line)
+    stateLine.foreach(println)
     System.out.flush()
   }
 }

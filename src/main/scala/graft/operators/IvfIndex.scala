@@ -72,6 +72,7 @@ object IvfIndex {
     * matches the expected corpus row count and codebook size. */
   def isValid(spark: SparkSession, path: String,
               expectedRows: Long, numCentroids: Int): Boolean = {
+    reconcile(spark, path) // self-heal a rebuild swap that crashed mid-rename
     val hfs = fs(spark, path)
     val marker = new org.apache.hadoop.fs.Path(s"$path/$MarkerFile")
     if (!hfs.exists(marker)) return false
@@ -112,21 +113,63 @@ object IvfIndex {
                    maxSkew: Double = 4.0): Boolean =
     skewRatio(spark, path) > maxSkew
 
+  /** Test failpoint: invoked between the two renames of [[rebuild]]'s
+    * swap — the window where the index exists only at `$path.rebuild`
+    * — so IvfMaintenanceSpec can prove [[reconcile]] repairs it. */
+  private[operators] var failpointMidSwap: () => Unit = () => ()
+
   /** Retrain the codebook from the persisted lists themselves: build
-    * into `$path.rebuild`, then swap via delete + rename so readers
-    * never observe a half-written index (the marker travels with the
-    * rename, keeping the isValid gate coherent). */
+    * into `$path.rebuild`, then swap by TWO renames (old index aside,
+    * new index in) so the data is never deleted before its
+    * replacement is in place. The previous shape (delete `path`, then
+    * rename) had a window where a crash left NO index at `path` and
+    * the only copy at the tmp dir that nothing replayed — the index
+    * (which here IS the data: rebuild's input is its own lists) was
+    * recoverable only by hand. Now every crash point is repaired by
+    * [[reconcile]]: mid-tmp-build leaves `path` intact (tmp has no
+    * marker and is overwritten next time); between the renames, tmp
+    * carries a valid marker and reconcile promotes it; after the
+    * second rename, `$path.old` is residue reaped here or by
+    * reconcile. The marker travels with the rename, keeping the
+    * isValid gate coherent. */
   def rebuild(spark: SparkSession, path: String, numCentroids: Int): Unit = {
     val vecs = spark.read.parquet(s"$path/lists")
       .select(col("vec_id"), col("query_vec"))
     val tmp = s"$path.rebuild"
-    build(vecs, numCentroids, tmp)
+    val old = s"$path.old"
     val hfs = fs(spark, path)
-    hfs.delete(new org.apache.hadoop.fs.Path(path), true)
-    hfs.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(path))
+    hfs.delete(new org.apache.hadoop.fs.Path(old), true) // stale residue
+    build(vecs, numCentroids, tmp) // lazily scans path/lists: path must survive until here
+    require(hfs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(old)), s"rename $path -> $old failed")
+    failpointMidSwap()
+    require(hfs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(path)), s"rename $tmp -> $path failed")
+    hfs.delete(new org.apache.hadoop.fs.Path(old), true)
     // drop any cached file listings over the swapped directory
     spark.catalog.refreshByPath(path)
+  }
+
+  private def hasMarker(hfs: org.apache.hadoop.fs.FileSystem, dir: String): Boolean =
+    hfs.exists(new org.apache.hadoop.fs.Path(s"$dir/$MarkerFile"))
+
+  /** Repair a rebuild swap that crashed between its renames: if no
+    * completed index sits at `path` but one sits at `$path.rebuild`
+    * (crash after the old index was renamed aside) promote it; else
+    * if one sits at `$path.old` restore that. Idempotent, pure
+    * existence checks on the happy path; called by [[isValid]] so
+    * every ensure-style gate self-heals before deciding to rebuild
+    * from (possibly missing) source data. */
+  def reconcile(spark: SparkSession, path: String): Unit = {
+    val hfs = fs(spark, path)
+    if (hasMarker(hfs, path)) return
+    val promote = Seq(s"$path.rebuild", s"$path.old").find(hasMarker(hfs, _))
+    promote.foreach { src =>
+      hfs.delete(new org.apache.hadoop.fs.Path(path), true) // partial residue
+      require(hfs.rename(new org.apache.hadoop.fs.Path(src),
+        new org.apache.hadoop.fs.Path(path)), s"reconcile rename $src -> $path failed")
+      spark.catalog.refreshByPath(path)
+    }
   }
 
   /** The scan-speed assignment projection (shared by build and by

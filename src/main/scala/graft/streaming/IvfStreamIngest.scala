@@ -67,14 +67,71 @@ object IvfStreamIngest {
       cents: Array[(Long, Array[Long])], indexPath: String,
       maxSkew: Double, onRetrain: SkewEvent => Unit): DataStreamWriter[Row] =
     vectors.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      // assignment uses the frozen build-time codebook: the standard
-      // IVF contract (and what keeps batch/stream results identical)
-      IvfIndex.assignOnly(batch, cents)
-        .write.partitionBy("cid").mode(SaveMode.Append)
-        .parquet(s"$indexPath/lists")
+      appendBatch(spark, batch, cents, indexPath, batchId)
       // occupancy check AFTER the append so the measured ratio is
       // the serving-path truth, not the batch's own distribution
       val ratio = IvfIndex.skewRatio(spark, indexPath)
       if (ratio > maxSkew) onRetrain(SkewEvent(batchId, ratio))
     }
+
+  /** Test failpoint: invoked after SOME (not all) staged files have
+    * been moved into the lists — the torn-append window a replay must
+    * clean up. Receives the count of files moved so far. */
+  private[streaming] var failpointMidPublish: Int => Unit = _ => ()
+
+  /** Replay-idempotent micro-batch append. A bare
+    * `mode(Append).parquet(lists)` duplicates the whole batch when
+    * foreachBatch replays after a crash (Structured Streaming's
+    * contract is at-least-once delivery TO the sink; exactly-once is
+    * the sink's job) — every replayed vector would then surface twice
+    * in probed candidates. Discipline (the Retention intent-marker
+    * idea applied to an append): (1) delete any `b{batchId}_*` files
+    * a previous attempt of THIS batch published (one glob,
+    * numCentroids-bounded); (2) stage the assigned batch to a
+    * batch-keyed scratch dir with mode=Overwrite (itself idempotent);
+    * (3) publish by renaming each staged file into its cid partition
+    * under a `b{batchId}_` name. A crash at any point leaves either
+    * unpublished staging (harmless, overwritten on replay) or a
+    * partial publish whose files step (1) removes — so replaying the
+    * batch any number of times converges to exactly one copy.
+    * Per-batch cost is unchanged: one assignment scan, one staged
+    * write, plus numCentroids-bounded renames (metadata ops). */
+  private[streaming] def appendBatch(spark: SparkSession, batch: DataFrame,
+      cents: Array[(Long, Array[Long])], indexPath: String,
+      batchId: Long): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val listsRoot = new org.apache.hadoop.fs.Path(s"$indexPath/lists")
+    val hfs = listsRoot.getFileSystem(hconf)
+    // (1) replay cleanup: torn publish from a prior attempt of this batch
+    val prior = hfs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$indexPath/lists/cid=*/b${batchId}_*"))
+    if (prior != null) prior.foreach(st => hfs.delete(st.getPath, false))
+    // (2) stage: assignment uses the frozen build-time codebook (the
+    // standard IVF contract, and what keeps batch/stream results
+    // identical); Overwrite makes re-staging idempotent
+    val staging = s"$indexPath/_staging/batch=$batchId"
+    IvfIndex.assignOnly(batch, cents)
+      .write.partitionBy("cid").mode(SaveMode.Overwrite).parquet(staging)
+    // (3) publish: rename staged data files under their cid partition
+    // with the batch-id prefix step (1) keys on
+    var moved = 0
+    val cidDirs = hfs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$staging/cid=*"))
+    if (cidDirs != null) cidDirs.filter(_.isDirectory).foreach { cd =>
+      val destDir = new org.apache.hadoop.fs.Path(listsRoot, cd.getPath.getName)
+      hfs.mkdirs(destDir)
+      hfs.listStatus(cd.getPath)
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith("."))
+        .foreach { f =>
+          require(hfs.rename(f.getPath,
+            new org.apache.hadoop.fs.Path(destDir, s"b${batchId}_${f.getPath.getName}")),
+            s"publish rename of ${f.getPath} failed")
+          moved += 1
+          failpointMidPublish(moved)
+        }
+    }
+    hfs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/_staging"), true)
+    spark.catalog.refreshByPath(s"$indexPath/lists")
+  }
 }

@@ -157,7 +157,13 @@ object MicroBatchIngest {
 
   /** Start the Bronze landing sink: micro-batch trigger, foreachBatch
     * Parquet append partitioned year=/month=/day= (reference
-    * kafka_to_bronze.py:57-87), checkpointed for exactly-once. */
+    * kafka_to_bronze.py:57-87). Checkpointed AT-LEAST-ONCE: a batch
+    * replayed after a crash mid-append re-lands its rows (the bare
+    * parquet append is not replay-idempotent), which is the medallion
+    * contract — bronze is the immutable at-least-once landing zone,
+    * and silver's PK keep-latest dedup ([[dedupStream]] in-stream,
+    * `_rn=1` in batch, oracle-proven q09/q55) is the exactly-once
+    * layer every consumer reads through. */
   def startBronzeSink(parsed: DataFrame, path: String, checkpoint: String,
                       eventTsCol: String,
                       triggerSecs: Int = 300): StreamingQuery =

@@ -136,8 +136,16 @@ object Pipeline {
     }
     def commit(key: String, watermark: String): Unit = {
       Files.createDirectories(Paths.get(dir))
-      Files.write(fileFor(key),
+      // temp + atomic rename (round-10 crash-window sweep): an
+      // in-place write torn by a crash left JSON the load() regex
+      // rejects, silently resetting the watermark to `default` — a
+      // full re-pull, not data loss (merge is idempotent), but an
+      // unbounded reprocessing bill a rename avoids for free
+      val tmp = Paths.get(dir, s"$key.watermark.json.tmp")
+      Files.write(tmp,
         s"""{"key": "$key", "watermark": "$watermark"}""".getBytes("UTF-8"))
+      Files.move(tmp, fileFor(key), StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
     }
   }
 

@@ -34,6 +34,35 @@ class IvfMaintenanceSpec extends SparkSpec {
       "lists without the marker (aborted build) must be invalid")
   }
 
+  test("rebuild crash between its swap renames is repaired by reconcile (via isValid)") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfswapcrash").toString + "/idx"
+    IvfIndex.build(corpus, numCentroids = 8, dir)
+    val n = corpus.count()
+    val before = spark.read.parquet(s"$dir/lists")
+      .agg(count(lit(1)), sum(col("vec_id"))).head()
+
+    // crash in the window where the index exists ONLY at $dir.rebuild
+    // (old renamed aside, new not yet renamed in) — the old shape
+    // (delete-then-rename) made this window unrecoverable in code
+    IvfIndex.failpointMidSwap = () => throw new RuntimeException("injected crash")
+    try intercept[RuntimeException](IvfIndex.rebuild(spark, dir, numCentroids = 8))
+    finally IvfIndex.failpointMidSwap = () => ()
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/_GRAFT_BUILD_OK")),
+      "precondition: the crash left no completed index at the serving path")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir.rebuild/_GRAFT_BUILD_OK")),
+      "precondition: the rebuilt index is stranded at the tmp path")
+
+    // the ensure gate self-heals: isValid reconciles (promotes the
+    // stranded rebuild) and then reports a complete index
+    assert(IvfIndex.isValid(spark, dir, n, 8),
+      "isValid must promote the stranded rebuild and accept the index")
+    val after = spark.read.parquet(s"$dir/lists")
+      .agg(count(lit(1)), sum(col("vec_id"))).head()
+    assert(after === before, "promoted index must carry the full corpus")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir.rebuild")),
+      "tmp dir must be consumed by the promotion")
+  }
+
   test("skewed append trips the retrain trigger; rebuild recovers skew without losing recall") {
     val dir = java.nio.file.Files.createTempDirectory("ivfskew").toString
     IvfIndex.build(corpus, numCentroids = 8, dir)

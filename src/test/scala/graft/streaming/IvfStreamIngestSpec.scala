@@ -70,4 +70,50 @@ class IvfStreamIngestSpec extends SparkSpec {
     assert(skewAfter < skewBefore,
       s"rebuild must rebalance: before=$skewBefore after=$skewAfter")
   }
+
+  test("micro-batch replay after a torn publish appends exactly one copy") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-replay").toString
+    val path = s"$dir/index"
+    IvfIndex.build(baseCorpus(), numCentroids = 4, path)
+    val cents = IvfIndex.centroids(spark, path)
+    // four quadrants -> all 4 cids non-empty -> >= 4 staged files, so
+    // a crash after 2 renames is guaranteed to be a PARTIAL publish
+    val quad = Seq(Seq(900L, 10L), Seq(10L, 900L), Seq(-900L, 10L), Seq(10L, -900L))
+    val batch = (100 until 120).map(i =>
+      (i.toLong, quad(i % 4).map(_ + (i % 7).toLong)))
+      .toDF("vec_id", "query_vec")
+
+    // attempt 1 crashes mid-publish: some staged files renamed into
+    // the lists, the rest stranded in staging — the torn-append
+    // window a bare mode(Append) replay would double up on
+    IvfStreamIngest.failpointMidPublish = moved =>
+      if (moved == 2) throw new RuntimeException("injected crash")
+    try intercept[RuntimeException](
+      IvfStreamIngest.appendBatch(spark, batch, cents, path, batchId = 7L))
+    finally IvfStreamIngest.failpointMidPublish = _ => ()
+    val torn = spark.read.parquet(s"$path/lists")
+      .filter(col("vec_id") >= 100L).count()
+    assert(torn > 0 && torn < 20,
+      s"precondition: the crash must leave a PARTIAL publish, got $torn of 20")
+
+    // replay (what Structured Streaming does after recovery): the
+    // batch-id-keyed cleanup removes the torn files, then republishes
+    IvfStreamIngest.appendBatch(spark, batch, cents, path, batchId = 7L)
+    val rows = spark.read.parquet(s"$path/lists").filter(col("vec_id") >= 100L)
+    assert(rows.count() === 20L, "replay must converge to exactly one copy")
+    assert(rows.select("vec_id").distinct().count() === 20L)
+    // and the replayed rows sit in the lists the batch path assigns
+    import spark.implicits._
+    val expected = IvfIndex.assignOnly(batch, cents)
+      .select(col("vec_id"), col("cid")).as[(Long, Long)].collect().toMap
+    val onDisk = rows.select(col("vec_id"), col("cid").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(onDisk === expected)
+
+    // a SECOND replay of an already-complete batch is also a no-op
+    // in effect (delete + republish the same 20 rows)
+    IvfStreamIngest.appendBatch(spark, batch, cents, path, batchId = 7L)
+    assert(spark.read.parquet(s"$path/lists")
+      .filter(col("vec_id") >= 100L).count() === 20L)
+  }
 }
