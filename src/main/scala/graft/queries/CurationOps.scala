@@ -595,9 +595,15 @@ object CurationOps {
               element_at(col("toks"), i + 2), element_at(col("toks"), i + 3),
               element_at(col("toks"), i + 4)))))
           .otherwise(array().cast("array<string>"))).as("gram"))
-    val g1 = grams(v1).select("gram").distinct()
+    // gated two-sided gram-exchange sizing (ExplodedJoin scaladoc,
+    // round-10 sweep of the q225 hazard class); the per-doc aggregate
+    // after the left join is a hash agg over a doc-bounded key space
+    // (map-side combine, no sort) and stays at planner defaults
+    val sized = ExplodedJoin.sizer(s,
+      Tables.documents(s, dir).count() * 64L, col("gram"))
+    val g1 = sized(grams(v1)).select("gram").distinct()
       .withColumn("seen", lit(1))
-    val per = grams(v2).join(g1, Seq("gram"), "left")
+    val per = sized(grams(v2)).join(g1, Seq("gram"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("seen").isNull, 1L).otherwise(0L)).as("novel_grams"))

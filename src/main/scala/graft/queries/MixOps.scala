@@ -95,9 +95,14 @@ object MixOps {
             element_at(col("toks"), i + 2), element_at(col("toks"), i + 3),
             element_at(col("toks"), i + 4)))))
         .otherwise(array().cast("array<string>"))).as("gram"))
-    val testGrams = grams.filter(col("frac") < TestFrac)
+    // gated two-sided gram-exchange sizing (ExplodedJoin scaladoc —
+    // the q225 sf100 spill's hazard class; round-10 sweep): both join
+    // inputs through the same sizer, distinct reuses the partitioning
+    val sized = ExplodedJoin.sizer(s,
+      Tables.documents(s, dir).count() * 64L, col("gram"))
+    val testGrams = sized(grams.filter(col("frac") < TestFrac))
       .select("gram").distinct()
-    val shared = grams.filter(col("frac") >= TestFrac)
+    val shared = sized(grams.filter(col("frac") >= TestFrac))
       .join(testGrams, "gram")
       .groupBy("doc_id")
       .agg(count_distinct(col("gram")).as("shared_ngrams"))
@@ -184,9 +189,14 @@ object MixOps {
             element_at(col("toks"), i + 2), element_at(col("toks"), i + 3),
             element_at(col("toks"), i + 4)))))
         .otherwise(array().cast("array<string>"))).as("gram"))
-    val evalGrams = grams.filter(col("frac") < TestFrac)
+    // gated two-sided gram-exchange sizing (ExplodedJoin, round-10
+    // sweep); the pair-keyed aggregate after the join is Ω(output) by
+    // the audit's nature and stays at planner defaults
+    val sized = ExplodedJoin.sizer(s,
+      Tables.documents(s, dir).count() * 64L, col("gram"))
+    val evalGrams = sized(grams.filter(col("frac") < TestFrac))
       .select(col("doc_id").as("eval_doc"), col("gram"))
-    grams.filter(col("frac") >= TestFrac)
+    sized(grams.filter(col("frac") >= TestFrac))
       .select(col("doc_id").as("train_doc"), col("gram"))
       .join(evalGrams, "gram")
       .groupBy("train_doc", "eval_doc")
@@ -729,28 +739,12 @@ object MixOps {
     // row count is DECOUPLED from the input tables), found again by
     // the round-9 sf100 sweep: the exploded gram frame is ~46
     // grams/doc (~230M rows at sf100), and the join's SMJ sort at 8
-    // session partitions spilled 2.4 GB. The doc count is parquet-
-    // metadata cheap; ×64 over-bounds grams/doc for this corpus
-    // (~300-char docs), and overestimating only shrinks partitions.
-    // GATED on actually exceeding the session default: below that
-    // the join side fits the default sorts (zero spill measured
-    // through sf10) and often broadcasts testGrams — an unconditional
-    // repartition would force a full gram exchange exactly where the
-    // planner had avoided one (measured: +5.3 MB shuffle at sf0.1).
-    // BOTH join inputs must carry HashPartitioning(gram, parts):
-    // unlike a window (single child — any partition count satisfies
-    // its ClusteredDistribution, the q250 fix), a join requires its
-    // two children CO-partitioned with EQUAL counts, and when they
-    // differ EnsureRequirements re-exchanges both to the session
-    // default — sizing one side alone is silently planned away
-    // (verified in the round-9 SpillAudit: the one-sided fix left
-    // the SMJ sorts at 8 partitions and the 2.4 GB spill intact).
-    val nDocs = Tables.documents(s, dir).count()
-    val gramParts =
-      math.min(4096L, nDocs * 64L / 8000000L + 1L).toInt
-    val sizeGrams = gramParts > s.sessionState.conf.numShufflePartitions
-    def sized(df: DataFrame): DataFrame =
-      if (sizeGrams) df.repartition(gramParts, col("gram")) else df
+    // session partitions spilled 2.4 GB. Gating, the two-sided
+    // requirement, and the ×64 overbound are the ExplodedJoin
+    // scaladoc's contract (this finding, generalized to the whole
+    // gram-join family in the round-10 sweep).
+    val sized = ExplodedJoin.sizer(s,
+      Tables.documents(s, dir).count() * 64L, col("gram"))
     val trainGrams = sized(gAll.filter(col("frac") >= TestFrac))
     val testGrams = sized(gAll.filter(col("frac") < TestFrac))
       .select("gram").distinct()

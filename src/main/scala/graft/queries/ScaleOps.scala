@@ -104,8 +104,13 @@ object ScaleOps {
     val n = 8
     val t = Tables.documents(s, dir)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-    val grams = t.select(col("doc_id"),
-      explode(TextAnalysis.wordNgrams(col("toks"), n)).as("gram"))
+    // gated gram-exchange sizing (ExplodedJoin, round-10 sweep of the
+    // q225 hazard class); the doc-keyed count aggregates are hash
+    // aggs over a doc-bounded key space and stay at planner defaults
+    val grams = ExplodedJoin.sizer(s,
+      Tables.documents(s, dir).count() * 64L, col("gram"))(
+      t.select(col("doc_id"),
+        explode(TextAnalysis.wordNgrams(col("toks"), n)).as("gram")))
     val dupGrams = grams.groupBy("gram")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2).select("gram")
@@ -149,18 +154,30 @@ object ScaleOps {
       posexplode(TextAnalysis.wordNgrams(col("toks"), n))
         .as(Seq("pos0", "gram")))
       .select(col("doc_id"), (col("pos0") + 1).as("start"), col("gram"))
-    val dupGrams = grams.groupBy("gram")
+    // Gated exchange sizing for ALL THREE corpus-exploded key
+    // families this surgery shuffles on (ExplodedJoin scaladoc — the
+    // q225 hazard class, round-10 sweep): the gram frame (~46
+    // grams/doc), the coverage explode (≤8 offsets per dup-gram
+    // occurrence, so ×512/doc overbound), and the token map (~50
+    // tokens/doc). Each family's two join/agg inputs share ONE sizer
+    // so they stay co-partitioned.
+    val nDocs = Tables.documents(s, dir).count()
+    val sizedGram = ExplodedJoin.sizer(s, nDocs * 64L, col("gram"))
+    val sizedPos = ExplodedJoin.sizer(s, nDocs * 512L, col("doc_id"), col("pos"))
+    val sizedDoc = ExplodedJoin.sizer(s, nDocs * 64L, col("doc_id"))
+    val gramsS = sizedGram(grams)
+    val dupGrams = gramsS.groupBy("gram")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2).select("gram")
-    val covered = grams.join(dupGrams, "gram")
-      .select(col("doc_id"),
-        explode(sequence(col("start"), col("start") + (n - 1))).as("pos"))
+    val covered = sizedPos(gramsS.join(dupGrams, "gram")
+        .select(col("doc_id"),
+          explode(sequence(col("start"), col("start") + (n - 1))).as("pos")))
       .distinct()
     val toks = t.select(col("doc_id"),
       posexplode(col("toks")).as(Seq("pos0", "token")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("token"))
       .filter(col("token") =!= "")
-    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+    val kept = sizedDoc(sizedPos(toks).join(covered, Seq("doc_id", "pos"), "left_anti"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("kept_tokens"),
         concat_ws(" ",
