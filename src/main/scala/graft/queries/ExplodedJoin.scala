@@ -54,4 +54,17 @@ private[queries] object ExplodedJoin {
       df => df.repartition(p, keys: _*)
     else identity
   }
+
+  /** Sized TOTAL ORDER on `keys`: `orderBy`'s range exchange also
+    * lands on the session default, so a corpus-exploded result (e.g.
+    * a pair-shaped audit) puts its whole partition through one sort —
+    * the same hazard with RangePartitioning in place of hash. Above
+    * the gate this plans range-repartition + in-partition sort
+    * (identical global order, sized sorts); below it, plain orderBy. */
+  def orderedSizer(s: SparkSession, estRows: Long, keys: Column*): DataFrame => DataFrame = {
+    val p = parts(estRows)
+    if (p > s.sessionState.conf.numShufflePartitions)
+      df => df.repartitionByRange(p, keys: _*).sortWithinPartitions(keys: _*)
+    else df => df.orderBy(keys: _*)
+  }
 }

@@ -141,12 +141,29 @@ object MixOps {
             element_at(col("toks"), i + 2), element_at(col("toks"), i + 3),
             element_at(col("toks"), i + 4)))))
         .otherwise(array().cast("array<string>"))).as("gram"))
-    val testGrams = grams.filter(col("frac") < TestFrac)
+    // Two-sided gram-exchange sizing (ExplodedJoin, round-10 sweep)
+    // as the SATURATION BACKSTOP: the bloom capacity is bounded by
+    // the plan-literal budget below, so an eval set past the cap
+    // saturates the filter and the pass-through approaches the full
+    // gram frame — q209's exact shape, which must then run at q209's
+    // sized partitioning instead of spilling the 8-partition SMJ sort
+    // (measured at sf100/cpus=8: 22.5 GB mem + 1.5 GB disk spill
+    // before this backstop, zero after). Sizing is applied AFTER the
+    // scan-speed probe, so a healthy bloom's exchange still carries
+    // only the FP-bounded pass-through.
+    val sized = ExplodedJoin.sizer(s,
+      Tables.documents(s, dir).count() * 64L, col("gram"))
+    val testGrams = sized(grams.filter(col("frac") < TestFrac))
       .select("gram").distinct()
     val trainGrams = grams.filter(col("frac") >= TestFrac)
     val probed =
       if (s.catalog.functionExists("graft_might_contain")) {
-        val nKeys = math.min(math.max(testGrams.count(), 1L), 1000000L)
+        // capacity tracks the measured eval-gram count up to ~7 MB of
+        // filter bytes (8M keys at 3% fpp) — the task-binary budget a
+        // plan literal must respect; the 1M cap this replaces
+        // saturated one decade early (sf100's ~20M eval grams pushed
+        // FP toward 1 and re-created the unsized q209 join wholesale)
+        val nKeys = math.min(math.max(testGrams.count(), 1L), 8000000L)
         val bloomBytes = testGrams
           .agg(call_function("graft_bloom_agg",
             xxhash64(col("gram")), lit(nKeys)).as("bf"))
@@ -154,7 +171,7 @@ object MixOps {
         trainGrams.filter(call_function("graft_might_contain",
           lit(bloomBytes), xxhash64(col("gram"))))
       } else trainGrams
-    val shared = probed.join(testGrams, "gram")
+    val shared = sized(probed).join(testGrams, "gram")
       .groupBy("doc_id")
       .agg(count_distinct(col("gram")).as("shared_ngrams"))
     d.filter(col("frac") >= TestFrac).select("doc_id")
@@ -189,19 +206,31 @@ object MixOps {
             element_at(col("toks"), i + 2), element_at(col("toks"), i + 3),
             element_at(col("toks"), i + 4)))))
         .otherwise(array().cast("array<string>"))).as("gram"))
-    // gated two-sided gram-exchange sizing (ExplodedJoin, round-10
-    // sweep); the pair-keyed aggregate after the join is Ω(output) by
-    // the audit's nature and stays at planner defaults
-    val sized = ExplodedJoin.sizer(s,
-      Tables.documents(s, dir).count() * 64L, col("gram"))
+    // Gated sizing for BOTH corpus-decoupled key families here
+    // (ExplodedJoin, round-10 sweep): the gram join, and then the
+    // PAIR-keyed frames it emits — on the self-similar replica corpus
+    // the (train_doc, eval_doc) output is itself exploded-frame-sized
+    // (~8 GB of pair-gram rows at sf100), so the pair aggregate and
+    // the final total order each put ~1 GB+ through every default-
+    // partition sort (measured at sf100/cpus=8: 49 GB mem + 6.5 GB
+    // disk spill across those two stages before this fix, with the
+    // gram join itself already sized and clean). Output stays
+    // Ω(pairs) by the audit's nature — sizing fixes the per-sort
+    // footprint, not the (inherent) volume.
+    val nDocs = Tables.documents(s, dir).count()
+    val sized = ExplodedJoin.sizer(s, nDocs * 64L, col("gram"))
+    val pairSized = ExplodedJoin.sizer(s, nDocs * 64L,
+      col("train_doc"), col("eval_doc"))
+    val ordered = ExplodedJoin.orderedSizer(s, nDocs * 64L,
+      col("train_doc"), col("eval_doc"))
     val evalGrams = sized(grams.filter(col("frac") < TestFrac))
       .select(col("doc_id").as("eval_doc"), col("gram"))
-    sized(grams.filter(col("frac") >= TestFrac))
-      .select(col("doc_id").as("train_doc"), col("gram"))
-      .join(evalGrams, "gram")
+    ordered(pairSized(
+      sized(grams.filter(col("frac") >= TestFrac))
+        .select(col("doc_id").as("train_doc"), col("gram"))
+        .join(evalGrams, "gram"))
       .groupBy("train_doc", "eval_doc")
-      .agg(count(lit(1)).as("shared_ngrams"))
-      .orderBy("train_doc", "eval_doc")
+      .agg(count(lit(1)).as("shared_ngrams")))
   }
 
   /** q210 — greedy maximal marginal relevance: pick k=5 vectors
