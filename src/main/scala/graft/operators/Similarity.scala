@@ -349,13 +349,27 @@ object Similarity {
       .withColumn("_n2c", dot(col("query_vec"), col("query_vec")))
     val probes = ivfProbesAuto(queries, cents, nprobe)
       .withColumn("_n2q", dot(col("qvec"), col("qvec")))
+    // CANDIDATE-frame sizing (the r10 sf100 find): the cid join emits
+    // |Q|·nprobe·(n/numC) candidate rows — decoupled from both inputs
+    // — and the rank-k window's partial top-k sorts them WITH the two
+    // 128-long vectors still aboard; at sf100 (1.1B candidates, 8
+    // session partitions) that partial sort spilled 17 GB. Two fixes,
+    // both below: the gated two-sided cid sizing (|Q| over-bounded by
+    // n — an unfiltered parquet-backed count is metadata-cheap, a
+    // filtered query count would be a scan), and a NARROW projection
+    // (query_id, vec_id, cosine) before the window so the sort
+    // carries ~30 B/row instead of ~2 KB.
+    val n = corpus.count()
+    val est = n * nprobe.toLong * math.max(1L, n / math.max(1L, cents.length.toLong))
+    val sized = graft.queries.ExplodedJoin.sizer(sp, est, col("cid"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)
-    assigned.join(probes, "cid")
+    sized(assigned).join(sized(probes), "cid")
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("cosine",
         (dot(col("query_vec"), col("qvec")).cast("double") /
           sqrt(col("_n2q").cast("double") * col("_n2c").cast("double"))).cast("double"))
+      .select(col("query_id"), col("vec_id"), col("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
@@ -603,9 +617,26 @@ object Similarity {
         (0 until m).map(j => distTable(j).as(s"dt$j")): _*)
     val wa = Window.partitionBy("query_id")
       .orderBy(col("approx_dist").asc, col("vec_id").asc)
-    val cands = coded.join(hinted(probeTables), Seq("cid"))
+    // Same candidate-frame discipline as ivfSearchWith (r10 sf100
+    // find, measured there as a 10.5 GB partial-sort spill on this
+    // path): on the auto (no-broadcast) route, gated two-sided cid
+    // sizing from the |Q|·nprobe·(n/numC) candidate estimate; on
+    // both routes, the m per-query ks-entry distance-table arrays
+    // (~1 KB/row) are reduced to the scalar approx_dist BEFORE the
+    // shortlist window so its sort buffers ~30 B rows.
+    val joined =
+      if (hintBroadcast) coded.join(broadcast(probeTables), Seq("cid"))
+      else {
+        val n = corpus.count()
+        val est = n * nprobe.toLong *
+          math.max(1L, n / math.max(1L, cents.length.toLong))
+        val sized = graft.queries.ExplodedJoin.sizer(sp, est, col("cid"))
+        sized(coded).join(sized(probeTables), Seq("cid"))
+      }
+    val cands = joined
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("approx_dist", adcDist(m))
+      .select("query_id", "vec_id", "approx_dist")
       .withColumn("_arank", row_number().over(wa))
       .filter(col("_arank") <= shortlist)
       .select("query_id", "vec_id", "approx_dist")

@@ -37,7 +37,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * partitions, and the 4096 cap bounds task-scheduling overhead at
   * any corpus size.
   */
-private[queries] object ExplodedJoin {
+private[graft] object ExplodedJoin {
 
   /** Partitions for an exploded frame of ~`estRows`, targeting ≤8M
     * rows (≈0.5-1 GB of gram/token rows) per sort. */
