@@ -38,16 +38,18 @@ class StreamStateSoakSpec extends SparkSpec {
     assert(rows.max > 0, "soak never built state — vacuous")
   }
 
-  test("measureState emits one artifact with all four streams") {
+  test("measureState emits one artifact with every stateful stream") {
     val line = StreamBench.measureState(spark, batches = 8)
     assert(line.contains("\"metric\":\"stream_state\""))
     assert(line.contains("\"plateau_ratio\":"))
-    Seq("quota", "topk", "enrich").foreach { s =>
+    // r8 item 4's three + the r10 additions (windowed HLL cardinality
+    // and HDR quantiles) — the soak now covers EVERY stateful stream
+    Seq("quota", "topk", "enrich", "cardinality", "hdr_quantile").foreach { s =>
       assert(line.contains(s"\"$s\":{"), s"missing stream $s in: $line")
       assert(!line.contains(s"\"$s\":{\"error\""), s"stream $s errored: $line")
     }
     // parseable by the same stack the driver uses
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
-    assert(node.get("streams").size() === 3)
+    assert(node.get("streams").size() === 5)
   }
 }
