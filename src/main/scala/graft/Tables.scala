@@ -51,6 +51,51 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
+  /** Session-scoped memo of a table's row count, keyed by (path, file
+    * stamp) — the directionCache idiom (SimilarityOps). The sizing
+    * paths (ExplodedJoin gates, auto-IVF candidate estimates) need a
+    * row-count BOUND, and while a bare parquet count() is
+    * metadata-cheap it is not free: it schedules a real Spark job per
+    * call, and the gram family + auto-ANN family each paid one per
+    * query composition (measured +0.4-1.0 s each at sf0.1, round-10
+    * verdict item 1). One count per (dir, table) per JVM amortizes
+    * that to zero on every re-composition; the file stamp (an
+    * order-independent (name, len, mtime) hash — metadata listing
+    * only, no job) invalidates the memo when a sweep/test session
+    * regenerates the same dir, so a stale bound can never under-size
+    * a partition gate. At most one entry per path survives (the value
+    * carries its stamp and is replaced on mismatch). */
+  private val countCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+  private def fileStamp(s: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return -1L
+    val it = fs.listFiles(p, true)
+    var h = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      h += (f.getPath.getName.hashCode.toLong * 1099511628211L +
+        f.getLen) * 31L + f.getModificationTime
+    }
+    h
+  }
+
+  /** Memoized `count()` of a driver-generated table — use for sizing
+    * estimates, never for query output (outputs must stay lazy). */
+  def rowCount(s: SparkSession, dir: String, name: String): Long = {
+    val path = s"$dir/$name.parquet"
+    val stamp = fileStamp(s, path)
+    countCache.compute(path, (_, cur) =>
+      if (cur != null && cur._1 == stamp) cur
+      else (stamp, load(s, dir, name).count()))._2
+  }
+
+  /** The documents-table bound every gram-family sizer keys on. */
+  def documentCount(s: SparkSession, dir: String): Long =
+    rowCount(s, dir, "documents")
+
   /** Register every table as a temp view (for spark.sql surfaces). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))

@@ -168,6 +168,16 @@ object IvfIndex {
       hfs.delete(new org.apache.hadoop.fs.Path(path), true) // partial residue
       require(hfs.rename(new org.apache.hadoop.fs.Path(src),
         new org.apache.hadoop.fs.Path(path)), s"reconcile rename $src -> $path failed")
+      // Reap the sibling the swap left behind: promoting `.rebuild`
+      // with a marker-bearing `.old` still on disk would otherwise
+      // leave a STALE valid index that a later marker loss silently
+      // restores (round-10 advice). Deleting a missing path is a
+      // no-op, so reap both names unconditionally. Single-writer
+      // assumption (same as rebuild's): maintenance on one index path
+      // is serialized by the caller; isValid's self-heal mutates only
+      // under that regime.
+      hfs.delete(new org.apache.hadoop.fs.Path(s"$path.old"), true)
+      hfs.delete(new org.apache.hadoop.fs.Path(s"$path.rebuild"), true)
       spark.catalog.refreshByPath(path)
     }
   }

@@ -332,7 +332,8 @@ object Similarity {
                   nprobe: Int): DataFrame = {
     val n = corpus.count()
     val numC = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
-    ivfSearchWith(corpus, queries, k, nprobe, ivfCentroids(corpus, numC))
+    ivfSearchWith(corpus, queries, k, nprobe, ivfCentroids(corpus, numC),
+      knownN = n)
   }
 
   /** The auto-discipline IVF search tail against an ARBITRARY
@@ -341,7 +342,8 @@ object Similarity {
     * WindowGroupLimit top-k. Centroids are (cid, integer vector) —
     * sum vectors are fine (cosine is scale-invariant). */
   def ivfSearchWith(corpus: DataFrame, queries: DataFrame, k: Int,
-                    nprobe: Int, cents: Array[(Long, Array[Long])]): DataFrame = {
+                    nprobe: Int, cents: Array[(Long, Array[Long])],
+                    knownN: Long = -1L): DataFrame = {
     val sp = corpus.sparkSession
     val dot = dotFast(sp, _: Column, _: Column)
     val assigned = corpus
@@ -358,9 +360,12 @@ object Similarity {
     // n — an unfiltered parquet-backed count is metadata-cheap, a
     // filtered query count would be a scan), and a NARROW projection
     // (query_id, vec_id, cosine) before the window so the sort
-    // carries ~30 B/row instead of ~2 KB.
-    val n = corpus.count()
-    val est = n * nprobe.toLong * math.max(1L, n / math.max(1L, cents.length.toLong))
+    // carries ~30 B/row instead of ~2 KB. Callers that already
+    // counted (ivfTopKAuto sizes its codebook from n) pass knownN so
+    // the count job runs once per search, not twice — and a DERIVED
+    // corpus (filtered, joined) pays its one scan once.
+    val n = if (knownN >= 0L) knownN else corpus.count()
+    val est = candidateEstimate(n, nprobe, cents.length)
     val sized = graft.queries.ExplodedJoin.sizer(sp, est, col("cid"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)
@@ -561,13 +566,28 @@ object Similarity {
     val n = corpus.count()
     val numC = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
     ivfPqResidualImpl(corpus, queries, k, ivfCentroids(corpus, numC),
-      nprobe, ks, m, dim, shortlist, hintBroadcast = false)
+      nprobe, ks, m, dim, shortlist, hintBroadcast = false, knownN = n)
+  }
+
+  /** |Q|·nprobe·(n/numC) candidate-frame bound for the cid-join
+    * sizers, computed in Double and saturated at Long.MaxValue: the
+    * naive Long product overflows around n≈1e10 with a small fixed
+    * codebook, and a NEGATIVE estimate would make ExplodedJoin.parts
+    * non-positive — silently failing the gate and re-creating the
+    * exact sf100 partial-sort spill the sizing exists to prevent
+    * (round-10 advice). Overestimating only shrinks partitions;
+    * parts() caps at 4096 regardless. */
+  private def candidateEstimate(n: Long, nprobe: Int, numC: Int): Long = {
+    val est = n.toDouble * nprobe.toDouble *
+      math.max(1.0, n.toDouble / math.max(1, numC).toDouble)
+    if (est >= Long.MaxValue.toDouble) Long.MaxValue else est.toLong
   }
 
   private def ivfPqResidualImpl(corpus: DataFrame, queries: DataFrame, k: Int,
                                 cents: Array[(Long, Array[Long])], nprobe: Int,
                                 ks: Int, m: Int, dim: Int, shortlist: Int,
-                                hintBroadcast: Boolean): DataFrame = {
+                                hintBroadcast: Boolean,
+                                knownN: Long = -1L): DataFrame = {
     val sp = corpus.sparkSession
     import sp.implicits._
     val subDim = dim / m
@@ -627,9 +647,8 @@ object Similarity {
     val joined =
       if (hintBroadcast) coded.join(broadcast(probeTables), Seq("cid"))
       else {
-        val n = corpus.count()
-        val est = n * nprobe.toLong *
-          math.max(1L, n / math.max(1L, cents.length.toLong))
+        val n = if (knownN >= 0L) knownN else corpus.count()
+        val est = candidateEstimate(n, nprobe, cents.length)
         val sized = graft.queries.ExplodedJoin.sizer(sp, est, col("cid"))
         sized(coded).join(sized(probeTables), Seq("cid"))
       }

@@ -600,7 +600,7 @@ object CurationOps {
     // after the left join is a hash agg over a doc-bounded key space
     // (map-side combine, no sort) and stays at planner defaults
     val sized = ExplodedJoin.sizer(s,
-      Tables.documents(s, dir).count() * 64L, col("gram"))
+      Tables.documentCount(s, dir) * 64L, col("gram"))
     val g1 = sized(grams(v1)).select("gram").distinct()
       .withColumn("seen", lit(1))
     val per = sized(grams(v2)).join(g1, Seq("gram"), "left")

@@ -42,7 +42,11 @@ private[graft] object ExplodedJoin {
   /** Partitions for an exploded frame of ~`estRows`, targeting ≤8M
     * rows (≈0.5-1 GB of gram/token rows) per sort. */
   def parts(estRows: Long, rowsPerPartition: Long = 8000000L): Int =
-    math.min(4096L, estRows / rowsPerPartition + 1L).toInt
+    // max(0, ·): a caller whose estimate product overflowed to a
+    // negative Long must degrade to the session default (gate stays
+    // closed), never to a negative partition count that would make
+    // repartition throw — belt to candidateEstimate's braces.
+    math.min(4096L, math.max(0L, estRows) / rowsPerPartition + 1L).toInt
 
   /** A sizing function to apply to EVERY frame meeting at a join (or
     * feeding an aggregate) keyed on `keys`: repartitions to

@@ -99,7 +99,7 @@ object MixOps {
     // the q225 sf100 spill's hazard class; round-10 sweep): both join
     // inputs through the same sizer, distinct reuses the partitioning
     val sized = ExplodedJoin.sizer(s,
-      Tables.documents(s, dir).count() * 64L, col("gram"))
+      Tables.documentCount(s, dir) * 64L, col("gram"))
     val testGrams = sized(grams.filter(col("frac") < TestFrac))
       .select("gram").distinct()
     val shared = sized(grams.filter(col("frac") >= TestFrac))
@@ -152,7 +152,7 @@ object MixOps {
     // scan-speed probe, so a healthy bloom's exchange still carries
     // only the FP-bounded pass-through.
     val sized = ExplodedJoin.sizer(s,
-      Tables.documents(s, dir).count() * 64L, col("gram"))
+      Tables.documentCount(s, dir) * 64L, col("gram"))
     val testGrams = sized(grams.filter(col("frac") < TestFrac))
       .select("gram").distinct()
     val trainGrams = grams.filter(col("frac") >= TestFrac)
@@ -217,7 +217,7 @@ object MixOps {
     // gram join itself already sized and clean). Output stays
     // Ω(pairs) by the audit's nature — sizing fixes the per-sort
     // footprint, not the (inherent) volume.
-    val nDocs = Tables.documents(s, dir).count()
+    val nDocs = Tables.documentCount(s, dir)
     val sized = ExplodedJoin.sizer(s, nDocs * 64L, col("gram"))
     val pairSized = ExplodedJoin.sizer(s, nDocs * 64L,
       col("train_doc"), col("eval_doc"))
@@ -773,7 +773,7 @@ object MixOps {
     // scaladoc's contract (this finding, generalized to the whole
     // gram-join family in the round-10 sweep).
     val sized = ExplodedJoin.sizer(s,
-      Tables.documents(s, dir).count() * 64L, col("gram"))
+      Tables.documentCount(s, dir) * 64L, col("gram"))
     val trainGrams = sized(gAll.filter(col("frac") >= TestFrac))
     val testGrams = sized(gAll.filter(col("frac") < TestFrac))
       .select("gram").distinct()

@@ -108,7 +108,7 @@ object ScaleOps {
     // q225 hazard class); the doc-keyed count aggregates are hash
     // aggs over a doc-bounded key space and stay at planner defaults
     val grams = ExplodedJoin.sizer(s,
-      Tables.documents(s, dir).count() * 64L, col("gram"))(
+      Tables.documentCount(s, dir) * 64L, col("gram"))(
       t.select(col("doc_id"),
         explode(TextAnalysis.wordNgrams(col("toks"), n)).as("gram")))
     val dupGrams = grams.groupBy("gram")
@@ -161,7 +161,7 @@ object ScaleOps {
     // occurrence, so ×512/doc overbound), and the token map (~50
     // tokens/doc). Each family's two join/agg inputs share ONE sizer
     // so they stay co-partitioned.
-    val nDocs = Tables.documents(s, dir).count()
+    val nDocs = Tables.documentCount(s, dir)
     val sizedGram = ExplodedJoin.sizer(s, nDocs * 64L, col("gram"))
     val sizedPos = ExplodedJoin.sizer(s, nDocs * 512L, col("doc_id"), col("pos"))
     val sizedDoc = ExplodedJoin.sizer(s, nDocs * 64L, col("doc_id"))

@@ -190,7 +190,7 @@ object TextOps {
     * keeps the output at collocation scale. N (corpus size) is an
     * EAGER driver count at build time, q98/q105-style. */
   def q159Pmi(s: SparkSession, dir: String): DataFrame = {
-    val nDocs = Tables.documents(s, dir).count()
+    val nDocs = Tables.documentCount(s, dir)
     val ex = Tables.documents(s, dir)
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
     val cTok = ex.groupBy("tok").agg(count(lit(1)).as("c_tok"))

@@ -131,7 +131,11 @@ object IvfStreamIngest {
           failpointMidPublish(moved)
         }
     }
-    hfs.delete(new org.apache.hadoop.fs.Path(s"$indexPath/_staging"), true)
+    // Cleanup scoped to the batch this call OWNS: deleting the whole
+    // _staging root was safe under one serial foreachBatch query but
+    // would wipe a second ingest query's (or an overlapping retry's)
+    // in-flight staging mid-publish (round-10 advice).
+    hfs.delete(new org.apache.hadoop.fs.Path(staging), true)
     spark.catalog.refreshByPath(s"$indexPath/lists")
   }
 }

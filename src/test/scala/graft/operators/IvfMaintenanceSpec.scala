@@ -61,6 +61,10 @@ class IvfMaintenanceSpec extends SparkSpec {
     assert(after === before, "promoted index must carry the full corpus")
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir.rebuild")),
       "tmp dir must be consumed by the promotion")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir.old")),
+      "the marker-bearing $dir.old sibling must be reaped on promotion — " +
+        "left behind it is a stale valid index a later marker loss would " +
+        "silently restore (round-10 advice)")
   }
 
   test("skewed append trips the retrain trigger; rebuild recovers skew without losing recall") {

@@ -21,6 +21,13 @@ class ExplodedJoinSpec extends SparkSpec {
     // monotone in the estimate: overestimating only shrinks partitions
     val ps = Seq(1L, 8000000L, 80000000L, 800000000L).map(ExplodedJoin.parts(_))
     assert(ps === ps.sorted)
+    // a caller whose Long product overflowed negative must degrade to
+    // the closed gate (1 partition <= any session default), never to
+    // a negative count repartition would throw on (round-10 advice)
+    assert(ExplodedJoin.parts(-1L) === 1)
+    assert(ExplodedJoin.parts(Long.MinValue) === 1)
+    // and a saturated estimate opens the gate at the ceiling
+    assert(ExplodedJoin.parts(Long.MaxValue) === 4096)
   }
 
   test("sizer is identity below the session gate, sized partitioning above it") {
