@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output normally passes through sbt's logger, which
+// prefixes every line with "[info] " — so the Bench/Verify JSON
+// contract lines never start with '{' in captured stdout (the
+// ten-rounds-running parsed:null in BENCH_rN.json). StdoutOutput
+// hands the forked process's stdout through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

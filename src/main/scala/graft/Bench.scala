@@ -235,10 +235,25 @@ object Bench {
             java.nio.file.Paths.get("BENCH_PROFILE.json"), pj + "\n")
           catch { case t: Throwable => System.err.println(s"[bench] profile write failed: $t") }
         }
+        // The slim driver-readable record also lands in its own file:
+        // stdout capture windows truncate, sbt used to prefix, but a
+        // committed one-line artifact always parses end-to-end
+        // (round-10 verdict item 4).
+        if (wanted.isEmpty) {
+          try java.nio.file.Files.writeString(
+            java.nio.file.Paths.get("BENCH_SLIM.json"), summary + "\n")
+          catch { case t: Throwable => System.err.println(s"[bench] slim write failed: $t") }
+        }
     }
     // stop FIRST so no Spark shutdown logging can trail the metric
     // lines on stdout; the driver parses the last line it captures.
     try spark.stop() catch { case _: Throwable => () }
+    // Slim total FIRST (a first-line parser finds pure JSON) and LAST
+    // (a tail parser finds it before only sbt's "[success]" epilogue);
+    // the richer map/pointer + stream lines sit between. Targeted
+    // (dev-loop) runs keep the queries-map line first — ab_bench.sh
+    // reads it.
+    if (wanted.isEmpty) println(summary)
     println(stdoutLine)
     streamLine.foreach(println)
     stateLine.foreach(println)

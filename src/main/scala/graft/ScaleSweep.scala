@@ -171,7 +171,13 @@ object ScaleSweep {
     // exact decontamination q63/q209), so the recommendation needs a
     // measured sf10→sf100 row, not a two-decade extrapolation
     "q228_ivf_auto", "q229_ivfadc_auto", "q243_hdr_quantiles",
-    "q249_length_panel", "q239_bloom_decontam")
+    "q249_length_panel", "q239_bloom_decontam",
+    // round-11 item 3: the last two registered scale paths without a
+    // committed d3 row — q230 (Lloyd-refined auto-IVF; its sf100
+    // zero-spill audit existed only as a PLANS.md addendum) and q215
+    // (corpus-scaled SRP, the recommended ANN serving path whose d3
+    // behavior was inferred from q228's)
+    "q230_ivf_lloyd_auto", "q215_ann_auto")
 
   def main(args: Array[String]): Unit = {
     val sf01 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

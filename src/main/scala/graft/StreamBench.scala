@@ -282,6 +282,71 @@ object StreamBench {
     } finally q.stop()
   }
 
+  /** Per-micro-batch state footprint of the streaming quality gate's
+    * rule counters (QualityGateStream.ruleCounts): state per
+    * in-flight window is one row per (window, rule) — bounded by the
+    * FIXED rule vocabulary (the q212 kernel's rules + the _kept /
+    * _rejected synthetics) regardless of document volume or content
+    * variety, so fresh doc ids and varied texts every batch must
+    * plateau at in-flight-windows × |rules| under the watermark
+    * (round-10 verdict item 6 — the last two windowed-counter
+    * streams join the soak). */
+  def qualityGateStateSeries(spark: SparkSession, batches: Int): Seq[(Long, Long)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, String, String)]
+    val q = graft.streaming.QualityGateStream.ruleCounts(
+        mem.toDF().toDF("event_ts", "doc_id", "lang", "text"),
+        windowDuration = "1 minute", watermarkDelay = "10 seconds")
+      .writeStream.format("noop").outputMode("append").start()
+    val t0 = 1704067200000L
+    try (0 until batches).map { b =>
+      mem.addData((0 until 40).map { i =>
+        // mix of passers and multi-rule failers: healthy prose, a
+        // too-short doc, a repetition-heavy doc, a symbol-soup doc
+        val text = (i % 4) match {
+          case 0 => s"plain healthy document number $b $i with enough ordinary words to pass the standard gates without trouble at all here"
+          case 1 => "too short"
+          case 2 => ("spam " * 40).trim
+          case _ => "@@@ ### $$$ %%% ^^^ &&& *** ((( ))) @@@ ### $$$ %%% ^^^"
+        }
+        (new Timestamp(t0 + b * 30000L + (i % 10) * 1000L),
+          s"d${b}x$i", "en", text)
+      })
+      q.processAllAvailable()
+      stateOf(q)
+    } finally q.stop()
+  }
+
+  /** Per-micro-batch state footprint of the streaming PII scrub's
+    * window counters (PiiScrubStream.piiCounts): state per in-flight
+    * window is ONE aggregate row (the per-category totals are fixed
+    * columns, not keyed rows), so PII-bearing documents with fresh
+    * ids every batch plateau at the in-flight-window count under the
+    * watermark. */
+  def piiScrubStateSeries(spark: SparkSession, batches: Int): Seq[(Long, Long)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, String)]
+    val q = graft.streaming.PiiScrubStream.piiCounts(
+        mem.toDF().toDF("event_ts", "doc_id", "text"),
+        windowDuration = "1 minute", watermarkDelay = "10 seconds")
+      .writeStream.format("noop").outputMode("append").start()
+    val t0 = 1704067200000L
+    try (0 until batches).map { b =>
+      mem.addData((0 until 40).map { i =>
+        val text = (i % 3) match {
+          case 0 => s"contact user$b$i at person$b$i@example.com or 555-010$i"
+          case 1 => s"server $b.$i.0.1 handled the request from 10.0.$i.$b cleanly"
+          case _ => s"no sensitive content in this line at all batch $b row $i"
+        }
+        (new Timestamp(t0 + b * 30000L + (i % 10) * 1000L), s"p${b}x$i", text)
+      })
+      q.processAllAvailable()
+      stateOf(q)
+    } finally q.stop()
+  }
+
   /** Total state (rows, bytes) across all stateful operators of the
     * query's last progress. */
   private def stateOf(q: org.apache.spark.sql.streaming.StreamingQuery): (Long, Long) = {
@@ -329,7 +394,9 @@ object StreamBench {
       "topk" -> (() => topkStateSeries(spark, batches)),
       "enrich" -> (() => enrichStateSeries(spark, batches)),
       "cardinality" -> (() => cardinalityStateSeries(spark, batches)),
-      "hdr_quantile" -> (() => hdrStateSeries(spark, batches))
+      "hdr_quantile" -> (() => hdrStateSeries(spark, batches)),
+      "quality_gate" -> (() => qualityGateStateSeries(spark, batches)),
+      "pii_scrub" -> (() => piiScrubStateSeries(spark, batches))
     ).map { case (name, run) =>
       val body =
         try plateauJson(run(), batches)

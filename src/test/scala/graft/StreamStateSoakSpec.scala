@@ -38,18 +38,48 @@ class StreamStateSoakSpec extends SparkSpec {
     assert(rows.max > 0, "soak never built state — vacuous")
   }
 
+  test("quality-gate rule counters bound at in-flight windows x rules") {
+    val batches = 16
+    val series = StreamBench.qualityGateStateSeries(spark, batches)
+    val rows = series.map(_._1)
+    // 30 s batches over 1-minute windows with a 10 s watermark keep
+    // ~3 windows in flight; the rule vocabulary is FIXED (q212's
+    // rules + _kept/_rejected ≤ 10), so state must stay under
+    // windows × rules + slack regardless of fresh doc ids per batch.
+    // Unbounded behavior would approach one (window, rule) set per 2
+    // batches (~8 rows × batches/2).
+    assert(rows.max <= 4L * 12L,
+      s"rule-counter state exceeds in-flight windows x rules: $rows")
+    assert(rows.last <= rows.max, s"state still climbing at soak end: $rows")
+    assert(rows.max > 0, "soak never built state — vacuous")
+  }
+
+  test("pii-scrub window counters bound at in-flight windows") {
+    val batches = 16
+    val series = StreamBench.piiScrubStateSeries(spark, batches)
+    val rows = series.map(_._1)
+    // one aggregate row per in-flight window (~3 under the 1 min /
+    // 10 s config) + slack; unbounded would hold one per 2 batches
+    assert(rows.max <= 6L,
+      s"pii window state exceeds in-flight windows: $rows")
+    assert(rows.max > 0, "soak never built state — vacuous")
+  }
+
   test("measureState emits one artifact with every stateful stream") {
     val line = StreamBench.measureState(spark, batches = 8)
     assert(line.contains("\"metric\":\"stream_state\""))
     assert(line.contains("\"plateau_ratio\":"))
     // r8 item 4's three + the r10 additions (windowed HLL cardinality
-    // and HDR quantiles) — the soak now covers EVERY stateful stream
-    Seq("quota", "topk", "enrich", "cardinality", "hdr_quantile").foreach { s =>
+    // and HDR quantiles) + the r11 additions (quality-gate rule
+    // counters and PII-scrub window counters) — the soak now covers
+    // EVERY stateful stream, windowed-counter class included
+    Seq("quota", "topk", "enrich", "cardinality", "hdr_quantile",
+        "quality_gate", "pii_scrub").foreach { s =>
       assert(line.contains(s"\"$s\":{"), s"missing stream $s in: $line")
       assert(!line.contains(s"\"$s\":{\"error\""), s"stream $s errored: $line")
     }
     // parseable by the same stack the driver uses
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
-    assert(node.get("streams").size() === 5)
+    assert(node.get("streams").size() === 7)
   }
 }
