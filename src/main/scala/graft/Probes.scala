@@ -118,12 +118,13 @@ object SpillAudit {
 /** Bucket-occupancy census of q215's auto-SRP configuration at each
   * given scale dir: the corpus count picks bits-per-band via
   * [[graft.operators.Similarity.autoBits]] (target occupancy 40,
-  * capped at blockBits=16 by the 128-plane pool), and this prints
-  * the REALIZED occupancy — bucket count, mean/p95/max bucket size,
-  * and mean primary-probe candidates per query. If the d2 exponent
-  * (e=1.07, e_sh=1.27) is the resolution cap and not a plan defect,
-  * occupancy should sit near the target while bits < 16 and grow
-  * ~linearly once n > 40·2^16 ≈ 2.6M pins bits at the cap. */
+  * capped at 32 by the two-tier 256-plane pool — the round-11 lift;
+  * the old 16-bit cap pinned at n ≈ 2.6M and sf100's 6M-vector
+  * corpus grew occupancy, candidates, and a 14.3 GB spill past it),
+  * and this prints the REALIZED occupancy — bucket count,
+  * mean/p95/max bucket size, and mean primary-probe candidates per
+  * query. With the lifted cap, occupancy should sit near the target
+  * at EVERY sweep decade. */
 object SrpOccupancyProbe {
   def main(args: Array[String]): Unit = {
     val dirs = if (args.nonEmpty) args.toSeq else Seq("target/sf1", "target/sf10")
@@ -132,14 +133,15 @@ object SrpOccupancyProbe {
     import graft.operators.Similarity
     val bands = 8
     val blockBits = 16
-    val pool = Similarity.planes(128, 64)
+    val pool = Similarity.planes(256, 64)
+    val tiers = pool.length / (bands * blockBits)
     dirs.foreach { dir =>
       val c = Tables.embeddings(spark, dir)
         .select(col("vec_id"), Similarity.quantize(col("embedding")).as("query_vec"))
       val n = c.count()
-      val bits = Similarity.autoBits(n, targetBucket = 40L, maxBits = blockBits)
-      val psUsed = Array.tabulate(bands * bits)(i =>
-        pool((i / bits) * blockBits + (i % bits)))
+      val bits = Similarity.autoBits(n, targetBucket = 40L,
+        maxBits = tiers * blockBits)
+      val psUsed = Similarity.srpPoolSlice(pool, bands, blockBits, bits)
       val keyed = c.select(col("vec_id"),
           posexplode(Similarity.srpBandKeys(col("query_vec"), psUsed, bands, bits))
             .as(Seq("band", "key")))

@@ -112,6 +112,30 @@ object Similarity {
     (minBits to maxBits).find(b => (1L << b) >= need).getOrElse(maxBits)
   }
 
+  /** Band-major plane slice of a TIERED pool (tiers of
+    * bands×blockBits planes): band b's bit j is drawn from tier
+    * j/blockBits at offset b·blockBits + j%blockBits. For
+    * bits ≤ blockBits this reproduces the historical single-tier
+    * slices exactly (tier 0 is the original pool — the seeded
+    * generator is prefix-stable), and each further tier adds
+    * blockBits of band resolution, so a 256-plane pool carries the
+    * bit cap from 16 to 32. Shared by [[annTopKAuto]], the occupancy
+    * probe, and the oracle's index arithmetic
+    * ((p // 128)·16 + p % 16 < bits). */
+  def srpPoolSlice(pool: Array[Array[Int]], bands: Int, blockBits: Int,
+                   bits: Int): Array[Array[Int]] = {
+    require(pool.length >= bands * blockBits,
+      s"plane pool ${pool.length} < bands*blockBits ${bands * blockBits}")
+    require(bits <= (pool.length / (bands * blockBits)) * blockBits,
+      s"bits $bits exceeds the pool's tier capacity")
+    Array.tabulate(bands * bits) { i =>
+      val band = i / bits
+      val j = i % bits
+      pool((j / blockBits) * bands * blockBits +
+        band * blockBits + (j % blockBits))
+    }
+  }
+
   /** Corpus-scaled SRP-LSH ANN — the fix for the measured q80
     * resolution ceiling (ScaleSweep round 6: fixed 4-bit bands grew
     * at exponent 1.14 because bucket occupancy tracks corpus size).
@@ -119,22 +143,44 @@ object Similarity {
     * holding EXPECTED BUCKET SIZE — hence per-query candidate work —
     * constant as the corpus grows; multi-probe (2 one-bit flips)
     * recovers the recall that longer keys cost, per Lv et al. 2007.
-    * Each band uses a [blockBits]-aligned slice of a fixed plane
-    * pool, so the configuration at any corpus size is a deterministic
-    * function of (seed, count) that an oracle replays from the same
-    * pool literal. The count() is one column-pruned scan — at 100 TB
-    * you'd read it from table stats instead; it only picks the
+    *
+    * The bit cap is the POOL's, not blockBits': the pool is laid out
+    * in TIERS of bands×blockBits planes, and band b's bit j comes
+    * from tier j/blockBits at offset b·blockBits + j%blockBits — for
+    * bits ≤ blockBits this reproduces the single-tier slices exactly
+    * (tier 0 IS the historical 128-plane pool, since the seeded
+    * generator is prefix-stable), and each further tier adds
+    * blockBits of resolution per band. A 256-plane pool therefore
+    * caps bits at 32: occupancy holds the ~targetBucket design point
+    * to n ≈ 40·2^32 ≈ 1.7e11 vectors, where the old 16-bit cap
+    * saturated at 2.6M — past it candidates per query grew linearly
+    * with n (the round-11 sf100 find: e_shuffle 1.365 and a 14.3 GB
+    * window-sort spill on a 6M-vector corpus). The configuration at
+    * any corpus size stays a deterministic function of (seed, count)
+    * that an oracle replays from the same pool literal.
+    *
+    * `knownN` skips the parameter-picking count() when the caller
+    * already has the table's row count (the Tables.rowCount memo) —
+    * at 100 TB you'd read it from table stats; it only picks the
     * parameter, never the data. */
   def annTopKAuto(corpus: DataFrame, queries: DataFrame, k: Int,
                   pool: Array[Array[Int]], bands: Int = 8,
                   blockBits: Int = 16, targetBucket: Long = 40L,
-                  multiProbe: Int = 2): DataFrame = {
-    val bits = autoBits(corpus.count(), targetBucket, maxBits = blockBits)
-    require(pool.length >= bands * blockBits,
-      s"plane pool ${pool.length} < bands*blockBits ${bands * blockBits}")
-    val psUsed = Array.tabulate(bands * bits)(i =>
-      pool((i / bits) * blockBits + (i % bits)))
-    annTopK(corpus, queries, k, psUsed, bands, bits, multiProbe)
+                  multiProbe: Int = 2, knownN: Long = -1L): DataFrame = {
+    val tiers = pool.length / (bands * blockBits)
+    val n = if (knownN >= 0L) knownN else corpus.count()
+    val bits = autoBits(n, targetBucket, maxBits = tiers * blockBits)
+    val psUsed = srpPoolSlice(pool, bands, blockBits, bits)
+    // Candidate-frame sizing bound (the ivfSearchWith pattern): each
+    // of |Q| queries meets ~bands·(1+multiProbe)·occupancy corpus
+    // rows, occupancy ≈ targetBucket by construction; |Q| is
+    // over-bounded by n (queries are a corpus slice — overestimating
+    // only shrinks partitions, and the sizer gate stays closed at
+    // small scale). Double math saturated at Long.MaxValue, as in
+    // candidateEstimate.
+    val est = math.min(Long.MaxValue.toDouble,
+      n.toDouble * bands * (1 + multiProbe) * targetBucket).toLong
+    annTopK(corpus, queries, k, psUsed, bands, bits, multiProbe, est)
   }
 
   // ------------------------------------------------------------- IVF
@@ -931,10 +977,26 @@ object Similarity {
     * index is untouched. */
   def annTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               ps: Array[Array[Int]], bands: Int = 8, bitsPerBand: Int = 4,
-              multiProbe: Int = 0): DataFrame = {
+              multiProbe: Int = 0, estCandidates: Long = -1L): DataFrame = {
     require(multiProbe >= 0 && multiProbe <= bitsPerBand)
     val sp = corpus.sparkSession
     val dot = dotFast(sp, _: Column, _: Column)
+    // Candidate-frame sizing (the round-11 sf100 find, mirroring
+    // ivfSearchWith): the bucket-join emits ~|Q|·bands·(1+probe)·
+    // occupancy rows — decoupled from both inputs — and the dedup
+    // aggregate, the vector re-attach join, and the rank-k window all
+    // land on the session shuffle default (8 in the sweep), putting
+    // GBs through each hash/sort at sf100 (measured 14.3 GB spill).
+    // Every exchange the candidate frame meets goes through the same
+    // gated sizer; identity below the gate keeps small-scale plans
+    // untouched. estCandidates < 0 (the fixed-resolution callers
+    // q50/q80) sizes nothing.
+    val sizedQ = if (estCandidates >= 0L)
+      graft.queries.ExplodedJoin.sizer(sp, estCandidates, col("query_id"))
+    else identity[DataFrame] _
+    val sizedV = if (estCandidates >= 0L)
+      graft.queries.ExplodedJoin.sizer(sp, estCandidates, col("vec_id"))
+    else identity[DataFrame] _
     val bandC = corpus
       .select(col("vec_id"), col("query_vec"),
         posexplode(srpBandKeys(col("query_vec"), ps, bands, bitsPerBand, dot)))
@@ -953,26 +1015,56 @@ object Similarity {
       else
         exploded.select(col("query_id"), col("qvec"), col("pos").as("band"),
           explode(transform(flips, f => col("col").bitwiseXOR(f))).as("bkey"))
+    // The bucket join: below the gate the query-side index is
+    // broadcast (small scale — plans byte-identical to the committed
+    // sweeps); above it BOTH sides go through the (band, bkey) sizer
+    // and meet in a co-partitioned shuffle join, because a
+    // corpus-proportional query set's bucket index grows linearly
+    // with the corpus (~350 MB broadcast at sf100 — a memory cliff at
+    // the next decade, while the shuffled corpus side is only ~30 B/
+    // row). Equal sizer counts co-partition the two sides, so the
+    // join adds no third exchange.
+    val sizedB = if (estCandidates >= 0L)
+      graft.queries.ExplodedJoin.sizer(sp, estCandidates, col("band"), col("bkey"))
+    else identity[DataFrame] _
+    val bucketJoined = {
+      val c = bandC.select("vec_id", "band", "bkey")
+      val q = bandQ.select("query_id", "band", "bkey")
+      val gateOpen = estCandidates >= 0L &&
+        graft.queries.ExplodedJoin.parts(estCandidates) >
+          sp.sessionState.conf.numShufflePartitions
+      if (gateOpen) sizedB(c).join(sizedB(q), Seq("band", "bkey"))
+      else c.join(broadcast(q), Seq("band", "bkey"))
+    }
     // dedup candidate IDS only (distinct over two longs, not over
-    // full vector arrays), then re-attach vectors + precomputed norms
-    val candIds = bandC.select("vec_id", "band", "bkey")
-      .join(broadcast(bandQ.select("query_id", "band", "bkey")), Seq("band", "bkey"))
-      .filter(col("query_id") =!= col("vec_id"))
-      .select("query_id", "vec_id").distinct()
+    // full vector arrays), then re-attach vectors + precomputed
+    // norms. The sized repartition FEEDS the distinct (hash(query_id)
+    // satisfies the aggregate's clustering, so it replaces — never
+    // adds to — the dedup exchange).
+    val candIds = sizedQ(
+      bucketJoined
+        .filter(col("query_id") =!= col("vec_id"))
+        .select("query_id", "vec_id")).distinct()
     val c2 = corpus.select(col("vec_id"), col("query_vec"),
       dot(col("query_vec"), col("query_vec")).as("_n2c"))
     val q2 = queries.select(col("query_id"), col("qvec"),
       dot(col("qvec"), col("qvec")).as("_n2q"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)
-    candIds
-      .join(c2, "vec_id")
-      .join(broadcast(q2), "query_id")
-      .withColumn("cosine",
-        (dot(col("query_vec"), col("qvec")).cast("double") /
-          sqrt(col("_n2q").cast("double") * col("_n2c").cast("double"))).cast("double"))
+    // NARROW projection (query_id, vec_id, cosine) before the rank-k
+    // window, so its sort moves ~30 B/row instead of rows carrying
+    // two 64-long vectors (the q228 lesson, round 10); both sides of
+    // the vector re-attach join share the vec_id sizer (equal
+    // partition counts co-partition, see ExplodedJoin scaladoc).
+    sizedQ(
+      sizedV(candIds)
+        .join(sizedV(c2), "vec_id")
+        .join(broadcast(q2), "query_id")
+        .withColumn("cosine",
+          (dot(col("query_vec"), col("qvec")).cast("double") /
+            sqrt(col("_n2q").cast("double") * col("_n2c").cast("double"))).cast("double"))
+        .select(col("query_id"), col("vec_id"), col("cosine")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .drop("_n2c", "_n2q")
   }
 }

@@ -197,12 +197,17 @@ object SimilarityOps {
     * derived from the corpus count so bucket occupancy — hence
     * per-query candidate work — stays constant as the corpus grows
     * (the documented fix for q80's measured resolution ceiling),
-    * with 2-probe recall recovery. The oracle derives the identical
+    * with 2-probe recall recovery. The 256-plane pool (two 128-plane
+    * tiers; tier 0 is the historical pool, bit-identical below 17
+    * bits) lifts the band-bit cap from 16 to 32, so the occupancy
+    * design point holds to ~1.7e11 vectors instead of saturating at
+    * 2.6M (the round-11 sf100 find). The oracle derives the identical
     * bit count from COUNT(*) in pure integer arithmetic and replays
-    * the same 16-aligned slices of the shared 128-plane pool. */
+    * the same tiered 16-aligned slices of the shared pool literal. */
   def q215AnnAutoTopK(s: SparkSession, dir: String): DataFrame = {
     val c = quantized(s, dir)
-    Similarity.annTopKAuto(c, querySet(c), k = 5, Similarity.planes(128, 64))
+    Similarity.annTopKAuto(c, querySet(c), k = 5, Similarity.planes(256, 64),
+        knownN = Tables.rowCount(s, dir, "embeddings"))
       .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
       .orderBy("query_id", "rank")
   }
@@ -683,10 +688,14 @@ object SimilarityOps {
       .map { case (row, p) => s"($p, [${row.mkString(",")}])" }
       .mkString(",\n  ")
 
-  /** 128-plane pool (8 bands x 16-bit blocks) for the q215 oracle —
-    * the same seed-42 pool annTopKAuto slices at runtime. */
-  private val pool128Values: String =
-    Similarity.planes(128, 64).zipWithIndex
+  /** 256-plane pool (two tiers of 8 bands x 16-bit blocks) for the
+    * q215 oracle — the same seed-42 pool annTopKAuto slices at
+    * runtime. Plane index p decomposes as tier = p // 128,
+    * band = (p % 128) // 16, bit = tier*16 + p % 16 — tier 0 is the
+    * historical 128-plane pool verbatim (the seeded generator is
+    * prefix-stable), so results below 17 band bits are unchanged. */
+  private val pool256Values: String =
+    Similarity.planes(256, 64).zipWithIndex
       .map { case (row, p) => s"($p, [${row.mkString(",")}])" }
       .mkString(",\n  ")
 
@@ -1089,19 +1098,21 @@ object SimilarityOps {
          |FROM n GROUP BY label ORDER BY label""".stripMargin,
     "q215_ann_auto" ->
       s"""WITH planes(p, s) AS (VALUES
-         |  $pool128Values),
+         |  $pool256Values),
          |e AS (SELECT vec_id, $qv AS v FROM embeddings),
          |bits AS (
-         |  SELECT COALESCE(MIN(b), 16) AS bits
-         |  FROM (SELECT unnest(range(4, 17)) AS b),
+         |  SELECT COALESCE(MIN(b), 32) AS bits
+         |  FROM (SELECT unnest(range(4, 33)) AS b),
          |    (SELECT (COUNT(*) + 39) // 40 AS need FROM e)
          |  WHERE (CAST(1 AS BIGINT) << b) >= need),
          |sigs AS (
-         |  SELECT e.vec_id, pl.p // 16 AS band,
+         |  SELECT e.vec_id, (pl.p % 128) // 16 AS band,
          |    CAST(SUM(CASE WHEN list_dot_product(e.v,
          |        list_transform(pl.s, x -> CAST(x AS DOUBLE))) > 0
-         |      THEN 1 << (pl.p % 16) ELSE 0 END) AS BIGINT) AS bkey
-         |  FROM e, planes pl, bits WHERE pl.p % 16 < bits.bits
+         |      THEN CAST(1 AS BIGINT) << ((pl.p // 128) * 16 + pl.p % 16)
+         |      ELSE 0 END) AS BIGINT) AS bkey
+         |  FROM e, planes pl, bits
+         |  WHERE (pl.p // 128) * 16 + pl.p % 16 < bits.bits
          |  GROUP BY 1, 2),
          |qsigs AS (
          |  SELECT vec_id, band, CAST(xor(bkey, f.f) AS BIGINT) AS bkey

@@ -72,6 +72,10 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.autoBits(2000) === 6)     // 50 -> 2^6
     assert(Similarity.autoBits(20000) === 9)    // 500 -> 2^9
     assert(Similarity.autoBits(20000000) === 16) // clamped at maxBits
+    // the two-tier 256-plane pool lifts the cap to 32: occupancy 40
+    // holds at 20M vectors (19 bits) instead of pinning at 16
+    assert(Similarity.autoBits(20000000, maxBits = 32) === 19)
+    assert(Similarity.autoBits(Long.MaxValue / 2, maxBits = 32) === 32)
     val bf = Similarity.bruteForceTopK(quantized, queries, k = 5)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
     val ann = Similarity.annTopKAuto(quantized, queries, k = 5,
@@ -80,6 +84,34 @@ class SimilaritySpec extends SparkSpec {
     val recall = (bf & ann).size.toDouble / bf.size
     info(f"auto-scaled SRP recall@5 = $recall%.3f")
     assert(recall >= 0.3)
+  }
+
+  test("tiered plane pool: prefix-stable, legacy slices below 17 bits, results invariant") {
+    val pool128 = Similarity.planes(128, 64)
+    val pool256 = Similarity.planes(256, 64)
+    // the seeded generator is prefix-stable: tier 0 IS the old pool,
+    // so every committed small-scale result survives the pool upgrade
+    assert(pool256.take(128).zip(pool128).forall { case (a, b) => a.sameElements(b) })
+    // for bits <= blockBits the tiered slice reproduces the legacy
+    // single-tier mapping plane for plane
+    for (bits <- Seq(4, 9, 16)) {
+      val legacy = Array.tabulate(8 * bits)(i => pool128((i / bits) * 16 + (i % bits)))
+      val tiered = Similarity.srpPoolSlice(pool256, bands = 8, blockBits = 16, bits)
+      assert(tiered.zip(legacy).forall { case (a, b) => a.sameElements(b) })
+    }
+    // past the old cap, band b's bit j >= 16 draws from tier 1 at the
+    // same band offset — each band's planes stay distinct
+    val s20 = Similarity.srpPoolSlice(pool256, bands = 8, blockBits = 16, bits = 20)
+    assert(s20.length === 8 * 20)
+    assert(s20(16).sameElements(pool256(128))) // band 0, bit 16 -> tier 1 offset 0
+    assert(s20(20 + 16).sameElements(pool256(128 + 16))) // band 1, bit 16
+    // end-to-end: the pool upgrade does not change results at any
+    // corpus size that derives bits <= 16 (every test/oracle scale)
+    val via128 = Similarity.annTopKAuto(quantized, queries, k = 5, pool128)
+      .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect().toSet
+    val via256 = Similarity.annTopKAuto(quantized, queries, k = 5, pool256)
+      .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect().toSet
+    assert(via128 === via256)
   }
 
   test("IVF: every corpus row lands in a real centroid list; probes per query = nprobe") {
