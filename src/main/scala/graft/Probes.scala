@@ -118,13 +118,17 @@ object SpillAudit {
 /** Bucket-occupancy census of q215's auto-SRP configuration at each
   * given scale dir: the corpus count picks bits-per-band via
   * [[graft.operators.Similarity.autoBits]] (target occupancy 40,
-  * capped at 32 by the two-tier 256-plane pool — the round-11 lift;
-  * the old 16-bit cap pinned at n ≈ 2.6M and sf100's 6M-vector
-  * corpus grew occupancy, candidates, and a 14.3 GB spill past it),
-  * and this prints the REALIZED occupancy — bucket count,
-  * mean/p95/max bucket size, and mean primary-probe candidates per
-  * query. With the lifted cap, occupancy should sit near the target
-  * at EVERY sweep decade. */
+  * capped at 32 by the two-tier 256-plane pool — the round-11 lift.
+  * The lift is FORWARD-LOOKING: sf100's 2M-vector corpus sits BELOW
+  * the old 16-bit cap — bits=16 chosen naturally, occupancy ~30.5,
+  * 77% of the 40·2^16 ≈ 2.6M saturation point — and its 14.3 GB
+  * spill came from the three since-fixed plan defects (broadcast
+  * bucket join, default-partition candidate exchanges, wide window
+  * sort), not from occupancy growth; the cap would have bound one
+  * decade later), and this prints the REALIZED occupancy — bucket
+  * count, mean/p95/max bucket size, and mean primary-probe
+  * candidates per query. With the lifted cap, occupancy should sit
+  * near the target at EVERY sweep decade. */
 object SrpOccupancyProbe {
   def main(args: Array[String]): Unit = {
     val dirs = if (args.nonEmpty) args.toSeq else Seq("target/sf1", "target/sf10")

@@ -153,23 +153,44 @@ object Similarity {
     * blockBits of resolution per band. A 256-plane pool therefore
     * caps bits at 32: occupancy holds the ~targetBucket design point
     * to n ≈ 40·2^32 ≈ 1.7e11 vectors, where the old 16-bit cap
-    * saturated at 2.6M — past it candidates per query grew linearly
-    * with n (the round-11 sf100 find: e_shuffle 1.365 and a 14.3 GB
-    * window-sort spill on a 6M-vector corpus). The configuration at
-    * any corpus size stays a deterministic function of (seed, count)
+    * saturates at 40·2^16 ≈ 2.6M — past it candidates per query grow
+    * linearly with n (SrpOccupancyProbe's documented prediction; the
+    * round-11 sf100 corpus — 2M vectors, bits=16 chosen naturally at
+    * 77% of the old cap, occupancy 30.5 — sat BELOW it, and its
+    * 14.3 GB spill came from three plan defects since fixed here:
+    * the broadcast bucket join, default-partition candidate
+    * exchanges, and a wide window sort. The cap lift is the
+    * forward-looking half of that fix). The configuration at any
+    * corpus size stays a deterministic function of (seed, count)
     * that an oracle replays from the same pool literal.
     *
     * `knownN` skips the parameter-picking count() when the caller
     * already has the table's row count (the Tables.rowCount memo) —
     * at 100 TB you'd read it from table stats; it only picks the
-    * parameter, never the data. */
+    * parameter, never the data. `knownQ` is the same courtesy for
+    * the QUERY-set size — it gates the q2 broadcast (see annTopK).
+    *
+    * `forceBits` (> 0) pins the band resolution regardless of corpus
+    * count — the ops/test hook for exercising the tier-1 regime
+    * (bits ≥ 17) below the ~2.6M-vector corpus size that derives it
+    * naturally; q279 runs it oracle-checked at 18 bits. */
   def annTopKAuto(corpus: DataFrame, queries: DataFrame, k: Int,
                   pool: Array[Array[Int]], bands: Int = 8,
                   blockBits: Int = 16, targetBucket: Long = 40L,
-                  multiProbe: Int = 2, knownN: Long = -1L): DataFrame = {
+                  multiProbe: Int = 2, knownN: Long = -1L,
+                  knownQ: Long = -1L, forceBits: Int = -1): DataFrame = {
     val tiers = pool.length / (bands * blockBits)
+    // The oracle contract: q215/q279's DuckDB SQL replays the tiered
+    // slice arithmetic for a TWO-tier pool (p % 128, range(4, 33),
+    // COALESCE 32), and srpBandKeys packs bit j as 1L << j — so 32 is
+    // both the replayable and the shift-safe ceiling (round-11
+    // advice). A deeper pool must revisit the packing AND the oracle.
+    require(tiers * blockBits <= 32,
+      s"pool depth ${tiers * blockBits} bits exceeds the 32-bit oracle/packing contract")
     val n = if (knownN >= 0L) knownN else corpus.count()
-    val bits = autoBits(n, targetBucket, maxBits = tiers * blockBits)
+    val bits =
+      if (forceBits > 0) { require(forceBits <= tiers * blockBits); forceBits }
+      else autoBits(n, targetBucket, maxBits = tiers * blockBits)
     val psUsed = srpPoolSlice(pool, bands, blockBits, bits)
     // Candidate-frame sizing bound (the ivfSearchWith pattern): each
     // of |Q| queries meets ~bands·(1+multiProbe)·occupancy corpus
@@ -180,7 +201,7 @@ object Similarity {
     // candidateEstimate.
     val est = math.min(Long.MaxValue.toDouble,
       n.toDouble * bands * (1 + multiProbe) * targetBucket).toLong
-    annTopK(corpus, queries, k, psUsed, bands, bits, multiProbe, est)
+    annTopK(corpus, queries, k, psUsed, bands, bits, multiProbe, est, knownQ)
   }
 
   // ------------------------------------------------------------- IVF
@@ -973,22 +994,49 @@ object Similarity {
     * bits (Lv et al., "Multi-Probe LSH", VLDB 2007): a near neighbor
     * that barely missed the bucket on one hyperplane sign is still
     * found. Recall rises without more tables or memory — only the
-    * QUERY side fans out (×(1+multiProbe) broadcast rows); the corpus
-    * index is untouched. */
+    * QUERY side fans out (×(1+multiProbe) probe rows); the corpus
+    * index is untouched.
+    *
+    * Candidate pairs are emitted ONCE — from the FIRST matching band
+    * only. Both exploded sides carry their full per-band key array
+    * (bands longs, ~bands·8 B/row on the bucket exchange), and the
+    * joined row keeps only `band == first b where vkeys[b] XOR
+    * qkeys[b] ∈ flips` — a pure per-row filter at the join site, so a
+    * pair co-bucketed in several bands (the common case on a
+    * near-dup-heavy corpus: a true neighbor agrees in ~all bands)
+    * never enters a shuffle more than once. This replaces the
+    * round-11 plan's distinct(), whose pre-dedup repartition shipped
+    * the full DUPLICATED candidate stream (the dominant term of
+    * q215's 20.4 GB sf100 shuffle, e_shuffle 1.469). Within one band
+    * a pair matches at most once (a corpus vector owns one bucket per
+    * band and the probe flips are distinct keys), so first-band
+    * filtering alone makes pairs globally unique — no dedup exchange
+    * at any scale.
+    *
+    * `estQueries` (≥ 0) additionally gates the final query-vector
+    * attach: broadcast while |Q|·~600 B fits the broadcast budget,
+    * else a co-partitioned shuffle join on query_id — the
+    * corpus-proportional query set's broadcast grows linearly with
+    * the corpus (~120 MB at sf100, ~1.2 GB one decade later: a
+    * memory cliff on every executor), while above the cliff the
+    * honest cost is one wide pair exchange (the pair frame carries
+    * the corpus vector to the query-partitioned join). -1 keeps the
+    * unconditional broadcast for fixed-query-set callers. */
   def annTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               ps: Array[Array[Int]], bands: Int = 8, bitsPerBand: Int = 4,
-              multiProbe: Int = 0, estCandidates: Long = -1L): DataFrame = {
+              multiProbe: Int = 0, estCandidates: Long = -1L,
+              estQueries: Long = -1L): DataFrame = {
     require(multiProbe >= 0 && multiProbe <= bitsPerBand)
     val sp = corpus.sparkSession
     val dot = dotFast(sp, _: Column, _: Column)
     // Candidate-frame sizing (the round-11 sf100 find, mirroring
     // ivfSearchWith): the bucket-join emits ~|Q|·bands·(1+probe)·
-    // occupancy rows — decoupled from both inputs — and the dedup
-    // aggregate, the vector re-attach join, and the rank-k window all
-    // land on the session shuffle default (8 in the sweep), putting
-    // GBs through each hash/sort at sf100 (measured 14.3 GB spill).
-    // Every exchange the candidate frame meets goes through the same
-    // gated sizer; identity below the gate keeps small-scale plans
+    // occupancy rows — decoupled from both inputs — and the vector
+    // re-attach join and the rank-k window land on the session
+    // shuffle default (8 in the sweep), putting GBs through each
+    // hash/sort at sf100 (measured 14.3 GB spill pre-fix). Every
+    // exchange the candidate frame meets goes through the same gated
+    // sizer; identity below the gate keeps small-scale plans
     // untouched. estCandidates < 0 (the fixed-resolution callers
     // q50/q80) sizes nothing.
     val sizedQ = if (estCandidates >= 0L)
@@ -997,74 +1045,91 @@ object Similarity {
     val sizedV = if (estCandidates >= 0L)
       graft.queries.ExplodedJoin.sizer(sp, estCandidates, col("vec_id"))
     else identity[DataFrame] _
+    val flipsSeq: Seq[Long] = 0L +: (0 until multiProbe).map(1L << _).map(_.toLong)
     val bandC = corpus
-      .select(col("vec_id"), col("query_vec"),
-        posexplode(srpBandKeys(col("query_vec"), ps, bands, bitsPerBand, dot)))
-      .select(col("vec_id"), col("query_vec"), col("pos").as("band"), col("col").as("bkey"))
+      .select(col("vec_id"), srpBandKeys(col("query_vec"), ps, bands, bitsPerBand, dot).as("_vkeys"))
+      .select(col("vec_id"), col("_vkeys"), posexplode(col("_vkeys")))
+      .select(col("vec_id"), col("_vkeys"), col("pos").as("band"), col("col").as("bkey"))
     // flip mask 0 keeps the exact bucket; masks 2^j probe 1-bit
     // neighbors — applied to the query side only (single-probe skips
-    // the explode entirely so q50's plan is unchanged)
-    val flips = array((0L +: (0 until multiProbe).map(1L << _).map(_.toLong)).map(lit(_)): _*)
+    // the flip explode entirely)
+    val flips = array(flipsSeq.map(lit(_)): _*)
     val exploded = queries
-      .select(col("query_id"), col("qvec"),
-        posexplode(srpBandKeys(col("qvec"), ps, bands, bitsPerBand, dot)))
+      .select(col("query_id"), srpBandKeys(col("qvec"), ps, bands, bitsPerBand, dot).as("_qkeys"))
+      .select(col("query_id"), col("_qkeys"), posexplode(col("_qkeys")))
     val bandQ =
       if (multiProbe == 0)
-        exploded.select(col("query_id"), col("qvec"),
+        exploded.select(col("query_id"), col("_qkeys"),
           col("pos").as("band"), col("col").as("bkey"))
       else
-        exploded.select(col("query_id"), col("qvec"), col("pos").as("band"),
+        exploded.select(col("query_id"), col("_qkeys"), col("pos").as("band"),
           explode(transform(flips, f => col("col").bitwiseXOR(f))).as("bkey"))
     // The bucket join: below the gate the query-side index is
-    // broadcast (small scale — plans byte-identical to the committed
-    // sweeps); above it BOTH sides go through the (band, bkey) sizer
-    // and meet in a co-partitioned shuffle join, because a
-    // corpus-proportional query set's bucket index grows linearly
-    // with the corpus (~350 MB broadcast at sf100 — a memory cliff at
-    // the next decade, while the shuffled corpus side is only ~30 B/
-    // row). Equal sizer counts co-partition the two sides, so the
-    // join adds no third exchange.
+    // broadcast (small scale); above it BOTH sides go through the
+    // (band, bkey) sizer and meet in a co-partitioned shuffle join,
+    // because a corpus-proportional query set's bucket index grows
+    // linearly with the corpus (a memory cliff one decade past sf100,
+    // while the shuffled corpus side is only ~100 B/row with its key
+    // array aboard). Equal sizer counts co-partition the two sides,
+    // so the join adds no third exchange. The strategy choice shares
+    // the sizers' own gate predicate (ExplodedJoin.gateOpen) so the
+    // two can never silently diverge (round-11 advice).
     val sizedB = if (estCandidates >= 0L)
       graft.queries.ExplodedJoin.sizer(sp, estCandidates, col("band"), col("bkey"))
     else identity[DataFrame] _
     val bucketJoined = {
-      val c = bandC.select("vec_id", "band", "bkey")
-      val q = bandQ.select("query_id", "band", "bkey")
-      val gateOpen = estCandidates >= 0L &&
-        graft.queries.ExplodedJoin.parts(estCandidates) >
-          sp.sessionState.conf.numShufflePartitions
-      if (gateOpen) sizedB(c).join(sizedB(q), Seq("band", "bkey"))
-      else c.join(broadcast(q), Seq("band", "bkey"))
+      val gate = estCandidates >= 0L &&
+        graft.queries.ExplodedJoin.gateOpen(sp, estCandidates)
+      if (gate) sizedB(bandC).join(sizedB(bandQ), Seq("band", "bkey"))
+      else bandC.join(broadcast(bandQ), Seq("band", "bkey"))
     }
-    // dedup candidate IDS only (distinct over two longs, not over
-    // full vector arrays), then re-attach vectors + precomputed
-    // norms. The sized repartition FEEDS the distinct (hash(query_id)
-    // satisfies the aggregate's clustering, so it replaces — never
-    // adds to — the dedup exchange).
-    val candIds = sizedQ(
-      bucketJoined
-        .filter(col("query_id") =!= col("vec_id"))
-        .select("query_id", "vec_id")).distinct()
+    // first-matching-band filter: pairs are unique by construction
+    // afterwards (see scaladoc), so no distinct()/dedup exchange ever
+    // runs — the old pre-dedup repartition shipped every duplicate
+    val diffs = zip_with(col("_vkeys"), col("_qkeys"), (a, b) => a.bitwiseXOR(b))
+    val isMatch = transform(diffs, d => flipsSeq.map(f => d === lit(f)).reduce(_ || _))
+    val candIds = bucketJoined
+      .filter(array_position(isMatch, true) === col("band") + 1)
+      .filter(col("query_id") =!= col("vec_id"))
+      .select("query_id", "vec_id")
     val c2 = corpus.select(col("vec_id"), col("query_vec"),
       dot(col("query_vec"), col("query_vec")).as("_n2c"))
     val q2 = queries.select(col("query_id"), col("qvec"),
       dot(col("qvec"), col("qvec")).as("_n2q"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("vec_id").asc)
-    // NARROW projection (query_id, vec_id, cosine) before the rank-k
-    // window, so its sort moves ~30 B/row instead of rows carrying
-    // two 64-long vectors (the q228 lesson, round 10); both sides of
-    // the vector re-attach join share the vec_id sizer (equal
-    // partition counts co-partition, see ExplodedJoin scaladoc).
-    sizedQ(
-      sizedV(candIds)
-        .join(sizedV(c2), "vec_id")
-        .join(broadcast(q2), "query_id")
-        .withColumn("cosine",
-          (dot(col("query_vec"), col("qvec")).cast("double") /
-            sqrt(col("_n2q").cast("double") * col("_n2c").cast("double"))).cast("double"))
-        .select(col("query_id"), col("vec_id"), col("cosine")))
+    val cosine =
+      (dot(col("query_vec"), col("qvec")).cast("double") /
+        sqrt(col("_n2q").cast("double") * col("_n2c").cast("double"))).cast("double")
+    // NARROW pair rows re-attach the corpus vectors by vec_id (both
+    // sides share the vec_id sizer — equal partition counts
+    // co-partition, see ExplodedJoin scaladoc), then the query
+    // vectors by the estQueries-gated strategy; the rank-k window
+    // input is the narrow (query_id, vec_id, cosine) projection (the
+    // q228 lesson, round 10) and rides the query_id partitioning
+    // either route leaves behind.
+    val withCorpusVec = sizedV(candIds).join(sizedV(c2), "vec_id")
+    val qBroadcastOk = estQueries < 0L ||
+      estQueries * QueryRowBytes <= QueryBroadcastBudget
+    val scored =
+      if (qBroadcastOk)
+        sizedQ(withCorpusVec.join(broadcast(q2), "query_id")
+          .withColumn("cosine", cosine)
+          .select(col("query_id"), col("vec_id"), col("cosine")))
+      else
+        sizedQ(withCorpusVec).join(sizedQ(q2), "query_id")
+          .withColumn("cosine", cosine)
+          .select(col("query_id"), col("vec_id"), col("cosine"))
+    scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** ~bytes per broadcast query row (id + 64 quantized longs + norm +
+    * array headers) and the budget past which the q2 broadcast stops
+    * being the right plan: 256 MB per executor is comfortably inside
+    * any sane executor memory, while one more 10× decade of a
+    * corpus-proportional query set (~1.2 GB) is not. */
+  private val QueryRowBytes = 600L
+  private val QueryBroadcastBudget = 256L * 1024 * 1024
 }

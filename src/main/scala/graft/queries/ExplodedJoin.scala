@@ -48,16 +48,25 @@ private[graft] object ExplodedJoin {
     // repartition throw — belt to candidateEstimate's braces.
     math.min(4096L, math.max(0L, estRows) / rowsPerPartition + 1L).toInt
 
+  /** The ONE gate predicate behind every sizer in this object: open
+    * iff the exploded-frame estimate wants more partitions than the
+    * session default. Callers that pick a JOIN STRATEGY off the gate
+    * (annTopK's broadcast-vs-co-partitioned bucket join, IvfIndex's
+    * probe join) must use this same predicate — an inline
+    * re-implementation would silently diverge from the sizers if
+    * parts()/gating ever changes, leaving a sized side joined against
+    * a broadcast and re-adding the exchanges the design avoids
+    * (round-11 advice). */
+  def gateOpen(s: SparkSession, estRows: Long): Boolean =
+    parts(estRows) > s.sessionState.conf.numShufflePartitions
+
   /** A sizing function to apply to EVERY frame meeting at a join (or
     * feeding an aggregate) keyed on `keys`: repartitions to
     * [[parts]](estRows) when that exceeds the session default,
     * identity otherwise. */
-  def sizer(s: SparkSession, estRows: Long, keys: Column*): DataFrame => DataFrame = {
-    val p = parts(estRows)
-    if (p > s.sessionState.conf.numShufflePartitions)
-      df => df.repartition(p, keys: _*)
+  def sizer(s: SparkSession, estRows: Long, keys: Column*): DataFrame => DataFrame =
+    if (gateOpen(s, estRows)) df => df.repartition(parts(estRows), keys: _*)
     else identity
-  }
 
   /** Sized TOTAL ORDER on `keys`: `orderBy`'s range exchange also
     * lands on the session default, so a corpus-exploded result (e.g.
@@ -65,10 +74,8 @@ private[graft] object ExplodedJoin {
     * the same hazard with RangePartitioning in place of hash. Above
     * the gate this plans range-repartition + in-partition sort
     * (identical global order, sized sorts); below it, plain orderBy. */
-  def orderedSizer(s: SparkSession, estRows: Long, keys: Column*): DataFrame => DataFrame = {
-    val p = parts(estRows)
-    if (p > s.sessionState.conf.numShufflePartitions)
-      df => df.repartitionByRange(p, keys: _*).sortWithinPartitions(keys: _*)
+  def orderedSizer(s: SparkSession, estRows: Long, keys: Column*): DataFrame => DataFrame =
+    if (gateOpen(s, estRows))
+      df => df.repartitionByRange(parts(estRows), keys: _*).sortWithinPartitions(keys: _*)
     else df => df.orderBy(keys: _*)
-  }
 }

@@ -206,9 +206,65 @@ object SimilarityOps {
     * the same tiered 16-aligned slices of the shared pool literal. */
   def q215AnnAutoTopK(s: SparkSession, dir: String): DataFrame = {
     val c = quantized(s, dir)
+    val n = Tables.rowCount(s, dir, "embeddings")
+    // knownQ: the vec_id%10 query universe is ~n/10 rows — the bound
+    // that gates the query-vector broadcast (annTopK estQueries)
     Similarity.annTopKAuto(c, querySet(c), k = 5, Similarity.planes(256, 64),
-        knownN = Tables.rowCount(s, dir, "embeddings"))
+        knownN = n, knownQ = n / 10 + 1)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Tier-1 SRP retrieval, oracle-checked (round-11 verdict item 1):
+    * the 256-plane pool lifts the band-bit cap from 16 to 32, but no
+    * committed corpus is big enough to DERIVE bits ≥ 17 naturally
+    * (that needs n > 40·2^16 ≈ 2.6M vectors), so the tiered regime's
+    * retrieval — signatures drawing tier-1 planes, bucket matching on
+    * >16-bit keys, probe flips — had only slice-arithmetic evidence.
+    * This query pins bits = 18 via annTopKAuto's forceBits hook:
+    * bands read 16 bits from tier 0 plus 2 from tier 1, and the
+    * DuckDB oracle replays the identical tiered index arithmetic
+    * ((p // 128)·16 + p % 16 < 18) from the same 256-plane literal.
+    * At 18 bits every committed corpus is hyper-sparse (occupancy
+    * ≪ 1), so surviving candidates are genuine near-neighbors that
+    * agree on 18 hyperplane signs in some band — the regime the cap
+    * lift exists for, exercised end to end. Recall behavior at tier-1
+    * resolution is separately pinned by SimilaritySpec's planted
+    * near-dup harness. */
+  def q279AnnTier1(s: SparkSession, dir: String): DataFrame = {
+    val c = quantized(s, dir)
+    val n = Tables.rowCount(s, dir, "embeddings")
+    Similarity.annTopKAuto(c, querySet(c), k = 5, Similarity.planes(256, 64),
+        knownN = n, knownQ = n / 10 + 1, forceBits = 18)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** SERVED auto-IVF (round-11 verdict item 4): q228's ⌈√n⌉-codebook
+    * search answered from the PERSISTED IvfIndex instead of
+    * re-deriving codebook + assignment per query — the production
+    * serving shape (build once, query many). The inline auto family
+    * carries d3 wall e ≈ 1.28-1.46 because every call pays the
+    * n·√n assignment scan; here that cost is amortized into the
+    * index build (isValid-gated: done once per corpus generation),
+    * and a query batch reads only its probed cid partitions. The
+    * query set is the q216-style md5 budget slice (a production
+    * query batch is bounded; a corpus-proportional one is the
+    * inline contrast q228 keeps). The oracle derives the SAME ⌈√n⌉
+    * md5 codebook, assignment, probes, and scores inline — a hash
+    * match certifies the index round-trip (write codebook +
+    * cid-partitioned lists, read back, prune, score) loses nothing
+    * vs the inline algorithm, q216's certification pattern at the
+    * auto codebook scale. */
+  def q280IvfAutoServed(s: SparkSession, dir: String): DataFrame = {
+    val c = quantized(s, dir)
+    val n = Tables.rowCount(s, dir, "embeddings")
+    val numC = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val path = "target/graft_ivf_auto/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    if (!graft.operators.IvfIndex.isValid(s, path, n, numC))
+      graft.operators.IvfIndex.build(c, numC, path)
+    graft.operators.IvfIndex.topK(s, path,
+        querySetSampled(c, FixedIvfQueryBudget), k = 5, nprobe = 4)
       .orderBy("query_id", "rank")
   }
 
@@ -632,6 +688,8 @@ object SimilarityOps {
     "q228_ivf_auto" -> q228IvfAutoAnn _,
     "q215_ann_auto" -> q215AnnAutoTopK _,
     "q216_ivf_index" -> q216IvfIndexTopK _,
+    "q279_ann_tier1" -> q279AnnTier1 _,
+    "q280_ivf_auto_served" -> q280IvfAutoServed _,
   )
 
   /** Double.toString round-trips, so these literals parse back to
@@ -1253,10 +1311,55 @@ object SimilarityOps {
          |ORDER BY id_a""".stripMargin,
   )
 
+  /** q279 IS q215 with the band resolution pinned to 18 bits — the
+    * forceBits hook's oracle replaces the COUNT(*)-derived bits CTE
+    * with the constant, keeping every other line (tiered plane
+    * slices, probe flips, distinct, scoring) verbatim. Derived by
+    * anchored string surgery so the two oracles can never drift
+    * (the q229 pattern). */
+  private val q279Oracle: String = {
+    val base = oraclesBase("q215_ann_auto")
+    val bitsCte =
+      """bits AS (
+        |  SELECT COALESCE(MIN(b), 32) AS bits
+        |  FROM (SELECT unnest(range(4, 33)) AS b),
+        |    (SELECT (COUNT(*) + 39) // 40 AS need FROM e)
+        |  WHERE (CAST(1 AS BIGINT) << b) >= need),""".stripMargin
+    require(base.contains(bitsCte),
+      "q215 oracle bits CTE anchor moved — update q279's derivation")
+    base.replace(bitsCte, "bits AS (SELECT 18 AS bits),")
+  }
+
+  /** q280 IS q228 (auto-⌈√n⌉ IVF, answered from the persisted index)
+    * with the q216-style md5 query budget: the probe CTE's query
+    * universe gains the budget slice, everything else (codebook draw,
+    * assignment, probing, scoring) stays verbatim — the hash match
+    * then certifies the index round-trip is lossless at the auto
+    * codebook scale. Anchored derivation, q229's pattern. */
+  private val q280Oracle: String = {
+    val base = oraclesBase("q228_ivf_auto")
+    val eAnchor = "WITH e AS (SELECT vec_id, $qv AS v FROM embeddings),"
+      .replace("$qv", qv)
+    val probeAnchor = "FROM e q, cent c WHERE q.vec_id % 10 = 0) WHERE rn <= 4),"
+    require(base.contains(eAnchor) && base.contains(probeAnchor),
+      "q228 oracle anchors moved — update q280's derivation")
+    base
+      .replace(eAnchor,
+        s"""$eAnchor
+           |qs AS (
+           |  SELECT vec_id, v FROM e WHERE vec_id % 10 = 0
+           |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+           |  LIMIT $FixedIvfQueryBudget),""".stripMargin)
+      .replace(probeAnchor, "FROM qs q, cent c) WHERE rn <= 4),")
+  }
+
   /** q216 answers from the persisted IvfIndex with q75's exact
     * parameters — sharing q75's oracle TEXT certifies the index
     * round-trip (write codebook + partitioned lists, read back,
-    * prune, score) is lossless. */
+    * prune, score) is lossless. q279/q280 are anchored derivations
+    * (see above). */
   val oracles: Map[String, String] =
-    oraclesBase + ("q216_ivf_index" -> oraclesBase("q75_ivf_ann"))
+    oraclesBase + ("q216_ivf_index" -> oraclesBase("q75_ivf_ann")) +
+      ("q279_ann_tier1" -> q279Oracle) +
+      ("q280_ivf_auto_served" -> q280Oracle)
 }

@@ -32,6 +32,25 @@ class IvfIndexSpec extends SparkSpec {
     assert(fromIndex.nonEmpty)
   }
 
+  test("served auto-(ceil sqrt n) index == inline auto search (q280's certification)") {
+    // the production serving shape: the ⌈√n⌉ codebook + assignment
+    // are amortized into the persisted build, and a query batch
+    // answered from the cid-partitioned lists must lose NOTHING vs
+    // running the same auto algorithm inline (q228's ivfSearchWith)
+    val n = corpus.count()
+    val numC = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val dir = java.nio.file.Files.createTempDirectory("ivfauto").toString
+    IvfIndex.build(corpus, numC, dir)
+    assert(IvfIndex.isValid(spark, dir, n, numC))
+    val served = IvfIndex.topK(spark, dir, queries, k = 5, nprobe = 4)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val inline = Similarity.ivfSearchWith(corpus, queries, k = 5, nprobe = 4,
+        Similarity.ivfCentroids(corpus, numC), knownN = n)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(served === inline)
+    assert(served.nonEmpty)
+  }
+
   test("lists scan is partition-pruned to the probed cids") {
     // a single query probing 2 of 8 lists must not read the rest
     val one = queries.orderBy("query_id").limit(1)

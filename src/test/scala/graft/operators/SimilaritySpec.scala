@@ -357,6 +357,73 @@ class SimilaritySpec extends SparkSpec {
     assert(run(2) == run(9))
   }
 
+  test("tier-1 SRP retrieval (bits >= 17) end to end: planted near-dups recalled, cosines exact") {
+    // The 256-plane pool lifts the band-bit cap 16 -> 32, but no
+    // committed corpus derives bits >= 17 naturally (needs n > 40*2^16
+    // ~ 2.6M vectors) — so tier-1 RETRIEVAL (signatures drawing tier-1
+    // planes, >16-bit bucket keys, probe flips) needs the forceBits
+    // hook plus a corpus whose true neighbors are close enough to
+    // co-bucket at 18-bit resolution: 4000 bases x 10 near-copies
+    // (one dim perturbed by the copy index — cosine ~ 0.9999+, so a
+    // sibling agrees on 18 hyperplane signs in some band w.h.p.,
+    // while unrelated vectors are hyper-sparse at occupancy << 1).
+    val dim = 16
+    val corpus = spark.range(0, 40000).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), d =>
+        pmod((col("id") / 10).cast("long") * 1315423911L +
+          d.cast("long") * 2654435761L, lit(2001L)) - 1000L +
+          when(d === pmod(col("id"), lit(dim.toLong)).cast("int"),
+            pmod(col("id"), lit(10L))).otherwise(0L)).as("query_vec"))
+    val qs = corpus.filter(col("vec_id") % 400 === 0)
+      .select(col("vec_id").as("query_id"), col("query_vec").as("qvec"))
+    val pool = Similarity.planes(256, dim)
+    // structural witness that 18-bit slices draw tier-1 planes (bit 16
+    // of band 0 is pool plane 128 — the first tier-1 entry)
+    assert(Similarity.srpPoolSlice(pool, 8, 16, 18)(16).sameElements(pool(128)))
+    val ann = Similarity.annTopKAuto(corpus, qs, k = 5, pool,
+      knownN = 40000L, knownQ = 100L, forceBits = 18)
+      .select("query_id", "vec_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    assert(ann.nonEmpty, "tier-1 search returned nothing")
+    // every returned cosine is the EXACT score (the candidate path
+    // must not perturb scoring): recompute independently per pair
+    val exactPairs = {
+      val a = corpus.select(col("vec_id").as("query_id"), col("query_vec").as("qv"))
+      val b = corpus.select(col("vec_id"), col("query_vec").as("cv"))
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(ann.map(r => org.apache.spark.sql.Row(r._1, r._2)).toSeq),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("query_id", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType))))
+        .join(a, "query_id").join(b, "vec_id")
+        .withColumn("exact", Similarity.cosineQ(col("qv"), col("cv")))
+        .select("query_id", "vec_id", "exact").as[(Long, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+    }
+    assert(ann.forall { case (q, v, c) => exactPairs((q, v)) == c },
+      "ANN cosines must equal the exact integer-quantized scores")
+    // recall floor vs the exact ideal: the true top-5 are planted
+    // siblings; 18-bit banding must recover nearly all of them
+    val bf = Similarity.bruteForceTopK(corpus, qs, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val got = ann.map(r => (r._1, r._2)).toSet
+    val recall = (bf & got).size.toDouble / bf.size
+    info(f"tier-1 (18-bit) recall@5 on planted near-dups = $recall%.3f over ${bf.size} pairs")
+    assert(recall >= 0.9, f"tier-1 retrieval lost planted neighbors: $recall%.3f")
+  }
+
+  test("the 32-bit pool/oracle contract is pinned: deeper pools and forced bits past the cap throw") {
+    val qs = queries
+    // a 3-tier pool (48 potential band bits) exceeds what the packing
+    // (1L << j) and the committed two-tier oracle arithmetic replay
+    assertThrows[IllegalArgumentException](
+      Similarity.annTopKAuto(quantized, qs, k = 5, Similarity.planes(384, 64)))
+    assertThrows[IllegalArgumentException](
+      Similarity.annTopKAuto(quantized, qs, k = 5, Similarity.planes(256, 64),
+        forceBits = 33))
+  }
+
   test("planes are deterministic for a fixed seed") {
     assert(Similarity.planes(4, 8).map(_.toSeq).toSeq ==
       Similarity.planes(4, 8).map(_.toSeq).toSeq)
