@@ -191,7 +191,12 @@ object ScaleSweep {
     "q237_dup_span_removal", "q241_contamination_pairs",
     // round-12 (r11 verdict item 4): the served auto-IVF path — the
     // production serving shape whose d3 row is the amortization claim
-    "q280_ivf_auto_served")
+    "q280_ivf_auto_served",
+    // round-12: tier-1 SRP retrieval over the bounded md5 query
+    // batch — sf100's 2M vectors at pinned bits=18 give real bucket
+    // collisions (occupancy ≈ 7.6 per band), the first committed
+    // scale where tier-1 keys retrieve from non-singleton buckets
+    "q279_ann_tier1")
 
   /** Queries excluded from the sf10→sf100 decade, with the measured
     * budget that excludes them — the artifact is the contract (r11

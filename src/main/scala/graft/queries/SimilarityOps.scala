@@ -230,12 +230,25 @@ object SimilarityOps {
     * agree on 18 hyperplane signs in some band — the regime the cap
     * lift exists for, exercised end to end. Recall behavior at tier-1
     * resolution is separately pinned by SimilaritySpec's planted
-    * near-dup harness. */
+    * near-dup harness.
+    *
+    * The query set is the [[FixedIvfQueryBudget]] md5 slice, NOT the
+    * corpus-proportional vec_id%10 universe q215 keeps: pinning the
+    * resolution makes this a FIXED-RESOLUTION index by construction
+    * (occupancy tracks n), so corpus-proportional load reproduces
+    * q80's documented quadratic candidate growth (first committed
+    * form measured e_shuffle 2.2-2.6 over two decades) and says
+    * nothing new about the tiered plane path. A bounded query batch
+    * is also the production serving shape, and it keeps every
+    * tier-1 mechanism — full-corpus 18-bit signatures, bucket
+    * matching on >16-bit keys, probe flips, oracle replay — while
+    * the candidate volume stays budget × occupancy, linear in n. */
   def q279AnnTier1(s: SparkSession, dir: String): DataFrame = {
     val c = quantized(s, dir)
     val n = Tables.rowCount(s, dir, "embeddings")
-    Similarity.annTopKAuto(c, querySet(c), k = 5, Similarity.planes(256, 64),
-        knownN = n, knownQ = n / 10 + 1, forceBits = 18)
+    Similarity.annTopKAuto(c, querySetSampled(c, FixedIvfQueryBudget),
+        k = 5, Similarity.planes(256, 64),
+        knownN = n, knownQ = FixedIvfQueryBudget, forceBits = 18)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
       .orderBy("query_id", "rank")
   }
@@ -1311,12 +1324,13 @@ object SimilarityOps {
          |ORDER BY id_a""".stripMargin,
   )
 
-  /** q279 IS q215 with the band resolution pinned to 18 bits — the
-    * forceBits hook's oracle replaces the COUNT(*)-derived bits CTE
-    * with the constant, keeping every other line (tiered plane
-    * slices, probe flips, distinct, scoring) verbatim. Derived by
-    * anchored string surgery so the two oracles can never drift
-    * (the q229 pattern). */
+  /** q279 IS q215 with the band resolution pinned to 18 bits and the
+    * query universe narrowed to the md5 budget slice — the forceBits
+    * hook's oracle replaces the COUNT(*)-derived bits CTE with the
+    * constant and the qsigs filter with the q216-style bounded batch,
+    * keeping every other line (tiered plane slices, probe flips,
+    * distinct, scoring) verbatim. Derived by anchored string surgery
+    * so the oracles can never drift (the q229 pattern). */
   private val q279Oracle: String = {
     val base = oraclesBase("q215_ann_auto")
     val bitsCte =
@@ -1325,9 +1339,17 @@ object SimilarityOps {
         |  FROM (SELECT unnest(range(4, 33)) AS b),
         |    (SELECT (COUNT(*) + 39) // 40 AS need FROM e)
         |  WHERE (CAST(1 AS BIGINT) << b) >= need),""".stripMargin
-    require(base.contains(bitsCte),
-      "q215 oracle bits CTE anchor moved — update q279's derivation")
-    base.replace(bitsCte, "bits AS (SELECT 18 AS bits),")
+    val qsigsFilter = "  WHERE vec_id % 10 = 0),"
+    require(base.contains(bitsCte) && base.contains(qsigsFilter),
+      "q215 oracle anchors moved — update q279's derivation")
+    base
+      .replace(bitsCte,
+        s"""bits AS (SELECT 18 AS bits),
+           |qs AS (
+           |  SELECT vec_id FROM e WHERE vec_id % 10 = 0
+           |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+           |  LIMIT $FixedIvfQueryBudget),""".stripMargin)
+      .replace(qsigsFilter, "  WHERE vec_id IN (SELECT vec_id FROM qs)),")
   }
 
   /** q280 IS q228 (auto-⌈√n⌉ IVF, answered from the persisted index)
