@@ -176,3 +176,133 @@ object SrpOccupancyProbe {
     try spark.stop() catch { case _: Throwable => () }
   }
 }
+
+/** NATURAL tier-1 derivation probe (round 12): the committed scales
+  * through sf100 (2M vectors) all derive bits ≤ 16, so every tier-1
+  * (bits ≥ 17) retrieval so far rode the `forceBits` hook (q279, the
+  * planted-near-dup spec). This probe runs the regime the round-11
+  * cap lift exists for WITHOUT the hook: a 20M-vector corpus (10
+  * jittered replicas of target/sf100's embeddings, the ScaleUp
+  * recipe, embeddings-only so the dir costs ~5 GB not ~130) makes
+  * `autoBits(2e7, 40)` derive **bits = 19 naturally** (need = 500k
+  * buckets > 2^18), so each band's keys draw 16 tier-0 + 3 tier-1
+  * planes and bucket matching runs on 19-bit keys at realized
+  * occupancy ≈ 38 — genuinely multi-occupant tier-1 buckets.
+  *
+  * Evidence printed (one JSON line, committed as TIER1_PROBE.json):
+  * the derived bits (asserted ≥ 17), wall seconds and
+  * shuffle/spill bytes for the ANN leg, and recall@5 of
+  * `annTopKAuto` against an EXACT ground truth computed at scale via
+  * the native bounded-heap aggregate (`graft_topk` riding one
+  * hash-aggregate pass — the window-based bruteForceTopK would
+  * exchange all |Q|·n scored pairs; the aggregate shuffles k rows
+  * per query per partition). Ground-truth score is
+  * floor(cosine·1e15) with the ann path's own (cosine DESC, vec_id
+  * ASC) tie-break: quantized-jitter cosine gaps are ~1e-6, nine
+  * orders above the 1e-15 quantization, so the ranking is exact.
+  * The query set is the md5-budget 64 slice (q279's serving shape);
+  * self-matches are excluded on both paths. */
+object Tier1NaturalProbe {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.SaveMode
+    import graft.operators.Similarity
+    val src = if (args.nonEmpty) args(0) else "target/sf100"
+    val out = if (args.length > 1) args(1) else "target/sf1000e"
+    val budget = 64
+    val k = 5
+    val spark = Probes.session()
+    import Probes.fmt
+
+    // embeddings-only 10x scale-up, marker-guarded like ScaleUp
+    val marker = java.nio.file.Paths.get(s"$out/_EMB_DONE")
+    if (!(java.nio.file.Files.exists(marker) &&
+        java.nio.file.Files.readString(marker).trim == s"src=$src replicas=10")) {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      ScaleUp.scaleEmbeddings(Tables.embeddings(spark, src), 10)
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
+      java.nio.file.Files.writeString(marker, s"src=$src replicas=10\n")
+      Tables.invalidateStamps()
+    }
+
+    val shuffleW = new java.util.concurrent.atomic.AtomicLong(0L)
+    val spillD = new java.util.concurrent.atomic.AtomicLong(0L)
+    val spillM = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = e.stageInfo.taskMetrics
+        if (m != null) {
+          shuffleW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          spillD.addAndGet(m.diskBytesSpilled)
+          spillM.addAndGet(m.memoryBytesSpilled)
+        }
+      }
+    })
+    // async listener bus: give trailing stage events time to land
+    // before snapshotting a leg's counters (SpillAudit's caveat)
+    def snap(): (Long, Long, Long) = {
+      Thread.sleep(3000)
+      (shuffleW.get(), spillD.get(), spillM.get())
+    }
+
+    val c = Tables.embeddings(spark, out)
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("query_vec"))
+    val n = Tables.rowCount(spark, out, "embeddings")
+    val bits = Similarity.autoBits(n, targetBucket = 40L, maxBits = 32)
+    // the probe's claim needs bits >= 17; the floor is an env knob
+    // (SPARK_GRAFT_TIER1_MINBITS=1) only so the plumbing can be
+    // smoke-tested on a small dir before the hour-scale real run
+    val minBits = sys.env.getOrElse("SPARK_GRAFT_TIER1_MINBITS", "17").toInt
+    require(bits >= minBits, s"corpus of $n derives bits=$bits — not the tier-1 regime")
+    val qs = c.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("query_vec").as("qvec"))
+      .orderBy(md5(col("query_id").cast("string")), col("query_id"))
+      .limit(budget)
+      .persist()
+    qs.count()
+
+    // exact ground truth: one broadcast scan + heap aggregate
+    val t0 = System.nanoTime()
+    val sp = spark
+    val c2 = c.withColumn("_n2c", Similarity.dotFast(sp, col("query_vec"), col("query_vec")))
+    val q2 = qs.withColumn("_n2q", Similarity.dotFast(sp, col("qvec"), col("qvec")))
+    val gt = c2.crossJoin(broadcast(q2))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cosine",
+        (Similarity.dotFast(sp, col("query_vec"), col("qvec")).cast("double") /
+          sqrt(col("_n2q").cast("double") * col("_n2c").cast("double"))).cast("double"))
+      .groupBy("query_id")
+      .agg(call_function("graft_topk",
+        floor(col("cosine") * lit(1e15)).cast("long"),
+        lpad(col("vec_id").cast("string"), 12, "0"), lit(k)).as("top"))
+      .select(col("query_id"), explode(col("top.payload")).as("vid"))
+      .select(col("query_id"), col("vid").cast("long").as("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gtSecs = (System.nanoTime() - t0) / 1e9
+    val (sw0, sd0, sm0) = snap()
+
+    // the ANN leg: auto-derived bits, no forceBits
+    val t1 = System.nanoTime()
+    val ann = Similarity.annTopKAuto(c, qs, k = k, Similarity.planes(256, 64),
+        knownN = n, knownQ = budget)
+      .select(col("query_id"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val annSecs = (System.nanoTime() - t1) / 1e9
+    val (sw1, sd1, sm1) = snap()
+    qs.unpersist(blocking = false)
+
+    val recall = (gt & ann).size.toDouble / math.max(1, gt.size)
+    println(s"""{"probe":"tier1_natural","src":"$src","out":"$out",""" +
+      s""""n":$n,"bits":$bits,"tier1_planes_per_band":${math.max(0, bits - 16)},""" +
+      s""""occupancy":${fmt(n.toDouble / (1L << bits))},""" +
+      s""""budget":$budget,"k":$k,""" +
+      s""""gt_secs":${fmt(gtSecs)},"ann_secs":${fmt(annSecs)},""" +
+      s""""gt_shuffle":$sw0,"gt_spill_disk":$sd0,"gt_spill_mem":$sm0,""" +
+      s""""ann_shuffle":${sw1 - sw0},"ann_spill_disk":${sd1 - sd0},"ann_spill_mem":${sm1 - sm0},""" +
+      s""""gt_pairs":${gt.size},"ann_pairs":${ann.size},""" +
+      s""""recall_at_$k":${fmt(recall)},"pass":${recall >= 0.9},""" +
+      s""""cpus":"${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}"}""")
+    System.out.flush()
+    try spark.stop() catch { case _: Throwable => () }
+  }
+}
