@@ -126,6 +126,69 @@ object Tables {
   def documentCount(s: SparkSession, dir: String): Long =
     rowCount(s, dir, "documents")
 
+  /** Fan a SINGLE-SPLIT scan out across idle cores before an
+    * expensive per-row projection (optimization guide §2.5 "input
+    * skew": one small/unsplittable input file gives the whole scan
+    * ONE task, and every map-side expression — md5 ladders, tokenize
+    * + n-gram HOFs, decimal aggregation partials — serializes on one
+    * core no matter how many the session has; measured round 12:
+    * q165's 40×-replicated md5 leg ran 4.25 s in one task at
+    * local[32]).
+    *
+    * The gate is derived from INPUT SIZE, not the local core count:
+    * the natural split count is ceil(file bytes / maxPartitionBytes).
+    * When that already reaches the session's parallelism (any real
+    * multi-file/100 TB table), this is the IDENTITY — no exchange is
+    * added and the scan's own parallelism stands. Only when the scan
+    * is provably under-parallel (naturalSplits < cores) does it
+    * append a round-robin repartition sized rows/rowsPerTask, capped
+    * at the core count. Round-robin keeps `sortBeforeRepartition`
+    * determinism (SPARK-23207) and, feeding only order-independent
+    * consumers (aggregates, joins, explicit-key windows), cannot
+    * change any result.
+    *
+    * Apply ONLY where heavy per-row compute precedes the first
+    * exchange and no selective filter would have pushed down to the
+    * scan (the repartition sits above the scan, so a filter above it
+    * no longer prunes parquet row groups — irrelevant for the
+    * full-scan analytics that use this, by construction). */
+  def fanOut(df: DataFrame, s: SparkSession, dir: String, name: String,
+             rowsPerTask: Long = 25000L): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val bytes = fileBytesOf(s, path)
+    val splitBytes = math.max(1L, s.sessionState.conf.filesMaxPartitionBytes)
+    val naturalSplits = math.max(1L, (bytes + splitBytes - 1L) / splitBytes)
+    val cores = s.sparkContext.defaultParallelism.toLong
+    if (naturalSplits >= cores) df
+    else {
+      val rows = rowCount(s, dir, name)
+      val want = math.max(1L, (rows + rowsPerTask - 1L) / rowsPerTask)
+      val n = math.min(cores, want)
+      if (n <= naturalSplits) df else df.repartition(n.toInt)
+    }
+  }
+
+  /** Total file bytes under `path`, memoized per (path, tick) on the
+    * same epoch discipline as [[fileStamp]] (at most one listing per
+    * dir per tick; a writer that rewrites the dir bumps the tick). */
+  private val bytesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+  private def fileBytesOf(s: SparkSession, path: String): Long = {
+    val tick = stampTick.get()
+    bytesCache.compute(path, (_, cur) =>
+      if (cur != null && cur._1 == tick) cur
+      else (tick, listBytes(s, path)))._2
+  }
+  private def listBytes(s: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 0L
+    val it = fs.listFiles(p, true)
+    var b = 0L
+    while (it.hasNext) b += it.next().getLen
+    b
+  }
+
   /** Register every table as a temp view (for spark.sql surfaces). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))

@@ -88,7 +88,37 @@ object SuffixRank {
       .filter(length(col("col")) === 1) // split() may emit a trailing ""
       .select(col("_id"), col("pos").cast("int").as("_pos"),
         ascii(col("col")).cast("long").as("_r1")))
-    val total = cur.count()
+    // suffix count + max code point in ONE cache-scan job (the count
+    // the old path already paid, now also feeding the seed-width gate)
+    val st = cur.agg(
+      count(lit(1)), coalesce(max(col("_r1")), lit(0L))).head()
+    val total = st.getLong(0)
+    val maxCode = st.getLong(1)
+    // Packed multi-char SEED ROUND (round 12): the first dense-rank
+    // round packs w chars per side of the pair via w-1 extra `lead`s
+    // in the SAME per-doc window pass round 1 already pays, so one
+    // round orders by the first 2w chars instead of 2 — removing
+    // log2(w) full rounds (each a window pass + range sort + stats
+    // collect + rank apply over the whole suffix frame, at any corpus
+    // size; 8 → 6 rounds at the 240-char budget). Lane value =
+    // code + 1 with 0 for past-end, so a short suffix sorts before
+    // every extension (exactly string order); lanes pack big-endian,
+    // an order-preserving injection. Width is gated by the OBSERVED
+    // max code point so each packed side fits 28 bits (< 2^31, the
+    // packed-pair sort-key bound): 4×7-bit lanes for codes ≤ 126
+    // (ASCII), 3×8-bit lanes for ≤ 254 (Latin-1); higher code points
+    // (incl. surrogate halves, where code-unit order diverges from
+    // code-point order) keep the single-char round 1 unchanged.
+    // (An explode-time seed carrying the text column was tried first
+    // and measured SLOWER — the 240-byte string rode every exploded
+    // row through the generator; the window already has the
+    // neighboring chars for free.)
+    val w =
+      if (maxLen <= 1) 1
+      else if (maxCode <= 126L) 4
+      else if (maxCode <= 254L) 3
+      else 1
+    val laneBits = if (maxCode <= 126L) 7 else 8
     // Packed-pair sort (round-9, the q250 residual-time item): when
     // every rank fits in 31 bits — ranks are dense after round 1, so
     // bounded by the suffix-row count; round-0 values are code points
@@ -118,14 +148,30 @@ object SuffixRank {
     // place ranks get DENSE-ranked — without this pass the output
     // would be raw code points (correct order, wrong contract; found
     // by SuffixRankPropertySpec's degenerate corpus)
+    // NOTE (round 12, measured rejection): caching the windowed frame
+    // across the range exchange's two passes (sampling + real) was
+    // tried to kill the window recompute the sampler pays — and made
+    // q250 ~50% SLOWER at sf0.1 (13.7 → 21.0 s, same-subset A/B):
+    // DataFrame persist materializes a columnar InMemoryRelation, and
+    // its per-round encode/decode costs more than the in-partition
+    // re-sort it saves. The recompute stays.
     if (maxLen == 1) {
       val (ranked, sorted, _) =
         denseRankByPair(cur.withColumn("_r2", lit(-1L)), parts, packable)
       cur = Lineage.cut(ranked)
       sorted.unpersist(blocking = false)
     }
+    // lane from a char code (a lead of _r1 in the seed round): real
+    // char c → c+1, past-end sentinel -1 → 0
+    def lv(c: org.apache.spark.sql.Column) =
+      when(c >= 0L, c + 1L).otherwise(lit(0L))
+    def packLanes(cs: Seq[org.apache.spark.sql.Column]) =
+      cs.zipWithIndex.map { case (c, j) =>
+        shiftleft(lv(c), (cs.size - 1 - j) * laneBits)
+      }.reduce(_ + _)
     var k = 1
     var done = false
+    var seedRound = true
     while (k < maxLen && !done) {
       // pre-hash to `parts` on _id: HashPartitioning(_id, parts)
       // satisfies the window's ClusteredDistribution, so the window
@@ -134,8 +180,19 @@ object SuffixRank {
       // ~175M rows in every window sort — the remaining spill source
       // after the dense-rank sorts were sized)
       val t0 = System.nanoTime()
-      val paired = cur.repartition(parts, col("_id")).withColumn("_r2",
-        lead(col("_r1"), k, -1L).over(perDoc))
+      val rehashed = cur.repartition(parts, col("_id"))
+      val paired =
+        if (seedRound) {
+          // seed round: pair = (pack of chars [i, i+w), pack of chars
+          // [i+w, i+2w)) from 2w-1 leads in ONE window pass — orders
+          // by the first 2w chars in a single dense-rank round
+          val leads = (1 until 2 * w).map(j =>
+            lead(col("_r1"), j, -1L).over(perDoc))
+          rehashed.select(col("_id"), col("_pos"),
+            packLanes(col("_r1") +: leads.take(w - 1)).as("_r1"),
+            packLanes(leads.drop(w - 1)).as("_r2"))
+        } else rehashed.withColumn("_r2",
+          lead(col("_r1"), k, -1L).over(perDoc))
       val (ranked, sorted, distinctCnt) = denseRankByPair(paired, parts, packable)
       val t1 = System.nanoTime()
       cur = Lineage.cut(ranked) // eager: materializes before unpersist
@@ -143,7 +200,10 @@ object SuffixRank {
       sorted.unpersist(blocking = false)
       onRound(RoundProbe(k, distinctCnt, (t1 - t0) / 1e9, (t2 - t1) / 1e9))
       done = distinctCnt == total
-      k *= 2
+      // after the seed round ranks order by 2w chars; classic doubling
+      // from there
+      k = if (seedRound) 2 * w else k * 2
+      seedRound = false
     }
     cur.select(col("_id").as(idCol), col("_pos").as("pos"),
       col("_r1").as("rank"))

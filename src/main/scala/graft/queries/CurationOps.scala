@@ -51,7 +51,13 @@ object CurationOps {
     */
   def q63Contamination(s: SparkSession, dir: String): DataFrame = {
     val t = 0.9
-    val d = Tables.documents(s, dir)
+    // fanOut (r12): this tokenize+fingerprint projection is consumed
+    // by five subtrees, each re-running it map-side in the scan's one
+    // task; the fan-out parallelizes every re-run (a persist was also
+    // tried and measured a small LOSS — the columnar cache encode of
+    // the token/prefix arrays costs more than the parallel recompute)
+    val d = Tables.fanOut(Tables.documents(s, dir), s, dir, "documents",
+        rowsPerTask = 250L)
       .select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"),
         sort_array(array_distinct(TextAnalysis.tokens(col("text")))).as("toks"))

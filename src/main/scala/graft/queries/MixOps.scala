@@ -34,7 +34,9 @@ object MixOps {
     * thresholds from the Gopher repetition family adapted to this
     * corpus's short synthetic docs. */
   def q208RepetitionSignals(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir).select(col("doc_id"), toks.as("toks"))
+    // fanOut (r12): per-doc top-word / trigram HOFs are map-side only
+    val d = Tables.fanOut(Tables.documents(s, dir), s, dir, "documents",
+      rowsPerTask = 250L).select(col("doc_id"), toks.as("toks"))
     val n = size(col("toks"))
     val topCnt = coalesce(
       array_max(transform(array_distinct(col("toks")),
@@ -438,7 +440,8 @@ object MixOps {
     // (measured 9.9 s vs 0.5 s over the materialized arrays at
     // sf0.1); the returned frame recomputes base lazily in one
     // scan-speed pass, so no cache outlives the call
-    val base = Tables.documents(s, dir)
+    val base = Tables.fanOut(Tables.documents(s, dir), s, dir,
+        "documents", rowsPerTask = 250L)
       .select(col("doc_id"), toks.as("toks"), col("text"))
       .select(col("doc_id"),
         transform(concat(col("toks"), bigrams), f => bucket(f)).as("bks"),
@@ -628,7 +631,10 @@ object MixOps {
   }
 
   def q212FilterReport(s: SparkSession, dir: String): DataFrame =
-    withFilterRules(Tables.documents(s, dir)
+    // fanOut (r12): the rule gate's tokenize + trigram HOFs are pure
+    // map-side work over the single-split scan
+    withFilterRules(Tables.fanOut(Tables.documents(s, dir), s, dir,
+        "documents", rowsPerTask = 250L)
         .select(col("doc_id"), col("lang"), col("text")))
       .select("doc_id", "lang", "token_count", "quality_score",
         "top_word_frac", "dup_trigram_frac", "failed_rules", "kept")
@@ -723,7 +729,13 @@ object MixOps {
     * as early as possible. */
   private def curationCleanStage(
       s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val d = Tables.documents(s, dir)
+    // fanOut (r12): the enriched scan (tokenize + 3 quality regexes +
+    // md5 coin) inherits the single-split scan's ONE partition and the
+    // persist pins that layout — every downstream stage then reads a
+    // 1-partition cache until its first exchange. 250 docs/task
+    // spreads the text work; identity at production scale (guide §2.5)
+    val d = Tables.fanOut(Tables.documents(s, dir), s, dir, "documents",
+        rowsPerTask = 250L)
       .select(col("doc_id"), col("source"), col("lang"), col("text"),
         TextAnalysis.qualityScore(col("text")).as("quality"),
         toks.as("toks"), docFrac.as("frac"))

@@ -102,7 +102,10 @@ object ScaleOps {
     * n-gram strings, never whole documents). */
   def q100DupSpans(s: SparkSession, dir: String): DataFrame = {
     val n = 8
-    val t = Tables.documents(s, dir)
+    // fanOut (r12): tokenize + 8-gram HOF explode are map-side before
+    // the sized gram exchange — single-split scan = one task otherwise
+    val t = Tables.fanOut(Tables.documents(s, dir), s, dir, "documents",
+        rowsPerTask = 250L)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
     // gated gram-exchange sizing (ExplodedJoin, round-10 sweep of the
     // q225 hazard class); the doc-keyed count aggregates are hash
@@ -148,7 +151,10 @@ object ScaleOps {
     * whole pass stays linear in corpus size at 100 TB. */
   def q237DupSpanRemoval(s: SparkSession, dir: String): DataFrame = {
     val n = 8
-    val t = Tables.documents(s, dir)
+    // fanOut (r12): same as q100 — both gram and token-map legs
+    // re-tokenize map-side; spread the single-split scan
+    val t = Tables.fanOut(Tables.documents(s, dir), s, dir, "documents",
+        rowsPerTask = 250L)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
     val grams = t.select(col("doc_id"),
       posexplode(TextAnalysis.wordNgrams(col("toks"), n))

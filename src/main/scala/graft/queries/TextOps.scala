@@ -116,7 +116,10 @@ object TextOps {
     * is exact and order-independent, so the per-doc sum cannot
     * hash-diverge on aggregation order the way a double sum would. */
   def q133BigramLm(s: SparkSession, dir: String): DataFrame = {
-    val t = Tables.documents(s, dir)
+    // fanOut (r12): tokenize feeds two explode legs (bigrams +
+    // unigrams) map-side; spread the single-split scan (q217 inherits)
+    val t = Tables.fanOut(Tables.documents(s, dir), s, dir, "documents",
+        rowsPerTask = 250L)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
     val bi = t.select(col("doc_id"),
       explode(wordNgrams(col("toks"), 2)).as("bigram"))
@@ -273,7 +276,10 @@ object TextOps {
   /** Shared BPE word-frequency table: one corpus scan, vocab-sized
     * result (the thing the caller persists for the training rounds). */
   private def bpeWords(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    // fanOut (r12): tokenize + explode + regex gate are map-side before
+    // the word-count exchange — single-split scan = one task otherwise
+    Tables.fanOut(Tables.documents(s, dir), s, dir, "documents",
+        rowsPerTask = 250L)
       .select(explode(tokens(col("text"))).as("tok"))
       .where(col("tok").rlike("^[a-z]+$") && length(col("tok")) >= 2)
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
