@@ -59,7 +59,13 @@ object BloomIndex {
       col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fingerprint"),
       pmod(col("doc_id"), lit(buckets)).cast("int").as("bucket"))
-    keyed.write.partitionBy("bucket").mode(SaveMode.Overwrite)
+    // cluster by bucket before the partitioned write (r12, guide §6):
+    // without it every INPUT partition writes its own file into every
+    // bucket dir (p×buckets small files — measured 20×16 after the
+    // fanned scan); one exchange keyed on the partition column keeps
+    // it at ~one file per bucket at any input parallelism
+    keyed.repartition(col("bucket"))
+      .write.partitionBy("bucket").mode(SaveMode.Overwrite)
       .parquet(s"$path/data")
     val (rows, fpHash) = contentStamp(sp.read.parquet(s"$path/data"))
     val perBucket = math.max(rows / buckets + 1, 64L)

@@ -58,7 +58,13 @@ object IvfIndex {
       .toDF("cid", "cvec")
       .repartition(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+    // cluster by cid before the partitioned write (r12, guide §6):
+    // otherwise every input partition writes a file into every
+    // centroid dir (p×centroids small files once the corpus scan is
+    // fanned out); one exchange keyed on the partition column keeps
+    // the lists at ~one file per centroid at any input parallelism
     assignOnly(corpus, cents)
+      .repartition(col("cid"))
       .write.partitionBy("cid").mode(SaveMode.Overwrite)
       .parquet(s"$path/lists")
     val rows = sp.read.parquet(s"$path/lists").count()

@@ -62,7 +62,8 @@ object Breadth {
     * string carries the same information for the compare. */
   def q68ArrayOps(s: SparkSession, dir: String): DataFrame = {
     val toks = graft.operators.TextAnalysis.tokens(col("text"))
-    Tables.documents(s, dir)
+    Tables.fanOut(Tables.documents(s, dir), s, dir, "documents",
+      rowsPerTask = 250L) // fanOut (r12): tokenize + vocab sort map-side
       .select(col("doc_id"), toks.as("t"))
       .select(
         col("doc_id"),
@@ -438,6 +439,13 @@ object Breadth {
     * edges are deduped once up front, and nothing ever leaves the
     * executors. */
   def q135PageRank(s: SparkSession, dir: String): DataFrame = {
+    // NOTE (r12, measured rejection): Tables.fanOut on the lineitem
+    // side was tried (full-width 4.60 s, projected 4.26 s vs 3.76 s
+    // plain, isolated min-of-5) and hurts here: the loop's broadcast
+    // builds replay rounds from the persisted e2/nodes caches, and a
+    // fanned cache multiplies every replay stage's task count while
+    // the one-task distinct partial it parallelizes was never the
+    // bottleneck. Plain scan stays.
     val edges = Tables.orders(s, dir)
       .join(Tables.lineitem(s, dir),
         col("l_orderkey") === col("o_orderkey"))
@@ -456,6 +464,13 @@ object Breadth {
         .select(col("dst").as("node"),
           expr("((r * 85) DIV 100) DIV outdeg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("in_mass"))
+      // NOTE (r12, measured rejection): a per-round Lineage.cut was
+      // tried (the broadcast build of `ranks` re-executes prior
+      // rounds' join+aggs — 34 stages for 3 rounds) and measured
+      // SLOWER (3.8 → 4.6 s isolated min-of-5): the replays read the
+      // persisted e2/nodes caches and are cheaper than three eager
+      // localCheckpoint materializations. At higher round counts the
+      // quadratic replay would win; at 3 rounds it does not.
       ranks = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(150000000000L) + coalesce(col("in_mass"), lit(0L))).as("r"))
@@ -596,7 +611,7 @@ object Breadth {
   def q174ItemCosine(s: SparkSession, dir: String): DataFrame = {
     // read by pop + both pair-join sides: persist or the scan+distinct
     // runs three times (q135's iterative-lineage lesson)
-    val d = Tables.lineitem(s, dir)
+    val d = Tables.fanOut(Tables.lineitem(s, dir), s, dir, "lineitem")
       .select(col("l_orderkey").as("order_id"), col("l_partkey"))
       .distinct()
       .persist()

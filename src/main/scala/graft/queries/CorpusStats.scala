@@ -34,7 +34,8 @@ object CorpusStats {
   def q277ShardVocabCurve(s: SparkSession, dir: String): DataFrame = {
     val shard = (conv(substring(md5(col("doc_id").cast("string")), 1, 4),
         16, 10).cast("long") % lit(8L)).cast("int")
-    val st = Tables.documents(s, dir)
+    val st = Tables.fanOut(Tables.documents(s, dir), s, dir, "documents",
+      rowsPerTask = 250L) // fanOut (r12): tokenize + explode map-side
       .select(shard.as("shard"),
         explode(array_distinct(TextAnalysis.tokens(col("text")))).as("tok"))
       .distinct()

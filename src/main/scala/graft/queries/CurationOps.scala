@@ -12,6 +12,15 @@ import org.apache.spark.sql.functions._
   */
 object CurationOps {
 
+  /** fanOut (r12): per-doc text kernels (tokenize, n-gram HOFs,
+    * hashes) run map-side over a single-split documents scan — one
+    * task at any core count; fan out, identity at production scale
+    * (Tables.fanOut). */
+  private def fannedDocs(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    graft.Tables.fanOut(graft.Tables.documents(s, dir), s, dir, "documents",
+      rowsPerTask = 250L)
+
+
   type Q = (SparkSession, String) => DataFrame
 
   /** Sequential token-budget packing: assign documents (in stable
@@ -23,7 +32,7 @@ object CurationOps {
     * oracle keeps the windowed formulation as the spec. */
   def q59TokenPacking(s: SparkSession, dir: String): DataFrame = {
     val budget = 2000L
-    val counted = Tables.documents(s, dir)
+    val counted = fannedDocs(s, dir)
       .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).cast("bigint").as("token_count"))
     graft.operators.PrefixSum
       .withRunningSum(counted, "doc_id", "token_count", "cum_tokens")
@@ -56,8 +65,7 @@ object CurationOps {
     // task; the fan-out parallelizes every re-run (a persist was also
     // tried and measured a small LOSS — the columnar cache encode of
     // the token/prefix arrays costs more than the parallel recompute)
-    val d = Tables.fanOut(Tables.documents(s, dir), s, dir, "documents",
-        rowsPerTask = 250L)
+    val d = fannedDocs(s, dir)
       .select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"),
         sort_array(array_distinct(TextAnalysis.tokens(col("text")))).as("toks"))
@@ -105,7 +113,7 @@ object CurationOps {
     * of codegen'd regexp_replace (PII synthesized deterministically
     * onto the docs so the scrubber has real targets). */
   def q64PiiScrub(s: SparkSession, dir: String): DataFrame = {
-    val withPii = Tables.documents(s, dir)
+    val withPii = fannedDocs(s, dir)
       .withColumn("dirty",
         concat(col("text"), lit(" contact user"), col("doc_id"),
           lit("@example.com or +1-555-000"), col("doc_id"), lit(" now")))
@@ -125,7 +133,7 @@ object CurationOps {
   /** Repetition metrics: distinct-token ratio and dominant token
     * share — the cheap repetitive-document filter. */
   def q65Repetition(s: SparkSession, dir: String): DataFrame = {
-    val terms = Tables.documents(s, dir)
+    val terms = fannedDocs(s, dir)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_toks"))
       .select(col("doc_id"), size(col("_toks")).cast("bigint").as("total_tokens"),
         explode(col("_toks")).as("term"))
@@ -157,7 +165,7 @@ object CurationOps {
   def q78StratifiedSample(s: SparkSession, dir: String): DataFrame = {
     val cap = 30
     val w = Window.partitionBy("lang").orderBy(col("sample_key"), col("doc_id"))
-    Tables.documents(s, dir)
+    fannedDocs(s, dir)
       .withColumn("sample_key", md5(col("doc_id").cast("string")))
       .withColumn("stratum_rank", row_number().over(w))
       .filter(col("stratum_rank") <= cap)
@@ -174,7 +182,7 @@ object CurationOps {
   def q79WeightedSample(s: SparkSession, dir: String): DataFrame = {
     val frac = conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
       .cast("double") / lit(math.pow(16.0, 12.0))
-    Tables.documents(s, dir)
+    fannedDocs(s, dir)
       .select(col("doc_id"),
         TextAnalysis.qualityScore(col("text")).as("quality_score"),
         frac.as("sample_frac"))
@@ -197,7 +205,7 @@ object CurationOps {
     * corpus. */
   def q124QuotaApportion(s: SparkSession, dir: String): DataFrame = {
     val budget = 200L
-    val d = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+    val d = fannedDocs(s, dir).select(col("doc_id"), col("source"),
       md5(col("doc_id").cast("string")).as("sample_key"))
     val counts = d.groupBy("source").agg(count(lit(1)).as("n"))
     val shares = counts.crossJoin(counts.agg(sum(col("n")).as("total")))
@@ -235,7 +243,7 @@ object CurationOps {
     // blow-up); all values exact in doubles
     val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
       .cast("double") + 1.0) / lit(math.pow(16.0, 12.0))
-    val d = Tables.documents(s, dir)
+    val d = fannedDocs(s, dir)
       .select(col("doc_id"), col("source"),
         greatest(col("n_chars"), lit(1L)).as("weight"))
       .withColumn("priority", col("weight").cast("double") / u)
@@ -261,7 +269,7 @@ object CurationOps {
     * ingest order. One window per stratum key; no global sort. */
   def q152SystematicSample(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
-    Tables.documents(s, dir)
+    fannedDocs(s, dir)
       .select(col("doc_id"), col("lang"),
         md5(col("doc_id").cast("string")).as("h"))
       .withColumn("rn", row_number().over(w))
@@ -284,7 +292,7 @@ object CurationOps {
     */
   def q200EpochShards(s: SparkSession, dir: String): DataFrame = {
     val budget = 2000L
-    val counted = Tables.documents(s, dir)
+    val counted = fannedDocs(s, dir)
       .select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast("bigint").as("token_count"))
     def epochPack(epoch: Int): DataFrame = {
@@ -319,7 +327,7 @@ object CurationOps {
     * assignment adds zero further data movement at 100 TB. */
   def q240ContextPacking(s: SparkSession, dir: String): DataFrame = {
     val ctxLen = 512L
-    val counted = Tables.documents(s, dir)
+    val counted = fannedDocs(s, dir)
       .select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast("bigint").as("token_count"))
       .withColumn("shuffle_key", md5(concat_ws(":", lit("ctx"), col("doc_id"))))
@@ -359,7 +367,7 @@ object CurationOps {
     // `kept` an attribute; at 100 TB this stage is a staged table
     // anyway (the gate report IS a pipeline artifact, q212). */
     val gated = MixOps.withFilterRules(
-        Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        fannedDocs(s, dir).select(col("doc_id"), col("lang"),
           col("text")))
       .select(col("doc_id"), col("text"), col("kept"))
       .localCheckpoint()
@@ -426,7 +434,7 @@ object CurationOps {
     * a 100 TB corpus are bucketed by the PK, so the join co-locates
     * without a shuffle; the status rollup is a 4-group aggregate. */
   def q245ReleaseDiff(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val docs = fannedDocs(s, dir).select(col("doc_id"), col("text"))
     def leg(df: DataFrame, fp: String, tc: String) = df.select(col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as(fp),
       TextAnalysis.tokenCount(col("text")).cast("bigint").as(tc))
@@ -463,7 +471,7 @@ object CurationOps {
     * budget (≈ budget/min-doc-tokens docs), never by corpus size. */
   def q222ShardManifest(s: SparkSession, dir: String): DataFrame = {
     val budget = 2000L
-    val counted = Tables.documents(s, dir)
+    val counted = fannedDocs(s, dir)
       .select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast("bigint").as("token_count"))
       .withColumn("shuffle_key", md5(concat_ws(":", lit(0), col("doc_id"))))
@@ -540,7 +548,7 @@ object CurationOps {
     * probe set mixes present fingerprints (doc_id%10=3) with absent
     * ones (exercising the exact-join FP kill). */
   def q263BloomPointLookup(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    val docs = fannedDocs(s, dir)
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val path = s"/root/repo/target/graft_bloomidx/$tag"
     graft.operators.BloomIndex.ensureBuilt(docs, 16, path)
@@ -564,7 +572,7 @@ object CurationOps {
     * measured from the post-sweep FILES, so the oracle's
     * before−deleted arithmetic certifies the on-disk result. */
   def q269RetentionSweep(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    val docs = fannedDocs(s, dir)
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val path = s"/root/repo/target/graft_retention/$tag"
     graft.operators.BloomIndex.build(docs, 16, path)
@@ -586,7 +594,7 @@ object CurationOps {
     * NULL novelty through the universe left-join (the q195 lesson —
     * never drop rows the panel is supposed to account for). */
   def q275ReleaseNovelty(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val docs = fannedDocs(s, dir).select(col("doc_id"), col("text"))
     val v1 = docs.filter(pmod(col("doc_id"), lit(17)) =!= 3)
     val v2 = docs.filter(pmod(col("doc_id"), lit(23)) =!= 5)
       .withColumn("text", when(pmod(col("doc_id"), lit(11)) === 7,

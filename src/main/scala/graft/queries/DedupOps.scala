@@ -16,11 +16,19 @@ object DedupOps {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** fanOut (r12): every query in this module runs per-doc shingle +
+    * hash kernels (minhash k=16, simhash, winnowing, Jaccard verify)
+    * map-side over the documents scan — one task on a single-split
+    * file; fan out (identity at production scale, Tables.fanOut). */
+  private def fannedDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.fanOut(Tables.documents(s, dir), s, dir, "documents",
+      rowsPerTask = 250L)
+
   /** MinHash(16) + LSH(4 bands × 4 rows) candidate pairs, verified
     * with exact 3-shingle Jaccard. The full scalable near-dup
     * pipeline: shingle → sign → band → bucket-join → verify. */
   def q46MinhashNearDup(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    val d = fannedDocs(s, dir)
     val sigs = Dedup.minhashSignatures(d, "doc_id", "text", k = 16, shingleN = 3)
     val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", bands = 4, rowsPerBand = 4)
     Dedup.verifyJaccard(pairs, d, "doc_id", "text", shingleN = 3)
@@ -32,7 +40,7 @@ object DedupOps {
   /** 64-bit SimHash fingerprints per document (deterministic across
     * runs — xxhash64 token hashing, sign-of-bit-sum aggregation). */
   def q47SimhashFingerprint(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhash64(Tables.documents(s, dir), "doc_id", "text")
+    Dedup.simhash64(fannedDocs(s, dir), "doc_id", "text")
       .select(col("doc_id"), col("simhash"))
       .orderBy("doc_id")
 
@@ -40,7 +48,7 @@ object DedupOps {
     * maxHamming stays at 7 — the pigeonhole recall guarantee of the
     * 8-chunk bucketing (see Dedup.simhashNearDups). */
   def q48SimhashNearDup(s: SparkSession, dir: String): DataFrame = {
-    val sigs = Dedup.simhash64(Tables.documents(s, dir), "doc_id", "text")
+    val sigs = Dedup.simhash64(fannedDocs(s, dir), "doc_id", "text")
     Dedup.simhashNearDups(sigs, "doc_id", maxHamming = 7)
       .select("id_a", "id_b", "hamming")
       .orderBy("id_a", "id_b")
@@ -51,7 +59,7 @@ object DedupOps {
     * with its canonical survivor flag — the keep-one-per-cluster step
     * a curation pipeline runs after pair detection. */
   def q77DedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    val d = fannedDocs(s, dir)
     val sigs = Dedup.minhashSignatures(d, "doc_id", "text", k = 16, shingleN = 3)
     val cand = Dedup.lshCandidatePairs(sigs, "doc_id", bands = 4, rowsPerBand = 4)
     val pairs = Dedup.verifyJaccard(cand, d, "doc_id", "text", shingleN = 3)
@@ -76,7 +84,7 @@ object DedupOps {
     * pattern). Both labelings are the component-min id, so
     * agreement is exact, not just up to relabeling. */
   def q266StarccClusters(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    val d = fannedDocs(s, dir)
     val sigs = Dedup.minhashSignatures(d, "doc_id", "text", k = 16, shingleN = 3)
     val cand = Dedup.lshCandidatePairs(sigs, "doc_id", bands = 4, rowsPerBand = 4)
     val pairs = Dedup.verifyJaccard(cand, d, "doc_id", "text", shingleN = 3)
@@ -108,7 +116,7 @@ object DedupOps {
     * a ≤10-row histogram × 5 configs. */
   def q272LshTuner(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.TextAnalysis.tokens
-    val d = Tables.documents(s, dir)
+    val d = fannedDocs(s, dir)
     val a = d.select(col("doc_id").as("doc_a"),
       array_distinct(tokens(col("text"))).as("ta"))
     val b = d.select(col("doc_id").as("doc_b"),
@@ -154,7 +162,7 @@ object DedupOps {
     * are near-dup cluster sizes (small by construction at any corpus
     * scale), so the per-key sort is bounded and skew-free. */
   def q220QualitySurvivor(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    val d = fannedDocs(s, dir)
     val sigs = Dedup.minhashSignatures(d, "doc_id", "text", k = 16, shingleN = 3)
     val cand = Dedup.lshCandidatePairs(sigs, "doc_id", bands = 4, rowsPerBand = 4)
     val pairs = Dedup.verifyJaccard(cand, d, "doc_id", "text", shingleN = 3)
@@ -186,7 +194,7 @@ object DedupOps {
     * pairs are scored — the corpus never self-joins, so the per-batch
     * cost scales with the increment, not the corpus. */
   def q86IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    val d = fannedDocs(s, dir)
     val isInc = col("doc_id") % 10 === 0
     val fp = d.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
     val exact = fp.filter(isInc)
@@ -218,7 +226,7 @@ object DedupOps {
     * near-dup clusters (q77's connected components keep the min-id
     * doc per cluster). One anti-join against the loser set. */
   def q93DedupCorpus(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    val d = fannedDocs(s, dir)
     val sigs = Dedup.minhashSignatures(d, "doc_id", "text", k = 16, shingleN = 3)
     val cand = Dedup.lshCandidatePairs(sigs, "doc_id", bands = 4, rowsPerBand = 4)
     val pairs = Dedup.verifyJaccard(cand, d, "doc_id", "text", shingleN = 3)
@@ -244,7 +252,7 @@ object DedupOps {
     * the q77 clustering plus one keyed join of the (dup-rate-bounded)
     * label set back onto the corpus. */
   def q122LeakageSplit(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    val d = fannedDocs(s, dir)
     val sigs = Dedup.minhashSignatures(d, "doc_id", "text", k = 16, shingleN = 3)
     val cand = Dedup.lshCandidatePairs(sigs, "doc_id", bands = 4, rowsPerBand = 4)
     val pairs = Dedup.verifyJaccard(cand, d, "doc_id", "text", shingleN = 3)
@@ -277,7 +285,7 @@ object DedupOps {
     * for surviving candidates. */
   def q146Containment(s: SparkSession, dir: String): DataFrame = {
     val n = 8
-    val t = Tables.documents(s, dir)
+    val t = fannedDocs(s, dir)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
     val grams = t.select(col("doc_id"),
         explode(TextAnalysis.wordNgrams(col("toks"), n)).as("gram"))
@@ -332,7 +340,7 @@ object DedupOps {
       i => concat_ws(" ", slice(col("toks"), i, lit(3)))))
 
   def q151SimilarityJoin(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
+    val toks = fannedDocs(s, dir)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
     val sh = toks.select(col("doc_id"), shingleSetCol.as("sset"))
       .persist()
@@ -394,7 +402,7 @@ object DedupOps {
     * rows, so the hot-key bound is the SOURCE alphabet, not corpus
     * size — then one |sources|²-row aggregate. */
   def q158SourceOverlap(s: SparkSession, dir: String): DataFrame = {
-    val sv = Tables.documents(s, dir)
+    val sv = fannedDocs(s, dir)
       .select(col("source"), TextAnalysis.tokens(col("text")).as("toks"))
       .select(col("source"), explode(shingleSetCol).as("g"))
       .distinct()
@@ -429,7 +437,7 @@ object DedupOps {
     * number a curation pipeline should publish (q127's
     * measured-findings doctrine, applied to LSH). */
   def q166LshRecall(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    val d = fannedDocs(s, dir)
     val exsh = Dedup.shingleSets(d, "doc_id", "text", shingleN = 3)
       .select(col("doc_id"), explode(col("_shingles")).as("g"))
     val truePairs = exsh.select(col("doc_id").as("id_a"), col("g"))

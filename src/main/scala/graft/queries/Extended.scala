@@ -155,7 +155,8 @@ object Extended {
   /** Quantile-gated filtering: keep documents at-or-above the corpus
     * median quality score (single-row quantile broadcast back). */
   def q54QualityFilter(s: SparkSession, dir: String): DataFrame = {
-    val scored = Tables.documents(s, dir)
+    val scored = Tables.fanOut(Tables.documents(s, dir), s, dir,
+      "documents", rowsPerTask = 250L) // fanOut (r12): qualityScore map-side
       .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality_score"))
     val cut = scored.agg(
       expr("percentile(quality_score, 0.5)").as("median_score"))
@@ -248,7 +249,8 @@ object Extended {
     * both on bounded keys. Scores rounded to 6dp BEFORE ranking so
     * cross-engine libm ulps can't reorder ranks. */
   def q56TfIdf(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    val d = Tables.fanOut(Tables.documents(s, dir), s, dir, "documents",
+      rowsPerTask = 250L) // fanOut (r12): tokenize + explode map-side
     val n = d.count() // corpus size: one scalar to the driver
     val terms = d
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_toks"))

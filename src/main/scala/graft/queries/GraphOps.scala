@@ -12,6 +12,15 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** fanOut (r12): per-doc text kernels (tokenize, n-gram HOFs,
+    * hashes) run map-side over a single-split documents scan — one
+    * task at any core count; fan out, identity at production scale
+    * (Tables.fanOut). */
+  private def fannedDocs(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    graft.Tables.fanOut(graft.Tables.documents(s, dir), s, dir, "documents",
+      rowsPerTask = 250L)
+
+
   type Q = (SparkSession, String) => DataFrame
 
   /** Triangle census of the VERIFIED near-dup graph (q77's edge set:
@@ -30,7 +39,7 @@ object GraphOps {
     * every step is a keyed join/agg (see the operator's scaladoc).
     */
   def q147TriangleCensus(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    val d = fannedDocs(s, dir)
     val sigs = Dedup.minhashSignatures(d, "doc_id", "text", k = 16, shingleN = 3)
     val cand = Dedup.lshCandidatePairs(sigs, "doc_id", bands = 4, rowsPerBand = 4)
     val edges = Dedup.verifyJaccard(cand, d, "doc_id", "text", shingleN = 3)
@@ -52,14 +61,21 @@ object GraphOps {
     * levels, and KCoreSpec pins that the fixture graph reaches its
     * fixpoint within them. */
   def q203KCore(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    val d = fannedDocs(s, dir)
     val sigs = Dedup.minhashSignatures(d, "doc_id", "text", k = 16, shingleN = 3)
     val cand = Dedup.lshCandidatePairs(sigs, "doc_id", bands = 4, rowsPerBand = 4)
     val edges = Dedup.verifyJaccard(cand, d, "doc_id", "text", shingleN = 3)
       .filter(col("jaccard") >= 0.2)
       .select(col("id_a").as("a"), col("id_b").as("b"))
     val initial = graft.operators.KCore.degrees(edges)
-    val core = graft.operators.KCore.peel(edges, k = 2, rounds = 12)
+    // peelConverged (r12): stops at the no-peel fixpoint instead of
+    // always paying 12 rounds — output is identical at any round
+    // count ≥ the peel depth (KCoreSpec pins it; the oracle's 12
+    // unrolled levels are equally fixpoint-stable), and each skipped
+    // round saves a degree aggregate + two semi-joins + a checkpoint
+    // over the edge set at any scale
+    val core = graft.operators.KCore.peelConverged(edges, k = 2,
+      maxRounds = 12)._1
     val coreDeg = graft.operators.KCore.degrees(core)
       .withColumnRenamed("deg", "core_deg")
     initial.join(coreDeg, Seq("n"), "left")
@@ -76,10 +92,17 @@ object GraphOps {
     * integer fixed-point rounds, replayed bit-identically by the
     * oracle's unrolled CTE levels. */
   def q205Hits(s: SparkSession, dir: String): DataFrame = {
+    // fanOut (r12): edge build (broadcast join + distinct partials)
+    // is map-side over the single-split lineitem scan
     val edges = Tables.orders(s, dir)
-      .join(Tables.lineitem(s, dir),
+      .join(Tables.fanOut(Tables.lineitem(s, dir), s, dir, "lineitem"),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("hub"), col("l_partkey").as("auth"))
+    // NOTE (r12, measured rejection): Hits.runConverged was tried here
+    // (the q203 peelConverged win) and measured 5.9 → 9.7 s — this
+    // graph's integer scores do NOT reach the fixpoint within 8
+    // rounds, so the per-round convergence check (two node-sized
+    // full-outer joins) is pure overhead. Fixed rounds stay.
     val (hubs, auths) = graft.operators.Hits.run(edges, rounds = 8)
     auths.select(lit("authority").as("role"), col("id"), col("score"))
       .unionAll(hubs.select(lit("hub").as("role"), col("id"), col("score")))
@@ -96,7 +119,7 @@ object GraphOps {
     * rounds so the DuckDB oracle unrolls the identical trajectory;
     * LabelPropSpec pins that earlyStop returns the same labels. */
   def q213LabelProp(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    val d = fannedDocs(s, dir)
     val sigs = Dedup.minhashSignatures(d, "doc_id", "text", k = 16, shingleN = 3)
     val cand = Dedup.lshCandidatePairs(sigs, "doc_id", bands = 4, rowsPerBand = 4)
     val edges = Dedup.verifyJaccard(cand, d, "doc_id", "text", shingleN = 3)

@@ -19,6 +19,15 @@ import org.apache.spark.sql.functions._
   */
 object MixOps {
 
+  /** fanOut (r12): per-doc text kernels (tokenize, n-gram HOFs,
+    * hashes) run map-side over a single-split documents scan — one
+    * task at any core count; fan out, identity at production scale
+    * (Tables.fanOut). */
+  private def fannedDocs(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    Tables.fanOut(Tables.documents(s, dir), s, dir, "documents",
+      rowsPerTask = 250L)
+
+
   type Q = (SparkSession, String) => DataFrame
 
   private def toks: Column =
@@ -87,7 +96,7 @@ object MixOps {
     * because the fixture has one table) and broadcasts, making the
     * whole check a map-side semi-join over the training scan. */
   def q209Decontamination(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    val d = fannedDocs(s, dir)
       .select(col("doc_id"), toks.as("toks"), docFrac.as("frac"))
     val grams = d.select(col("doc_id"), col("frac"),
       explode(when(size(col("toks")) >= 5,
@@ -133,7 +142,7 @@ object MixOps {
     * plus the FP budget — the only reason a production
     * decontamination pass over petabytes is affordable. */
   def q239BloomDecontam(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    val d = fannedDocs(s, dir)
       .select(col("doc_id"), toks.as("toks"), docFrac.as("frac"))
     val grams = d.select(col("doc_id"), col("frac"),
       explode(when(size(col("toks")) >= 5,
@@ -198,7 +207,7 @@ object MixOps {
     * rarer (more identifying) grams. Output is Ω(pairs) — the audit
     * is inherently pair-shaped, and pairs ≈ contaminated docs. */
   def q241ContaminationPairs(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    val d = fannedDocs(s, dir)
       .select(col("doc_id"), toks.as("toks"), docFrac.as("frac"))
     val grams = d.select(col("doc_id"), col("frac"),
       explode(when(size(col("toks")) >= 5,
@@ -292,7 +301,7 @@ object MixOps {
     * a scan-speed token count: nothing here grows with corpus size
     * except the first groupBy. */
   def q211MixtureWeights(s: SparkSession, dir: String): DataFrame = {
-    val bySrc = Tables.documents(s, dir)
+    val bySrc = fannedDocs(s, dir)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(TextAnalysis.tokenCount(col("text")).cast("bigint")).as("n_tokens"))
@@ -337,7 +346,7 @@ object MixOps {
   def q252UnimaxAlloc(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val epochCap = 4L
-    val bySrc = Tables.documents(s, dir)
+    val bySrc = fannedDocs(s, dir)
       .groupBy("source")
       .agg(sum(TextAnalysis.tokenCount(col("text")).cast("bigint")).as("n_tokens"))
       .as[(String, Long)].collect()
@@ -371,7 +380,7 @@ object MixOps {
     * a linear classifier costs exactly one pass over the corpus,
     * which is the whole point of the fastText family. */
   def q218HashClassifier(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir).select(col("doc_id"), toks.as("toks"))
+    val d = fannedDocs(s, dir).select(col("doc_id"), toks.as("toks"))
     val bigrams = when(size(col("toks")) >= 2,
       transform(sequence(lit(1), size(col("toks")) - 1),
         i => concat_ws("_",
@@ -494,7 +503,7 @@ object MixOps {
   def q219AdaptiveThreshold(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("source").orderBy(col("quality"), col("doc_id"))
     val wAll = Window.partitionBy("source")
-    Tables.documents(s, dir)
+    fannedDocs(s, dir)
       .select(col("doc_id"), col("source"),
         TextAnalysis.qualityScore(col("text")).as("quality"))
       .withColumn("src_rank", row_number().over(w).cast("bigint"))
@@ -514,7 +523,7 @@ object MixOps {
     * the corpus scan plus the q209 gram semi-join — the datasheet of
     * a 100 TB corpus costs one pass. */
   def q221CorpusDatasheet(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    val d = fannedDocs(s, dir)
       .select(col("source"), col("lang"),
         TextAnalysis.tokenCount(col("text")).cast("bigint").as("token_count"),
         round(TextAnalysis.qualityScore(col("text")) * 1000000).cast("bigint")
@@ -570,7 +579,7 @@ object MixOps {
     * corpus size. */
   def q224Syndication(s: SparkSession, dir: String): DataFrame = {
     val bag = md5(array_join(array_sort(array_distinct(toks)), " "))
-    Tables.documents(s, dir)
+    fannedDocs(s, dir)
       .select(bag.as("bag"), col("source"), col("doc_id"))
       .groupBy("bag")
       .agg(count(lit(1)).as("n_copies"),
@@ -866,7 +875,7 @@ object MixOps {
       col("source"), lit("-"), pmod(col("doc_id"), lit(97)).cast("string"),
       lit("."), element_at(tld, pmod(col("doc_id"), lit(4)).cast("int") + 1),
       lit("/"), col("lang"), lit("/page-"), col("doc_id").cast("string"))
-    Tables.documents(s, dir)
+    fannedDocs(s, dir)
       .select(col("doc_id"), col("lang"), url.as("url"))
       .withColumn("host", regexp_extract(col("url"), "^https?://([^/]+)", 1))
       .withColumn("reg_host", regexp_replace(col("host"), "^www\\.", ""))
@@ -902,7 +911,7 @@ object MixOps {
     val draw = conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
       .cast("long")
     val full = 16777216L // 16^6
-    val d = Tables.documents(s, dir).select(
+    val d = fannedDocs(s, dir).select(
       col("doc_id"),
       graft.operators.TextAnalysis.tokenCount(col("text")).cast("long").as("tc"),
       draw.as("h"))

@@ -254,9 +254,16 @@ object Quality {
     // buffers ran in the scan's single task (one 11 MB file = one
     // split) — 4.9 s serial at local[32]; spreading the map side is
     // identity at production scale (guide §2.5)
+    // cast to double BEFORE the aggregate (r12): percentile's partial
+    // buffers key the value — Decimal keys hash/compare/serialize as
+    // BigDecimal objects, doubles as 8 bytes. decimal(12,2) → double
+    // is exact (< 2^53), injective and order-preserving, and
+    // percentile interpolates in double either way, so the result is
+    // bit-identical (oracle-checked) while the map-side buffers and
+    // the final merge shrink ~4×.
     Tables.fanOut(Tables.lineitem(s, dir), s, dir, "lineitem")
-      .select(col("l_extendedprice").as("v"),
-        when(key < "2", col("l_extendedprice")).as("vs"))
+      .select(col("l_extendedprice").cast("double").as("v"),
+        when(key < "2", col("l_extendedprice").cast("double")).as("vs"))
       .agg(
         count(col("v")).as("rows_total"),
         count(col("vs")).as("rows_sampled"),

@@ -14,10 +14,23 @@ import org.apache.spark.sql.functions._
   */
 object ScaleOps {
 
+  /** fanOut (r12): per-doc text kernels (tokenize, n-gram HOFs,
+    * hashes) run map-side over a single-split documents scan — one
+    * task at any core count; fan out, identity at production scale
+    * (Tables.fanOut). */
+  private def fannedDocs(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    Tables.fanOut(Tables.documents(s, dir), s, dir, "documents",
+      rowsPerTask = 250L)
+
+
   type Q = (SparkSession, String) => DataFrame
 
   private def quantized(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir)
+    // fanOut (r12): shared source of this module's ANN queries — the
+    // per-vector quantize/codebook/signature map work otherwise runs
+    // in the single-split scan's one task
+    Tables.fanOut(Tables.embeddings(s, dir), s, dir, "embeddings",
+        rowsPerTask = 100L)
       .select(col("vec_id"),
         Similarity.quantize(col("embedding")).as("query_vec"))
 
@@ -84,7 +97,7 @@ object ScaleOps {
     * (deterministic doc_id tie-break). One keyed window, no global
     * ordering anywhere. */
   def q99DomainCap(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    val d = fannedDocs(s, dir)
       .select(col("doc_id"), col("source"), col("lang"), col("text"))
       .withColumn("quality", TextAnalysis.qualityScore(col("text")))
     val w = Window.partitionBy("source")
@@ -120,7 +133,7 @@ object ScaleOps {
     val totals = grams.groupBy("doc_id").agg(count(lit(1)).as("total_spans"))
     val dups = grams.join(dupGrams, "gram")
       .groupBy("doc_id").agg(count(lit(1)).as("dup_spans"))
-    Tables.documents(s, dir).select("doc_id")
+    fannedDocs(s, dir).select("doc_id")
       .join(totals, Seq("doc_id"), "left")
       .join(dups, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -225,7 +238,7 @@ object ScaleOps {
     * ASCII corpus). */
   def q250SuffixPanel(s: SparkSession, dir: String): DataFrame = {
     val T = 240 // truncation budget: bounds rounds, window size, LCP bytes
-    val docs = Tables.documents(s, dir)
+    val docs = fannedDocs(s, dir)
     val r = SuffixRank.ranks(docs, "doc_id", "text", T)
     val txt = docs.select(col("doc_id"), substring(col("text"), 1, T).as("_t"))
     val withSfx = r.join(txt, "doc_id")
@@ -286,7 +299,7 @@ object ScaleOps {
     * training mix adjustment. Deterministic md5-fraction coin per
     * doc; sqrt/division are IEEE-exact cross-engine. */
   def q102MixtureSample(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    val d = fannedDocs(s, dir)
     val counts = d.groupBy("source").agg(count(lit(1)).as("n_source"))
     // tiny gate scalar (≤ #sources rows aggregated to 1)
     val maxN = counts.agg(max(col("n_source"))).head().getLong(0)
@@ -318,7 +331,7 @@ object ScaleOps {
     * overlap) — the RAG/long-context ingestion step; one row per
     * chunk with its token span. */
   def q104TokenChunks(s: SparkSession, dir: String): DataFrame = {
-    val t = Tables.documents(s, dir)
+    val t = fannedDocs(s, dir)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
     t.select(col("doc_id"),
         explode(TextAnalysis.tokenChunks(col("toks"), chunkLen = 32, stride = 24))
@@ -342,7 +355,7 @@ object ScaleOps {
     * subtotal collect), so constructing this DataFrame already
     * executes the dedup chain. */
   def q105CurationPipeline(s: SparkSession, dir: String): DataFrame =
-    curate(Tables.documents(s, dir)).orderBy("doc_id")
+    curate(fannedDocs(s, dir)).orderBy("doc_id")
 
   /** The reusable pipeline body behind q105 — takes any documents
     * frame with (doc_id, source, lang, text). Factored out so the
@@ -510,7 +523,7 @@ object ScaleOps {
     * EAGER at build time (like q98/q105): one count() sizes the df
     * cap. */
   def q112HybridRrf(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    val docs = fannedDocs(s, dir)
       .select(col("doc_id"),
         array_distinct(TextAnalysis.tokens(col("text"))).as("toks"))
     val emb = quantized(s, dir)
@@ -562,7 +575,7 @@ object ScaleOps {
     * funnel lossless, so the output is the exact HAVING-threshold
     * answer the oracle recomputes with a full GROUP BY. */
   def q113HeavyHitters(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
+    val toks = fannedDocs(s, dir)
       .select(explode(TextAnalysis.tokens(col("text"))).as("item"))
     graft.operators.HeavyHitters
       .frequentItems(toks, "item", minSupport = 0.002, capacity = 1024)
@@ -648,7 +661,7 @@ object ScaleOps {
     * size, and support is measured against each language's own token
     * count. */
   def q120GroupedHh(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
+    val toks = fannedDocs(s, dir)
       .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("item"))
     graft.operators.HeavyHitters
       .frequentItemsByGroup(toks, "lang", "item", minSupport = 0.004, capacity = 1024)
@@ -711,7 +724,7 @@ object ScaleOps {
     val width = 512
     val probes = Seq("join", "hash", "scan", "filter", "merge", "column",
       "spark", "zzz_absent")
-    val toks = Tables.documents(s, dir)
+    val toks = fannedDocs(s, dir)
       .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
       .where(col("tok") =!= "")
     val sketches = toks.groupBy("source")
@@ -729,7 +742,7 @@ object ScaleOps {
     // Row universe = DISTINCT source × probes (matching the oracle's
     // srcs CTE): a source whose documents yield zero non-empty tokens
     // has no sketch row, but must still appear with zero estimates.
-    val universe = Tables.documents(s, dir).select(col("source")).distinct()
+    val universe = fannedDocs(s, dir).select(col("source")).distinct()
       .select(col("source"), explode(array(probes.map(lit(_)): _*)).as("tok"))
     val estsAll = universe.join(ests, Seq("source", "tok"), "left")
       .withColumn("cms_est", coalesce(col("cms_est"), lit(0L)))

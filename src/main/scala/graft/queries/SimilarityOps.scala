@@ -15,7 +15,11 @@ object SimilarityOps {
   type Q = (SparkSession, String) => DataFrame
 
   private def quantized(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir)
+    // fanOut (r12): every ANN query in this module starts here, and
+    // the per-vector map work (quantize + SRP/PQ/IVF signatures)
+    // otherwise serializes in the single-split scan's one task
+    Tables.fanOut(Tables.embeddings(s, dir), s, dir, "embeddings",
+        rowsPerTask = 100L)
       .select(col("vec_id"), col("label"),
         Similarity.quantize(col("embedding")).as("query_vec"))
 

@@ -12,12 +12,21 @@ import org.apache.spark.sql.types.DecimalType
   */
 object TextOps {
 
+  /** fanOut (r12): per-doc text kernels (tokenize, n-gram HOFs,
+    * hashes) run map-side over a single-split documents scan — one
+    * task at any core count; fan out, identity at production scale
+    * (Tables.fanOut). */
+  private def fannedDocs(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    graft.Tables.fanOut(graft.Tables.documents(s, dir), s, dir, "documents",
+      rowsPerTask = 250L)
+
+
   type Q = (SparkSession, String) => DataFrame
 
   /** Token / char / punctuation statistics per document. Pure
     * scan+project — runs at parquet read speed at any scale. */
   def q40TokenStats(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    fannedDocs(s, dir)
       .select(
         col("doc_id"),
         length(col("text")).as("char_count"),
@@ -32,7 +41,7 @@ object TextOps {
   /** Language-ID: marker-word scores per language + argmax with
     * alphabetical tie-break, compared against the labeled lang. */
   def q41LangId(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    val d = fannedDocs(s, dir)
     val scoreCols = langMarkers.map { case (lang, re) =>
       langScore(col("text"), re).as(s"score_$lang")
     }
@@ -47,7 +56,7 @@ object TextOps {
     * gates). Expression shape mirrored exactly in the oracle so the
     * double arithmetic is bit-identical. */
   def q42QualityScore(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    fannedDocs(s, dir)
       .select(
         col("doc_id"),
         length(col("text")).as("char_count"),
@@ -66,14 +75,14 @@ object TextOps {
     * kernel, one scan, no shuffle (see Dedup.winnowFingerprints). */
   def q43WinnowFingerprint(s: SparkSession, dir: String): DataFrame =
     graft.operators.Dedup.winnowDigest(
-        Tables.documents(s, dir), "doc_id", "text", k = 8, w = 4)
+        fannedDocs(s, dir), "doc_id", "text", k = 8, w = 4)
       .orderBy("doc_id")
 
   /** Canonical-form md5 fingerprint + exact-dedup rollup: documents
     * collapsed by fingerprint, min doc_id as survivor (deterministic,
     * unlike dropDuplicates). One shuffle on the fingerprint. */
   def q45ExactDedup(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    fannedDocs(s, dir)
       .groupBy(fingerprint(col("text")).as("fingerprint"))
       .agg(
         min(col("doc_id")).as("canonical_doc_id"),
@@ -85,7 +94,7 @@ object TextOps {
     * (the verify kernel of near-dup detection; candidate generation
     * at scale is MinHash-LSH, see graft.operators.Dedup). */
   def q44NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    val d = fannedDocs(s, dir)
     val a = d.select(col("doc_id").as("doc_a"),
       array_distinct(tokens(col("text"))).as("ta"))
     val b = d.select(col("doc_id").as("doc_b"),
@@ -118,8 +127,7 @@ object TextOps {
   def q133BigramLm(s: SparkSession, dir: String): DataFrame = {
     // fanOut (r12): tokenize feeds two explode legs (bigrams +
     // unigrams) map-side; spread the single-split scan (q217 inherits)
-    val t = Tables.fanOut(Tables.documents(s, dir), s, dir, "documents",
-        rowsPerTask = 250L)
+    val t = fannedDocs(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
     val bi = t.select(col("doc_id"),
       explode(wordNgrams(col("toks"), 2)).as("bigram"))
@@ -135,7 +143,7 @@ object TextOps {
           .cast(DecimalType(18, 6)))
     val perDoc = scored.groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("logp")).as("sum_logp"))
-    Tables.documents(s, dir).select("doc_id")
+    fannedDocs(s, dir).select("doc_id")
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
@@ -194,7 +202,7 @@ object TextOps {
     * EAGER driver count at build time, q98/q105-style. */
   def q159Pmi(s: SparkSession, dir: String): DataFrame = {
     val nDocs = Tables.documentCount(s, dir)
-    val ex = Tables.documents(s, dir)
+    val ex = fannedDocs(s, dir)
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
     val cTok = ex.groupBy("tok").agg(count(lit(1)).as("c_tok"))
     val pairs = ex.select(col("doc_id"), col("tok").as("tok_a"))
@@ -222,7 +230,7 @@ object TextOps {
     * scalars (q159's idiom); everything else is one token-keyed
     * agg. */
   def q167TokenSurge(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
+    val toks = fannedDocs(s, dir)
       .select((col("doc_id") % 2).as("half"), explode(tokens(col("text"))).as("tok"))
     val totals = toks.groupBy("half").agg(count(lit(1)).as("t"))
       .collect().map(r => r.getAs[Long]("half") -> r.getAs[Long]("t")).toMap
@@ -249,7 +257,7 @@ object TextOps {
     * sums ([[graft.operators.PrefixSum]]). Output thinned to every
     * 20th doc. All integers; no measure ever divides. */
   def q186VocabGrowth(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
+    val toks = fannedDocs(s, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val perDoc = toks.groupBy("doc_id").agg(count(lit(1)).as("tok_cnt"))
     val firstSeen = toks.groupBy("term").agg(min(col("doc_id")).as("fd"))
@@ -278,8 +286,7 @@ object TextOps {
   private def bpeWords(s: SparkSession, dir: String): DataFrame =
     // fanOut (r12): tokenize + explode + regex gate are map-side before
     // the word-count exchange — single-split scan = one task otherwise
-    Tables.fanOut(Tables.documents(s, dir), s, dir, "documents",
-        rowsPerTask = 250L)
+    fannedDocs(s, dir)
       .select(explode(tokens(col("text"))).as("tok"))
       .where(col("tok").rlike("^[a-z]+$") && length(col("tok")) >= 2)
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
@@ -336,7 +343,7 @@ object TextOps {
     val k1p1 = 2.2
     val oneMinusB = 0.25
     val b = 0.75
-    val docs = Tables.documents(s, dir)
+    val docs = fannedDocs(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
     val dl = docs.select(col("doc_id"), size(col("toks")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
@@ -377,7 +384,7 @@ object TextOps {
     */
   def q198DsirWeights(s: SparkSession, dir: String): DataFrame = {
     val nb = 256
-    val toks = Tables.documents(s, dir)
+    val toks = fannedDocs(s, dir)
       .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("t"))
       .where(col("t") =!= "")
       .withColumn("b", conv(substring(md5(col("t")), 1, 6), 16, 10)
@@ -420,7 +427,7 @@ object TextOps {
     * then summed as DECIMAL (q133's order-independent discipline).
     */
   def q201KneserNey(s: SparkSession, dir: String): DataFrame = {
-    val t = Tables.documents(s, dir)
+    val t = fannedDocs(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
     val bi = t.select(col("doc_id"),
       explode(wordNgrams(col("toks"), 2)).as("bigram"))
@@ -440,7 +447,7 @@ object TextOps {
         round(log(col("p_kn")), 6).cast(DecimalType(18, 6)).as("logp"))
     val scored = bi.join(pkn, "bigram").groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("logp")).as("sum_logp"))
-    Tables.documents(s, dir).select("doc_id")
+    fannedDocs(s, dir).select("doc_id")
       .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
@@ -463,7 +470,7 @@ object TextOps {
     */
   def q202Rbo(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = Tables.documents(s, dir)
+    val d = fannedDocs(s, dir)
     def topRanks(scoreCol: org.apache.spark.sql.Column, rankName: String) =
       d.select(col("doc_id"), scoreCol.as("score"))
         .orderBy(col("score").desc, col("doc_id")).limit(50)
@@ -515,7 +522,7 @@ object TextOps {
       when(id % 3 === 0, concat(lit(" reach "), email)).otherwise(lit("")),
       when(id % 4 === 0, concat(lit(" dial "), phone)).otherwise(lit("")),
       when(id % 5 === 0, concat(lit(" node "), ip)).otherwise(lit("")))
-    Tables.documents(s, dir)
+    fannedDocs(s, dir)
       .select(col("doc_id"), laced.as("laced"))
       .select(col("doc_id"),
         emailCount(col("laced")).cast("bigint").as("n_emails"),
@@ -631,7 +638,7 @@ object TextOps {
       val encoded = graft.operators.Bpe.applyMerges(words, merges)
         .select(regexp_replace(col("sym"), " ", "").as("tok"),
           size(split(trim(col("sym")), "  ")).cast("long").as("n_sub"))
-      val perSource = Tables.documents(s, dir)
+      val perSource = fannedDocs(s, dir)
         .select(col("source"), explode(tokens(col("text"))).as("tok"))
         .where(col("tok").rlike("^[a-z]+$") && length(col("tok")) >= 2)
         .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
@@ -661,7 +668,7 @@ object TextOps {
     * token counts span ~3 decades, so ±6.25% buckets keep the panel
     * readable while the certificate still holds. */
   def q249LengthPanel(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    fannedDocs(s, dir)
       .select(col("source"), tokenCount(col("text")).cast("long").as("tc"))
       .rollup("source")
       .agg(count(lit(1)).as("n_docs"),
