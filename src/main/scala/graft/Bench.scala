@@ -254,6 +254,18 @@ object Bench {
     // (dev-loop) runs keep the queries-map line first — ab_bench.sh
     // reads it.
     if (wanted.isEmpty) println(summary)
+    // Per-query seconds, one parseable JSON line each (round 13,
+    // verdict item 2): the driver's PERF comparator reads stdout —
+    // BENCH_DETAIL.json is invisible to it, so per-query regressions
+    // went undetected for two rounds (PERF_r12 n_common: 0). Emitted
+    // between the leading and trailing slim totals, ADDITIONS-ONLY:
+    // every pre-existing line (and its position as first/last) is
+    // unchanged, so first-line and tail parsers see what they always
+    // saw, and a whole-capture parser now gets the full per-query map
+    // even when a single inline map line would overflow the capture.
+    if (wanted.isEmpty) results.zip(shortKeys).foreach { case ((k, v), sk) =>
+      println(s"""{"metric":"query","name":"${if (useShort) sk else k}","sec":${fmt(v)}}""")
+    }
     println(stdoutLine)
     streamLine.foreach(println)
     stateLine.foreach(println)

@@ -53,7 +53,8 @@ object SuffixRankProbe {
       val total = (System.nanoTime() - t0) / 1e9
       rounds.foreach { p =>
         println(s"""{"probe":"suffix_round","dir":"$dir","shift":${p.shift},""" +
-          s""""distinct":${p.distinct},"stats_secs":${fmt(p.statsSecs)},""" +
+          s""""distinct":${p.distinct},"active":${p.active},""" +
+          s""""stats_secs":${fmt(p.statsSecs)},""" +
           s""""apply_secs":${fmt(p.applySecs)}}""")
       }
       println(s"""{"probe":"suffix_summary","dir":"$dir","rows":$n,""" +

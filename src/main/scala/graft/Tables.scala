@@ -156,6 +156,19 @@ object Tables {
              rowsPerTask: Long = 25000L): DataFrame = {
     val path = s"$dir/$name.parquet"
     val bytes = fileBytesOf(s, path)
+    // INTENTIONAL conservatism vs FilePartition.maxSplitBytes (ADVICE
+    // r12 asked to mirror min(maxPartitionBytes, max(openCostInBytes,
+    // bytes/parallelism)) here): Spark's byte-range splits overstate
+    // WORK parallelism for parquet — a row group is processed by the
+    // one split containing its midpoint, so a small/mid-size file
+    // scanned as many thin byte ranges still does all row-group work
+    // in ceil(bytes / rowGroupBytes) tasks. With the default 128 MB
+    // row-group target, ceil(bytes / maxPartitionBytes) IS that
+    // estimate; mirroring maxSplitBytes would count empty byte-range
+    // tasks and skip a needed fan-out on single-row-group files. The
+    // cost of the conservatism is one redundant (cheap, row-count-
+    // capped) round-robin exchange on inputs in the 128 MB·cores
+    // band; above it the gate is the identity either way.
     val splitBytes = math.max(1L, s.sessionState.conf.filesMaxPartitionBytes)
     val naturalSplits = math.max(1L, (bytes + splitBytes - 1L) / splitBytes)
     val cores = s.sparkContext.defaultParallelism.toLong

@@ -112,8 +112,25 @@ object Hits {
         col("prev_score") =!= col("score"))
       .limit(1).count() == 0L
 
-  /** score = raw·10⁶ div max(raw) — the integer renormalization. */
-  private def normalize(raw: DataFrame): DataFrame =
-    raw.crossJoin(raw.agg(max(col("raw")).as("mx")))
-      .select(col("id"), expr(s"raw * $Scale DIV mx").as("score"))
+  /** score = raw·10⁶ div max(raw) — the integer renormalization.
+    *
+    * The max is collected to the DRIVER as a 1-row scalar and folded
+    * in as a literal (round 13, guide §2.4): the previous
+    * crossJoin(agg(max)) form planned a BroadcastNestedLoopJoin per
+    * half-round — a broadcast exchange + an extra read of `raw` INSIDE
+    * every downstream job that evaluated the normalized frame (the
+    * next half-round's broadcast collect, the checkpoint, the final
+    * output), 16 of them per q205 run. `raw` is always checkpointed by
+    * the caller before normalize (the cut-the-raw rule in [[run]]'s
+    * scaladoc), so the head() is one node-sized scan of materialized
+    * blocks — same collect class as the 1-row gate scalars (q102) and
+    * P-row stitches (SuffixRank) this repo already bounds.
+    * Arithmetic is unchanged (same `* Scale DIV max` Long expression,
+    * max now a literal), so the fixed-point trajectory — and the
+    * oracle replay — is bit-identical. */
+  private def normalize(raw: DataFrame): DataFrame = {
+    val row = raw.agg(max(col("raw"))).head()
+    val mx = if (row.isNullAt(0)) 1L else row.getLong(0)
+    raw.select(col("id"), expr(s"raw * $Scale DIV $mx").as("score"))
+  }
 }

@@ -123,8 +123,17 @@ object Retention {
     val deletedCounts = touched.join(delKeys, "fingerprint")
       .groupBy("bucket").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // cluster by the write's partition key BEFORE checkpointing
+    // (round 13, guide §6 small-files — the BloomIndex/IvfIndex r12
+    // fix applied to the rewrite path): the anti-join leaves `kept`
+    // hash-partitioned on fingerprint, so the dynamic overwrite below
+    // would write p × |touched buckets| files; one exchange on
+    // `bucket` collapses that to ~one file per rewritten bucket dir
+    // at any parallelism, and the checkpoint blocks are already
+    // clustered so the write adds no further exchange.
     val kept = touched.join(delKeys, Seq("fingerprint"), "left_anti")
       .select(col("doc_id"), col("fingerprint"), col("bucket"))
+      .repartition(col("bucket"))
       .localCheckpoint()
     // Dynamic overwrite only rewrites partitions PRESENT in `kept`: a
     // candidate bucket whose every row matched the delete set has no

@@ -251,7 +251,11 @@ object Extended {
   def q56TfIdf(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.fanOut(Tables.documents(s, dir), s, dir, "documents",
       rowsPerTask = 250L) // fanOut (r12): tokenize + explode map-side
-    val n = d.count() // corpus size: one scalar to the driver
+    // corpus size: memoized exchange-free scalar (ADVICE r12 — a
+    // count() on the fanned frame paid the round-robin shuffle just
+    // to count rows; Tables.documentCount counts the bare scan once
+    // and amortizes across compositions, same value by construction)
+    val n = Tables.documentCount(s, dir)
     val terms = d
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_toks"))
       .select(col("doc_id"), explode(col("_toks")).as("term"))

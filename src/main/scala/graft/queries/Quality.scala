@@ -256,11 +256,13 @@ object Quality {
     // identity at production scale (guide §2.5)
     // cast to double BEFORE the aggregate (r12): percentile's partial
     // buffers key the value — Decimal keys hash/compare/serialize as
-    // BigDecimal objects, doubles as 8 bytes. decimal(12,2) → double
-    // is exact (< 2^53), injective and order-preserving, and
-    // percentile interpolates in double either way, so the result is
-    // bit-identical (oracle-checked) while the map-side buffers and
-    // the final merge shrink ~4×.
+    // BigDecimal objects, doubles as 8 bytes. The cast is injective
+    // and order-preserving for decimal(12,2) (ulp at 1e10 ≪ half the
+    // 0.01 step — NOT "exact": 0.01 itself has no binary form), and
+    // percentile converts to double internally anyway, so the result
+    // is bit-identical (oracle-checked) while the map-side buffers and
+    // the final merge shrink ~4×. A wider decimal (e.g. 18,2) could
+    // collide in double — re-derive the ulp bound before widening.
     Tables.fanOut(Tables.lineitem(s, dir), s, dir, "lineitem")
       .select(col("l_extendedprice").cast("double").as("v"),
         when(key < "2", col("l_extendedprice").cast("double")).as("vs"))

@@ -244,38 +244,19 @@ object ScaleOps {
     val withSfx = r.join(txt, "doc_id")
       .withColumn("sfx", expr(s"substring(_t, pos + 1, $T)"))
       .select("doc_id", "pos", "rank", "sfx")
-    // suffix rows carry ≤T-char strings: size the index sort at ~2M
-    // rows (~0.5 GB) per partition so it never external-sorts; the
-    // count is cheap (r is checkpoint-materialized by ranks())
+    // suffix rows carry ≤T-char strings: size the adjacency sort at
+    // ~2M rows (~0.5 GB) per partition so it never external-sorts;
+    // the count is cheap (r is checkpoint-materialized by ranks())
     val sfxParts = math.min(4096L, r.count() / 2000000L + 1L).toInt
-    val gi = SuffixRank.zipWithIndex(withSfx, Seq("rank", "doc_id", "pos"),
-      minPartitions = sfxParts)
-    // native byte-scan LCP under the graft extension; HOF fold in
-    // bare sessions (identical result, O(T) single-char substrings)
-    val lcpCol =
-      if (s.catalog.functionExists("graft_lcp"))
-        call_function("graft_lcp", col("sfx_a"), col("sfx_b"))
-      else expr(
-        """IF(length(sfx_a) = 0 OR length(sfx_b) = 0, 0,
-          |  aggregate(sequence(1, least(length(sfx_a), length(sfx_b))), 0,
-          |    (acc, k) -> IF(acc = k - 1 AND
-          |      substring(sfx_a, k, 1) = substring(sfx_b, k, 1), k, acc)))
-          |""".stripMargin)
-    // size the adjacent-pair join's hash exchanges like the sorts:
-    // both sides are suffix-frame-sized, and an 8-partition SMJ sort
-    // at sf10 spills exactly like the unsized window did
-    val a = gi.select(col("_gi"), col("doc_id").as("doc_a"),
-      col("pos").cast("long").as("pos_a"), col("sfx").as("sfx_a"))
-      .repartition(sfxParts, col("_gi"))
-    val b = gi.select((col("_gi") - 1).as("_gi"), col("doc_id").as("doc_b"),
-      col("pos").cast("long").as("pos_b"), col("sfx").as("sfx_b"))
-      .repartition(sfxParts, col("_gi"))
-    a.join(b, "_gi")
-      .withColumn("lcp", lcpCol.cast("long"))
-      .withColumn("cross_doc", col("doc_a") =!= col("doc_b"))
-      .withColumn("snippet",
-        expr("substring(sfx_a, 1, least(cast(lcp as int), 32))"))
-      .select("doc_a", "pos_a", "doc_b", "pos_b", "lcp", "cross_doc", "snippet")
+    // adjacency + LCP in ONE range exchange (round 13, guide §2.4):
+    // SuffixRank.adjacentLcp pairs each suffix with its successor in
+    // (rank, doc_id, pos) order inside the sorted partitions (P-row
+    // boundary stitch), replacing the previous zipWithIndex (range
+    // exchange + counts pass) + two hash exchanges + self-join on
+    // _gi — the string-carrying exchanges drop from 3 to 1. The LCP
+    // and snippet are the same code-point semantics as graft_lcp +
+    // substring (value-identical; pinned by spec and the q250 oracle).
+    SuffixRank.adjacentLcp(withSfx, minPartitions = sfxParts)
       .orderBy(col("lcp").desc, col("doc_a"), col("pos_a"))
       .limit(20)
   }

@@ -436,8 +436,12 @@ object TelecomOps {
     val probes = Silver.silverProbes(
         fixture(s, Generators.probeEvents(s, hours = 24).toDF(), "probes", 24))
       .select(col("tower_id"), col("probe_ts"), col("load_pct"))
-    graft.streaming.StreamEnrich.callsWithTowerLoad(calls, probes,
-        tolerance = "10 minutes")
+    // binned equi-join batch face (round 13, guide §3.3): identical
+    // rows to callsWithTowerLoad's interval join — StreamEnrichSpec
+    // pins the parity, the oracle replays the raw interval join —
+    // without the per-tower |calls|×|probes| pair generation
+    graft.streaming.StreamEnrich.callsWithTowerLoadBinned(calls, probes,
+        toleranceSecs = 600L)
       .groupBy(col("event_id"), col("tower_id"), col("call_ts"))
       .agg(
         count(lit(1)).as("probes_seen"),

@@ -110,7 +110,13 @@ object IvfStreamIngest {
     // standard IVF contract, and what keeps batch/stream results
     // identical); Overwrite makes re-staging idempotent
     val staging = s"$indexPath/_staging/batch=$batchId"
-    IvfIndex.assignOnly(batch, cents)
+    // cluster by cid before the partitioned write (round 13, guide §6
+    // small-files — the IvfIndex.writeIndex r12 fix applied to the
+    // streaming appender): without it every batch stages p × |cids|
+    // files, and the publish step's rename loop below is one metadata
+    // op PER FILE — clustering makes that numCentroids renames per
+    // batch instead of p·numCentroids at any executor parallelism.
+    IvfIndex.assignOnly(batch, cents).repartition(col("cid"))
       .write.partitionBy("cid").mode(SaveMode.Overwrite).parquet(staging)
     // (3) publish: rename staged data files under their cid partition
     // with the batch-id prefix step (1) keys on

@@ -42,4 +42,42 @@ object StreamEnrich {
       .select(col("event_id"), col("tower_id"), col("call_ts"),
         col("probe_ts"), col("load_pct"))
   }
+
+  /** BATCH face of [[callsWithTowerLoad]] with the interval join
+    * binned into an equi-join (round 13, guide §3.3 exploding joins +
+    * §2.5 hot keys): the raw form equi-joins on tower_id alone — a
+    * low-cardinality key, so the sort-merge join GENERATES every
+    * (call, probe) pair of a tower and only then applies the time
+    * range as a post-join filter: O(|calls_t| · |probes_t|) pair work
+    * per tower, growing quadratically with retention at any scale,
+    * concentrated on as few tasks as there are towers. Binning probes
+    * by floor(probe_ts / tolerance) and exploding each call to its
+    * own bucket and the one before makes the join key
+    * (tower_id, bucket): a probe in [call_ts − tolerance, call_ts]
+    * always lies in one of those two buckets (lossless cover, and a
+    * probe's bucket is unique so no pair is emitted twice), so the
+    * join generates only pairs within ±tolerance and the key gains
+    * time cardinality — no per-tower hot reducer. The identical range
+    * predicate still applies post-join; results are row-identical to
+    * the interval form (StreamEnrichSpec pins it; the q261 oracle
+    * replays the raw interval join in SQL). Batch-only: the streaming
+    * face keeps the interval-join form — the range condition on the
+    * join itself is what gives Spark BOTH state-eviction horizons. */
+  def callsWithTowerLoadBinned(calls: DataFrame, probes: DataFrame,
+                               toleranceSecs: Long): DataFrame = {
+    val tolUs = toleranceSecs * 1000000L
+    val c = calls
+      .withColumn("_cus", unix_micros(col("call_ts")))
+      .withColumn("_bk",
+        explode(array(expr(s"_cus DIV $tolUs") - 1L, expr(s"_cus DIV $tolUs"))))
+    val p = probes
+      .withColumnRenamed("tower_id", "probe_tower_id")
+      .withColumn("_pus", unix_micros(col("probe_ts")))
+      .withColumn("_bk", expr(s"_pus DIV $tolUs"))
+    c.join(p,
+        c("tower_id") === p("probe_tower_id") && c("_bk") === p("_bk") &&
+          p("_pus") >= c("_cus") - lit(tolUs) && p("_pus") <= c("_cus"))
+      .select(col("event_id"), col("tower_id"), col("call_ts"),
+        col("probe_ts"), col("load_pct"))
+  }
 }

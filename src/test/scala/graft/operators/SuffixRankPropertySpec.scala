@@ -12,17 +12,22 @@ import org.apache.spark.sql.functions._
 class SuffixRankPropertySpec extends SparkSpec {
   import spark.implicits._
 
-  /** JVM ground truth: dense lexicographic rank of every truncated
-    * suffix (0-based positions), equal ranks iff equal strings. BMP
-    * alphabets only, where String ordering == code-point ordering. */
+  /** JVM ground truth: count-smaller lexicographic rank of every
+    * truncated suffix (round 13 — rank = index of the string's first
+    * occurrence in the multiset-sorted suffix list; equal ranks iff
+    * equal strings, rank order ≡ string order). BMP alphabets only,
+    * where String ordering == code-point ordering. */
   private def oracle(docs: Seq[(Long, String)],
                      maxLen: Int): Set[(Long, Int, Long)] = {
     val suffixes = docs.flatMap { case (id, t) =>
       val tt = t.take(maxLen)
       (0 until tt.length).map(p => ((id, p), tt.substring(p)))
     }
-    val rankOf = suffixes.map(_._2).distinct.sorted.zipWithIndex.toMap
-    suffixes.map { case ((id, p), s) => (id, p, rankOf(s).toLong) }.toSet
+    val firstIdx = scala.collection.mutable.Map.empty[String, Long]
+    suffixes.map(_._2).sorted.zipWithIndex.foreach { case (s, i) =>
+      if (!firstIdx.contains(s)) firstIdx(s) = i.toLong
+    }
+    suffixes.map { case ((id, p), s) => (id, p, firstIdx(s)) }.toSet
   }
 
   private def run(docs: Seq[(Long, String)], maxLen: Int): Set[(Long, Int, Long)] =
@@ -46,7 +51,7 @@ class SuffixRankPropertySpec extends SparkSpec {
     }
   }
 
-  test("packed and unpacked dense-rank paths produce identical ranks") {
+  test("packed and unpacked rank paths produce identical ranks") {
     // production only takes the two-column path past 2^31 suffix rows;
     // this pins packed ≡ unpacked (≡ the JVM oracle) at testable sizes
     val rnd = new scala.util.Random(77)

@@ -4,10 +4,12 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 /** Prefix-doubling suffix ranks ≡ brute-force sorted truncated
-  * suffixes — dense ranks, truncation semantics, duplicate documents
-  * (equal suffixes share a rank, including groups spanning range-
-  * partition boundaries), input-partitioning invariance, and the
-  * distributed zipWithIndex contract.
+  * suffixes — count-smaller ranks (round 13: rank = number of
+  * strictly smaller suffixes, the discarding-stable form; equal
+  * suffixes still share a rank, including groups spanning range-
+  * partition boundaries), truncation semantics, duplicate documents,
+  * input-partitioning invariance, the distributed zipWithIndex
+  * contract, and the adjacentLcp panel kernel.
   */
 class SuffixRankSpec extends SparkSpec {
   import spark.implicits._
@@ -19,11 +21,15 @@ class SuffixRankSpec extends SparkSpec {
       (0 until t.length).map(p => (id, p, t.substring(p)))
     }
 
-  /** Dense rank per suffix string (lexicographic). */
+  /** Count-smaller rank per suffix string: the index of the string's
+    * first occurrence in the multiset-sorted suffix list. */
   private def bruteRanks(docs: Seq[(Long, String)], maxLen: Int): Map[(Long, Int), Long] = {
     val sfx = bruteSuffixes(docs, maxLen)
-    val rankOf = sfx.map(_._3).distinct.sorted.zipWithIndex.toMap
-    sfx.map { case (id, p, s) => (id, p) -> rankOf(s).toLong }.toMap
+    val firstIdx = scala.collection.mutable.Map.empty[String, Long]
+    sfx.map(_._3).sorted.zipWithIndex.foreach { case (s, i) =>
+      if (!firstIdx.contains(s)) firstIdx(s) = i.toLong
+    }
+    sfx.map { case (id, p, s) => (id, p) -> firstIdx(s) }.toMap
   }
 
   private def runRanks(docs: Seq[(Long, String)], maxLen: Int): Map[(Long, Int), Long] =
@@ -31,7 +37,7 @@ class SuffixRankSpec extends SparkSpec {
       .as[(Long, Int, Long)].collect()
       .map { case (id, p, r) => (id, p) -> r }.toMap
 
-  test("handcrafted corpus with a duplicate document: dense ranks exact") {
+  test("handcrafted corpus with a duplicate document: count-smaller ranks exact") {
     val docs = Seq((1L, "banana"), (2L, "bandana"), (3L, "banana"))
     assert(runRanks(docs, 240) === bruteRanks(docs, 240))
   }
@@ -58,6 +64,55 @@ class SuffixRankSpec extends SparkSpec {
       .as[(Long, Int, Long)].collect()
       .map { case (id, p, r) => (id, p) -> r }.toMap
     assert(repart === base)
+  }
+
+  /** Independent code-point LCP/snippet (java.lang codePoints — a
+    * different implementation family than the operator's char loop). */
+  private def cpLcp(a: String, b: String): Int = {
+    val ca = a.codePoints.toArray; val cb = b.codePoints.toArray
+    val n = math.min(ca.length, cb.length)
+    var i = 0
+    while (i < n && ca(i) == cb(i)) i += 1
+    i
+  }
+  private def cpSnippet(s: String, l: Int): String =
+    new String(s.codePoints.toArray, 0, math.min(l, 32))
+
+  test("adjacentLcp ≡ brute-force sorted-adjacency panel (ascii + unicode, forced boundaries)") {
+    // includes a duplicate doc (equal-rank ties broken by doc_id) and
+    // supplementary-plane chars (surrogate-pair backup in the lcp).
+    // Suffix positions are CODE POINTS, matching production (the
+    // ranks() explode splits text per code point, so a suffix never
+    // starts inside a surrogate pair).
+    val docs = Seq((1L, "banana"), (2L, "bandana"), (3L, "banana"),
+      (4L, "日本語ba𐐀na"), (5L, "𐐀𐐁ba"))
+    val sfx: Seq[(Long, Int, String)] = docs.flatMap { case (id, text) =>
+      val cps = text.codePoints.toArray
+      (0 until cps.length).map(p => (id, p, new String(cps, p, cps.length - p)))
+    }
+    val ranks: Map[(Long, Int), Long] = {
+      val firstIdx = scala.collection.mutable.Map.empty[String, Long]
+      sfx.map(_._3).sorted.zipWithIndex.foreach { case (s, i) =>
+        if (!firstIdx.contains(s)) firstIdx(s) = i.toLong
+      }
+      sfx.map { case (id, p, s) => (id, p) -> firstIdx(s) }.toMap
+    }
+    val ordered = sfx.sortBy { case (id, p, s) => (ranks((id, p)), id, p) }
+    val expected = ordered.zip(ordered.drop(1)).map {
+      case ((da, pa, sa), (db, pb, sb)) =>
+        val l = cpLcp(sa, sb)
+        (da, pa.toLong, db, pb.toLong, l.toLong, da != db, cpSnippet(sa, l))
+    }.toSet
+    val withSfx = sfx.map { case (id, p, s) => (id, p, ranks((id, p)), s) }
+      .toDF("doc_id", "pos", "rank", "sfx")
+    // high minPartitions forces pair groups across range boundaries;
+    // adversarial input partitioning must not matter
+    Seq(0, 7).foreach { mp =>
+      val got = SuffixRank.adjacentLcp(withSfx.repartition(5), mp)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getBoolean(5), r.getString(6))).toSet
+      assert(got === expected, s"minPartitions=$mp")
+    }
   }
 
   test("zipWithIndex: contiguous 0-based index in sort order, any partitioning") {

@@ -121,9 +121,8 @@ class PlanHygieneSpec extends SparkSpec {
     // 50-depth grid crossed with the ≤100-row union of two post-limit
     // top-50 rank sets (+ their post-limit rank windows) — k²-bounded
     "q202_rbo" -> "depth grid over post-limit rank sets",
-    // the final round's 1-row max-normalization cross (q07 idiom);
-    // all edge-sized joins are checkpointed behind it
-    "q205_hits" -> "1-row max-normalization crosses",
+    // (round 13: q205_hits left this list — its max-normalization
+    // cross is now a driver-collected literal, so no BNLJ remains)
     // cumulative window over the distinct-value cell aggregate —
     // value-domain-bounded, post-aggregation (q177's idiom)
     "q206_mann_whitney" -> "cumulative window over value-domain cells",

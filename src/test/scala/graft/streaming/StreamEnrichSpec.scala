@@ -75,6 +75,44 @@ class StreamEnrichSpec extends SparkSpec {
     assert(streamed.filter(_._1 != "cx") == expected)
   }
 
+  test("binned batch face ≡ interval join (boundary probes, bucket edges, randomized)") {
+    // hand-picked boundary cases: probe exactly at call_ts, exactly at
+    // call_ts − 10 min (inclusive), 1 s outside, and bucket-edge
+    // timestamps (call exactly on a 10-min boundary)
+    val calls = callRows ++ Seq(
+      ("c4", "T1", ts("2024-01-01 10:10:00")), // on a bucket boundary
+      ("c5", "T2", ts("2024-01-01 10:10:00")))
+    val probes = probeRows ++ Seq(
+      ("T1", ts("2024-01-01 10:00:00"), 41.0), // == c4 − 10 min: inclusive
+      ("T1", ts("2024-01-01 09:59:59"), 42.0), // 1 s outside c4's window
+      ("T2", ts("2024-01-01 10:10:00"), 43.0)) // == c5 ts: inclusive
+    def run(f: => org.apache.spark.sql.DataFrame): Set[(String, Timestamp, Double)] =
+      f.select("event_id", "probe_ts", "load_pct")
+        .as[(String, Timestamp, Double)].collect().toSet
+    val interval = run(StreamEnrich.callsWithTowerLoad(
+      calls.toDF("event_id", "tower_id", "call_ts"),
+      probes.toDF("tower_id", "probe_ts", "load_pct")))
+    val binned = run(StreamEnrich.callsWithTowerLoadBinned(
+      calls.toDF("event_id", "tower_id", "call_ts"),
+      probes.toDF("tower_id", "probe_ts", "load_pct"), toleranceSecs = 600L))
+    assert(binned === interval)
+    // randomized sweep: 200 calls × 400 probes over 3 towers and 2 h
+    val rnd = new scala.util.Random(42)
+    val rc = (1 to 200).map(i => (s"r$i", s"T${rnd.nextInt(3)}",
+      new Timestamp(ts("2024-01-01 08:00:00").getTime + rnd.nextInt(7200) * 1000L)))
+    val rp = (1 to 400).map(_ => (s"T${rnd.nextInt(3)}",
+      new Timestamp(ts("2024-01-01 08:00:00").getTime + rnd.nextInt(7200) * 1000L),
+      rnd.nextInt(100).toDouble))
+    val ri = run(StreamEnrich.callsWithTowerLoad(
+      rc.toDF("event_id", "tower_id", "call_ts"),
+      rp.toDF("tower_id", "probe_ts", "load_pct")))
+    val rb = run(StreamEnrich.callsWithTowerLoadBinned(
+      rc.toDF("event_id", "tower_id", "call_ts"),
+      rp.toDF("tower_id", "probe_ts", "load_pct"), toleranceSecs = 600L))
+    assert(rb === ri)
+    assert(ri.nonEmpty)
+  }
+
   test("stream-stream join state EVICTS: rows plateau as watermarks advance") {
     implicit val sqlCtx = spark.sqlContext
     val cMem = MemoryStream[(String, String, Timestamp)]
