@@ -222,20 +222,21 @@ object ScaleOps {
     * Every suffix of every document (truncated to the explicit
     * `maxLen` budget) is ranked lexicographically corpus-wide; the
     * panel reports the 20 longest repeats: for adjacent suffixes in
-    * rank order, the longest-common-prefix length (native codegen'd
-    * `graft_lcp`), whether the repeat crosses documents, and the
-    * repeated snippet. The classic suffix-array fact makes adjacency
-    * sufficient: the max LCP between ANY two suffixes is attained by
-    * some neighbors in sorted order.
+    * rank order, the longest-common-prefix length (code-point
+    * semantics identical to `graft_lcp`), whether the repeat crosses
+    * documents, and the repeated snippet. The classic suffix-array
+    * fact makes adjacency sufficient: the max LCP between ANY two
+    * suffixes is attained by some neighbors in sorted order.
     *
-    * Scale shape: O(log maxLen) rounds of (per-doc window + range
-    * exchange + P-row collect) build the ranks; adjacency is a
-    * self-join on a distributed zipWithIndex (never an unpartitioned
-    * window); suffix STRINGS are only materialized for the final
-    * LCP pass, bounded by maxLen bytes per row. The DuckDB oracle
-    * sorts the truncated suffix strings directly — algorithm-
-    * independent ground truth (binary collation ≡ rank order on the
-    * ASCII corpus). */
+    * Scale shape: O(log maxLen) rounds of (per-doc window + active-
+    * subset range exchange + P-row collect) build the ranks
+    * (discarding — see SuffixRank); adjacency + LCP run inside ONE
+    * range exchange's sorted partitions ([[SuffixRank.adjacentLcp]],
+    * round 13 — never an unpartitioned window, no self-join); suffix
+    * STRINGS are only materialized for that final pass, bounded by
+    * maxLen bytes per row. The DuckDB oracle sorts the truncated
+    * suffix strings directly — algorithm-independent ground truth
+    * (binary collation ≡ rank order on the ASCII corpus). */
   def q250SuffixPanel(s: SparkSession, dir: String): DataFrame = {
     val T = 240 // truncation budget: bounds rounds, window size, LCP bytes
     val docs = fannedDocs(s, dir)
